@@ -1,0 +1,80 @@
+"""Benchmark harness: headline declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q...": sec, ...}, "sf": <sf>}
+
+Timing protocol: one warm-up action on lineitem to absorb JVM/codegen
+startup, then per query the median of N_RUNS runs of "build plan + count
+collect" (df.count() forces full execution without driver-side materialize
+of every row; queries whose semantics are the rows themselves still execute
+the full plan)."""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set: one representative per operator family, weighted toward
+# shuffle-heavy shapes where scale behavior matters.
+HEADLINE = [
+    "q_agg_groupby",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_join_multiway",
+    "q_join_broadcast",
+    "q_join_asof_event",
+    "q_win_topk_per_group",
+    "q_win_frame_rows",
+    "q_stream_session",
+    "q_text_tokenize_stats",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_cosine_topk",
+    "q_scan_column_prune",
+]
+
+
+def main() -> None:
+    from spark_ml_pipelines_example_spark.plans.session import get_spark
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    registry = load_all()
+    spark = get_spark(app_name="bench")
+
+    # warm-up: JVM, parquet footer cache, codegen
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in registry]
+    times: dict[str, float] = {}
+    for name in names:
+        spec = registry[name]
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            df.count()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(runs), 4)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

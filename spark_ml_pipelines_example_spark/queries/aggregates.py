@@ -1,0 +1,352 @@
+"""Aggregation queries (SURVEY §2.2 'Aggregations').
+
+Includes the flagship TPC-H-Q1-shaped `q_agg_groupby` and the SQL twins of
+the reference's ML semantics: `q_agg_label_encode` (StringIndexer =
+frequency-desc rank, reference ``no_pipeline/ModelFit.scala:87-90``) and
+`q_agg_confusion_accuracy` (MulticlassClassificationEvaluator-accuracy =
+avg(label==prediction), reference ``package.scala:46-51``).
+
+Scale posture: every group-by here is a partial (map-side) + final hash
+aggregate — one shuffle on the group keys, no driver-side loops. Money sums
+go through decimal casts so results are shuffle-order-independent (§2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import avg_exact, dec, dec_sum, t
+from .registry import query
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def q_agg_global(spark, sf_dir):
+    """Ungrouped count/sum/min/max/avg in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        avg_exact("l_discount", scale=4).alias("avg_disc"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q_agg_groupby(spark, sf_dir):
+    """TPC-H Q1 shape: filter → partial/final hash aggregate with 8 measures.
+
+    Per-row double products are cast to decimal *before* SUM so the result
+    is independent of partition/merge order — the property that makes this
+    hash-stable at 100 TB, where shuffle order is never reproducible.
+    The decimal scale must cover the *exact* decimal length of the product
+    (price 2dp × disc 2dp × tax 2dp → 6dp for charge): rounding a double at
+    a shorter scale is engine-dependent (Spark parses the shortest repr,
+    DuckDB rounds the binary expansion).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec(disc_price, 18, 4)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge, 18, 6)).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def q_agg_distinct(spark, sf_dir):
+    """count(distinct) ×2 + sum(distinct) — Catalyst plans this via expand +
+    two-phase aggregate; AQE sizes the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_dist_qty"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+    tags=("agg", "having"),
+)
+def q_agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(n_name, '<all>') AS nation,
+           COALESCE(c_mktsegment, '<all>') AS segment,
+           CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS gid,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name, c_mktsegment)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP(nation, mktsegment) with an explicit grouping id. Group keys
+    are coalesced to sentinels so subtotal rows hash identically in both
+    engines; nation is broadcast into the join."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dec_sum("c_acctbal").alias("sum_bal"),
+            (F.grouping("n_name") * 2 + F.grouping("c_mktsegment")).cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            "gid",
+            "n_cust",
+            "sum_bal",
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE(returnflag, linestatus) — all four grouping combinations."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand plan as
+    rollup/cube)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ count-distinct vs exact, with the tolerance check
+    embedded in the result (rows-only: HLL sketches are engine-specific).
+    At 100 TB this is the only count-distinct that doesn't need a global
+    shuffle of the key — sketches merge associatively map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "approx_parts",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.1
+        ).alias("within_tolerance"),
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_str,
+           COUNT(DISTINCT l_linestatus) AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "collect"),
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_set sorted for determinism (SURVEY §2.4.5)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses_str"),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+           ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark, sf_dir):
+    """stddev/variance/corr/covar, rounded to 4 decimals — the single-pass
+    moment algorithms agree across engines to ~1e-10, far inside the
+    rounding (SURVEY §2.4 'rounded')."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "q_agg_label_encode",
+    oracle="""
+    WITH counts AS (
+        SELECT c_mktsegment, COUNT(*) AS freq FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, c_mktsegment) - 1 AS BIGINT) AS label
+    FROM counts
+    """,
+    tags=("agg", "ml-twin"),
+)
+def q_agg_label_encode(spark, sf_dir):
+    """StringIndexer semantics in pure SQL (SURVEY §2.1 R6): frequency-desc
+    rank with alphabetical tie-break — the exact mapping
+    ``StringIndexer(frequencyDesc)`` fits, checkable against DuckDB."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count("*").alias("freq"))
+    w = W.orderBy(F.col("freq").desc(), F.col("c_mktsegment"))
+    return counts.select(
+        "c_mktsegment",
+        "freq",
+        (F.row_number().over(w) - 1).cast("bigint").alias("label"),
+    )
+
+
+@query(
+    "q_agg_confusion_accuracy",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = o_custkey % 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy,
+           COUNT(*) AS n
+    FROM orders
+    """,
+    tags=("agg", "ml-twin"),
+)
+def q_agg_confusion_accuracy(spark, sf_dir):
+    """Evaluator-accuracy semantics (SURVEY §2.1 R13): accuracy =
+    avg(label == prediction) on a derived deterministic (label, pred) pair —
+    an exact integer-count formulation, no float accumulation."""
+    o = t(spark, sf_dir, "orders")
+    hit = F.when(F.col("o_orderkey") % 3 == F.col("o_custkey") % 3, 1).otherwise(0)
+    return o.agg(
+        (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
+        F.count("*").alias("n"),
+    )

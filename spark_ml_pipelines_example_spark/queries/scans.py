@@ -1,0 +1,90 @@
+"""Scans, sources, sinks (reference R1-R3, SURVEY §2.2 'Scans').
+
+The reference's whole I/O surface is schema'd CSV reads
+(``TrainTestSplit.scala:67``), parquet reads (``no_pipeline/ModelFit.scala:84``)
+and save-mode parquet writes (``no_pipeline/Predict.scala:96``,
+``package.scala:31-36``). Declared here in oracle-checkable form.
+
+Scale posture: parquet scans keep projection/predicate in the plan so
+Catalyst pushes them into the file source (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``); CSV writes
+go through the engine writer (no ``repartition(1)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.io import read_csv_with_schema, write_parquet
+from ._util import scratch_dir, t
+from .registry import query
+
+
+@query(
+    "q_scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("scan",),
+)
+def q_scan_parquet(spark, sf_dir):
+    """Full-table parquet scan (reference R2)."""
+    return t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "q_scan_csv_schema",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("scan", "csv"),
+)
+def q_scan_csv_schema(spark, sf_dir):
+    """CSV scan with enforced StructType (reference R1,
+    ``TrainTestSplit.scala:67``): the engine first writes ``region`` out as
+    headerless CSV, then reads it back with the declared schema — no
+    inference scan, exactly the reference's iris pattern."""
+    path = scratch_dir("q_scan_csv_schema", sf_dir)
+    t(spark, sf_dir, "region").write.mode("overwrite").csv(path)
+    return read_csv_with_schema(spark, path, "region")
+
+
+@query(
+    "q_sink_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("scan", "sink"),
+)
+def q_sink_parquet_roundtrip(spark, sf_dir):
+    """Parquet sink with overwrite save mode then read back (reference R3 +
+    ``makeSaveMode``, ``package.scala:31-36``)."""
+    path = scratch_dir("q_sink_parquet_roundtrip", sf_dir)
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+        )
+    )
+    write_parquet(src, path, overwrite=True)
+    return spark.read.parquet(path)
+
+
+@query(
+    "q_scan_column_prune",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity <= 3.0
+    """,
+    tags=("scan", "prune"),
+)
+def q_scan_column_prune(spark, sf_dir):
+    """Projection + predicate pushdown: reads 3 of 11 lineitem columns with
+    the filter pushed to the parquet scan (``PushedFilters: [LessThanOrEqual
+    (l_quantity,3.0)]`` in the formatted plan)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(F.col("l_quantity") <= 3.0)
+    )
