@@ -1,0 +1,69 @@
+"""As-of join (backward) as a union + merge-scan window.
+
+Spark has no native ASOF JOIN (SURVEY §2.2 `q_join_asof_event`, §4.4). The
+scalable formulation:
+
+1. tag probe rows (side=1) and reference rows (side=0);
+2. union them on the shared (key, ts) spine;
+3. one window pass per key, ordered by (ts, side, unique-id): running
+   ``last(ref_payload, ignorenulls=True)`` assigns every probe row the most
+   recent reference at-or-before it (refs sort before probes at equal ts,
+   so ties match "<=" semantics);
+4. keep the probe rows.
+
+Cost: ONE shuffle on the key + a sort within partitions — linear in input,
+no per-row subqueries, no broadcast-nested-loop. This is the plan shape an
+as-of join must have to survive 100 TB; a correlated-probe formulation
+(what the DuckDB oracle uses) is quadratic.
+
+Alternative for few, coarse keys with dense timestamps: bucketize ts and
+equi-join on (key, bucket) — not needed here since the window pass is
+already single-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    payload: str,
+    alias: str = "asof_value",
+) -> DataFrame:
+    """For each probe row, attach `alias` = refs.`payload` of the latest ref
+    row with ref.ts <= probe.ts and equal `on` key (null when none).
+
+    Ties: refs at exactly probe.ts match; among same-ts refs the largest
+    `payload` wins (deterministic).
+    """
+    probe_cols = probes.columns
+    probe_types = dict(probes.dtypes)
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast("long"))
+    r = refs.select(
+        *[
+            F.col(c) if c in (on, ts) else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        F.col(payload).cast("long").alias(_PAYLOAD),
+    )
+
+    unioned = p.unionByName(r)
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts), F.col(_SIDE), F.col(_PAYLOAD))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn(alias, F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, _PAYLOAD)
+    )

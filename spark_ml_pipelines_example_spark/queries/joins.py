@@ -1,1 +1,267 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Join queries (SURVEY §2.2 'Joins').
+
+Scale posture per join:
+- dimension tables (region/nation/part at their SFs) are broadcast —
+  explicit ``F.broadcast`` hints where the stats-based choice matters;
+- fact-fact joins shuffle on the join key and rely on AQE for skew
+  splitting; no driver-side loops anywhere;
+- the as-of join is the union-merge-scan idiom (one shuffle on the
+  partition key, a single ordered window pass) instead of a quadratic
+  per-row probe — the only formulation that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ._util import dec_sum, t
+from .registry import query
+
+
+@query(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, c_custkey, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("join",),
+)
+def q_join_inner_equi(spark, sf_dir):
+    """Equi inner join orders ⋈ customer; Catalyst picks broadcast-hash
+    (customer is far under the threshold at test SFs)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def q_join_broadcast(spark, sf_dir):
+    """Explicit broadcast hash join lineitem ⋈ part: the dimension ships to
+    every executor, the 100 TB fact side never shuffles for the join —
+    the aggregation is then the only exchange in the plan."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(dec_sum("l_extendedprice").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "multiway"),
+)
+def q_join_multiway(spark, sf_dir):
+    """4-hop star join: the two big tables meet in one shuffle join, every
+    dimension hop is broadcast, then a single hash aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_join_left_right_full",
+    oracle="""
+    SELECT 'left' AS side, c_custkey, o_orderkey
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) big
+      ON c_custkey = big.o_custkey
+    UNION ALL
+    SELECT 'right' AS side, c_custkey, o_orderkey
+    FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) big RIGHT JOIN customer
+      ON big.o_custkey = c_custkey
+    UNION ALL
+    SELECT 'full' AS side, c_custkey, o_orderkey
+    FROM (SELECT * FROM customer WHERE c_nationkey < 5) cs
+      FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) big
+      ON cs.c_custkey = big.o_custkey
+    """,
+    tags=("join", "outer"),
+)
+def q_join_left_right_full(spark, sf_dir):
+    """LEFT / RIGHT / FULL outer joins in one result, tagged by side; the
+    filtered order subset guarantees unmatched rows on both sides."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    cs = c.filter(F.col("c_nationkey") < 5)
+    cols = [F.col("c_custkey"), F.col("o_orderkey")]
+    left = c.join(big, c.c_custkey == big.o_custkey, "left").select(
+        F.lit("left").alias("side"), *cols
+    )
+    right = big.join(c, big.o_custkey == c.c_custkey, "right").select(
+        F.lit("right").alias("side"), *cols
+    )
+    full = cs.join(big, cs.c_custkey == big.o_custkey, "full").select(
+        F.lit("full").alias("side"), *cols
+    )
+    return left.unionByName(right).unionByName(full)
+
+
+@query(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT 'semi' AS side, c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    UNION ALL
+    SELECT 'anti' AS side, c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+    """,
+    tags=("join", "semi"),
+)
+def q_join_semi_anti(spark, sf_dir):
+    """LEFT SEMI (EXISTS) + LEFT ANTI (NOT EXISTS) — customers with/without
+    a big order. Semi/anti never materialize the right side's columns, so
+    the probe table streams through a broadcast of just the key set."""
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        F.lit("semi").alias("side"), "c_custkey", "c_mktsegment"
+    )
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        F.lit("anti").alias("side"), "c_custkey", "c_mktsegment"
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_richer_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM supplier JOIN customer
+      ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+    tags=("join", "theta"),
+)
+def q_join_theta_range(spark, sf_dir):
+    """Range/theta join: equi component (nationkey) keys the shuffle, the
+    range predicate (c_acctbal > s_acctbal) is evaluated as a post-join
+    filter inside the hash join — so this stays a hash/SMJ join, not a
+    broadcast-nested-loop over the full cross product."""
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (c.c_nationkey == s.s_nationkey) & (c.c_acctbal > s.s_acctbal))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_custs"), dec_sum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, st.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) st
+    """,
+    tags=("join", "cross"),
+)
+def q_join_cross(spark, sf_dir):
+    """Small cross join (5 regions × 3 statuses) — the only safe cross-join
+    shape: both sides provably tiny after a distinct."""
+    r = t(spark, sf_dir, "region")
+    st = t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(st).select("r_name", "o_orderstatus")
+
+
+@query(
+    "q_join_asof_event",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS ref_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof"),
+)
+def q_join_asof_event(spark, sf_dir):
+    """As-of join: each purchase matched to the latest click at-or-before
+    its timestamp per user (SURVEY §2.2; Spark has no native as-of —
+    implemented with the union + merge-scan window idiom in
+    ``operators/asof.py``). Oracle is the equivalent correlated top-1."""
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join(
+        probes, refs, on="user_id", ts="ts", payload="event_id", alias="ref_id"
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        "ref_id",
+    )
+
+
+@query(
+    "q_self_join_dedup_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand, a.p_type
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    """,
+    tags=("join", "self", "dedup"),
+)
+def q_self_join_dedup_pairs(spark, sf_dir):
+    """Self-join on a blocking key (brand, type, size) emitting candidate
+    duplicate pairs with a.key < b.key — the blocked-pair generation stage
+    every dedup pipeline starts from. Blocking bounds the pair count to
+    sum(block²) instead of n²."""
+    p = t(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.col("a.p_brand").alias("p_brand"),
+        F.col("a.p_type").alias("p_type"),
+    )

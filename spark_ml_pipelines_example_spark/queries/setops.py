@@ -1,1 +1,151 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Sorts, limits, set operations (SURVEY §2.2 'Sorts / limits / set ops').
+
+The hash check is order-insensitive, so sortedness is made *value-visible*
+by projecting the rank a total order assigns to each row. Top-k uses
+sort+limit, which Spark executes as a TakeOrdered (per-partition heap +
+driver merge of k rows) — no global sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+
+@query(
+    "q_sort_multikey",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, status_or_null,
+           ROW_NUMBER() OVER (ORDER BY status_or_null DESC NULLS FIRST,
+                              o_totalprice DESC, o_orderkey) AS sort_pos
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               NULLIF(o_orderstatus, 'P') AS status_or_null
+        FROM orders
+    )
+    """,
+    tags=("sort",),
+)
+def q_sort_multikey(spark, sf_dir):
+    """Multi-key ORDER BY with DESC + NULLS FIRST, made hash-visible by
+    embedding each row's position under that order (computed by the same
+    total ordering on both engines)."""
+    o = t(spark, sf_dir, "orders").withColumn(
+        "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    order = [
+        F.col("status_or_null").desc_nulls_first(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ]
+    return o.orderBy(*order).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "status_or_null",
+        F.row_number().over(W.orderBy(*order)).alias("sort_pos"),
+    )
+
+
+@query(
+    "q_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    tags=("sort", "limit"),
+)
+def q_limit_topk(spark, sf_dir):
+    """Deterministic top-20 (unique (orderkey, linenumber) tie-break).
+    Plans as TakeOrderedAndProject: each task keeps a 20-row heap, driver
+    merges — O(n) scan, no shuffle, the right top-k at any scale."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "q_set_union_all",
+    oracle="""
+    SELECT 'c' AS src, c_nationkey AS key FROM customer
+    UNION ALL
+    SELECT 's' AS src, s_nationkey AS key FROM supplier
+    UNION ALL
+    SELECT 'd' AS src, key FROM (
+        SELECT c_nationkey AS key FROM customer
+        UNION
+        SELECT s_nationkey AS key FROM supplier
+    )
+    """,
+    tags=("setop", "union"),
+)
+def q_set_union_all(spark, sf_dir):
+    """UNION ALL (bag, no shuffle) vs UNION DISTINCT (hash-dedup shuffle),
+    tagged by source; exercises both union and unionByName."""
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("c").alias("src"), F.col("c_nationkey").alias("key")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("src"), F.col("s_nationkey").alias("key")
+    )
+    dedup = (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("key"))
+        .union(t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("key")))
+        .distinct()
+        .select(F.lit("d").alias("src"), "key")
+    )
+    return c.unionByName(s).unionByName(dedup)
+
+
+@query(
+    "q_set_intersect_except",
+    oracle="""
+    SELECT 'i' AS src, key FROM (
+        SELECT c_nationkey AS key FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'e' AS src, key FROM (
+        SELECT c_nationkey AS key FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'ia' AS src, key FROM (
+        SELECT o_custkey AS key FROM orders
+        INTERSECT ALL
+        SELECT c_custkey FROM customer)
+    UNION ALL
+    SELECT 'ea' AS src, key FROM (
+        SELECT o_custkey AS key FROM orders
+        EXCEPT ALL
+        SELECT c_custkey FROM customer)
+    """,
+    tags=("setop", "intersect"),
+)
+def q_set_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT (set) + INTERSECT ALL / EXCEPT ALL (bag,
+    multiplicity-aware: orders.o_custkey carries duplicates, customer keys
+    are unique, so EXCEPT ALL keeps m-1 copies per key)."""
+    ck = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("key"))
+    sk = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("key"))
+    ok = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    cu = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+
+    def tag(df, name):
+        return df.select(F.lit(name).alias("src"), "key")
+
+    return (
+        tag(ck.intersect(sk), "i")
+        .unionByName(tag(ck.subtract(sk), "e"))
+        .unionByName(tag(ok.intersectAll(cu), "ia"))
+        .unionByName(tag(ok.exceptAll(cu), "ea"))
+    )

@@ -1,1 +1,179 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Window-function queries (SURVEY §2.2 'Window functions').
+
+Each window is partitioned on a real key so the sort happens per-partition
+after one shuffle — never a global ``Window.orderBy()`` without
+``partitionBy`` (which serializes the whole table through one task and is
+the classic window scale bug). Every ORDER BY carries a unique tie-break
+key (SURVEY §2.4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._util import dec, t
+from .registry import query
+
+
+@query(
+    "q_win_ranking",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                              ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey) AS rn,
+           RANK() OVER (PARTITION BY o_orderstatus
+                        ORDER BY CAST(o_orderdate AS DATE) DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                              ORDER BY CAST(o_orderdate AS DATE) DESC) AS drnk,
+           NTILE(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey) AS nt
+    FROM orders
+    """,
+    tags=("window", "ranking"),
+)
+def q_win_ranking(spark, sf_dir):
+    """row_number / rank / dense_rank / ntile per status partition. rank and
+    dense_rank order by date alone (real ties → gaps vs dense); the total
+    orders add the key for determinism."""
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    by_date = W.partitionBy("o_orderstatus").orderBy(d.desc())
+    total = W.partitionBy("o_orderstatus").orderBy(d.desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(total).alias("rn"),
+        F.rank().over(by_date).alias("rnk"),
+        F.dense_rank().over(by_date).alias("drnk"),
+        F.ntile(4).over(total).alias("nt"),
+    )
+
+
+@query(
+    "q_win_analytic",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "analytic"),
+)
+def q_win_analytic(spark, sf_dir):
+    """lag / lead / first_value / last_value per user ordered by event time
+    (last_value over the full-frame window, the standard gotcha)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(wfull).alias("last_event"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_win_frame_rows(spark, sf_dir):
+    """Running sum per customer, ROWS frame — decimal accumulation so the
+    prefix sums are exact at any scale."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.to_date("o_orderdate"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, price_cents,
+           COUNT(*) OVER w AS n_in_band,
+           CAST(SUM(price_cents) OVER w AS BIGINT) AS sum_cents_in_band
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY price_cents
+                 RANGE BETWEEN 1000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def q_win_frame_range(spark, sf_dir):
+    """RANGE frame over a numeric key: all orders within $10k (1e6 cents)
+    below the current price. The money key is projected to integer cents —
+    range frames need integral bounds in Spark, and integer arithmetic
+    makes the frame membership and sums exact. Peers (equal prices) are
+    included by RANGE semantics, so no tie-break is needed."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("price_cents")
+        .rangeBetween(-1000000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_cents",
+        F.count("*").over(w).alias("n_in_band"),
+        F.sum("price_cents").over(w).cast("bigint").alias("sum_cents_in_band"),
+    )
+
+
+@query(
+    "q_win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_win_topk_per_group(spark, sf_dir):
+    """Top-3 orders by value per customer — window + filter. Catalyst
+    rewrites the rank filter into a per-partition top-k (WindowGroupLimit),
+    so only k rows per key survive the shuffle."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

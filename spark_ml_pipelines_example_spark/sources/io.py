@@ -32,7 +32,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nothing useful while risking int32/int64 physical-type mismatches."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py); floor
+        # to µs exactly like DuckDB's ns→µs cast. Integer `div` — a double
+        # division would lose precision above 2^53 ns (~mid-1970s).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_csv_with_schema(spark: SparkSession, path: str, table: str) -> DataFrame:
