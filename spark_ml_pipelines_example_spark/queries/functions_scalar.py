@@ -1,1 +1,274 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Scalar function families (SURVEY §2.2 'Scalar functions').
+
+All built-in ``pyspark.sql.functions`` — JVM-side, inside whole-stage
+codegen, no Python in the hot path. Cross-engine determinism notes:
+- libm-backed functions (log/exp/pow) can differ in the last ulp between
+  engines → rounded to 6 decimals;
+- per-row +,-,*,/ and sqrt are IEEE-exact → compared raw;
+- timestamps are projected as epoch seconds / date strings (§2.4.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import t
+from .registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           trim(concat('  ', p_type, '  ')) AS type_trimmed,
+           substring(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(length(p_name) AS INT) AS name_len,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           regexp_replace(p_type, 'E', '3') AS type_l33t,
+           lpad(p_brand, 12, '*') AS brand_padded
+    FROM part
+    """,
+    tags=("fn", "string"),
+)
+def q_fn_string(spark, sf_dir):
+    """upper/lower/trim/substring/concat/split/length/regexp_extract/
+    regexp_replace/lpad."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("type_trimmed"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.size(F.split("p_name", " ")).cast("int").alias("n_words"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "E", "3").alias("type_l33t"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(d) AS INT) AS yr,
+           CAST(month(d) AS INT) AS mo,
+           CAST(day(d) AS INT) AS dom,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', d) AS INT) AS days_since_95,
+           CAST(d + INTERVAL 30 DAY AS DATE) AS d_plus_30,
+           last_day(d) AS month_end
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+    tags=("fn", "date"),
+)
+def q_fn_date(spark, sf_dir):
+    """year/month/day/date_trunc/datediff/date_add/last_day on o_orderdate."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("d").cast("int").alias("yr"),
+        F.month("d").cast("int").alias("mo"),
+        F.dayofmonth("d").cast("int").alias("dom"),
+        F.trunc("d", "month").alias("month_start"),
+        F.datediff("d", F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+        F.date_add("d", 30).alias("d_plus_30"),
+        F.last_day("d").alias("month_end"),
+    )
+
+
+@query(
+    "q_fn_timestamp",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_sec,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_bucket,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(minute(ts) AS INT) AS mi,
+           CAST(epoch(TIMESTAMP '2024-01-15 12:30:00') AS BIGINT) AS parsed_epoch
+    FROM events
+    """,
+    tags=("fn", "timestamp"),
+)
+def q_fn_timestamp(spark, sf_dir):
+    """unix_timestamp (floor-to-second), hour bucketing via date_trunc,
+    hour/minute extraction, to_timestamp parsing — all projected as epoch
+    bigints per the ns-precision discipline (§2.4.4)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_sec"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_bucket"),
+        F.hour("ts").cast("int").alias("hr"),
+        F.minute("ts").cast("int").alias("mi"),
+        F.unix_timestamp(F.to_timestamp(F.lit("2024-01-15 12:30:00"))).alias(
+            "parsed_epoch"
+        ),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           l_quantity * l_quantity AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           ROUND(exp(l_discount), 6) AS disc_exp,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+    tags=("fn", "math"),
+)
+def q_fn_math(spark, sf_dir):
+    """floor/ceil/abs/pow/sqrt/log/exp/pmod/sign. Note Spark floor/ceil on
+    double return bigint — DuckDB's return double, so the oracle relies on
+    numeric (not type-tagged) comparison of integral values; ln/exp are
+    rounded (libm ulp differences)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id, CAST(i AS INT) AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings, range(0, 8) r(i)
+    WHERE vec_id < 50
+    """,
+    tags=("fn", "array"),
+)
+def q_fn_array(spark, sf_dir):
+    """array slice + posexplode + size over the embedding column: unrolls
+    the first 8 dimensions of each of the first 50 vectors. posexplode is
+    the UDTF-shaped built-in (generator expression, stays in codegen)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.posexplode(F.slice("embedding", 1, 8)),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").cast("double").alias("val"),
+        "dim",
+    )
+
+
+@query(
+    "q_fn_map_struct",
+    oracle="""
+    SELECT n_nationkey AS a_val,
+           n_regionkey AS b_val,
+           CAST(2 AS INT) AS n_keys,
+           'a,b' AS keys_joined,
+           n_name AS struct_name,
+           n_regionkey AS nested_rk
+    FROM nation
+    """,
+    tags=("fn", "map_struct"),
+)
+def q_fn_map_struct(spark, sf_dir):
+    """create_map / map_from_arrays / map_keys / element_at / struct /
+    getField / nested struct access. The Spark side builds and destructures
+    real map+struct values; the oracle states the expected scalar results
+    directly (map internals are engine-specific, the semantics aren't)."""
+    n = t(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("n_nationkey"), F.col("n_regionkey")),
+    )
+    st = F.struct(
+        F.col("n_name").alias("nm"),
+        F.struct(F.col("n_regionkey").alias("rk")).alias("inner"),
+    )
+    return n.select(
+        F.element_at(m, "a").alias("a_val"),
+        F.element_at(m, "b").alias("b_val"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_joined"),
+        st.getField("nm").alias("struct_name"),
+        st.getField("inner").getField("rk").alias("nested_rk"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS VARCHAR) AS k_str,
+           CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT) AS k_int,
+           CASE WHEN k_parsed IS NULL THEN 0 ELSE 1 END AS parse_ok
+    FROM (SELECT event_id, props,
+                 TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed
+          FROM events)
+    """,
+    tags=("fn", "json"),
+)
+def q_fn_json(spark, sf_dir):
+    """get_json_object (path extract → string) + from_json (schema'd parse
+    → typed struct) on events.props. Oracle cross-checks through DuckDB's
+    JSON extension AND a regexp fallback so the comparison doesn't depend
+    on either engine's JSON number formatting."""
+    ev = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.when(parsed.getField("k").isNull(), 0).otherwise(1).alias("parse_ok"),
+    )
+
+
+@query(
+    "q_fn_cast_decimal",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR)
+             AS exact_revenue_str,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_dbl,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_int_sum,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("fn", "cast"),
+)
+def q_fn_cast_decimal(spark, sf_dir):
+    """Exact money aggregation through decimal(18,2) casts (SURVEY §2.4.1).
+    The exact decimal sum is projected as a string so the comparison
+    checks decimal semantics (scale-2 rendering) without depending on how
+    decimals round-trip through each engine's pandas bridge."""
+    li = t(spark, sf_dir, "lineitem")
+    exact = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        exact.cast("string").alias("exact_revenue_str"),
+        exact.cast("double").alias("revenue_dbl"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_int_sum"),
+        F.count("*").alias("n"),
+    )

@@ -1,1 +1,152 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Streaming-semantics operators, batch form (SURVEY §2.2 'Streaming').
+
+Each query here is the *batch* DataFrame formulation the driver oracle-
+checks; ``streaming/jobs.py`` runs the identical logic as a Structured
+Streaming query (watermark + availableNow) and the test suite asserts
+batch ≡ streaming. Windows are projected as epoch-second starts (§2.4.4).
+
+Scale posture: tumbling/sliding windows are plain hash aggregates on the
+bucketed time key (map-side partial agg applies); session windows use
+Spark's native ``session_window`` (state-store-backed in streaming,
+sort-merge in batch); dedup is a per-key window top-1, which Catalyst
+executes as WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._util import dec, t
+from .registry import query
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "tumbling"),
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour window count/sum per event type —
+    ``F.window(ts, '1 hour')``; streaming twin adds withWatermark."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH assigned AS (
+        SELECT CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS s1, value FROM events
+        UNION ALL
+        SELECT CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT) AS s1, value FROM events
+    )
+    SELECT s1 AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM assigned GROUP BY s1
+    """,
+    tags=("stream", "sliding"),
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding window (1 h length, 30 min slide): every event lands in
+    exactly two windows. Oracle formulation: union of the two shifted
+    30-minute grid assignments."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS sess_start,
+           CAST(epoch(date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+    tags=("stream", "session"),
+)
+def q_stream_session(spark, sf_dir):
+    """Session windows per user, 30-minute gap — native ``session_window``
+    (merges events whose gap is < 30 min; window end = last event + gap).
+    Oracle is the gap-and-island SQL with the same strict >= boundary
+    (SURVEY §7 hard-part (e))."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_late_dedup",
+    oracle="""
+    SELECT event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS first_epoch,
+           user_id, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, value, user_id) = 1
+    """,
+    tags=("stream", "dedup"),
+)
+def q_stream_late_dedup(spark, sf_dir):
+    """Late/duplicate-event policy: keep the earliest occurrence per
+    event_id (streaming twin: ``dropDuplicatesWithinWatermark``). Batch
+    form is a per-key top-1 window."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_id").orderBy("ts", "value", "user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("first_epoch"),
+            "user_id",
+            "value",
+        )
+    )
