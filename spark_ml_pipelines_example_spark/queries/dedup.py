@@ -1,1 +1,204 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Deduplication operators over `documents` (north-star extensions).
+
+Four families, each with the plan shape that survives 100 TB:
+- exact: hash-groupBy on a normalized fingerprint — one shuffle.
+- n-gram Jaccard: blocked candidate pairs (shared-shingle join inside a
+  (lang, source) block) → exact set overlap — shuffle volume bounded by
+  block sizes, never n².
+- MinHash LSH: MLlib MinHashLSH banded signature join (rows-only: LSH
+  hash seeds are engine-specific).
+- SimHash: xxhash64 token hashes → per-bit majority vote → banded
+  candidate join + Hamming filter (rows-only: xxhash64 isn't in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import bigrams, tokens
+from ._util import t
+from .registry import query
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents)
+    GROUP BY h
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text hash: keep min(doc_id) per cluster
+    (SURVEY §2.2 min-id formulation — deterministic winner)."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.select("doc_id", h.alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang, source, g FROM (
+            SELECT doc_id, lang, source,
+                   UNNEST(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.3
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection by exact word-bigram Jaccard over blocked pairs:
+    candidate pairs must share a shingle within the same (lang, source)
+    block, so pair generation is sum-of-block-sizes², not corpus². All
+    counts are integers; the single double division is deterministic."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(bigrams(tokens("text")))).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(jac >= 0.3)
+    )
+
+
+@query("q_dedup_minhash", oracle=None, tags=("dedup", "minhash", "lsh"))
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (SURVEY §4.4: MLlib MinHashLSH).
+    Token sets → binary HashingTF vectors → 5 minhash tables →
+    approxSimilarityJoin at Jaccard-distance ≤ 0.4. Seeded, so the run is
+    deterministic, but the hash family is Spark-specific → rows-only.
+    At scale the banded signature join replaces the n² pair space with
+    per-band hash buckets — the standard web-scale dedup topology."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True)
+    feats = tf.transform(toks)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+    )
+
+
+@query("q_dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: xxhash64 each token, majority-vote 32 bits into a
+    per-doc signature, band into 4×8-bit keys, candidate pairs = same band
+    value, confirm with Hamming distance ≤ 2 via bit_count(xor).
+    Deterministic (xxhash64 is seeded) but not DuckDB-reproducible →
+    rows-only. One shuffle to build signatures, banded join for pairs."""
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1).cast("long") * (2**b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    votes = ex.groupBy("doc_id").agg(*bit_votes)
+    sig = votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{b}") > 0, 2**b).otherwise(0) for b in range(32)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    bands = banded.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"band{i}").alias("v")) for i in range(4)])
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band.i") == F.col("b.band.i"))
+            & (F.col("a.band.v") == F.col("b.band.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 2
+    )

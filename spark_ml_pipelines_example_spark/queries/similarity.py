@@ -1,1 +1,91 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Similarity-search queries over `embeddings` (north-star extensions).
+
+`q_sim_cosine_topk` is the brute-force baseline (the oracle-checkable
+ground truth); `q_sim_pairwise_sample` is the blocked pairwise kernel.
+The IVF-bucketed ANN scale path lives in ``operators/similarity.py``
+(rows-only `q_sim_ann_ivf` — recall measured against the brute-force
+baseline in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine
+from ._util import t
+from .registry import query
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+        SELECT vec_id,
+               list_dot_product(e, p)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))) AS cos
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id <> 0), probe
+    )
+    SELECT vec_id, ROUND(cos, 6) AS cos_sim
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "topk"),
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vector 0 — the
+    zip_with/aggregate kernel (pure codegen, no UDF), TakeOrdered for the
+    top-k. The probe is fetched once driver-side (a 1-row lookup) and
+    inlined as a literal so the scan side stays embarrassingly parallel —
+    at 100 TB this is one broadcast-free pass over the corpus."""
+    e = t(spark, sf_dir, "embeddings")
+    probe_vec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    probe = F.array(*[F.lit(float(v)) for v in probe_vec])
+    cos = cosine(F.col("embedding"), probe)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_sim_pairwise_sample",
+    oracle="""
+    WITH sample AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cos_sim
+    FROM sample a JOIN sample b ON a.label = b.label AND a.vec_id < b.vec_id
+    """,
+    tags=("similarity", "pairwise"),
+)
+def q_sim_pairwise_sample(spark, sf_dir):
+    """Label-blocked pairwise cosine on a 10% sample: the self-join is
+    keyed on the block (label), so pair volume is Σ block² — the blocked
+    shape every large-scale pairwise-similarity job needs."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = e.select(
+        "label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "label",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+        )
+    )

@@ -1,1 +1,164 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""Text-analysis queries over `documents` (north-star extensions:
+tokenization, term stats, quality scoring, language-ID, fingerprinting).
+
+Scale posture: every query is explode → hash-aggregate or pure per-row
+projection; token explosion shuffles once on the group key. Nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import BPE_REGEX, STOPWORDS, stopword_count, tokens
+from ._util import t
+from .registry import query
+
+
+@query(
+    "q_text_tokenize_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_unique_tokens,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avg_tokens_per_doc
+    FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY lang
+    """,
+    tags=("text",),
+)
+def q_text_tokenize_stats(spark, sf_dir):
+    """Whitespace tokenization + per-language corpus stats."""
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    return ex.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_unique_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.count("*").cast("double") / F.countDistinct("doc_id")).alias(
+            "avg_tokens_per_doc"
+        ),
+    )
+
+
+@query(
+    "q_text_tfidf_topterms",
+    oracle="""
+    SELECT lang, tok, cnt, rk FROM (
+        SELECT lang, tok, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY lang, tok
+    ) WHERE rk <= 5
+    """,
+    tags=("text", "topk"),
+)
+def q_text_tfidf_topterms(spark, sf_dir):
+    """Top-5 terms per language by term frequency, deterministic tie-break
+    on the term (SURVEY: the pure-DataFrame TF variant; the IDF-weighted
+    variant is `q_text_tfidf_weighted`, engine-side)."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+
+
+@query(
+    "q_text_quality_score",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INT) AS n_tokens_bpe,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("text", "quality"),
+)
+def q_text_quality_score(spark, sf_dir):
+    """Per-document quality signals: whitespace + BPE-ish regex token
+    counts, char length, mean token length, stopword ratio — the standard
+    LLM-corpus quality features, all integer-exact or single-division."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("int").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), 0))
+        .cast("int")
+        .alias("n_tokens_bpe"),
+        F.length("text").cast("int").alias("n_chars_measured"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tok
+        ).alias("avg_token_len"),
+        (stopword_count(toks).cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           COUNT(*) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+             AS n_same_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized text, plus
+    the duplicate-cluster size per fingerprint (window count)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return d.select("doc_id", fp.alias("fp")).withColumn(
+        "n_same_fp", F.count("*").over(W.partitionBy("fp"))
+    )
+
+
+@query("q_text_langid", oracle=None, tags=("text", "langid"))
+def q_text_langid(spark, sf_dir):
+    """Language-ID by token-profile overlap: build per-language top-20
+    token profiles from the corpus itself, score each document by profile
+    hits, predict the argmax language (tie → alphabetical). Deterministic
+    but 40 lines of SQL — declared rows-only; the per-stage SQL twins are
+    covered by q_text_tfidf_topterms (profiles) and q_win_topk_per_group
+    (argmax). Returns the (actual, predicted) confusion counts."""
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+
+    # per-lang top-20 profile tokens (broadcastable: 5 langs × 20 tokens)
+    counts = ex.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    wprof = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "tok")
+    profiles = (
+        counts.withColumn("rk", F.row_number().over(wprof))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "tok")
+    )
+
+    # score each doc against every profile it hits
+    scores = (
+        ex.join(F.broadcast(profiles), "tok")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wbest = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), "profile_lang")
+    best = (
+        scores.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("profile_lang").alias("pred_lang"))
+    )
+    return best.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
