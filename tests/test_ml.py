@@ -1,0 +1,132 @@
+"""ML golden tests (SURVEY §5.2.3): seeded determinism, persistence
+round-trips, evaluator parity, and property checks on a deterministic
+iris-like fixture (the reference's own data shape — 150 rows, 4 double
+predictors, 3 balanced classes)."""
+
+from __future__ import annotations
+
+import csv
+import math
+
+import numpy as np
+import pytest
+
+from spark_ml_pipelines_example_spark.ml import jobs
+from spark_ml_pipelines_example_spark.ml.metrics import ModelFitMetrics
+
+
+@pytest.fixture(scope="module")
+def iris_csv(tmp_path_factory):
+    """Deterministic iris-like CSV: 3 Gaussian clusters, seed 7."""
+    rng = np.random.default_rng(7)
+    path = tmp_path_factory.mktemp("iris") / "iris.csv"
+    centers = {
+        "setosa": (5.0, 3.4, 1.5, 0.2),
+        "versicolor": (5.9, 2.8, 4.3, 1.3),
+        "virginica": (6.6, 3.0, 5.6, 2.0),
+    }
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        for species, mu in centers.items():
+            for _ in range(50):
+                row = [round(float(rng.normal(m, 0.25)), 2) for m in mu]
+                w.writerow(row + [species])
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def split_paths(spark, iris_csv, tmp_path_factory):
+    base = tmp_path_factory.mktemp("split")
+    train, test = str(base / "train.parquet"), str(base / "test.parquet")
+    n_tr, n_te = jobs.train_test_split(spark, iris_csv, train, test, 0.7, overwrite=True)
+    return train, test, n_tr, n_te
+
+
+def test_split_partitions_input(spark, split_paths):
+    train, test, n_tr, n_te = split_paths
+    assert n_tr + n_te == 150
+    assert 75 <= n_tr <= 135  # ~70% with randomSplit variance
+    # deterministic under the seed: re-split gives identical counts
+    tr2 = spark.read.parquet(train).count()
+    assert tr2 == n_tr
+
+
+def test_split_rejects_same_path(spark, iris_csv):
+    with pytest.raises(ValueError):
+        jobs.train_test_split(spark, iris_csv, "/tmp/x", "/tmp/x")
+
+
+def test_fit_predict_roundtrip(spark, split_paths, tmp_path_factory):
+    train, test, *_ = split_paths
+    base = tmp_path_factory.mktemp("model")
+    model_dir, out = str(base / "pipeline_model"), str(base / "pred.parquet")
+
+    report = jobs.fit(spark, train, model_dir, overwrite=True)
+    assert "accuracy" in report and "Number of Trees       : 64" in report
+
+    metrics_report = jobs.predict(spark, model_dir, test, out, overwrite=True)
+    assert metrics_report is not None
+    # separable clusters → near-perfect held-out accuracy
+    accuracy = float(metrics_report.splitlines()[0].split(":")[1])
+    assert accuracy > 0.9
+
+    pred = spark.read.parquet(out)
+    assert "prediction_species" in pred.columns
+    assert pred.count() > 0
+    labels = {r[0] for r in pred.select("prediction_species").distinct().collect()}
+    assert labels <= {"setosa", "versicolor", "virginica"}
+
+
+def test_predict_without_labels(spark, split_paths, tmp_path_factory):
+    """Scoring must not require the target column (SURVEY §8.10)."""
+    train, test, *_ = split_paths
+    base = tmp_path_factory.mktemp("nolabel")
+    model_dir, out = str(base / "m"), str(base / "p.parquet")
+    jobs.fit(spark, train, model_dir, overwrite=True)
+
+    unlabeled = str(base / "unlabeled.parquet")
+    spark.read.parquet(test).drop("species").write.parquet(unlabeled)
+    report = jobs.predict(spark, model_dir, unlabeled, out, overwrite=True)
+    assert report is None
+    assert spark.read.parquet(out).count() > 0
+
+
+def test_string_indexer_freq_desc_order(spark):
+    """Indexer label order = frequency desc (reference R6 semantics)."""
+    from pyspark.ml.feature import StringIndexer
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 8, "x string"
+    )
+    model = StringIndexer(inputCol="x", outputCol="i", stringOrderType="frequencyDesc").fit(df)
+    assert model.labels == ["c", "a", "b"]
+
+
+def test_confusion_metrics_match_mllib(spark):
+    """Our one-job confusion-matrix metrics == MLlib evaluator (±1e-9)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0)] * 10 + [(0.0, 1.0)] * 2 + [(1.0, 1.0)] * 7
+        + [(1.0, 2.0)] * 1 + [(2.0, 2.0)] * 5,
+        "label double, prediction double",
+    ).cache()
+    ours = ModelFitMetrics.calculate(df).metrics
+    for metric in ("accuracy", "f1", "weightedPrecision", "weightedRecall"):
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=metric
+        )
+        assert math.isclose(ours[metric], ev.evaluate(df), abs_tol=1e-9), metric
+    assert 0.0 <= ours["accuracy"] <= 1.0
+
+
+def test_cross_validate_saves_fitted_model(spark, split_paths, tmp_path_factory):
+    """CV saves the *fitted* CrossValidatorModel (fixes SURVEY §8.5)."""
+    from pyspark.ml.tuning import CrossValidatorModel
+
+    train, *_ = split_paths
+    model_dir = str(tmp_path_factory.mktemp("cv") / "cv_model")
+    report = jobs.cross_validate(spark, train, model_dir, overwrite=True)
+    assert "bestAvgAccuracy" in report
+    loaded = CrossValidatorModel.load(model_dir)
+    assert loaded.bestModel is not None
