@@ -1,0 +1,169 @@
+"""Structured Streaming twins: tumbling / sliding / session windows and
+late-duplicate dedup over the events table, driven to completion with an
+``availableNow`` file source → memory sink (the batch-equivalence harness
+pattern; tests assert streaming ≡ batch row-for-row).
+
+In production these run unbounded with watermarks bounding state:
+- tumbling/sliding: ``withWatermark(ts, delay)`` + append mode emits each
+  window once the watermark passes its end; state per window is O(aggs).
+- session: ``session_window`` keeps per-(user, open-session) state.
+- dedup: ``dropDuplicatesWithinWatermark`` bounds the seen-key set.
+
+Here the memory-sink runs use **complete/append without event-time
+eviction** deliberately: with availableNow the stream is finite and the
+final watermark would withhold the trailing windows, which would break
+the batch-equivalence check. The watermark variants are exercised in
+``tests/test_streaming.py::test_watermark_bounds_state`` instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+SENTINEL_USER = -1
+_SENTINEL_TS_NS = 1735689600 * 10**9  # 2025-01-01, far past any fixture event
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """The parquet file source requires a directory; stage the single
+    events file into a per-sf scratch dir (idempotent), plus a sentinel
+    event far in the future. The sentinel advances the final watermark
+    past every real session's end so append-mode session windows flush —
+    without it, each user's last session is withheld forever (its end is
+    always beyond the watermark). Jobs filter SENTINEL_USER out."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..queries._util import scratch_dir
+
+    dst = Path(scratch_dir("stream_events_src", sf_dir))
+    dst.mkdir(parents=True, exist_ok=True)
+    target = dst / "events.parquet"
+    if not target.exists():
+        shutil.copyfile(f"{sf_dir.rstrip('/')}/events.parquet", target)
+    sentinel = dst / "zz_sentinel.parquet"
+    if not sentinel.exists():
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([_SENTINEL_TS_NS], pa.timestamp("ns")),
+                "user_id": pa.array([SENTINEL_USER], pa.int64()),
+                "event_type": pa.array(["sentinel"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(['{"k": 0}'], pa.string()),
+            }
+        )
+        pq.write_table(tbl, sentinel)
+    return str(dst)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet, ns→µs converted exactly
+    like the batch loader (sources/io.py)."""
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        .load(_stage_events_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_tumbling_out", "complete")
+
+
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n", "sum_value")
+    )
+    return _run_to_memory(agg, "stream_sliding_out", "complete")
+
+
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sentinel must flow through the watermark node AND the aggregation
+    # (a pre-agg filter gets pushed below the watermark by Catalyst, and the
+    # sentinel then never advances it); its own session row is dropped after
+    # the sink. Final watermark = sentinel ts > every real session end →
+    # append mode emits all real sessions.
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "stream_session_out", "append").filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup by event_id. Note dropDuplicates keeps the first
+    *arrival* — equal to the batch earliest-ts policy only because the
+    fixture file is ts-ordered within the single input file; the
+    production variant is dropDuplicatesWithinWatermark."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    dedup = ev.dropDuplicates(["event_id"]).select(
+        "event_id",
+        F.unix_timestamp("ts").alias("first_epoch"),
+        "user_id",
+        "value",
+    )
+    return _run_to_memory(dedup, "stream_dedup_out", "append")
