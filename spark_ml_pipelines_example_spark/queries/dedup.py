@@ -13,6 +13,7 @@ Four families, each with the plan shape that survives 100 TB:
 
 from __future__ import annotations
 
+from pyspark.ml.functions import vector_to_array
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -116,28 +117,81 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 @query("q_dedup_minhash", oracle=None, tags=("dedup", "minhash", "lsh"))
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (SURVEY §4.4: MLlib MinHashLSH).
-    Token sets → binary HashingTF vectors → 5 minhash tables →
-    approxSimilarityJoin at Jaccard-distance ≤ 0.4. Seeded, so the run is
-    deterministic, but the hash family is Spark-specific → rows-only.
-    At scale the banded signature join replaces the n² pair space with
-    per-band hash buckets — the standard web-scale dedup topology."""
+    """MinHash+LSH near-dup pairs (SURVEY §4.4): token sets → binary
+    HashingTF vectors → 48 seeded minhash functions (MLlib MinHashLSH
+    supplies the hash family) → classic (b=4, r=12) banded candidate join
+    → exact Jaccard confirm with array_intersect/array_union (whole-stage
+    codegen) at distance ≤ 0.05. Seeded-deterministic, but the hash
+    family is Spark-specific → rows-only.
+
+    Design notes, sized for a corpus where background pair similarity is
+    extreme (the fixture's ~300-char docs share a small vocabulary, so
+    ~half of ALL n² pairs sit above Jaccard 0.5 — lang is NOT a valid
+    block: measured 74% of near-identical pairs cross languages):
+    - We deliberately do NOT use model.approxSimilarityJoin: its
+      candidate-explode + per-pair distance UDF lands in whatever
+      partition count AQE coalesced the *pre-explosion* shuffle to (1 at
+      bench scale — a 500s single-task stage), and with r=1 bands its
+      per-band collision probability is s itself, i.e. ~n² candidates
+      here. Banding by hand keeps pair generation a plain shuffle join on
+      (band, signature) hash buckets — the web-scale topology.
+    - r=12 rows per band gives the S-curve P(candidate) = 1-(1-s^12)^4:
+      ≈1.4% at s=0.6 (background suppressed), 50% at s≈0.89, 99.9% at
+      s=0.97 — so candidates stay near the true-duplicate count instead
+      of n².
+    - The candidate join carries ids only; token sets re-join after the
+      distinct (AQE picks broadcast at test scale; at 100 TB this is a
+      shuffle join on doc_id) so the wide arrays never ride the n²-risk
+      shuffle."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    n_bands, rows_per_band = 4, 12
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True)
     feats = tf.transform(toks)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=5, seed=42)
+    mh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=n_bands * rows_per_band,
+        seed=42,
+    )
     model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.4, distCol="jaccard_dist")
+    # hashes = array of 48 single-element vectors → 48 longs → 4 band keys,
+    # each the hash of 12 consecutive minhash values.
+    sigs = model.transform(feats).select(
+        "doc_id",
+        F.transform("hashes", lambda v: vector_to_array(v)[0].cast("long")).alias("mh"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("mh", i * rows_per_band + 1, rows_per_band))
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a = bands.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jaccard_dist = 1 - F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
     return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
-        )
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jaccard_dist, 4).alias("jaccard_dist"))
+        .filter(F.col("jaccard_dist") <= 0.05)
     )
 
 
