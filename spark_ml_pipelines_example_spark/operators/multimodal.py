@@ -1,0 +1,149 @@
+"""Multimodal binary-column plumbing (north-star extension).
+
+Pattern: media payloads ride DataFrames as opaque `binary` columns with a
+typed metadata struct beside them; per-item work (decode, feature
+extraction, resize, frame sampling) runs as Arrow-batched Python over
+`mapInPandas`, so each task streams batches without materializing the
+whole partition, and the output schema is declared up front (Catalyst
+plans around the UDF as a black box with known shape).
+
+The container has no image/audio codecs, so the real decoders are
+explicit `NotImplementedError` stubs (`decode_image`, `decode_audio`)
+and the pipeline runs a **deterministic fake decoder** — byte-histogram
+moments over the payload — keeping every Spark-side piece real and
+testable: schema, metadata struct, batch iteration, partitioning, and
+the declared `q_multimodal_decode` query. Swapping in PIL/ffmpeg later
+changes only the per-batch function body.
+
+Scale posture: payloads shuffle at most once (they are attached 1:1 to
+rows and processed map-side); feature extraction is embarrassingly
+parallel; `spark.sql.files.maxPartitionBytes` bounds per-task payload
+volume when reading real media parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..queries._util import t
+from ..queries.registry import query
+
+MODALITIES = ("image", "audio", "video")
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode (PIL/turbojpeg) — not available in this
+    container; the pipeline substitutes `_fake_decode`."""
+    raise NotImplementedError("image codecs not installed; use the fake decoder")
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Real audio decode (soundfile/ffmpeg) — not available here."""
+    raise NotImplementedError("audio codecs not installed; use the fake decoder")
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode + feature extraction: normalized
+    16-bin byte histogram folded to FEATURE_DIM moments. Pure function of
+    the bytes → identical across runs/partitionings."""
+    if len(payload) == 0:
+        return np.zeros(FEATURE_DIM)
+    counts = np.bincount(np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=16)
+    hist = counts / counts.sum()
+    return (hist[:FEATURE_DIM] + hist[FEATURE_DIM:]).astype(np.float64)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Attach the multimodal column pattern to `documents`: a binary
+    payload (the utf-8 text bytes standing in for media bytes) plus a
+    typed metadata struct. With real data these columns come straight out
+    of the ingest parquet; nothing downstream depends on how the payload
+    was produced."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    meta = F.struct(
+        modality.alias("modality"),
+        F.octet_length("text").cast("int").alias("n_bytes"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+    )
+    return docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), meta.alias("media_meta")
+    )
+
+
+def decode_features(with_payload: DataFrame) -> DataFrame:
+    """mapInPandas decode: iterate Arrow batches, run the (stubbed)
+    decoder per payload, emit the declared fixed-shape feature schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["media_meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
+                    "feature": [np.round(f, 6) for f in feats],
+                }
+            )
+
+    return with_payload.mapInPandas(run, DECODED_SCHEMA)
+
+
+def sample_frames(with_payload: DataFrame, every_n: int = 64, frame_bytes: int = 16) -> DataFrame:
+    """Frame-sampling shape for video payloads: slice every_n-th
+    frame_bytes chunk out of the payload as its own row (posexplode on a
+    byte-slicing transform — pure Catalyst, no Python). With real video
+    this becomes a seek-and-decode inside the batch UDF; the row-shape
+    contract (one row per sampled frame, frame index + bytes) is what
+    downstream featurizers depend on."""
+    n_frames = F.floor(F.octet_length("payload") / F.lit(every_n * frame_bytes)).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+        lambda i: F.substring(F.col("payload"), i * every_n * frame_bytes + 1, frame_bytes),
+    )
+    return (
+        with_payload.filter(F.col("media_meta.modality") == "video")
+        .select("doc_id", F.posexplode(frames).alias("frame_idx", "frame_bytes"))
+    )
+
+
+@query("q_multimodal_decode", oracle=None, tags=("multimodal", "udf"))
+def q_multimodal_decode(spark, sf_dir):
+    """Decode-and-featurize over the multimodal column pattern: binary
+    payload + metadata struct → mapInPandas (stub) decoder → per-modality
+    feature stats. Deterministic (fake decoder is a pure function of the
+    bytes) but not SQL-expressible → rows-only."""
+    docs = t(spark, sf_dir, "documents")
+    decoded = decode_features(attach_payload(docs))
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            F.round(F.avg(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)), 6).alias(
+                "avg_fsum"
+            ),
+        )
+        .orderBy("modality")
+    )

@@ -17,6 +17,7 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.similarity import cosine
 from ..functions.text import bigrams, tokens
 from ._util import t
 from .registry import query
@@ -192,6 +193,46 @@ def q_dedup_minhash(spark, sf_dir):
         .join(tb, "doc_b")
         .select("doc_a", "doc_b", F.round(jaccard_dist, 4).alias("jaccard_dist"))
         .filter(F.col("jaccard_dist") <= 0.05)
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), pairs AS (
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, id_a, id_b, ROUND(cos, 6) AS cos_sim
+    FROM pairs WHERE cos >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked: candidate pairs
+    only within a label block (Σ block² not corpus²; at 100 TB the block
+    key is an ANN cell or LSH bucket instead — see operators/similarity),
+    confirmed by the codegen cosine kernel. The fixture vectors are
+    near-orthogonal (within-label cosine ⊂ [-0.55, 0.55]) so the 0.4 bar
+    marks the distribution's far tail, the analogue of a true near-dup
+    threshold on real embeddings."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("label", "id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("label", "id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
 
 

@@ -69,5 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         windows,
     )
+    from ..operators import multimodal as _op_multimodal  # noqa: F401
+    from ..operators import similarity as _op_similarity  # noqa: F401
 
     return REGISTRY
