@@ -1,0 +1,97 @@
+"""Physical-plan regression tests (SURVEY §4): the properties that make
+these queries survive a 100× scale-up are visible in `.explain` output, so
+pin them — a refactor that silently drops a pushdown, breaks a broadcast,
+or inserts a cartesian product should fail CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name: str, execute: bool = False) -> str:
+    """Formatted physical plan; with execute=True the frame is run first so
+    AQE finalizes (isFinalPlan=true) and codegen '*' markers appear."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    if execute:
+        df.collect()
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A projection of few columns must prune the parquet ReadSchema —
+    scanning all columns for a 2-column projection is wrong at any scale."""
+    plan = plan_of(spark, sf_dir, "q_scan_column_prune")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 3, f"scan reads too many columns: {read_cols}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_filter_comparison")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "no filters pushed to parquet scan"
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan, "explicit broadcast() did not plan a BHJ"
+
+
+def test_multiway_star_join_broadcasts_small_dims(spark, sf_dir):
+    """nation/region/customer are orders of magnitude smaller than
+    lineitem; under the 64MB threshold every dim side must broadcast —
+    zero all-to-all shuffles of the fact table for join co-location."""
+    plan = plan_of(spark, sf_dir, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "small dim fell back to SMJ"
+
+
+def test_no_cartesian_outside_cross_join(spark, sf_dir):
+    for name in ("q_join_inner_equi", "q_join_multiway", "q_dedup_minhash",
+                 "q_dedup_embedding", "q_sim_pairwise_sample"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    """Map-side combine: the Q1-shaped aggregate must plan partial+final
+    HashAggregate pairs, not a single post-shuffle aggregation."""
+    plan = plan_of(spark, sf_dir, "q_agg_groupby", execute=True)
+    assert plan.count("HashAggregate") >= 2
+    # formatted mode prefixes whole-stage-codegen'd nodes with '*'
+    assert "* HashAggregate" in plan
+
+
+def test_codegen_covers_scalar_functions(spark, sf_dir):
+    """Scalar-function families stay JVM-side: whole-stage codegen spans
+    with no Python evaluation nodes (BatchEvalPython/ArrowEvalPython)."""
+    for name in ("q_fn_string", "q_fn_math", "q_fn_array", "q_sim_cosine_topk"):
+        plan = plan_of(spark, sf_dir, name, execute=True)
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+        assert "ArrowEvalPython" not in plan, f"{name} fell off the JVM path"
+        if name != "q_sim_cosine_topk":
+            # the cosine kernel's zip_with/aggregate are higher-order
+            # functions: JVM-interpreted (still no Python boundary) but
+            # outside whole-stage codegen by design
+            assert re.search(r"^\* ", plan, re.M), f"{name} has no codegen span"
+
+
+def test_semi_anti_join_plans_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_join_semi_anti")
+    assert re.search(r"LeftSemi|LeftAnti", plan), "semi/anti not planned as semi-join"
+
+
+def test_topk_uses_takeordered(spark, sf_dir):
+    """orderBy().limit(k) must plan TakeOrderedAndProject — a per-partition
+    top-k plus driver merge, not a global sort of the whole input."""
+    plan = plan_of(spark, sf_dir, "q_limit_topk")
+    assert "TakeOrderedAndProject" in plan, "top-k planned as a full global sort"

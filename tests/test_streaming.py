@@ -34,6 +34,65 @@ def test_streaming_equals_batch(spark, sf_dir, batch_name, streaming_fn):
     )
 
 
+def test_stateful_user_totals_equal_batch(spark, sf_dir):
+    """applyInPandasWithState running totals, driven to completion, must
+    equal the batch per-user aggregate (count exactly; sum to float
+    tolerance — the stream folds in arrival order). The input is staged
+    as two files with maxFilesPerTrigger=1 so state genuinely carries
+    across micro-batches (state.exists=True path)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.queries._util import scratch_dir
+    from spark_ml_pipelines_example_spark.streaming.stateful import user_running_totals
+
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = scratch_dir("stateful_two_files", sf_dir)
+    shutil.rmtree(src, ignore_errors=True)
+    ev_batch.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    ev_batch.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .format("parquet")
+        .load(src)
+    )
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("user_totals_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql("SELECT * FROM user_totals_out")
+    # >1 micro-batch ⇒ users updated in both batches emit twice
+    assert updates.count() > updates.select("user_id").distinct().count()
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in updates.groupBy("user_id")
+        .agg(
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in ev_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u, (n, s) in want.items():
+        assert got[u][0] == n
+        assert got[u][1] == pytest.approx(s, rel=1e-9)
+
+
 def test_watermark_bounds_state(spark, sf_dir):
     """Append-mode tumbling agg with a watermark: finalized windows emit,
     and the watermark column survives the plan (state eviction armed)."""
