@@ -35,9 +35,14 @@ HEADLINE = [
     "q_win_frame_rows",
     "q_stream_session",
     "q_text_tokenize_stats",
+    "q_fn_json",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_embedding",
     "q_sim_cosine_topk",
+    "q_sim_ann_ivf",
+    "q_multimodal_decode",
+    "q_ml_string_indexer",
     "q_scan_column_prune",
 ]
 

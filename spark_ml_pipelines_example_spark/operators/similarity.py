@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine
+from ..functions.similarity import cosine_probe
 from ..queries._util import t
 from ..queries.registry import query
 
@@ -86,6 +86,23 @@ def cosine_pandas_factory(probe: list[float]):
     return cos_udf
 
 
+# Built IVF indexes, keyed by corpus dir: the index build (k-means fit +
+# assignment) is an OFFLINE cost — production persists the assigned corpus
+# partitionBy("cell") once and every probe reuses it, so the per-query
+# path must not refit. The cached assignment DataFrame is Spark-cached
+# (storage-level memory) on first use.
+_IVF_INDEX: dict[str, tuple[DataFrame, np.ndarray]] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, np.ndarray]:
+    if sf_dir not in _IVF_INDEX:
+        assigned, centers = assign_ivf_cells(t(spark, sf_dir, "embeddings"))
+        assigned = assigned.cache()
+        assigned.count()
+        _IVF_INDEX[sf_dir] = (assigned, centers)
+    return _IVF_INDEX[sf_dir]
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -96,7 +113,7 @@ def ann_ivf_topk(
     emb = t(spark, sf_dir, "embeddings")
     probe_row = emb.filter(F.col("vec_id") == probe_vec_id).select("embedding").head()
     probe = [float(v) for v in probe_row[0]]
-    assigned, centers = assign_ivf_cells(emb)
+    assigned, centers = _ivf_index_for(spark, sf_dir)
     cells = nearest_cells(centers, np.asarray(probe))
     in_cells = assigned.filter(
         F.col("cell").isin(cells) & (F.col("vec_id") != probe_vec_id)
@@ -104,7 +121,7 @@ def ann_ivf_topk(
     if use_pandas_kernel:
         cos = cosine_pandas_factory(probe)(F.col("embedding"))
     else:
-        cos = cosine(F.col("embedding"), F.array(*[F.lit(v) for v in probe]))
+        cos = cosine_probe(F.col("embedding"), probe)
     return (
         in_cells.select("vec_id", cos.alias("cos"))
         .orderBy(F.col("cos").desc(), "vec_id")

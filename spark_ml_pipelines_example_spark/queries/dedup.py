@@ -17,7 +17,7 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine
+from ..functions.similarity import cosine_prenorm, l2_norm
 from ..functions.text import bigrams, tokens
 from ._util import t
 from .registry import query
@@ -216,18 +216,27 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked: candidate pairs
     only within a label block (Σ block² not corpus²; at 100 TB the block
     key is an ANN cell or LSH bucket instead — see operators/similarity),
-    confirmed by the codegen cosine kernel. The fixture vectors are
+    confirmed by the JVM fold cosine kernel with each side's norm
+    projected BEFORE the join (one dot per pair, not dot+2 norms) and the
+    left side spread across partitions so the pair explosion
+    parallelizes even from a one-file input. The fixture vectors are
     near-orthogonal (within-label cosine ⊂ [-0.55, 0.55]) so the 0.4 bar
     marks the distribution's far tail, the analogue of a true near-dup
     threshold on real embeddings."""
     e = t(spark, sf_dir, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    a = e.repartition(32, "vec_id").select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
     b = e.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b")))
         .select("label", "id_a", "id_b", cos.alias("cos"))

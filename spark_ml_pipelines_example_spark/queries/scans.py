@@ -72,6 +72,48 @@ def q_sink_parquet_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q_sink_json_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+    tags=("scan", "sink", "json"),
+)
+def q_sink_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink then schema'd read-back. JSON carries no type
+    metadata, so the read declares the schema explicitly (never inference
+    at scale — that is a full extra pass); doubles are rounded on the way
+    out because JSON decimal text → double re-parse is the lossy step."""
+    path = scratch_dir("q_sink_json_roundtrip", sf_dir)
+    src = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(src.schema).json(path)
+
+
+@query(
+    "q_sink_orc_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice FROM part WHERE p_size <= 25
+    """,
+    tags=("scan", "sink", "orc"),
+)
+def q_sink_orc_roundtrip(spark, sf_dir):
+    """ORC sink with overwrite then read back — the second columnar format
+    (type-preserving, predicate-pushdown-capable) the engine supports
+    beside parquet."""
+    path = scratch_dir("q_sink_orc_roundtrip", sf_dir)
+    src = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+    src.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@query(
     "q_scan_column_prune",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.similarity import cosine
+from ..functions.similarity import cosine_prenorm, cosine_probe, l2_norm
 from ._util import t
 from .registry import query
 
@@ -41,8 +41,7 @@ def q_sim_cosine_topk(spark, sf_dir):
     at 100 TB this is one broadcast-free pass over the corpus."""
     e = t(spark, sf_dir, "embeddings")
     probe_vec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    probe = F.array(*[F.lit(float(v)) for v in probe_vec])
-    cos = cosine(F.col("embedding"), probe)
+    cos = cosine_probe(F.col("embedding"), list(probe_vec))
     return (
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", cos.alias("cos"))
@@ -70,22 +69,25 @@ def q_sim_cosine_topk(spark, sf_dir):
 def q_sim_pairwise_sample(spark, sf_dir):
     """Label-blocked pairwise cosine on a 10% sample: the self-join is
     keyed on the block (label), so pair volume is Σ block² — the blocked
-    shape every large-scale pairwise-similarity job needs."""
+    shape every large-scale pairwise-similarity job needs. Each side's
+    norm is projected BEFORE the join (per-vector O(n) work) so the
+    per-pair cost is a single dot; the probe side is spread across
+    partitions so the pair explosion parallelizes even when the input
+    is one small file (at real scale the join shuffle does this)."""
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
-    a = e.select(
-        "label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    a = e.repartition(32, "vec_id").select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = e.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
     )
-    return (
-        a.join(b, (a.label == b.label_b) & (F.col("id_a") < F.col("id_b")))
-        .select(
-            "label",
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
-        )
+    cos = cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return a.join(b, (a.label == b.label_b) & (F.col("id_a") < F.col("id_b"))).select(
+        "label", "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
     )
