@@ -350,3 +350,67 @@ def q_agg_confusion_accuracy(spark, sf_dir):
         (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_F,
+           SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END)::DOUBLE AS qty_O,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_F,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): groupBy(returnflag).pivot(linestatus)
+    with an explicit value list — Catalyst rewrites it to one pass of
+    conditional aggregates (exactly the oracle's CASE WHEN formulation),
+    so no second shuffle and no value-discovery job. At scale the
+    explicit value list is the difference between one job and
+    two (pivot without values first runs a distinct scan)."""
+    li = t(spark, sf_dir, "lineitem")
+    from ._util import dec
+
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("qty"),
+            F.count(F.lit(1)).alias("n"),  # count("*") is rejected inside pivot
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). Exact percentile is a sort-based aggregate —
+    at 100 TB swap to `approx_percentile` (t-digest sketch, one pass,
+    mergeable) when the ±ε is acceptable; the approximate twin is
+    exercised alongside q_agg_approx_distinct."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
+    )

@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         setops,
         similarity,
         streaming_batch,
+        subqueries,
         text,
         windows,
     )

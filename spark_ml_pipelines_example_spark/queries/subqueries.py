@@ -1,0 +1,95 @@
+"""Subquery operators: scalar subqueries and correlated EXISTS/IN.
+
+Catalyst decorrelates these into joins (SURVEY §4.2) — a scalar subquery
+becomes a broadcast of its single-row result; a correlated EXISTS becomes
+a left-semi join; NOT IN (null-safe) becomes a null-aware anti join — so
+none of them re-executes per outer row the way a naive interpreter would.
+Declared through ``spark.sql`` because subqueries are SQL surface, proving
+the engine's SQL entry point alongside the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from ..sources.io import load_table
+from .registry import query
+
+_TABLES = ("orders", "lineitem", "customer", "part")
+
+
+def _register(spark, sf_dir: str) -> None:
+    for name in _TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 4 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    tags=("subquery", "scalar"),
+)
+def q_subquery_scalar(spark, sf_dir):
+    """Scalar subquery in a predicate: planned as one aggregation job
+    whose single-row result folds into the outer scan's filter — the
+    corpus is read twice but never joined row-to-row. avg(double) is
+    order-dependent in the last ulp, but the 4x-average cut line falls in
+    a gap of the o_totalprice distribution, so the ulp can't flip
+    membership (verified at sf0.01/sf0.1)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 4 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("subquery", "exists"),
+)
+def q_subquery_exists(spark, sf_dir):
+    """Correlated EXISTS → decorrelated to a left-semi join on the
+    correlation key (check the plan: no per-row re-execution, one
+    semi-join shuffle)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """
+    )
+
+
+@query(
+    "q_subquery_not_in",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+    tags=("subquery", "anti"),
+)
+def q_subquery_not_in(spark, sf_dir):
+    """NOT IN subquery → null-aware anti join (l_partkey is non-null in
+    the fixtures, so semantics match a plain anti join; the planner still
+    must prove it)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
