@@ -148,7 +148,13 @@ def q_dedup_minhash(spark, sf_dir):
 
     n_bands, rows_per_band = 4, 12
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    # spread the corpus before the 48-minhash transform: from a one-file
+    # input the per-row signature UDF otherwise runs in a single task
+    # (profiled: 1.9s of the 5s total); at real scale the source is
+    # already many splits and this shuffle is trivial vs the join.
+    toks = d.repartition(32, "doc_id").select(
+        "doc_id", F.array_distinct(tokens("text")).alias("toks")
+    )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 14, binary=True)
     feats = tf.transform(toks)
     mh = MinHashLSH(
