@@ -414,3 +414,30 @@ def q_agg_percentile(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
     )
+
+
+@query("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
+def q_agg_approx_percentile(spark, sf_dir):
+    """approx_percentile sketch vs the exact interpolated percentile, with
+    the tolerance check embedded (rows-only: sketch internals are
+    engine-specific). The sketch is the 100 TB path: one pass, mergeable
+    map-side, accuracy bounded by the accuracy parameter — vs the exact
+    percentile's per-group sort."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("approx_p90"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("approx_p90", 2).alias("approx_p90"),
+            F.round("exact_p90", 2).alias("exact_p90"),
+            (
+                F.abs(F.col("approx_p90") - F.col("exact_p90"))
+                / F.col("exact_p90")
+                <= 0.01
+            ).alias("within_tolerance"),
+        )
+    )

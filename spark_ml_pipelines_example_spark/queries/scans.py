@@ -114,6 +114,32 @@ def q_sink_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q_sink_partitioned_prune",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('de', 'fr')
+    """,
+    tags=("scan", "sink", "layout"),
+)
+def q_sink_partitioned_prune(spark, sf_dir):
+    """Hive-partitioned write (sources/layout.py) then a selective
+    read-back: the lang predicate becomes a partition prune — the scan
+    touches 2 of 5 directories, zero data files from the other three
+    (`PartitionFilters` in the plan, asserted in tests/test_layout.py).
+    This is the declared-surface twin of the layout helper: at 100 TB,
+    partition design IS the query plan."""
+    from ..sources.layout import write_partitioned
+
+    path = scratch_dir("q_sink_partitioned_prune", sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_partitioned(docs, path, ["lang"])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang").isin("de", "fr"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
     "q_scan_column_prune",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity

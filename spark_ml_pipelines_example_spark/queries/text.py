@@ -162,3 +162,52 @@ def q_text_langid(spark, sf_dir):
         .select("doc_id", "lang", F.col("profile_lang").alias("pred_lang"))
     )
     return best.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "q_text_tfidf_weighted",
+    oracle="""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, tok, tf, df,
+               ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df USING (tok), n
+        WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id, tok, tfidf, rk FROM (
+        SELECT doc_id, tok, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf_weighted(spark, sf_dir):
+    """True TF-IDF top-3 terms per document (for a deterministic doc
+    subset): tf(term,doc) · ln(N/df(term)). The document-frequency table
+    is vocabulary-sized — it broadcasts — so the scoring join adds no
+    shuffle of the token stream; N is resolved driver-side once (a count
+    is a metadata-cheap action) and folded in as a literal. Ranking uses
+    the ROUNDED score in both engines so float ulps can't flip ranks
+    (tie-break on the term)."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = float(d.count())
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") % 100 == 0)
+        .join(df, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
