@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+correctness doesn't reduce to a DuckDB oracle: the as-of join idiom, the
+cosine kernels, and the salting helpers. Examples are kept small and few —
+each example is a Spark round-trip."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_ml_pipelines_example_spark.functions.similarity import (
+    cosine,
+    cosine_prenorm,
+    cosine_probe,
+    l2_norm,
+)
+from spark_ml_pipelines_example_spark.operators.asof import asof_join
+from spark_ml_pipelines_example_spark.sources import layout
+
+_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _ref_asof(probes, refs):
+    """Driver-side reference semantics: latest ref payload with
+    ref.ts <= probe.ts on the same key; max payload breaks ts ties."""
+    out = {}
+    for key, pts, pid in probes:
+        best = None
+        for rkey, rts, payload in refs:
+            if rkey == key and rts <= pts:
+                rank = (rts, payload)
+                if best is None or rank >= best:
+                    best = rank
+        out[pid] = None if best is None else best[1]
+    return out
+
+
+@_SETTINGS
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
+    ),
+    refs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_reference_semantics(spark, probes, refs):
+    probe_rows = [(k, ts, i) for i, (k, ts) in enumerate(probes)]
+    pdf = spark.createDataFrame(probe_rows, "k long, ts long, pid long")
+    rdf = spark.createDataFrame(refs or [(99, 0, 0)], "k long, ts long, payload long")
+    got = {
+        r.pid: r.asof_value
+        for r in asof_join(pdf, rdf, on="k", ts="ts", payload="payload").collect()
+    }
+    want = _ref_asof(probe_rows, refs or [(99, 0, 0)])
+    assert got == want
+
+
+@_SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(0.0078125, 10, width=32) | st.floats(-10, -0.0078125, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_cosine_kernel_properties(spark, vecs):
+    """|cos| ≤ 1 (+ulp), cos(v,v) = 1, and the three kernel forms agree."""
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    probe = vecs[0]
+    out = df.select(
+        "id",
+        cosine(F.col("v"), F.col("v")).alias("self_cos"),
+        cosine_probe(F.col("v"), probe).alias("probe_cos"),
+        (
+            cosine_prenorm(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in probe]),
+                l2_norm(F.col("v")),
+                F.lit(math.sqrt(math.fsum(float(x) * float(x) for x in probe))),
+            )
+        ).alias("prenorm_cos"),
+    ).collect()
+    for r in out:
+        assert r.self_cos == pytest.approx(1.0, abs=1e-9)
+        assert abs(r.probe_cos) <= 1.0 + 1e-9
+        assert r.prenorm_cos == pytest.approx(r.probe_cos, abs=1e-6)
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)), min_size=1, max_size=30
+    ),
+    n_salts=st.integers(2, 8),
+)
+def test_salted_groupby_invariant_to_salt_count(spark, rows, n_salts):
+    df = spark.createDataFrame(rows, "k long, x long")
+    plain = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k").agg(F.count("*").alias("n"), F.sum("x").alias("s")).collect()
+    }
+    salted = {
+        (r.k): (r.n, r.s)
+        for r in layout.salted_groupby_agg(
+            df, ["k"], {"n": (F.count("*"), F.sum), "s": (F.sum("x"), F.sum)}, n_salts
+        ).collect()
+    }
+    assert salted == plain
