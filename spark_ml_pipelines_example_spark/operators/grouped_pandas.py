@@ -1,0 +1,123 @@
+"""Grouped pandas surfaces (SURVEY §2.3): applyInPandas (grouped-map) and
+pandas_udf grouped-agg (custom UDAF).
+
+These are the escape hatches for per-group logic Spark expressions can't
+state — each group's rows stream to a Python worker as one Arrow batch
+set, so groups must fit in worker memory (the contract to document at
+100 TB: key cardinality × group size budgeting, salt oversized groups
+first). Where a built-in CAN express the semantics we still prefer it;
+the z-score job below exists to prove the plumbing and is cross-checked
+against the pure-expression window formulation in tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries._util import t
+from ..queries.registry import query
+
+ZSCORE_SCHEMA = "l_returnflag string, l_orderkey long, l_linenumber int, qty_z double"
+
+
+def zscore_grouped_map(li: DataFrame) -> DataFrame:
+    """Per-group z-score via applyInPandas: each (returnflag) group
+    arrives as a pandas frame, normalization is vectorized NumPy."""
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        sd = q.std(ddof=1)
+        z = (q - q.mean()) / sd if sd > 0 else q * 0.0
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "qty_z": z,
+            }
+        )
+
+    return (
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(norm, ZSCORE_SCHEMA)
+    )
+
+
+def zscore_expression(li: DataFrame) -> DataFrame:
+    """The same semantics as pure window expressions (the formulation a
+    production job should use — no Python boundary)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag")
+    mean = F.mean("l_quantity").over(w)
+    sd = F.stddev_samp("l_quantity").over(w)
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        ((F.col("l_quantity") - mean) / sd).alias("qty_z"),
+    )
+
+
+def second_largest_qty_udaf():
+    """Grouped-agg pandas UDAF: second-largest distinct value. Integer
+    logic (fixture quantities are integral), so deterministic across
+    partitionings; each group's column arrives as one Series. Built
+    lazily — pandas_udf resolves its return type against the active
+    session, so decorating at import time fails before a session
+    exists."""
+
+    @F.pandas_udf("double")
+    def second_largest_qty(q: pd.Series) -> float:
+        distinct = q.astype("int64").drop_duplicates().nlargest(2)
+        return float(distinct.iloc[-1]) if len(distinct) == 2 else float("nan")
+
+    return second_largest_qty
+
+
+@query(
+    "q_udaf_second_largest",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(MAX(q) AS DOUBLE) AS second_qty
+    FROM (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+        FROM lineitem
+        WHERE CAST(l_quantity AS BIGINT) < (
+            SELECT MAX(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+            WHERE l2.l_returnflag = lineitem.l_returnflag
+        )
+    )
+    GROUP BY l_returnflag
+    """,
+    tags=("udaf", "pandas"),
+)
+def q_udaf_second_largest(spark, sf_dir):
+    """Custom UDAF surface: per-group second-largest distinct quantity via
+    an Arrow grouped-agg pandas_udf. Pure integer logic → deterministic →
+    SQL-oracled (correlated max-below-max formulation). The UDAF is the
+    pattern; anything order-statistic-shaped that built-ins lack lands
+    here."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        second_largest_qty_udaf()(F.col("l_quantity")).alias("second_qty")
+    )
+
+
+@query("q_group_normalize", oracle=None, tags=("grouped-map", "pandas"))
+def q_group_normalize(spark, sf_dir):
+    """Grouped-map surface (applyInPandas z-score per returnflag), summed
+    to per-group moments for a compact deterministic result: each group's
+    z-scores must have mean ~0 and stddev ~1 by construction. Rows-only
+    (float fold order differs from SQL); the per-row equivalence against
+    the pure-window formulation is asserted in tests."""
+    li = t(spark, sf_dir, "lineitem")
+    z = zscore_grouped_map(li)
+    return z.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("qty_z"), 4).alias("z_mean"),
+        F.round(F.stddev_samp("qty_z"), 4).alias("z_sd"),
+    )

@@ -1,0 +1,83 @@
+"""Tests for the iterative connected-components operator and the grouped
+pandas surfaces (driver-side oracles — neither is SQL-expressible)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_pipelines_example_spark.operators import grouped_pandas as gp
+from spark_ml_pipelines_example_spark.operators.clusters import connected_components
+from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    pairs_df = REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = [(r.doc_a, r.doc_b) for r in pairs_df.collect()]
+    assert pairs, "fixture must produce near-dup pairs"
+    want = _union_find(pairs)
+    got = {r.node: r.comp for r in connected_components(pairs_df).collect()}
+    assert got == want
+
+
+def test_connected_components_chain_converges(spark):
+    """A 12-node path graph needs log-rounds propagation — every node must
+    end in component 0 (min id of the single component)."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_dedup_clusters_canonical_is_component_min(spark, sf_dir):
+    out = REGISTRY["q_dedup_clusters"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.canonical_doc == r.comp
+        assert r.n_docs >= 2  # components come from pairs, never singletons
+        assert r.canonical_doc <= r.max_doc
+
+
+def test_grouped_map_zscore_matches_expression_form(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    via_pandas = {
+        (r.l_returnflag, r.l_orderkey, r.l_linenumber): r.qty_z
+        for r in gp.zscore_grouped_map(li).collect()
+    }
+    via_expr = {
+        (r.l_returnflag, r.l_orderkey, r.l_linenumber): r.qty_z
+        for r in gp.zscore_expression(li).collect()
+    }
+    assert set(via_pandas) == set(via_expr)
+    for k, z in via_expr.items():
+        assert via_pandas[k] == pytest.approx(z, abs=1e-9)
+
+
+def test_group_normalize_moments(spark, sf_dir):
+    out = {r.l_returnflag: r for r in REGISTRY["q_group_normalize"].fn(spark, sf_dir).collect()}
+    assert out
+    for r in out.values():
+        assert r.z_mean == pytest.approx(0.0, abs=1e-3)
+        assert r.z_sd == pytest.approx(1.0, abs=1e-3)
