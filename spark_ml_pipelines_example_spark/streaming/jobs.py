@@ -167,3 +167,107 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return _run_to_memory(dedup, "stream_dedup_out", "append")
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks within the preceding hour. Both sides carry watermarks so the
+    state store can evict — the join condition's time bound tells Spark
+    exactly how long a click must be retained (1h + watermark delay);
+    without the bound, stream-stream state grows forever. Driven with
+    availableNow and compared row-for-row to the equivalent batch join in
+    tests."""
+    base = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter((F.col("user_id") != SENTINEL_USER) & (F.col("event_type") == "click"))
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "p_id",
+        "c_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("p_epoch"),
+        F.unix_timestamp("c_ts").alias("c_epoch"),
+    )
+    return _run_to_memory(joined, "stream_interval_join_out", "append")
+
+
+def batch_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_interval_join (same rows, plain join)."""
+    from ..sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "p_id",
+        "c_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("p_epoch"),
+        F.unix_timestamp("c_ts").alias("c_epoch"),
+    )
+
+
+def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """foreachBatch sink pattern: each micro-batch of per-type counts is
+    merged into a partitioned parquet target (overwrite-by-partition —
+    the idempotent upsert shape; retried batches rewrite the same
+    partitions instead of duplicating). This is how streaming output
+    lands in a lakehouse table without a transactional sink."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out_dir)
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -112,3 +112,39 @@ def test_watermark_bounds_state(spark, sf_dir):
     # availableNow advances the watermark to max(ts)-30min at the final
     # micro-batch; every window ending before that must have been emitted.
     assert out.count() > 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) must produce
+    exactly the batch join's rows."""
+    stream = sjobs.streaming_interval_join(spark, sf_dir)
+    batch = sjobs.batch_interval_join(spark, sf_dir)
+    cols = sorted(batch.columns)
+    assert sorted(stream.columns) == cols
+    assert _rows(stream.select(*cols)) == _rows(batch.select(*cols))
+    assert batch.count() > 0
+
+
+def test_foreach_batch_upsert_partitions(spark, sf_dir):
+    """foreachBatch overwrite-by-partition sink: final parquet equals the
+    batch aggregate, laid out one directory per event_type."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.queries._util import scratch_dir
+
+    out_dir = scratch_dir("foreach_batch_upsert", sf_dir)
+    got = sjobs.run_foreach_batch_upsert(spark, sf_dir, out_dir)
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    g = {(r.event_type): (r.n, r.sum_value) for r in got.collect()}
+    w = {(r.event_type): (r.n, r.sum_value) for r in want.collect()}
+    assert g == w
+    assert any(d.startswith("event_type=") for d in os.listdir(out_dir))
