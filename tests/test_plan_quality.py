@@ -85,6 +85,18 @@ def test_codegen_covers_scalar_functions(spark, sf_dir):
             assert re.search(r"^\* ", plan, re.M), f"{name} has no codegen span"
 
 
+def test_bucketed_range_join_avoids_nested_loop(spark, sf_dir):
+    """The pure range join, bucketed, must plan as a hash/sort-merge join
+    on the bucket key — not the BroadcastNestedLoopJoin the naive theta
+    formulation gets."""
+    plan = plan_of(spark, sf_dir, "q_join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    assert _re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+
+
 def test_semi_anti_join_plans_semi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_join_semi_anti")
     assert re.search(r"LeftSemi|LeftAnti", plan), "semi/anti not planned as semi-join"
