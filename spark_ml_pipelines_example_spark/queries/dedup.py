@@ -312,3 +312,39 @@ def q_dedup_simhash(spark, sf_dir):
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= 2
     )
+
+
+@query(
+    "q_dedup_editdistance",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           levenshtein(a.s_name, b.s_name) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 4
+    """,
+    tags=("dedup", "editdistance", "entity-resolution"),
+)
+def q_dedup_editdistance(spark, sf_dir):
+    """Entity-resolution shape: near-identical supplier names by
+    Levenshtein distance over nation-blocked candidate pairs (blocking
+    bounds the pair space at Σ block²; the distance is a JVM builtin with
+    identical semantics in DuckDB, so this family is SQL-oracled unlike
+    the hash-based ones)."""
+    s = t(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_name").alias("name_a"),
+    )
+    b = s.select(
+        F.col("s_nationkey").alias("nk_b"),
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, (F.col("nk") == F.col("nk_b")) & (F.col("supp_a") < F.col("supp_b")))
+        .select("supp_a", "supp_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 4)
+    )

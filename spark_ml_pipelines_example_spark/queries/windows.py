@@ -177,3 +177,30 @@ def q_win_topk_per_group(spark, sf_dir):
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def q_win_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank = (rank-1)/(n-1) and
+    cume_dist = |rows ≤ current|/n — both integer-ratio divisions, so the
+    single IEEE division is deterministic across engines; the order key
+    carries the unique o_orderkey tie-break."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

@@ -81,3 +81,27 @@ def test_group_normalize_moments(spark, sf_dir):
     for r in out.values():
         assert r.z_mean == pytest.approx(0.0, abs=1e-3)
         assert r.z_sd == pytest.approx(1.0, abs=1e-3)
+
+
+def test_pipeline_dedup_job(spark, sf_dir):
+    """End-to-end dedup job: every cluster keeps exactly its canonical
+    (min) doc, non-pair docs all survive, output is lang-partitioned."""
+    import os
+
+    from spark_ml_pipelines_example_spark.pipeline import run_dedup
+    from spark_ml_pipelines_example_spark.queries._util import scratch_dir
+
+    out = scratch_dir("pipeline_dedup_job", sf_dir)
+    stats = run_dedup(spark, sf_dir, out, method="jaccard", overwrite=True)
+    assert stats["kept_docs"] <= stats["input_docs"]
+
+    pairs = REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _union_find([(r.doc_a, r.doc_b) for r in pairs.collect()])
+    in_pairs = set(comp)
+    canonical = {min(n for n in comp if comp[n] == c) for c in set(comp.values())}
+    expected_dropped = in_pairs - canonical
+
+    all_ids = {r.doc_id for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()}
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert kept == all_ids - expected_dropped
+    assert any(d.startswith("lang=") for d in os.listdir(out))
