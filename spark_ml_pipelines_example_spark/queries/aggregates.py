@@ -441,3 +441,33 @@ def q_agg_approx_percentile(spark, sf_dir):
             ).alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    -- DuckDB has no width_bucket; for in-range positive values the index
+    -- is floor(x / bucket_width) + 1
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket + count — the one-shuffle
+    distribution profile (the first thing a data-quality pass computes
+    per numeric column at scale; identical bucket edges in both
+    engines because the bucket index is pure arithmetic)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
