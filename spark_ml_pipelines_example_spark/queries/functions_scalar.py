@@ -272,3 +272,54 @@ def q_fn_cast_decimal(spark, sf_dir):
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty_int_sum"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+    SELECT p_partkey,
+           md5(p_name) AS h_md5,
+           sha256(p_name) AS h_sha256,
+           strlen(md5(p_name)) AS md5_len
+    FROM part WHERE p_partkey <= 100
+    """,
+    tags=("fn", "hash"),
+)
+def q_fn_hash(spark, sf_dir):
+    """Cryptographic hash family (md5 / sha-256): content-addressed ids
+    and dedup fingerprints at scale; identical hex output in both
+    engines."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+        F.length(F.md5("p_name")).cast("bigint").alias("md5_len"),
+    )
+
+
+@query(
+    "q_fn_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_defaulted,
+           (o_orderstatus IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'O')) AS nullsafe_eq,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open
+    FROM orders WHERE o_orderkey <= 3000
+    """,
+    tags=("fn", "null"),
+)
+def q_fn_null_semantics(spark, sf_dir):
+    """Null-handling semantics: nullif / coalesce / null-safe equality
+    (Spark `eqNullSafe` ≡ SQL IS NOT DISTINCT FROM) / IS NULL — the
+    three-valued-logic corners every engine must agree on."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("open")).alias("status_defaulted"),
+        F.col("o_orderstatus").eqNullSafe(status_or_null).alias("nullsafe_eq"),
+        status_or_null.isNull().alias("is_open"),
+    )

@@ -102,6 +102,17 @@ def test_semi_anti_join_plans_semi(spark, sf_dir):
     assert re.search(r"LeftSemi|LeftAnti", plan), "semi/anti not planned as semi-join"
 
 
+def test_subqueries_decorrelate(spark, sf_dir):
+    """Correlated EXISTS must decorrelate to a semi join and NOT IN to an
+    anti join — no per-outer-row re-execution survives planning."""
+    plan = plan_of(spark, sf_dir, "q_subquery_exists")
+    assert re.search(r"LeftSemi", plan), "EXISTS did not plan as semi join"
+    plan = plan_of(spark, sf_dir, "q_subquery_not_in")
+    assert re.search(r"LeftAnti", plan), "NOT IN did not plan as anti join"
+    for name in ("q_subquery_exists", "q_subquery_not_in", "q_subquery_scalar"):
+        assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
+
+
 def test_topk_uses_takeordered(spark, sf_dir):
     """orderBy().limit(k) must plan TakeOrderedAndProject — a per-partition
     top-k plus driver merge, not a global sort of the whole input."""
