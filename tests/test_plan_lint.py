@@ -1,0 +1,35 @@
+"""Registry-wide plan lint: structural invariants enforced over EVERY
+declared query's physical plan, not just hand-picked ones. Catches the
+class of regression where a refactor quietly turns one of 90 queries into
+a cartesian product or drops it off the JVM path."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+# Queries whose SEMANTICS are a cross product (tiny, intentional).
+CROSS_OK = {"q_join_cross"}
+# Queries that intentionally cross a Python boundary (Arrow-batched).
+PYTHON_OK = {"q_multimodal_decode", "q_udaf_second_largest", "q_group_normalize"}
+# ML-training queries: plan building runs fits (slow) and the result plan
+# is a local scan of driver-side results — lint the rest.
+SKIP = {n for n in REGISTRY if n.startswith("q_ml_")} | {"q_dedup_clusters"}
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.mark.parametrize("name", sorted(n for n in REGISTRY if n not in SKIP))
+def test_plan_invariants(name, spark, sf_dir):
+    plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+    if name not in CROSS_OK:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in PYTHON_OK:
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        assert "ArrowEvalPython" not in plan, f"{name} crosses to Python unexpectedly"
+        assert "FlatMapGroupsInPandas" not in plan, f"{name} crosses to Python unexpectedly"
