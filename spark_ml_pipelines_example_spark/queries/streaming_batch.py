@@ -150,3 +150,64 @@ def q_stream_late_dedup(spark, sf_dir):
             "value",
         )
     )
+
+
+@query(
+    "q_stream_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), grid AS (
+        SELECT event_type, g AS bucket
+        FROM (SELECT DISTINCT event_type FROM events),
+             (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g FROM bounds)
+    ), agg AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grid.event_type,
+           CAST(epoch(grid.bucket) AS BIGINT) AS bucket_epoch,
+           COALESCE(agg.n, 0) AS n
+    FROM grid LEFT JOIN agg
+      ON grid.event_type = agg.event_type AND grid.bucket = agg.bucket
+    """,
+    tags=("stream", "timeseries", "gapfill"),
+)
+def q_stream_gapfill(spark, sf_dir):
+    """Time-series gap filling: a dense (event_type × hour) grid built
+    with sequence()+explode, left-joined to the hourly counts so silent
+    hours appear as zero rows — what every downstream charting/alerting
+    consumer needs and raw groupBy can't give. The grid is generated from
+    the corpus' own min/max hour (one tiny aggregation job), so the scan
+    stays one pass; grid size = types × hours, always broadcastable."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).head()
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            ev.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.lit(bounds.lo), F.lit(bounds.hi), F.expr("INTERVAL 1 HOUR")
+                    )
+                ).alias("bucket")
+            )
+        )
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.unix_timestamp("bucket").alias("bucket_epoch"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
