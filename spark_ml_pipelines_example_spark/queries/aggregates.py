@@ -471,3 +471,28 @@ def q_agg_histogram(spark, sf_dir):
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           COUNT(CASE WHEN o_totalprice > 400000.0 THEN 1 END) AS n_over_400k
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "bool"),
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean aggregates (every/any): data-quality assertions as
+    aggregations — one shuffle answers 'does every row satisfy P' per
+    group."""
+    o = t(spark, sf_dir, "orders")
+    over_1k = F.col("o_totalprice") > 1000.0
+    over_400k = F.col("o_totalprice") > 400000.0
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(over_1k).alias("all_over_1k"),
+        F.bool_or(over_400k).alias("any_over_400k"),
+        F.count(F.when(over_400k, 1)).alias("n_over_400k"),
+    )

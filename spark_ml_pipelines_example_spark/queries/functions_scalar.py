@@ -323,3 +323,62 @@ def q_fn_null_semantics(spark, sf_dir):
         F.col("o_orderstatus").eqNullSafe(status_or_null).alias("nullsafe_eq"),
         status_or_null.isNull().alias("is_open"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber & 3 AS b_and,
+           l_linenumber | 8 AS b_or,
+           xor(l_linenumber, 5) AS b_xor,
+           l_linenumber << 2 AS b_shl,
+           l_linenumber >> 1 AS b_shr,
+           ~l_linenumber AS b_not
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tags=("fn", "bitwise"),
+)
+def q_fn_bitwise(spark, sf_dir):
+    """Bitwise operator family (and/or/xor/shifts/not) — flag fields and
+    bit-packed encodings; two's-complement semantics agree across
+    engines."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    n = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        n.bitwiseAND(F.lit(3)).alias("b_and"),
+        n.bitwiseOR(F.lit(8)).alias("b_or"),
+        n.bitwiseXOR(F.lit(5)).alias("b_xor"),
+        F.shiftleft(n, 2).alias("b_shl"),
+        F.shiftright(n, 1).alias("b_shr"),
+        F.bitwise_not(n).alias("b_not"),
+    )
+
+
+@query(
+    "q_fn_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sin(l_quantity), 6) AS r_sin,
+           ROUND(cos(l_quantity), 6) AS r_cos,
+           ROUND(atan2(l_quantity, 10.0), 6) AS r_atan2,
+           ROUND(degrees(atan(l_quantity)), 6) AS r_deg
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tags=("fn", "trig"),
+)
+def q_fn_trig(spark, sf_dir):
+    """Trigonometric family — both engines call libm; rounded to 6
+    decimals to absorb any last-ulp platform difference (§2.4)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sin(q), 6).alias("r_sin"),
+        F.round(F.cos(q), 6).alias("r_cos"),
+        F.round(F.atan2(q, F.lit(10.0)), 6).alias("r_atan2"),
+        F.round(F.degrees(F.atan(q)), 6).alias("r_deg"),
+    )
