@@ -271,3 +271,45 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def streaming_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with a per-user
+    dimension (derived deterministically from the corpus — in production
+    a dim table). The static side needs no watermark and no state: Spark
+    re-plans it per micro-batch (picking up dim updates between batches)
+    and broadcasts it when small. Batch twin compared row-for-row in
+    tests."""
+    dim = _user_dim(spark, sf_dir)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    joined = ev.join(dim, "user_id").select(
+        "event_id",
+        "user_id",
+        "cohort",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+    )
+    return _run_to_memory(joined, "stream_static_join_out", "append")
+
+
+def _user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).cast("int").alias("cohort"))
+    )
+
+
+def batch_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import load_table
+
+    dim = _user_dim(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.join(dim, "user_id").select(
+        "event_id",
+        "user_id",
+        "cohort",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+    )

@@ -105,3 +105,21 @@ def test_pipeline_dedup_job(spark, sf_dir):
     kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert kept == all_ids - expected_dropped
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    """MERGE invariants: updated keys take update values, fresh keys
+    insert, untouched keys keep target values, row count = targets +
+    inserts."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (9, "z", 1.0)], "k long, s string, v double"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(target, updates, "k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 9: ("z", 1.0)}

@@ -148,3 +148,13 @@ def test_foreach_batch_upsert_partitions(spark, sf_dir):
     w = {(r.event_type): (r.n, r.sum_value) for r in want.collect()}
     assert g == w
     assert any(d.startswith("event_type=") for d in os.listdir(out_dir))
+
+
+def test_stream_static_dim_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment join must equal the batch join (static
+    side broadcast per micro-batch, no state store involved)."""
+    stream = sjobs.streaming_static_dim_join(spark, sf_dir)
+    batch = sjobs.batch_static_dim_join(spark, sf_dir)
+    cols = sorted(batch.columns)
+    assert sorted(stream.columns) == cols
+    assert _rows(stream.select(*cols)) == _rows(batch.select(*cols))
