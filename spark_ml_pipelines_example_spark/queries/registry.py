@@ -74,7 +74,9 @@ def load_all() -> dict[str, QuerySpec]:
     from ..operators import grouped_pandas as _op_grouped_pandas  # noqa: F401
     from ..operators import merge as _op_merge  # noqa: F401
     from ..operators import multimodal as _op_multimodal  # noqa: F401
+    from ..operators import profile as _op_profile  # noqa: F401
     from ..operators import rangejoin as _op_rangejoin  # noqa: F401
+    from ..operators import scd as _op_scd  # noqa: F401
     from ..operators import similarity as _op_similarity  # noqa: F401
 
     return REGISTRY

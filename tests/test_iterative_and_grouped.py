@@ -123,3 +123,42 @@ def test_merge_upsert_semantics(spark, sf_dir):
     )
     got = {r.k: (r.s, r.v) for r in merge_upsert(target, updates, "k").collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 9: ("z", 1.0)}
+
+
+def test_scd2_exactly_one_current_per_key(spark, sf_dir):
+    out = REGISTRY["q_scd2_history"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    per_user = out.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+        F.count("*").alias("n_versions"),
+    )
+    bad = per_user.filter(F.col("n_current") != 1).count()
+    assert bad == 0
+    # versions tile the timeline: valid_to of one = valid_from of next
+    w_bad = out.filter(
+        F.col("valid_to_epoch").isNotNull()
+        & (F.col("valid_to_epoch") < F.col("valid_from_epoch"))
+    ).count()
+    assert w_bad == 0
+
+
+def test_stratified_sample_proportions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    totals = {r.l_returnflag: r.n for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    sampled = {r.l_returnflag: r.n_sampled for r in REGISTRY["q_sample_stratified"].fn(spark, sf_dir).collect()}
+    want = {"A": 0.5, "N": 0.1, "R": 0.5}
+    for flag, frac in want.items():
+        got_frac = sampled.get(flag, 0) / totals[flag]
+        assert abs(got_frac - frac) < 0.1, (flag, got_frac, frac)
+
+
+def test_profile_helper_single_job(spark, sf_dir):
+    from spark_ml_pipelines_example_spark.operators.profile import profile
+
+    row = profile(spark.read.parquet(f"{sf_dir}/orders.parquet")).head()
+    assert row.n_rows > 0
+    assert row.o_custkey__nulls == 0
+    assert row.o_orderstatus__approx_distinct >= 2
