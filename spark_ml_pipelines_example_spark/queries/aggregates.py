@@ -496,3 +496,39 @@ def q_agg_bool(spark, sf_dir):
         F.bool_or(over_400k).alias("any_over_400k"),
         F.count(F.when(over_400k, 1)).alias("n_over_400k"),
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    -- DuckDB arg_max can't take a struct ordering key; the windowed
+    -- formulation states the same deterministic (value, id) tie-break
+    WITH ranked AS (
+        SELECT o_orderpriority, o_totalprice, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders
+    )
+    SELECT mx.o_orderpriority,
+           mx.o_totalprice AS top_price,
+           mx.o_orderkey AS top_orderkey,
+           mn.o_orderkey AS bottom_orderkey
+    FROM (SELECT * FROM ranked WHERE rmax = 1) mx
+    JOIN (SELECT * FROM ranked WHERE rmin = 1) mn USING (o_orderpriority)
+    """,
+    tags=("agg", "argmax"),
+)
+def q_agg_argmax(spark, sf_dir):
+    """Deterministic per-group argmax/argmin: max_by on ties returns an
+    arbitrary row, so the ordering key is (value, unique id) — the
+    struct-comparison trick that makes argmax reproducible across
+    engines, partitionings, and retries."""
+    o = t(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("top_price"),
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+    )
