@@ -44,6 +44,12 @@ HEADLINE = [
     "q_multimodal_decode",
     "q_ml_string_indexer",
     "q_scan_column_prune",
+    "q_join_range_bucketed",
+    "q_subquery_exists",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_agg_percentile",
+    "q_profile_orders",
 ]
 
 

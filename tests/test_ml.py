@@ -130,3 +130,43 @@ def test_cross_validate_saves_fitted_model(spark, split_paths, tmp_path_factory)
     assert "bestAvgAccuracy" in report
     loaded = CrossValidatorModel.load(model_dir)
     assert loaded.bestModel is not None
+
+
+def test_rf_pipeline_golden_metrics(spark, sf_dir):
+    """Seeded-RF golden pin (SURVEY §5.2.3): accuracy of the embeddings
+    RF pipeline must not drift across refactors/Spark upgrades. The value
+    was recorded from the current seeded run; a legitimate behavior
+    change (new Spark version, changed features) must update the golden
+    CONSCIOUSLY, with the diff explaining why.
+
+    Note the golden is near-chance (~0.19 over 10 labels): the fixture
+    embeddings are random vectors with no label signal (see fixture
+    analysis), so the pin asserts DETERMINISM of the seeded training
+    path, not model quality."""
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    reg = load_all()
+    scored = reg["q_ml_rf_pipeline"].fn(spark, sf_dir)
+    from spark_ml_pipelines_example_spark.ml.metrics import ModelFitMetrics
+
+    m = ModelFitMetrics.calculate(
+        scored.select("label", "prediction").cache()
+    ).metrics
+    assert 0.0 <= m["accuracy"] <= 1.0
+    golden = _load_or_record_golden("rf_pipeline_accuracy", m["accuracy"])
+    assert m["accuracy"] == pytest.approx(golden, abs=1e-6), (
+        f"seeded RF accuracy drifted: got {m['accuracy']}, golden {golden} — "
+        "if intentional, delete tests/goldens/rf_pipeline_accuracy.txt"
+    )
+
+
+def _load_or_record_golden(name: str, value: float) -> float:
+    """First run records the golden; later runs compare against it."""
+    import pathlib
+
+    d = pathlib.Path(__file__).parent / "goldens"
+    d.mkdir(exist_ok=True)
+    f = d / f"{name}.txt"
+    if not f.exists():
+        f.write_text(repr(float(value)))
+    return float(f.read_text())
