@@ -258,7 +258,6 @@ def q_agg_approx_distinct(spark, sf_dir):
     "q_agg_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
            array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses_str,
            COUNT(DISTINCT l_linestatus) AS n_statuses
     FROM lineitem
@@ -267,10 +266,15 @@ def q_agg_approx_distinct(spark, sf_dir):
     tags=("agg", "collect"),
 )
 def q_agg_collect(spark, sf_dir):
-    """collect_set sorted for determinism (SURVEY §2.4.5)."""
+    """collect_set sorted for determinism (SURVEY §2.4.5).
+
+    The declared result projects the set as a sorted scalar string
+    (``array_join``) rather than a raw ``array<string>`` column: the driver
+    harness canonicalizes results through a pandas sort, which cannot hash
+    list cells (r1 FAIL: ``unhashable type: 'list'``). The array form stays
+    covered by tests/test_aggregates.py."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
         F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses_str"),
         F.countDistinct("l_linestatus").alias("n_statuses"),
     )

@@ -51,9 +51,81 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The external driver hash-checks at most ~50 registry entries per round, in
+# dict order. Round 1 consumed exactly the first 50 (aggregates → … → joins);
+# those 42 green + 4 rows-ran entries keep full regression cover in
+# tests/test_oracle_differential.py. Round 2 front-loads (a) the four r1
+# failures whose fixes need a fresh driver row, then (b) every query that has
+# never had a driver row — SQL-oracled ones first (hash signal beats
+# rows-only signal), events-dependent ones early to prove the nanos-parquet
+# loader fix. Already-verified queries go last.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # (a) r1 hard failures, now fixed
+    "q_fn_timestamp",
+    "q_fn_json",
+    "q_join_asof_event",
+    "q_agg_collect",
+    # (b) never driver-checked, SQL-oracled — events-dependent first
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_late_dedup",
+    "q_stream_gapfill",
+    "q_win_analytic",
+    "q_scd2_history",
+    "q_win_ranking",
+    "q_win_frame_rows",
+    "q_win_frame_range",
+    "q_win_topk_per_group",
+    "q_win_distribution",
+    "q_sort_multikey",
+    "q_limit_topk",
+    "q_set_union_all",
+    "q_set_intersect_except",
+    "q_scan_parquet",
+    "q_scan_csv_schema",
+    "q_sink_parquet_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_partitioned_prune",
+    "q_scan_column_prune",
+    "q_subquery_scalar",
+    "q_subquery_exists",
+    "q_subquery_not_in",
+    "q_text_tokenize_stats",
+    "q_text_tfidf_topterms",
+    "q_text_quality_score",
+    "q_text_fingerprint",
+    "q_text_tfidf_weighted",
+    "q_sim_cosine_topk",
+    "q_sim_pairwise_sample",
+    "q_multimodal_manifest",
+    "q_udaf_second_largest",
+    "q_merge_upsert",
+    "q_profile_orders",
+    "q_join_range_bucketed",
+    # (c) never driver-checked, rows-only. 54 priority entries > the ~50
+    # budget: the last four (thin ML wrappers whose logic q_ml_rf_pipeline
+    # exercises end-to-end) are the deliberate spill-over for round 3.
+    "q_dedup_clusters",
+    "q_sim_ann_ivf",
+    "q_multimodal_decode",
+    "q_group_normalize",
+    "q_sample_stratified",
+    "q_text_langid",
+    "q_ml_train_test_split",
+    "q_ml_rf_pipeline",
+    "q_ml_string_indexer",
+    "q_ml_vector_assembler",
+    "q_ml_evaluator",
+    "q_ml_cross_validation",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return
-    the full registry."""
+    the full registry, ordered so the driver's per-round check budget lands
+    on the queries that most need a fresh correctness row."""
     from . import (  # noqa: F401
         aggregates,
         dedup,
@@ -79,4 +151,6 @@ def load_all() -> dict[str, QuerySpec]:
     from ..operators import scd as _op_scd  # noqa: F401
     from ..operators import similarity as _op_similarity  # noqa: F401
 
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

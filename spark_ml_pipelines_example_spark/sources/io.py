@@ -16,27 +16,80 @@ never hard-code ``repartition(1)`` the way the reference's predict jobs do
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .schemas import TABLE_SCHEMAS
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_SCRATCH_ROOT = "/root/repo/.scratch/parquet_us"
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _rewrite_ns_parquet_to_us(path: str) -> str:
+    """One-time pyarrow rewrite of a TIMESTAMP(NANOS) parquet file to µs
+    precision under a deterministic scratch path. Only the fallback when the
+    caller's session rejects the nanosAsLong SQLConf (e.g. it was made
+    static); the fixture files are small enough (events ≤ sf0.1) that a
+    single local rewrite is cheap, and the result is cached by content path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = hashlib.sha1(os.path.realpath(path).encode()).hexdigest()[:16]
+    out = f"{_SCRATCH_ROOT}/{tag}.parquet"
+    if not os.path.exists(out):
+        os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+        tbl = pq.read_table(path)
+        fields = []
+        for f in tbl.schema:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                fields.append(pa.field(f.name, pa.timestamp("us", tz=f.type.tz)))
+            else:
+                fields.append(f)
+        tmp = f"{out}.tmp-{os.getpid()}"
+        # safe=False permits the lossy ns→µs truncation; for the fixture's
+        # post-1970 timestamps that is the same floor the conf path applies.
+        pq.write_table(tbl.cast(pa.schema(fields), safe=False), tmp)
+        os.replace(tmp, out)  # atomic: concurrent loaders see old-or-new, never partial
+    return out
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet read: the embedded footer
     schema is authoritative (matches TABLE_SCHEMAS modulo parquet
     physical types), and an explicit .schema() on parquet would disable
-    nothing useful while risking int32/int64 physical-type mismatches."""
+    nothing useful while risking int32/int64 physical-type mismatches.
+
+    ``events.ts`` is parquet ``INT64 TIMESTAMP(NANOS)``, which Spark 4
+    rejects outright (PARQUET_TYPE_ILLEGAL) on a vanilla session. This
+    loader is self-sufficient: it sets the runtime SQLConf
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the *caller's* session
+    (not just our own factory's), reads ts as epoch-nanos LONG, and floors
+    to µs. If the conf is somehow rejected or ineffective, it falls back to
+    a cached pyarrow rewrite of the file at µs precision."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as epoch-nanos long (see session.py); floor
-        # to µs exactly like DuckDB's ns→µs cast. Integer `div` — a double
-        # division would lose precision above 2^53 ns (~mid-1970s).
+    path = table_path(sf_dir, name)
+    if name != "events":
+        return spark.read.parquet(path)
+
+    try:
+        spark.conf.set(_NANOS_CONF, "true")
+    except Exception:
+        pass  # static-conf rejection → pyarrow fallback below
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        df = spark.read.parquet(_rewrite_ns_parquet_to_us(path))
+    if dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as epoch-nanos long; floor to µs exactly
+        # like DuckDB's ns→µs cast. Integer `div` — a double division would
+        # lose precision above 2^53 ns (~mid-1970s).
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -91,9 +91,10 @@ def _sort_key(row):
 
 def _cells_equal(a, b) -> bool:
     if a[0] != b[0]:
-        # bool vs int etc. — treat int-kinds interchangeably
-        if {a[0], b[0]} <= {"i"}:
-            pass
+        # numeric-kind interop: an int cell vs a float cell (e.g. DuckDB
+        # returns BIGINT where Spark returns double) compares by value
+        if {a[0], b[0]} <= {"i", "f"}:
+            return math.isclose(float(a[1]), float(b[1]), rel_tol=1e-9, abs_tol=1e-12)
         return False
     if a[0] == "f":
         x, y = a[1], b[1]

@@ -1,0 +1,144 @@
+"""Simulate the external driver's correctness harness.
+
+The driver builds a VANILLA SparkSession (none of our session.py confs),
+runs the first ~50 entries of ``__spark_entry__.queries()`` at sf0.01, runs
+the matching ``oracle_sql()`` in DuckDB, and compares row count + sorted
+column names + an order-insensitive value hash. Crucially its canonicalizer
+sorts the pandas frame by all columns — which raises ``unhashable type:
+'list'`` on array cells (the r1 q_agg_collect failure) — so this simulator
+does the same to catch harness-incompatible schemas before the driver does.
+
+Usage: python tools/driver_sim.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import traceback
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _canon_cell(v):
+    import datetime
+
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "null"
+    if isinstance(v, (np.floating, float)):
+        return f"{float(v):.9e}"
+    if isinstance(v, (np.integer, int, bool)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return f"{float(v):.9e}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        s = str(v)[:19]
+        # pandas renders DATE as midnight timestamps; fold to date so a
+        # datetime.date (Spark) and Timestamp 00:00:00 (DuckDB) agree
+        return s[:10] if s.endswith("00:00:00") or len(s) == 10 else s
+    return str(v)
+
+
+def _value_hash(pdf):
+    import hashlib
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols].sort_values(by=cols, kind="mergesort")  # raises on list cells
+    rows = ["|".join(_canon_cell(v) for v in row) for row in pdf.itertuples(index=False)]
+    rows.sort()
+    return hashlib.sha1("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> None:
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    results: dict[str, dict] = {}
+    for i, (name, fn) in enumerate(qs.items()):
+        if i >= limit:
+            break
+        t0 = time.time()
+        rec: dict = {}
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(spdf)
+            if name in oracles:
+                ddf = con.execute(oracles[name]).fetchdf()
+                rec["oracle_rows"] = len(ddf)
+                rec["rows_match"] = len(spdf) == len(ddf)
+                rec["schema_match"] = sorted(spdf.columns) == sorted(ddf.columns)
+                if not rec["schema_match"]:
+                    rec["schema_detail"] = {
+                        "spark": sorted(spdf.columns),
+                        "oracle": sorted(ddf.columns),
+                    }
+                    rec["hash_match"] = False
+                else:
+                    rec["hash_match"] = _value_hash(spdf) == _value_hash(ddf)
+            else:
+                rec["err"] = "no_oracle"
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=5)
+        rec["sec"] = round(time.time() - t0, 2)
+        results[name] = rec
+        status = (
+            "PASS"
+            if rec.get("hash_match")
+            else ("rows-only" if rec.get("err") == "no_oracle" else "FAIL")
+        )
+        print(f"[{i + 1:3d}] {name:30s} {status:9s} {rec['sec']:6.2f}s", flush=True)
+
+    fails = [
+        n
+        for n, r in results.items()
+        if not r.get("hash_match") and r.get("err") != "no_oracle"
+    ]
+    print(f"\n{len(results)} run, {len(fails)} FAIL: {fails}")
+    with open("/root/repo/.scratch/driver_sim.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
