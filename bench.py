@@ -39,6 +39,8 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_dedup_embedding",
+    "q_dedup_embedding_cells",
+    "q_dedup_simhash",
     "q_sim_cosine_topk",
     "q_sim_ann_ivf",
     "q_multimodal_decode",

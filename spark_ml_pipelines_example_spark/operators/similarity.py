@@ -138,3 +138,82 @@ def q_sim_ann_ivf(spark, sf_dir):
     boundaries are engine-specific; recall vs the brute-force baseline is
     asserted in tests."""
     return ann_ivf_topk(spark, sf_dir)
+
+
+# Soft-assignment replication for cell-blocked dedup: each vector lands in
+# its SOFT_ASSIGN nearest cells, so a near-dup pair is caught whenever the
+# two cell sets intersect. The fixture's near-orthogonal vectors are IVF's
+# worst case (neighbors barely co-cluster); recall vs the label-blocked
+# ground truth is measured in tests/test_dedup_hardening.py.
+SOFT_ASSIGN = 4
+
+
+def assign_soft_cells(
+    spark: SparkSession, emb: DataFrame, centers: np.ndarray, n_assign: int = SOFT_ASSIGN
+) -> DataFrame:
+    """Multi-probe IVF assignment: rank all k centroids per vector by
+    cosine (k×dim work per row — the standard IVF assignment cost) and keep
+    the top ``n_assign``. Centroids ride along as a broadcast (k rows), so
+    the expansion is a narrow broadcast-join + window, no corpus shuffle
+    until the per-cell grouping that follows."""
+    from pyspark.sql import Window as W
+
+    from ..functions.similarity import cosine_prenorm, l2_norm
+
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, cvec array<double>",
+    )
+    scored = (
+        emb.withColumn("__n", l2_norm(F.col("embedding")))
+        .join(F.broadcast(cdf.withColumn("__cn", l2_norm(F.col("cvec")))))
+        .withColumn(
+            "__cos",
+            cosine_prenorm(F.col("embedding"), F.col("cvec"), F.col("__n"), F.col("__cn")),
+        )
+    )
+    rank = F.row_number().over(
+        W.partitionBy("vec_id").orderBy(F.col("__cos").desc(), F.col("cell"))
+    )
+    return (
+        scored.withColumn("__r", rank)
+        .filter(F.col("__r") <= n_assign)
+        .drop("cvec", "__cn", "__cos", "__r")
+    )
+
+
+@query("q_dedup_embedding_cells", oracle=None, tags=("dedup", "embedding", "ann", "ivf"))
+def q_dedup_embedding_cells(spark, sf_dir):
+    """Embedding near-dup pairs blocked by IVF cell instead of label — the
+    100 TB shape q_dedup_embedding's docstring promises: block sizes are
+    set by k (an index build-time knob), so pair generation is Σcell², not
+    Σlabel² growing quadratically with the corpus. Each vector is
+    soft-assigned to its 4 nearest of 16 cells; candidate pairs share a
+    cell, are confirmed with the prenormed cosine kernel at the same 0.4
+    bar, and distinct()-ed because a pair can co-occur in up to 4 cells.
+    Rows-only: k-means cells are engine-specific."""
+    emb = t(spark, sf_dir, "embeddings")
+    _, centers = _ivf_index_for(spark, sf_dir)
+    assigned = assign_soft_cells(spark, emb.repartition(32, "vec_id"), centers)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    from ..functions.similarity import cosine_prenorm
+
+    cos = cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+        .distinct()
+    )

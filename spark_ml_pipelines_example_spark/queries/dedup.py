@@ -44,16 +44,30 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+# Document-frequency cap for bigram-Jaccard candidate generation: a shingle
+# appearing in more docs than this (within its block) is treated as a
+# stopword shingle and excluded from the measure. This bounds every join
+# key's pair fan-out at DF_CAP² — without it, stopword bigrams ("of the")
+# appear in nearly every doc and the shared-shingle join goes quadratic on
+# those hot keys at scale. Absolute (not fractional) on purpose: at 100 TB
+# the bound must not grow with the corpus.
+JACCARD_DF_CAP = 256
+
 @query(
     "q_dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, lang, source, string_split(text, ' ') AS tk FROM documents
-    ), sh AS (
+    ), sh_all AS (
         SELECT DISTINCT doc_id, lang, source, g FROM (
             SELECT doc_id, lang, source,
                    UNNEST(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
             FROM toks)
+    ), rare AS (
+        SELECT lang, source, g FROM sh_all
+        GROUP BY lang, source, g HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ), sh AS (
+        SELECT sh_all.* FROM sh_all JOIN rare USING (lang, source, g)
     ), sizes AS (
         SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), shared AS (
@@ -74,15 +88,31 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup detection by exact word-bigram Jaccard over blocked pairs:
     candidate pairs must share a shingle within the same (lang, source)
-    block, so pair generation is sum-of-block-sizes², not corpus². All
-    counts are integers; the single double division is deterministic."""
-    d = t(spark, sf_dir, "documents")
-    sh = d.select(
+    block, so pair generation is sum-of-block-sizes², not corpus². Shingles
+    with block document frequency > JACCARD_DF_CAP are excluded from the
+    measure on both engines (stopword-shingle pruning — standard candidate
+    pruning that also bounds the join's per-key fan-out). All counts are
+    integers; the single double division is deterministic."""
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(d, df_cap: int = JACCARD_DF_CAP, threshold: float = 0.3):
+    """Core of q_dedup_ngram_jaccard over any (doc_id, lang, source, text)
+    frame — factored out so tests can drive it with synthetic hot-shingle
+    corpora."""
+    sh_all = d.select(
         "doc_id",
         "lang",
         "source",
         F.explode(F.array_distinct(bigrams(tokens("text")))).alias("g"),
     )
+    rare = (
+        sh_all.groupBy("lang", "source", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("lang", "source", "g")
+    )
+    sh = sh_all.join(rare, ["lang", "source", "g"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -112,7 +142,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             F.col("sb.n").alias("n_b"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .filter(jac >= 0.3)
+        .filter(jac >= threshold)
     )
 
 
@@ -251,45 +281,64 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
-@query("q_dedup_simhash", oracle=None, tags=("dedup", "simhash"))
-def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: xxhash64 each token, majority-vote 32 bits into a
-    per-doc signature, band into 4×8-bit keys, candidate pairs = same band
-    value, confirm with Hamming distance ≤ 2 via bit_count(xor).
-    Deterministic (xxhash64 is seeded) but not DuckDB-reproducible →
-    rows-only. One shuffle to build signatures, banded join for pairs."""
-    d = t(spark, sf_dir, "documents")
+def simhash_signatures(d):
+    """64-bit SimHash per document (Charikar/Manku): xxhash64 each distinct
+    token, majority-vote each of the 64 bits, assemble the signature as one
+    long. The per-bit vote is an unrolled 64-column hash aggregate — partial
+    (map-side) combine applies, so the shuffle carries one 64-int row per
+    doc, never token rows."""
     ex = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
     h = F.xxhash64("tok")
     bit_votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.lit(1).cast("long") * (2**b)) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(32)
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{b}"
+        )
+        for b in range(64)
     ]
     votes = ex.groupBy("doc_id").agg(*bit_votes)
-    sig = votes.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{b}") > 0, 2**b).otherwise(0) for b in range(32)),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("simhash"),
+    # Assemble in two 32-bit halves: 2**63 overflows a Spark long literal,
+    # but shiftleft(hi, 32) reproduces the bit-63 pattern exactly.
+    lo = sum(
+        (F.when(F.col(f"b{b}") > 0, 2**b).otherwise(0) for b in range(32)), F.lit(0)
+    ).cast("long")
+    hi = sum(
+        (F.when(F.col(f"b{b + 32}") > 0, 2**b).otherwise(0) for b in range(32)), F.lit(0)
+    ).cast("long")
+    return votes.select(
+        "doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash")
     )
-    banded = sig.select(
-        "doc_id",
-        "simhash",
-        *[
-            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias(f"band{i}")
-            for i in range(4)
-        ],
-    )
-    bands = banded.select(
+
+
+@query("q_dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit signature (see ``simhash_signatures``),
+    banded into 4×16-bit keys, candidate pairs = same band value, confirm
+    with Hamming distance via bit_count(xor). Deterministic (xxhash64 is
+    seeded) but not DuckDB-reproducible → rows-only.
+
+    Scale shape: 16-bit bands give 65,536 buckets per band, so candidate
+    generation stays near the true-duplicate count instead of the 256-bucket
+    (8-bit) variant's n²/1024 floor — the r1 design's scale-killer. By
+    pigeonhole, Hamming ≤ 3 over 4 bands guarantees at least one identical
+    band, so the banded join has exact recall at the ≤3 threshold (the
+    standard Manku et al. 64-bit/4-band configuration)."""
+    sig = simhash_signatures(t(spark, sf_dir, "documents"))
+    bands = sig.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.array(*[F.struct(F.lit(i).alias("i"), F.col(f"band{i}").alias("v")) for i in range(4)])
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        # arithmetic shift's sign-fill is masked off by the AND
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("v"),
+                    )
+                    for i in range(4)
+                ]
+            )
         ).alias("band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -310,7 +359,7 @@ def q_dedup_simhash(spark, sf_dir):
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 2
+        F.col("hamming") <= 3
     )
 
 

@@ -1,0 +1,86 @@
+"""Hardening tests for the near-dup blocking schemes (r1 scale concerns):
+64-bit SimHash banding recall and the bigram-Jaccard shingle DF cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_pipelines_example_spark.queries.dedup import (
+    JACCARD_DF_CAP,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+REG = load_all()
+
+
+def test_simhash_banding_exact_recall(spark, sf_dir):
+    """Pigeonhole guarantee: 4 bands of 16 bits recover EVERY pair at
+    Hamming distance ≤ 3 — the banded join must equal brute force."""
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    sig = simhash_signatures(load_table(spark, sf_dir, "documents")).cache()
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    banded = REG["q_dedup_simhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    n_brute = brute.count()
+    missed = brute.exceptAll(banded).count()
+    extra = banded.exceptAll(brute).count()
+    assert missed == 0, f"banding missed {missed} of {n_brute} true pairs"
+    assert extra == 0, f"banding produced {extra} pairs beyond Hamming<=3"
+    assert n_brute > 0, "fixture should contain at least one near-dup pair"
+    sig.unpersist()
+
+
+def test_simhash_pairs_exact_duplicates(spark, sf_dir):
+    """Identical token multisets hash to identical signatures (Hamming 0),
+    so every exact-dup pair must survive the banded join + threshold."""
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))  # raw text equality — strictly implies token equality
+    dup_pairs = (
+        d.select("doc_id", h.alias("h"))
+        .alias("a")
+        .join(d.select("doc_id", h.alias("h")).alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    found = REG["q_dedup_simhash"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    missed = dup_pairs.exceptAll(found).count()
+    assert missed == 0, f"simhash missed {missed} exact-duplicate pairs"
+
+
+def test_embedding_cell_block_recall(spark, sf_dir):
+    """The IVF-cell-blocked near-dup variant must recover every pair the
+    label-blocked (oracle-green) query finds — soft assignment to 4 of 16
+    cells gives measured recall 1.0 on the near-orthogonal fixture (IVF's
+    worst case) at sf0.001 and sf0.01."""
+    gt = REG["q_dedup_embedding"].fn(spark, sf_dir).select("id_a", "id_b")
+    cc = REG["q_dedup_embedding_cells"].fn(spark, sf_dir).select("id_a", "id_b")
+    n_gt = gt.count()
+    hit = gt.join(cc, ["id_a", "id_b"]).count()
+    assert n_gt > 0, "fixture should contain at least one near-dup pair"
+    assert hit == n_gt, f"cell-blocked dedup missed {n_gt - hit} of {n_gt} GT pairs"
+
+
+def test_jaccard_df_cap_prunes_hot_shingles(spark):
+    """A shingle present in every doc of a 300-doc corpus (> JACCARD_DF_CAP)
+    must be dropped from the measure: with the cap the all-pairs explosion
+    through that key disappears."""
+    assert JACCARD_DF_CAP < 300
+    rows = [
+        (i, "en", "web", f"zz zz u{i} v{i} w{i}") for i in range(300)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    uncapped = ngram_jaccard_pairs(d, df_cap=1 << 40, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(d, threshold=0.01).count()
+    # uncapped: every pair shares the hot "zz zz" shingle → C(300,2) pairs
+    assert uncapped == 300 * 299 // 2
+    assert capped == 0
