@@ -125,6 +125,97 @@ def fit(
     return report
 
 
+# Per-stage subdirectory names under <model_dir>, mirroring the reference's
+# four NoPipelineModelFitConfig paths (no_pipeline/ModelFit.scala defaults).
+STAGE_DIRS = ("string_indexer", "vector_assembler", "random_forest", "index_to_string")
+
+
+def persist_pipeline_stage(stage, path: str, overwrite: bool = False) -> None:
+    """Reference R21 ``persistPipelineStage`` (no_pipeline/ModelFit.scala:
+    143-152): save one pipeline stage — fitted or unfitted — on its own,
+    honoring the overwrite flag."""
+    writer = stage.write().overwrite() if overwrite else stage.write()
+    writer.save(path)
+
+
+def fit_no_pipeline(
+    spark: SparkSession,
+    train_path: str,
+    model_dir: str,
+    overwrite: bool = False,
+) -> str:
+    """Reference ``no_pipeline/ModelFit.scala`` steps 4-14: fit and persist
+    each stage INDIVIDUALLY (StringIndexerModel and
+    RandomForestClassificationModel fitted; VectorAssembler and
+    IndexToString unfitted transformers) under ``<model_dir>/<stage>``,
+    instead of one composed PipelineModel directory. Same model math as
+    ``fit`` — only the persistence layout differs."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
+
+    train = spark.read.parquet(train_path)
+    base = model_dir.rstrip("/")
+
+    indexer = (
+        StringIndexer(stringOrderType="frequencyDesc", handleInvalid="keep")
+        .setInputCol(IRIS_TARGET)
+        .setOutputCol(LABEL_COL)
+    )
+    indexer_model = indexer.fit(train)
+    persist_pipeline_stage(indexer_model, f"{base}/string_indexer", overwrite)
+
+    assembler = VectorAssembler(inputCols=list(IRIS_PREDICTORS), outputCol=FEATURES_COL)
+    persist_pipeline_stage(assembler, f"{base}/vector_assembler", overwrite)
+
+    decoder = IndexToString(
+        inputCol=PREDICTION_COL,
+        outputCol=PREDICTED_LABEL_COL,
+        labels=indexer_model.labels,
+    )
+    persist_pipeline_stage(decoder, f"{base}/index_to_string", overwrite)
+
+    assembled = assembler.transform(indexer_model.transform(train))
+    rf = RandomForestClassifier(labelCol=LABEL_COL, featuresCol=FEATURES_COL, **RF_PARAMS)
+    rf_model = rf.fit(assembled)
+    persist_pipeline_stage(rf_model, f"{base}/random_forest", overwrite)
+
+    scored = decoder.transform(rf_model.transform(assembled)).cache()
+    report = str(ModelFitMetrics.calculate(scored))
+    report += "\n" + random_forest_report(rf_model)
+    scored.unpersist()
+    return report
+
+
+def predict_no_pipeline(
+    spark: SparkSession,
+    model_dir: str,
+    input_path: str,
+    output_path: str,
+    overwrite: bool = False,
+) -> str | None:
+    """Reference ``no_pipeline/Predict.scala``: load the four stages
+    individually and chain their transforms by hand."""
+    from pyspark.ml.classification import RandomForestClassificationModel
+    from pyspark.ml.feature import IndexToString, StringIndexerModel, VectorAssembler
+
+    base = model_dir.rstrip("/")
+    indexer_model = StringIndexerModel.load(f"{base}/string_indexer")
+    assembler = VectorAssembler.load(f"{base}/vector_assembler")
+    rf_model = RandomForestClassificationModel.load(f"{base}/random_forest")
+    decoder = IndexToString.load(f"{base}/index_to_string")
+
+    test = spark.read.parquet(input_path)
+    scored = decoder.transform(rf_model.transform(assembler.transform(test)))
+    out = scored.drop(FEATURES_COL, "rawPrediction", "probability")
+    out.write.mode(make_save_mode(overwrite)).parquet(output_path)
+
+    if IRIS_TARGET in test.columns:
+        written = spark.read.parquet(output_path)
+        labeled = indexer_model.transform(written.drop(LABEL_COL))
+        return str(ModelFitMetrics.calculate(labeled))
+    return None
+
+
 def predict(
     spark: SparkSession,
     model_dir: str,
@@ -213,6 +304,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--model-dir", required=True)
     p.add_argument("--classifier", choices=["rf", "gbt"], default="rf")
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument(
+        "--per-stage",
+        action="store_true",
+        help="persist each stage individually (reference no_pipeline flavor)",
+    )
 
     p = sub.add_parser("predict")
     p.add_argument("--model-dir", required=True)
@@ -220,6 +316,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--target-files", type=int, default=None)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument(
+        "--per-stage",
+        action="store_true",
+        help="load the four individually-persisted stages (no_pipeline flavor)",
+    )
 
     p = sub.add_parser("cross-validate")
     p.add_argument("--train", required=True)
@@ -234,11 +335,19 @@ def main(argv: list[str] | None = None) -> None:
         )
         print(f"train rows : {n_tr}\ntest rows : {n_te}")
     elif args.cmd == "fit":
-        print(fit(spark, args.train, args.model_dir, args.overwrite, args.classifier))
+        if args.per_stage:
+            print(fit_no_pipeline(spark, args.train, args.model_dir, args.overwrite))
+        else:
+            print(fit(spark, args.train, args.model_dir, args.overwrite, args.classifier))
     elif args.cmd == "predict":
-        report = predict(
-            spark, args.model_dir, args.input, args.output, args.overwrite, args.target_files
-        )
+        if args.per_stage:
+            report = predict_no_pipeline(
+                spark, args.model_dir, args.input, args.output, args.overwrite
+            )
+        else:
+            report = predict(
+                spark, args.model_dir, args.input, args.output, args.overwrite, args.target_files
+            )
         print(report or "scored (no labels present; metrics skipped)")
     elif args.cmd == "cross-validate":
         print(cross_validate(spark, args.train, args.model_dir, args.overwrite))

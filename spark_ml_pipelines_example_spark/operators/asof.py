@@ -42,18 +42,23 @@ def asof_join(
     row with ref.ts <= probe.ts and equal `on` key (null when none).
 
     Ties: refs at exactly probe.ts match; among same-ts refs the largest
-    `payload` wins (deterministic).
+    `payload` wins (deterministic, for any orderable payload type — the
+    sentinel null on the probe side takes the payload column's own dtype,
+    so double/decimal/string payloads survive untruncated).
     """
     probe_cols = probes.columns
     probe_types = dict(probes.dtypes)
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(_PAYLOAD, F.lit(None).cast("long"))
+    payload_type = refs.schema[payload].dataType
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
+        _PAYLOAD, F.lit(None).cast(payload_type)
+    )
     r = refs.select(
         *[
             F.col(c) if c in (on, ts) else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
             for c in probe_cols
         ],
         F.lit(0).alias(_SIDE),
-        F.col(payload).cast("long").alias(_PAYLOAD),
+        F.col(payload).alias(_PAYLOAD),
     )
 
     unioned = p.unionByName(r)

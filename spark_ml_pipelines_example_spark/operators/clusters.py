@@ -6,14 +6,19 @@ keeps one canonical document. This is the engine's iterative-algorithm
 surface (SURVEY §2.2 'non-SQL-expressible ops'): a driver-side loop of
 DataFrame steps, converging in O(log n) rounds.
 
-Algorithm — min-label propagation (Hash-to-Min topology): each round
-joins every node's current label against its neighbors' labels and takes
-the min; converged when no label changes. Each round is one shuffle join
-+ one aggregation keyed on node — at 100 TB rounds ~ log(component
-diameter), every round embarrassingly parallel, nothing driver-side but
-the convergence counter. The loop localCheckpoints periodically to
-truncate lineage that Catalyst would otherwise re-analyze every round
-(iterative plans grow exponentially without it).
+Algorithm — min-label propagation with pointer doubling: each round
+(a) propagates labels one hop through the edge list (join on neighbor,
+min), then (b) jumps each node's label to its label's OWN label
+(labels⋈labels self-join). Step (a) alone converges in O(diameter)
+rounds; the doubling step compresses label paths geometrically, giving
+the O(log n) round bound of pointer-jumping connectivity algorithms.
+Each round is two shuffle joins + an aggregation keyed on node — at
+100 TB every round is embarrassingly parallel, nothing driver-side but
+the convergence counter. The loop localCheckpoints every round to
+truncate lineage that Catalyst would otherwise re-analyze (iterative
+plans grow exponentially without it). Exhausting max_rounds without
+convergence RAISES — a silently-unconverged labeling would merge or
+split clusters wrongly downstream.
 """
 
 from __future__ import annotations
@@ -43,15 +48,25 @@ def connected_components(
         .agg(F.min("b").alias("min_nb"))
         .select(F.col("a").alias("node"), F.least("a", "min_nb").alias("comp"))
     )
-    for i in range(max_rounds):
-        # my new label = min(my label, labels of all my neighbors)
+    for _ in range(max_rounds):
+        # (a) propagate: my new label = min(my label, labels of my neighbors)
         neighbor_labels = edges.join(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "comp")
-        new_labels = (
+        propagated = (
             labels.union(neighbor_labels).groupBy("node").agg(F.min("comp").alias("comp"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # (b) pointer-double: follow my label to ITS label (path halving).
+        # comp is itself a node id, so its row always exists; the left join
+        # guards the root (comp == node) case degenerating on missing rows.
+        jump_target = propagated.select(
+            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        )
+        new_labels = (
+            propagated.join(jump_target, "comp", "left")
+            .select("node", F.least("comp", "comp2").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.withColumnRenamed("comp", "new_comp")
             .join(labels, "node")
@@ -61,8 +76,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds; "
+        "raise max_rounds (labels would be silently wrong for chains longer "
+        "than the round budget)"
+    )
 
 
 @query("q_dedup_clusters", oracle=None, tags=("dedup", "clusters", "iterative"))

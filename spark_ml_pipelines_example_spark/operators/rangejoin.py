@@ -36,11 +36,16 @@ def bucketed_range_join(
     lo: str,
     hi: str,
     bucket_width: float,
-    how: str = "inner",
 ) -> DataFrame:
-    """Join each point row to every interval row with lo <= point <= hi,
-    via equi-join on overlapping buckets. Columns of both inputs survive;
-    callers project afterward."""
+    """INNER-join each point row to every interval row with
+    lo <= point <= hi, via equi-join on overlapping buckets. Columns of
+    both inputs survive; callers project afterward.
+
+    Inner only, by design: an outer flavor through this rewrite would be
+    wrong twice over — the post-join containment filter discards
+    null-extended rows, and bucket replication duplicates matched point
+    rows. Outer semantics need inner-match + anti-join union; add that as
+    its own operator if a caller ever needs it."""
     p = points.withColumn(_BUCKET, F.floor(F.col(point) / bucket_width))
     i = intervals.withColumn(
         _BUCKET,
@@ -51,7 +56,7 @@ def bucketed_range_join(
         ),
     )
     return (
-        p.join(i, _BUCKET, how)
+        p.join(i, _BUCKET)
         .filter((F.col(point) >= F.col(lo)) & (F.col(point) <= F.col(hi)))
         .drop(_BUCKET)
     )

@@ -248,7 +248,12 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str, out_dir: str) -> 
     merged into a partitioned parquet target (overwrite-by-partition —
     the idempotent upsert shape; retried batches rewrite the same
     partitions instead of duplicating). This is how streaming output
-    lands in a lakehouse table without a transactional sink."""
+    lands in a lakehouse table without a transactional sink.
+
+    The per-writer ``partitionOverwriteMode=dynamic`` option is what makes
+    "overwrite" mean *replace only the partitions present in this batch*:
+    the session default (static) would wipe the whole output dir, deleting
+    every event_type a batch doesn't happen to contain."""
     ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -259,6 +264,7 @@ def run_foreach_batch_upsert(spark: SparkSession, sf_dir: str, out_dir: str) -> 
         (
             batch_df.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("event_type")
             .parquet(out_dir)
         )

@@ -40,14 +40,24 @@ def test_connected_components_matches_union_find(spark, sf_dir):
 
 
 def test_connected_components_chain_converges(spark):
-    """A 12-node path graph needs log-rounds propagation — every node must
-    end in component 0 (min id of the single component)."""
+    """A 200-node path graph: one-hop propagation alone would need 200
+    rounds (> max_rounds=20); the pointer-doubling step must converge it
+    within the round budget, every node in component 0."""
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
     )
     got = {r.node: r.comp for r in connected_components(chain).collect()}
     assert set(got.values()) == {0}
-    assert len(got) == 13
+    assert len(got) == 201
+
+
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """Exhausting max_rounds must raise, not return wrong labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=2)
 
 
 def test_dedup_clusters_canonical_is_component_min(spark, sf_dir):

@@ -77,6 +77,40 @@ def test_fit_predict_roundtrip(spark, split_paths, tmp_path_factory):
     assert labels <= {"setosa", "versicolor", "virginica"}
 
 
+def test_per_stage_persistence_roundtrip(spark, split_paths, tmp_path_factory):
+    """Reference R21 (no_pipeline/ModelFit.scala persistPipelineStage):
+    each stage saved to its own directory, reloaded individually, and the
+    hand-chained transform must agree with the composed-pipeline model."""
+    train, test, *_ = split_paths
+    base = tmp_path_factory.mktemp("perstage")
+    stage_dir, out = str(base / "stages"), str(base / "pred.parquet")
+
+    report = jobs.fit_no_pipeline(spark, train, stage_dir, overwrite=True)
+    assert "accuracy" in report and "Number of Trees       : 64" in report
+    for sub in jobs.STAGE_DIRS:
+        assert (base / "stages" / sub / "metadata").exists(), f"missing stage dir {sub}"
+
+    metrics_report = jobs.predict_no_pipeline(spark, stage_dir, test, out, overwrite=True)
+    assert metrics_report is not None
+    accuracy = float(metrics_report.splitlines()[0].split(":")[1])
+    assert accuracy > 0.9
+
+    # same predictions as the composed PipelineModel flavor (same seed/params)
+    pipe_dir, pipe_out = str(base / "pipe"), str(base / "pipe_pred.parquet")
+    jobs.fit(spark, train, pipe_dir, overwrite=True)
+    jobs.predict(spark, pipe_dir, test, pipe_out, overwrite=True)
+    a = spark.read.parquet(out).select("sepal_length", "prediction_species")
+    b = spark.read.parquet(pipe_out).select("sepal_length", "prediction_species")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # overwrite=False must refuse to clobber an existing stage dir
+    import py4j.protocol
+    import pytest as _pytest
+
+    with _pytest.raises(py4j.protocol.Py4JJavaError):
+        jobs.fit_no_pipeline(spark, train, stage_dir, overwrite=False)
+
+
 def test_predict_without_labels(spark, split_paths, tmp_path_factory):
     """Scoring must not require the target column (SURVEY §8.10)."""
     train, test, *_ = split_paths
