@@ -140,6 +140,53 @@ def q_sim_ann_ivf(spark, sf_dir):
     return ann_ivf_topk(spark, sf_dir)
 
 
+def materialize_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Persist the IVF index in its production layout: the cell-assigned
+    corpus written ``partitionBy("cell")`` plus a tiny centroids table.
+    After this one-off build, a probe's nprobe cell filter is satisfied by
+    parquet PARTITION PRUNING — the scan lists only the nprobe cell
+    directories; no shuffle, no index service, no full pass. This is the
+    layout the in-memory `_ivf_index_for` cache stands in for at test
+    scale (asserted against the plan in tests/test_similarity_ops.py)."""
+    from ..sources.layout import write_partitioned
+
+    assigned, centers = _ivf_index_for(spark, sf_dir)
+    write_partitioned(assigned, index_dir, ["cell"])
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{index_dir.rstrip('/')}_centroids")
+
+
+def ann_ivf_topk_from_index(
+    spark: SparkSession,
+    index_dir: str,
+    probe_vec_id: int = 0,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Probe the MATERIALIZED index: centroid ranking on the driver (k
+    rows), then a scan of only the nprobe matching cell partitions."""
+    base = index_dir.rstrip("/")
+    centers_rows = spark.read.parquet(f"{base}_centroids").orderBy("cell").collect()
+    centers = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in centers_rows])
+    corpus = spark.read.parquet(base)
+    probe_row = corpus.filter(F.col("vec_id") == probe_vec_id).select("embedding").head()
+    probe = [float(v) for v in probe_row[0]]
+    cells = nearest_cells(centers, np.asarray(probe), nprobe)
+    in_cells = corpus.filter(
+        F.col("cell").isin(cells) & (F.col("vec_id") != probe_vec_id)
+    )
+    cos = cosine_probe(F.col("embedding"), probe)
+    return (
+        in_cells.select("vec_id", cos.alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
 # Soft-assignment replication for cell-blocked dedup: each vector lands in
 # its SOFT_ASSIGN nearest cells, so a near-dup pair is caught whenever the
 # two cell sets intersect. The fixture's near-orthogonal vectors are IVF's

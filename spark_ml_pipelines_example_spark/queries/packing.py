@@ -1,0 +1,79 @@
+"""Sequence packing / shard assignment — the step between a cleaned corpus
+and a training run: assign documents to fixed-token-budget shards so every
+shard feeds one trainer worker or one packed sequence file.
+
+Scale posture: packing needs a running token total, and a GLOBAL
+cumulative window is the one-partition bottleneck that dies first at
+100 TB. The scalable formulation packs WITHIN a natural block (here
+``source``; in production: date bucket × source) — each block's cumsum
+window is independent, so blocks pack in parallel and a shard never spans
+blocks (which is also what you want operationally: shards inherit their
+block's provenance). Greedy first-fit packing is inherently sequential;
+the cumsum formulation is the order-preserving variant that is exactly
+expressible in both engines and deterministic under a (block, doc_id)
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ._util import t
+from .registry import query
+
+# Tokens per shard: sized so the ~60-token fixture docs pack a handful per
+# shard and every source block spans multiple shards at every SF (a 4k
+# budget would be degenerate at fixture scale: whole blocks fit one shard).
+SHARD_TOKEN_BUDGET = 256
+
+
+@query(
+    "q_pack_shards",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR(
+                   (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard
+        FROM sized
+    )
+    SELECT source, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM packed
+    GROUP BY source, shard
+    """,
+    tags=("text", "packing", "training-data"),
+)
+def q_pack_shards(spark, sf_dir):
+    """Assign docs to token-budget shards: shard = floor(exclusive-cumsum
+    of token counts / budget) within each source block, then per-shard
+    stats. The exclusive cumsum (running total MINUS own count) makes a
+    doc that crosses the budget boundary start the next shard's range
+    rather than orphan-split, matching first-fit-in-order semantics."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    cum = (
+        F.sum("n_tokens")
+        .over(W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0))
+        - F.col("n_tokens")
+    )
+    packed = sized.withColumn(
+        "shard", F.floor(cum / float(SHARD_TOKEN_BUDGET)).cast("long")
+    )
+    return packed.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -104,6 +104,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_merge_upsert",
     "q_profile_orders",
     "q_join_range_bucketed",
+    "q_pack_shards",
     # (c) never driver-checked, rows-only. 54 priority entries > the ~50
     # budget: the last four (thin ML wrappers whose logic q_ml_rf_pipeline
     # exercises end-to-end) are the deliberate spill-over for round 3.
@@ -113,8 +114,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_group_normalize",
     "q_sample_stratified",
     "q_text_langid",
-    "q_ml_train_test_split",
     "q_ml_rf_pipeline",
+    "q_ml_train_test_split",
     "q_ml_string_indexer",
     "q_ml_vector_assembler",
     "q_ml_evaluator",
@@ -134,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
         joins,
         ml,
         multimodal,
+        packing,
         scans,
         setops,
         similarity,

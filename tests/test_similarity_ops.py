@@ -27,6 +27,29 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(truth & got) / len(truth) >= 0.5
 
 
+def test_materialized_ivf_index_partition_prunes(spark, sf_dir, tmp_path):
+    """The production IVF layout: corpus written partitionBy('cell'), probe
+    answered by a partition-pruned scan. The plan must show the cell filter
+    satisfied as PartitionFilters (directory listing), NOT a data filter
+    over a full scan — and results must equal the in-memory-index path."""
+    import re
+
+    index_dir = str(tmp_path / "ivf_index")
+    sim.materialize_ivf_index(spark, sf_dir, index_dir)
+
+    pruned = sim.ann_ivf_topk_from_index(spark, index_dir, probe_vec_id=0)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), f"cell filter not partition-pruned:\n{plan}"
+
+    base = sim.ann_ivf_topk(spark, sf_dir, probe_vec_id=0)
+    assert [(r.vec_id, r.cos_sim) for r in pruned.collect()] == [
+        (r.vec_id, r.cos_sim) for r in base.collect()
+    ]
+
+
 def test_pandas_kernel_matches_catalyst_kernel(spark, sf_dir):
     """The Arrow/NumPy cosine and the zip_with/aggregate cosine must agree
     to rounding on every corpus vector."""
