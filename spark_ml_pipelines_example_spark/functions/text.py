@@ -34,3 +34,14 @@ def bigrams(toks: Column) -> Column:
 
 def stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-gram shingles joined with spaces: one per window position.
+    Explicitly empty below n tokens — Spark's ``sequence(1, 0)`` would
+    DESCEND ([1, 0]), yielding bogus short shingles."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))

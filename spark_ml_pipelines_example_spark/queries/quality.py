@@ -1,0 +1,142 @@
+"""Corpus-quality operators a pretraining data pipeline runs before
+training: repetition scoring (the Gopher/MassiveText signal family) and
+benchmark-contamination detection (n-gram overlap against an eval set).
+
+Scale posture: repetition is explode → per-doc hash aggregate (one
+shuffle on doc_id); contamination joins the corpus' shingles against the
+DISTINCT shingles of a benchmark set that is tiny by construction
+(eval suites are thousands of docs, the corpus is billions), so Spark
+broadcasts it and the scan-side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import ngrams, tokens
+from ._util import t
+from .registry import query
+
+# Repetition flags (Gopher-style): a doc is repetitive when its most
+# frequent bigram covers >20% of all bigram positions, or when fewer than
+# 30% of its tokens are distinct.
+TOP_BIGRAM_FRAC_MAX = 0.2
+DISTINCT_TOKEN_FRAC_MIN = 0.3
+
+# Contamination shingle width. Real decontamination uses 8-13 token
+# shingles; the fixture's ~40-word vocabulary makes 8-grams vanishingly
+# rare across docs (0 hits at sf0.01), so 4 marks genuine reuse here —
+# the knob, not the shape, changes at production vocabulary sizes.
+CONTAM_NGRAM = 4
+# Synthetic "benchmark" set: every 100th doc stands in for an eval suite.
+BENCH_MOD = 100
+
+
+@query(
+    "q_text_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ), grams AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks)
+        GROUP BY doc_id, g
+    ), rep AS (
+        SELECT doc_id, MAX(c) AS top_bigram, SUM(c) AS n_bigrams
+        FROM grams GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.lang,
+           len(tk) AS n_tokens,
+           ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS distinct_token_frac,
+           ROUND(CAST(r.top_bigram AS DOUBLE) / r.n_bigrams, 6) AS top_bigram_frac,
+           (CAST(r.top_bigram AS DOUBLE) / r.n_bigrams <= {TOP_BIGRAM_FRAC_MAX}
+            AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= {DISTINCT_TOKEN_FRAC_MIN})
+               AS keep
+    FROM toks t JOIN rep r ON t.doc_id = r.doc_id
+    """,
+    tags=("text", "quality", "repetition", "training-data"),
+)
+def q_text_repetition(spark, sf_dir):
+    """Per-doc repetition signals: distinct-token fraction and the share of
+    bigram positions taken by the single most frequent bigram, plus the
+    keep/drop verdict at the Gopher-style thresholds. One explode + one
+    (doc_id, g) hash aggregate + one doc_id aggregate — repetition for a
+    billion docs is two map-side-combinable shuffles."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(tokens("text"))) / F.size(tokens("text")), 6
+        ).alias("distinct_token_frac"),
+        ngrams(tokens("text"), 2).alias("grams"),
+    )
+    gram_counts = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = gram_counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
+    )
+    top_frac = F.col("top_bigram").cast("double") / F.col("n_bigrams")
+    dist_frac = F.col("distinct_token_frac")
+    return (
+        base.drop("grams")
+        .join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "distinct_token_frac",
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((top_frac <= TOP_BIGRAM_FRAC_MAX) & (dist_frac >= DISTINCT_TOKEN_FRAC_MIN)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+@query(
+    "q_text_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), shingles AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk) - {CONTAM_NGRAM - 2}),
+                          i -> array_to_string(tk[i:i+{CONTAM_NGRAM - 1}], ' '))) AS g
+            FROM toks WHERE len(tk) >= {CONTAM_NGRAM})
+    ), bench AS (
+        SELECT DISTINCT g FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+    )
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM shingles s JOIN bench b ON s.g = b.g
+    WHERE s.doc_id % {BENCH_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+    tags=("text", "quality", "contamination", "training-data"),
+)
+def q_text_contamination(spark, sf_dir):
+    """Eval-set decontamination: corpus docs sharing any CONTAM_NGRAM-token shingle
+    with the benchmark set (every 100th doc as a stand-in eval suite),
+    with the count of distinct shared shingles. The benchmark's distinct
+    shingles are broadcast — eval suites are tiny next to a pretraining
+    corpus, so the corpus side never shuffles for the probe."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(ngrams(tokens("text"), CONTAM_NGRAM))).alias("g")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -136,6 +136,7 @@ def load_all() -> dict[str, QuerySpec]:
         ml,
         multimodal,
         packing,
+        quality,
         scans,
         setops,
         similarity,
