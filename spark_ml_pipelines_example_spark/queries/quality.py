@@ -100,6 +100,70 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+# Mixture composition: fraction of each source block to keep when
+# assembling a training mix. Deterministic (no RNG): docs are ranked
+# within their source by md5(doc_id) — a fixed pseudo-random order both
+# engines compute identically — and each source keeps its quota.
+MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT_FRACTION = 0.1
+
+
+@query(
+    "q_mix_sources",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    ), quota AS (
+        SELECT *,
+               CAST(FLOOR(n_src * CASE source
+                   WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+                   ELSE {MIX_DEFAULT_FRACTION} END + 0.5) AS BIGINT) AS keep_n
+        FROM ranked
+    )
+    SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM quota WHERE rk <= keep_n
+    GROUP BY source
+    """,
+    tags=("text", "quality", "mixture", "training-data"),
+)
+def q_mix_sources(spark, sf_dir):
+    """Training-mix composition: keep a per-source fraction of documents
+    (upweighted sources keep more), chosen DETERMINISTICALLY by ranking
+    docs within each source on md5(doc_id) — reproducible across engines
+    and runs, unlike RNG sampling (q_sample_stratified covers the seeded-
+    RNG flavor). One window over the source partitioning, no shuffle
+    beyond it; the per-source summary makes the result compact."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    frac = F.when(F.col("source") == "src0", 1.0)
+    for src, fr in list(MIX_FRACTIONS.items())[1:]:
+        frac = frac.when(F.col("source") == src, fr)
+    frac = frac.otherwise(MIX_DEFAULT_FRACTION)
+    w = W.partitionBy("source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rk"),
+        F.count("*").over(w).alias("n_src"),
+        frac.alias("frac"),
+    )
+    kept = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n_src") * F.col("frac") + 0.5).cast("long")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("first_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 @query(
     "q_text_contamination",
     oracle=f"""
