@@ -55,6 +55,15 @@ def test_multiway_star_join_broadcasts_small_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "small dim fell back to SMJ"
 
 
+def test_contamination_probe_broadcasts_benchmark(spark, sf_dir):
+    """The decontamination probe must broadcast the benchmark shingle set —
+    the corpus side of the join never shuffles (at 100 TB the corpus is
+    billions of shingles; the eval suite is the small side by design)."""
+    plan = plan_of(spark, sf_dir, "q_text_contamination")
+    assert "BroadcastHashJoin" in plan, "benchmark shingles not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus side shuffled for the probe"
+
+
 def test_no_cartesian_outside_cross_join(spark, sf_dir):
     for name in ("q_join_inner_equi", "q_join_multiway", "q_dedup_minhash",
                  "q_dedup_embedding", "q_sim_pairwise_sample"):

@@ -45,6 +45,23 @@ def _ref_asof(probes, refs):
 
 @_SETTINGS
 @given(
+    toks=st.lists(st.sampled_from(["a", "b", "cc", "dd"]), max_size=12),
+    n=st.integers(2, 8),
+)
+def test_ngrams_window_properties(spark, toks, n):
+    """ngrams yields exactly max(0, len-n+1) shingles of n tokens each, in
+    order — and never the bogus short shingles Spark's descending
+    sequence(1, 0) would produce below n tokens."""
+    from spark_ml_pipelines_example_spark.functions.text import ngrams
+
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    [row] = df.select(ngrams(F.col("toks"), n).alias("g")).collect()
+    want = [" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
+    assert row.g == want
+
+
+@_SETTINGS
+@given(
     probes=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=12
     ),
