@@ -187,6 +187,127 @@ def ann_ivf_topk_from_index(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k: int,
+    *,
+    local_extra: int = 8,
+) -> DataFrame:
+    """Distributed exact knn-join: every corpus partition computes one
+    (batch × queries) GEMM against the broadcast query matrix and emits
+    only its LOCAL top-(k+1+extra) per query — the map-side combiner that
+    makes the global shuffle O(partitions · queries · k) instead of
+    O(corpus · queries). The caller ranks the union globally.
+
+    The query matrix rides an sc.broadcast (it must fit in executor
+    memory — the standard constraint for exact knn; larger query sets are
+    sharded and unioned, and truly corpus-sized "queries" are what the
+    IVF path above is for). Cosine is computed as dot/(|a|·|b|) in
+    float64, the same association DuckDB's list_dot_product oracle uses,
+    so values agree to well inside the 1e-6 rounding the declared query
+    applies.
+
+    local_extra guards the tie boundary: candidates are preselected by
+    cos alone (argpartition), then strictly ordered by (-cos, vec_id), so
+    a kth-place cos tie is only resolved correctly if the tying rows are
+    among the preselected — +8 covers any plausible duplicate burst."""
+    spark = corpus.sparkSession
+    q = np.ascontiguousarray(query_mat, dtype=np.float64)
+    qnorm = np.linalg.norm(q, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((np.asarray(query_ids), q, qnorm))
+    take = k + 1 + local_extra  # +1: a query's own vector is filtered later
+
+    def gen(batches):
+        qids, qm, qn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0] = 1.0
+            s = (m @ qm.T) / (nrm[:, None] * qn[None, :])  # (n, nq) cosine
+            kk = min(take, s.shape[0])
+            cand = np.argpartition(-s, kk - 1, axis=0)[:kk] if kk < s.shape[0] else None
+            out_q, out_v, out_c = [], [], []
+            for j in range(s.shape[1]):
+                rows = cand[:, j] if cand is not None else np.arange(s.shape[0])
+                order = np.lexsort((vids[rows], -s[rows, j]))[:kk]
+                sel = rows[order]
+                out_q.append(np.full(len(sel), qids[j]))
+                out_v.append(vids[sel])
+                out_c.append(s[sel, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    return corpus.mapInPandas(gen, "query_id long, vec_id long, cos double")
+
+
+@query(
+    "q_sim_knn_all",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), c AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_dot_product(c.e, q.qe)
+                 / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+        FROM q JOIN c ON c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id AS neighbor_id, ROUND(cos, 6) AS cos_sim, rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    tags=("similarity", "knn", "gemm"),
+)
+def q_sim_knn_all(spark, sf_dir):
+    """Exact k-NN join: cosine top-5 over the full corpus for every query
+    vector (the 10% vec_id%10==0 subset), via per-partition GEMM blocks
+    against the broadcast query matrix with local top-k pre-pruning —
+    the eval/ground-truth building block ANN recall is measured against.
+    Self-matches are excluded after the kernel (each partition over-
+    selects by one). The only shuffle is partitions·queries·k candidate
+    rows into the global window rank."""
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = 5
+    q_rows = (
+        emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding").collect()
+    )  # driver-side by design: the query matrix is the broadcast operand
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    cand = knn_join(emb.repartition(32, "vec_id"), qids, qmat, k)
+    rnk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    )
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos", 6).alias("cos_sim"),
+            "rnk",
+        )
+    )
+
+
 # Soft-assignment replication for cell-blocked dedup: each vector lands in
 # its SOFT_ASSIGN nearest cells, so a near-dup pair is caught whenever the
 # two cell sets intersect. The fixture's near-orthogonal vectors are IVF's

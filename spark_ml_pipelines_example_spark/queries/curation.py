@@ -1,0 +1,306 @@
+"""Corpus-curation operators: PII scrubbing, a first-fail quality-filter
+cascade, deterministic global shuffle (training order), and a unigram-LM
+surprisal score (perplexity-proxy filtering).
+
+These are the steps a pretraining pipeline runs between raw ingest and
+tokenization. Scale posture, per operator:
+
+- PII scrub is pure per-row regexp inside whole-stage codegen — no
+  shuffle, no UDF, scan-bound at any scale.
+- The filter cascade is one projection over per-row signals (again no
+  shuffle); the verdict CASE evaluates rules in priority order so each
+  doc reports its FIRST failing gate, which is what an audit wants.
+- Global shuffle orders by a hash of the key, not by data order —
+  a total order both engines can reproduce, and at cluster scale a
+  hash-range sort is one exchange (Spark's range partitioner) instead of
+  the RNG+collect shuffles naive implementations use.
+- Unigram surprisal joins each token against the corpus vocabulary;
+  vocabularies are tiny relative to any corpus (even web-scale counts
+  fit in MBs after min-count pruning), so the join side is broadcast and
+  the corpus side never shuffles for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens
+from ._util import t
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# PII scrubbing. The fixture corpus is synthetic lowercase prose with no
+# real PII, so the operator derives a deterministic "dirty" contact blurb
+# from customer fields — the patterns, replacement order, and counting
+# are exactly what production scrubbing does on real text.
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_IP_RE = r"10\.0\.[0-9]{1,3}\.[0-9]{1,3}"
+
+_DIRTY_SQL = (
+    "concat('contact ', c_name, ' at user', c_custkey, '@mail.example.com "
+    "or +1-555-', lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), "
+    "' from 10.0.', CAST(c_custkey % 256 AS VARCHAR), '.', "
+    "CAST((c_custkey * 7) % 256 AS VARCHAR))"
+)
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH dirty AS (
+        SELECT c_custkey, {_DIRTY_SQL} AS raw FROM customer
+    )
+    SELECT c_custkey,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phone,
+           len(regexp_extract_all(raw, '{_IP_RE}')) AS n_ip,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS scrubbed
+    FROM dirty
+    """,
+    tags=("text", "pii", "scrub", "training-data"),
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction: count and replace emails, phone numbers, and IPv4
+    addresses in a deterministic dirty-text column derived from customer
+    rows. Replacement is ordered (email → phone → ip) so overlapping
+    patterns resolve identically in both engines. Pure codegen'd
+    regexps — the scrub of a 100 TB corpus is scan-bound, zero shuffles."""
+    c = t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("c_custkey") * 7) % 256).cast("string"),
+    )
+    dirty = c.select("c_custkey", raw.alias("raw"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    def n_matches(pat: str):
+        # idx=0 (whole match): Spark's regexp_extract_all defaults to
+        # group 1, which errors on group-free patterns.
+        return F.size(F.regexp_extract_all(F.col("raw"), F.lit(pat), F.lit(0)))
+
+    return dirty.select(
+        "c_custkey",
+        n_matches(_EMAIL_RE).alias("n_email"),
+        n_matches(_PHONE_RE).alias("n_phone"),
+        n_matches(_IP_RE).alias("n_ip"),
+        scrub.alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter cascade. Thresholds are tuned so every gate fires on the
+# fixture (measured at sf0.01: too_short 43, stopword_low 24,
+# stopword_high 2, repetitive ~80, keep the rest of 500).
+
+MIN_TOKENS = 20
+STOPWORD_MIN = 0.08
+STOPWORD_MAX = 0.30
+DISTINCT_FRAC_MIN = 0.35
+
+_SW_LIST = ",".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q_text_filter_cascade",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang, len(tk) AS n_tokens,
+               CAST(len(list_filter(tk, x -> x IN ({_SW_LIST}))) AS DOUBLE) / len(tk) AS sw,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS df
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(sw, 6) AS stopword_frac,
+           ROUND(df, 6) AS distinct_frac,
+           CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN sw < {STOPWORD_MIN} THEN 'stopword_low'
+                WHEN sw > {STOPWORD_MAX} THEN 'stopword_high'
+                WHEN df < {DISTINCT_FRAC_MIN} THEN 'repetitive'
+                ELSE 'keep' END AS verdict
+    FROM m
+    """,
+    tags=("text", "quality", "cascade", "training-data"),
+)
+def q_text_filter_cascade(spark, sf_dir):
+    """First-fail quality gate: each document reports the first rule it
+    violates (length → stopword band → repetition) or 'keep'. One
+    projection, no shuffle — the whole cascade rides the scan, and at
+    100 TB the verdict column partitions the corpus for downstream
+    routing without a second pass."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    sw = F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS))) / F.size(tk)
+    df = F.size(F.array_distinct(tk)) / F.size(tk)
+    n = F.size(tk)
+    verdict = (
+        F.when(n < MIN_TOKENS, "too_short")
+        .when(sw < STOPWORD_MIN, "stopword_low")
+        .when(sw > STOPWORD_MAX, "stopword_high")
+        .when(df < DISTINCT_FRAC_MIN, "repetitive")
+        .otherwise("keep")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        F.round(sw, 6).alias("stopword_frac"),
+        F.round(df, 6).alias("distinct_frac"),
+        verdict.alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training order).
+
+SHUFFLE_BUCKET = 50
+
+
+@query(
+    "q_shuffle_global",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        FROM documents
+    )
+    SELECT CAST((pos - 1) // {SHUFFLE_BUCKET} AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_check
+    FROM ordered GROUP BY 1
+    """,
+    tags=("text", "shuffle", "training-data"),
+)
+def q_shuffle_global(spark, sf_dir):
+    """Deterministic global shuffle for training order: every doc gets a
+    position by ranking on md5(doc_id) — a reproducible pseudo-random
+    permutation, unlike RNG shuffles that change across runs/engines.
+    The result summarizes each SHUFFLE_BUCKET-sized slice with an
+    order-sensitive checksum (sum(pos*doc_id)) so the hash check pins
+    the *entire permutation*, not just membership.
+
+    A global ``row_number() OVER (ORDER BY …)`` would serialize the
+    whole corpus through ONE task — the repartition(1) anti-pattern.
+    Instead this uses the scalable two-phase global index: range-
+    partition + local sort on the hash key (one exchange, uniform by
+    construction), per-partition row index from
+    ``monotonically_increasing_id``'s low 33 bits, then add each
+    partition's start offset (a tiny per-partition count, broadcast
+    back). Same positions, no serial stage — the pattern holds at any
+    corpus size."""
+    n_parts = 32
+    d = t(spark, sf_dir, "documents")
+    sorted_df = (
+        d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .repartitionByRange(n_parts, "h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .select(
+            "doc_id",
+            F.spark_partition_id().alias("pid"),
+            # mid = pid * 2^33 + row-index-within-partition (sorted order)
+            (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("rk"),
+        )
+        .persist()
+    )
+    counts = {r["pid"]: r["n"] for r in sorted_df.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+        )
+    )
+    ordered = sorted_df.join(off_df, "pid").select(
+        "doc_id", (F.col("offset") + F.col("rk") + 1).alias("pos")
+    )
+    return (
+        ordered.select(
+            (((F.col("pos") - 1) / SHUFFLE_BUCKET).cast("bigint")).alias("bucket"),
+            "doc_id",
+            "pos",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("order_check"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (perplexity-proxy quality score).
+
+SURPRISAL_FLAG = -4.0
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS total FROM vocab
+    )
+    SELECT t.doc_id,
+           ANY_VALUE(t.lang) AS lang,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(v.c / tot.total)), 6) AS avg_logprob,
+           (AVG(ln(v.c / tot.total)) < {SURPRISAL_FLAG}) AS flagged
+    FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "quality", "lm", "training-data"),
+)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model surprisal per document: train token
+    probabilities on the corpus itself (the classic cheap perplexity
+    proxy), then score each doc by its mean log-probability and flag the
+    surprising tail. The vocabulary aggregate is tiny (pruned vocabs fit
+    in MBs even at web scale) so it broadcasts; the corpus-side explode →
+    per-doc aggregate is one map-side-combinable shuffle on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = float(
+        vocab.agg(F.sum("c").cast("double").alias("t")).collect()[0]["t"]
+    )  # one scalar: the corpus token count (driver-side by design)
+    lp = F.log(F.col("c") / F.lit(total))
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            (F.avg(lp) < SURPRISAL_FLAG).alias("flagged"),
+        )
+    )

@@ -103,3 +103,19 @@ def test_real_decoders_are_marked_stubs():
         mm.decode_image(b"\xff\xd8")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"RIFF")
+
+
+def test_knn_join_matches_brute_force_for_probe0(spark, sf_dir):
+    """q_sim_knn_all's query_id=0 rows must equal the brute-force
+    q_sim_cosine_topk head (same corpus, same tie-break), proving the
+    per-partition GEMM + local-top-k pre-prune loses no global winner."""
+    knn = {
+        r["rnk"]: (r["neighbor_id"], r["cos_sim"])
+        for r in REGISTRY["q_sim_knn_all"].fn(spark, sf_dir).collect()
+        if r["query_id"] == 0
+    }
+    brute = REGISTRY["q_sim_cosine_topk"].fn(spark, sf_dir).collect()
+    assert len(knn) == 5
+    for i, r in enumerate(brute[:5], start=1):
+        assert knn[i][0] == r["vec_id"]
+        assert abs(knn[i][1] - r["cos_sim"]) < 1e-9

@@ -71,7 +71,13 @@ def _value_hash(pdf):
 
 
 def main() -> None:
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    only: list[str] | None = None
+    limit = 50
+    if len(sys.argv) > 1:
+        if sys.argv[1].startswith("q_"):  # comma-separated query names
+            only = sys.argv[1].split(",")
+        else:
+            limit = int(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
@@ -95,7 +101,10 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for i, (name, fn) in enumerate(qs.items()):
-        if i >= limit:
+        if only is not None:
+            if name not in only:
+                continue
+        elif i >= limit:
             break
         t0 = time.time()
         rec: dict = {}
