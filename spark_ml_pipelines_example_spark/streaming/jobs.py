@@ -319,3 +319,94 @@ def batch_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("epoch"),
         "event_type",
     )
+
+
+SESSION_GAP_S = 1800
+
+
+def streaming_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the arbitrary-stateful-processing surface for operators
+    ``session_window`` can't express (per-session custom logic, early
+    emission policies, enrichment of open state). Semantics here are
+    deliberately identical to the native 30-minute-gap session window so
+    tests can assert row-for-row equivalence against it.
+
+    Per user the state is one OPEN session (start, last, n, sum); a new
+    event either extends it (gap < 30 min) or closes it (emitted) and
+    opens a new one. The open session registers an EVENT-TIME TIMEOUT at
+    last+gap: when the watermark passes it, Spark invokes the function
+    once more with ``state.hasTimedOut`` and the final session flushes —
+    bounded state, no session withheld. The staged sentinel event drives
+    the final watermark past every real session's end.
+
+    Scale: state is O(active users) × a 4-field tuple; each micro-batch
+    shuffles only its own events on user_id (same key as the state
+    store), and emissions are one row per closed session."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = SESSION_GAP_S
+
+    def sessionize(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start, last, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "sess_start": [start],
+                    "sess_end": [last + gap],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("epoch")
+        cur = list(state.get) if state.exists else None
+        closed: list[list] = []
+        for epoch, value in rows[["epoch", "value"]].itertuples(index=False):
+            epoch = int(epoch)
+            if cur is None:
+                cur = [epoch, epoch, 0, 0.0]
+            elif epoch - cur[1] >= gap:  # session_window: merge iff gap < 30 min
+                closed.append(cur)
+                cur = [epoch, epoch, 0, 0.0]
+            cur[1] = epoch
+            cur[2] += 1
+            cur[3] += float(value)
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp((cur[1] + gap) * 1000)  # ms epoch
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "sess_start": [c[0] for c in closed],
+                    "sess_end": [c[1] + gap for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    # The sentinel user flows through (it drives the watermark); its own
+    # session never times out (watermark stops at its ts) and the post-sink
+    # filter drops any residue.
+    # `ts` must survive the projection: event-time timeout requires the
+    # watermarked column to be present in the grouped frame.
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", F.unix_timestamp("ts").alias("epoch"), "value")
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, sess_start long, sess_end long, "
+        "n_events long, sum_value double",
+        stateStructType="start long, last long, n long, sv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_to_memory(out, "stream_stateful_session_out", "append").filter(
+        F.col("user_id") != SENTINEL_USER
+    )

@@ -158,3 +158,23 @@ def test_stream_static_dim_join_equals_batch(spark, sf_dir):
     cols = sorted(batch.columns)
     assert sorted(stream.columns) == cols
     assert _rows(stream.select(*cols)) == _rows(batch.select(*cols))
+
+
+def test_stateful_session_equals_native_session_window(spark, sf_dir):
+    """applyInPandasWithState sessionization (event-time timeout flush)
+    must reproduce the native session_window batch result row-for-row:
+    same sessions, same bounds, counts exact, sums to float tolerance
+    (pandas folds in event order; the batch twin sums in decimal)."""
+    batch = {
+        (r["user_id"], r["sess_start"], r["sess_end"]): (r["n_events"], r["sum_value"])
+        for r in REGISTRY["q_stream_session"].fn(spark, sf_dir).collect()
+    }
+    stateful = {
+        (r["user_id"], r["sess_start"], r["sess_end"]): (r["n_events"], r["sum_value"])
+        for r in sjobs.streaming_stateful_session(spark, sf_dir).collect()
+    }
+    assert set(batch) == set(stateful)
+    for k, (n_b, s_b) in batch.items():
+        n_s, s_s = stateful[k]
+        assert n_b == n_s, k
+        assert abs(s_b - s_s) < 1e-6, k
