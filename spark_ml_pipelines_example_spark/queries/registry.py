@@ -154,6 +154,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ..operators import rangejoin as _op_rangejoin  # noqa: F401
     from ..operators import scd as _op_scd  # noqa: F401
     from ..operators import similarity as _op_similarity  # noqa: F401
+    from ..operators import skew as _op_skew  # noqa: F401
 
     ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
     ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)

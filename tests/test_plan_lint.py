@@ -14,7 +14,13 @@ REGISTRY = load_all()
 # Queries whose SEMANTICS are a cross product (tiny, intentional).
 CROSS_OK = {"q_join_cross"}
 # Queries that intentionally cross a Python boundary (Arrow-batched).
-PYTHON_OK = {"q_multimodal_decode", "q_udaf_second_largest", "q_group_normalize"}
+PYTHON_OK = {
+    "q_multimodal_decode",
+    "q_udaf_second_largest",
+    "q_group_normalize",
+    "q_dedup_embedding_cells",  # per-cell GEMM confirm (applyInPandas)
+    "q_sim_knn_all",  # block GEMM kernel (mapInPandas)
+}
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.
 SKIP = {n for n in REGISTRY if n.startswith("q_ml_")} | {"q_dedup_clusters"}
