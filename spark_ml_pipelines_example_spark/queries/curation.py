@@ -254,6 +254,56 @@ def q_shuffle_global(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split by content hash. Splitting on a hash
+# of the KEY (not RNG) is what keeps splits leakage-safe and stable: a doc
+# lands in the same split on every run, every engine, every re-ingest, so
+# val/test never bleed into train across pipeline versions. Boundaries are
+# hex-prefix ranges of md5 (lexicographic — identical in any engine):
+# 'cc...' ≈ 80%, 'e6...' ≈ 10%, rest ≈ 10%.
+
+SPLIT_TRAIN_MAX = "cc"
+SPLIT_VAL_MAX = "e6"
+
+
+@query(
+    "q_split_hash",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{SPLIT_TRAIN_MAX}'
+                      THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '{SPLIT_VAL_MAX}'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM tagged GROUP BY split, lang
+    """,
+    tags=("text", "split", "training-data"),
+)
+def q_split_hash(spark, sf_dir):
+    """Deterministic hash split: assign each doc to train/val/test by the
+    hex prefix of md5(doc_id) — reproducible across engines and runs
+    (unlike randomSplit, whose assignment changes with partitioning), so
+    eval sets stay fixed while the corpus grows. Pure projection + one
+    aggregate; the per-(split, lang) id_sum pins exact membership for
+    the hash check."""
+    d = t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 <= SPLIT_TRAIN_MAX, "train")
+        .when(h2 <= SPLIT_VAL_MAX, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("id_sum"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram-LM surprisal (perplexity-proxy quality score).
 
 SURPRISAL_FLAG = -4.0

@@ -321,7 +321,14 @@ def q_dedup_simhash(spark, sf_dir):
     (8-bit) variant's n²/1024 floor — the r1 design's scale-killer. By
     pigeonhole, Hamming ≤ 3 over 4 bands guarantees at least one identical
     band, so the banded join has exact recall at the ≤3 threshold (the
-    standard Manku et al. 64-bit/4-band configuration)."""
+    standard Manku et al. 64-bit/4-band configuration).
+
+    The Hamming confirm runs BEFORE the cross-band distinct: on this
+    fixture's self-similar corpus the banded join emits ~1.5M candidate
+    rows at sf0.1, and filtering first shrinks the distinct's shuffle to
+    the survivors (a selective predicate should always sit below a
+    dedup shuffle — measured ~10% here, far more on corpora where
+    near-dups are rarer than band collisions)."""
     sig = simhash_signatures(t(spark, sf_dir, "documents"))
     bands = sig.select(
         "doc_id",
@@ -342,7 +349,8 @@ def q_dedup_simhash(spark, sf_dir):
         ).alias("band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.band.i") == F.col("b.band.i"))
@@ -352,14 +360,10 @@ def q_dedup_simhash(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= 3)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 3
     )
 
 
