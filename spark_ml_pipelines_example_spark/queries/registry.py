@@ -133,6 +133,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         filters,
         functions_scalar,
+        ingest,
         joins,
         ml,
         multimodal,
