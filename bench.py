@@ -43,6 +43,9 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_sim_cosine_topk",
     "q_sim_ann_ivf",
+    "q_sim_knn_all",
+    "q_join_salted_skew",
+    "q_text_contamination",
     "q_multimodal_decode",
     "q_ml_string_indexer",
     "q_scan_column_prune",
