@@ -13,7 +13,7 @@ from __future__ import annotations
 from ..sources.io import load_table
 from .registry import query
 
-_TABLES = ("orders", "lineitem", "customer", "part")
+_TABLES = ("orders", "lineitem", "customer", "part", "nation")
 
 
 def _register(spark, sf_dir: str) -> None:
@@ -91,5 +91,37 @@ def q_subquery_not_in(spark, sf_dir):
         SELECT p_partkey, p_name
         FROM part
         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "q_join_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) c
+    """,
+    tags=("subquery", "lateral", "topk"),
+)
+def q_join_lateral_topk(spark, sf_dir):
+    """LATERAL correlated subquery: top-2 customers by balance per
+    nation. Catalyst plans the per-row subquery as ONE decorrelated
+    window (rank over c_nationkey) + join — no per-nation re-execution,
+    so the cost is a single customer shuffle regardless of how many
+    nations drive the lateral. Deterministic via the c_custkey
+    tie-break."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation n, LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) c
         """
     )
