@@ -127,3 +127,36 @@ def test_topk_uses_takeordered(spark, sf_dir):
     top-k plus driver merge, not a global sort of the whole input."""
     plan = plan_of(spark, sf_dir, "q_limit_topk")
     assert "TakeOrderedAndProject" in plan, "top-k planned as a full global sort"
+
+
+def test_lateral_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL top-k subquery must decorrelate — one windowed rank +
+    join, never a per-outer-row re-execution (visible as a cartesian or
+    nested-loop shape)."""
+    plan = plan_of(spark, sf_dir, "q_join_lateral_topk")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, "lateral limit did not decorrelate to a window"
+
+
+def test_embedding_cells_has_no_candidate_join(spark, sf_dir):
+    """The GEMM rewrite removed the candidate self-join entirely: the only
+    join left is the broadcast of 16 centroids for soft assignment."""
+    plan = plan_of(spark, sf_dir, "q_dedup_embedding_cells")
+    assert "SortMergeJoin" not in plan, "candidate self-join crept back"
+    assert "FlatMapGroupsInPandas" in plan, "per-cell GEMM not planned"
+
+
+def test_salted_join_replicates_build_side(spark, sf_dir):
+    """Salting must appear as a Generate (explode) on the build side and
+    the result must stay a hash join on the salted key."""
+    plan = plan_of(spark, sf_dir, "q_join_salted_skew")
+    assert "Generate" in plan, "build side not salt-replicated"
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+
+
+def test_knn_join_prunes_locally(spark, sf_dir):
+    """The knn query's shuffle input is the mapInPandas output (local
+    top-k per partition), never the raw corpus × queries cross product."""
+    plan = plan_of(spark, sf_dir, "q_sim_knn_all")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
