@@ -75,6 +75,113 @@ def run_dedup(
     return stats
 
 
+def run_curate(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    overwrite: bool = False,
+) -> dict:
+    """The full pretraining-curation pipeline as ONE job: quality-filter
+    cascade → exact dedup (canonical doc per fingerprint) → eval-set
+    decontamination → per-source mix quotas → deterministic hash split →
+    token-budget shard packing → write partitioned by split.
+
+    Every stage is the row-level core of a declared (hash-checked) query,
+    composed lazily into one DAG; the returned stats report the funnel
+    (docs surviving each gate) — the artifact a data-ops review actually
+    reads. Scale: each stage is a projection, a per-key aggregate, or a
+    broadcast probe; the only wide operations are the fingerprint
+    aggregate, the per-source rank windows, and the final partitioned
+    write."""
+    from .queries.curation import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+    from .queries.packing import SHARD_TOKEN_BUDGET
+    from .queries.quality import MIX_DEFAULT_FRACTION, MIX_FRACTIONS
+    from .queries.registry import load_all
+    from .sources.io import load_table, make_save_mode
+
+    registry = load_all()
+    docs = load_table(spark, input_dir, "documents")
+    stats: dict = {"input_docs": docs.count()}
+
+    # 1. quality cascade (first-fail verdicts; keep only 'keep')
+    verdicts = registry["q_text_filter_cascade"].fn(spark, input_dir)
+    kept = docs.join(
+        verdicts.filter(F.col("verdict") == "keep").select("doc_id"), "doc_id"
+    )
+    stats["after_quality"] = kept.count()
+
+    # 2. exact dedup: canonical (min doc_id) per normalized fingerprint
+    fp = kept.withColumn("fp", F.md5(F.lower(F.trim(F.col("text")))))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = kept.join(canon, "doc_id")
+    stats["after_exact_dedup"] = kept.count()
+
+    # 3. decontamination: drop docs sharing shingles with the benchmark set
+    contaminated = registry["q_text_contamination"].fn(spark, input_dir).select("doc_id")
+    kept = kept.join(contaminated, "doc_id", "left_anti")
+    stats["after_decontamination"] = kept.count()
+
+    # 4. mix quotas: deterministic per-source keep-fraction by md5 rank
+    from pyspark.sql import Window as W
+
+    frac = F.when(F.col("source") == "src0", MIX_FRACTIONS["src0"])
+    for src, fr in list(MIX_FRACTIONS.items())[1:]:
+        frac = frac.when(F.col("source") == src, fr)
+    frac = frac.otherwise(MIX_DEFAULT_FRACTION)
+    w = W.partitionBy("source")
+    ranked = kept.withColumn(
+        "rk",
+        F.row_number().over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")),
+    ).withColumn("n_src", F.count("*").over(w))
+    kept = ranked.filter(
+        F.col("rk") <= F.floor(F.col("n_src") * frac + 0.5).cast("long")
+    ).drop("rk", "n_src")
+    stats["after_mix"] = kept.count()
+
+    # 5. deterministic hash split (train/val/test)
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    kept = kept.withColumn(
+        "split",
+        F.when(h2 <= SPLIT_TRAIN_MAX, "train")
+        .when(h2 <= SPLIT_VAL_MAX, "val")
+        .otherwise("test"),
+    )
+
+    # 6. shard packing: exclusive cumsum within (split, source)
+    from .functions.text import tokens as tok
+
+    sized = kept.withColumn("n_tokens", F.size(tok("text")))
+    cum = (
+        F.sum("n_tokens").over(
+            W.partitionBy("split", "source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        - F.col("n_tokens")
+    )
+    packed = sized.withColumn(
+        "shard", F.floor(cum / float(SHARD_TOKEN_BUDGET)).cast("long")
+    )
+
+    # 7. write, partitioned by split (training readers prune their split);
+    # rows ordered by (source, shard) so shard files are contiguous
+    (
+        packed.drop("fp")
+        .sortWithinPartitions("source", "shard", "doc_id")
+        .write.mode(make_save_mode(overwrite))
+        .partitionBy("split")
+        .parquet(output_dir)
+    )
+    out = spark.read.parquet(output_dir)
+    stats["written"] = out.count()
+    stats["splits"] = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    stats["output"] = output_dir
+    return stats
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="spark_ml_pipelines_example_spark.pipeline")
     sub = ap.add_subparsers(dest="job", required=True)
@@ -83,6 +190,12 @@ def main(argv: list[str] | None = None) -> None:
     dd.add_argument("--output", required=True)
     dd.add_argument("--method", choices=["jaccard", "minhash", "exact"], default="jaccard")
     dd.add_argument("--overwrite", action="store_true")
+    cu = sub.add_parser(
+        "curate", help="quality → dedup → decontam → mix → split → pack → write"
+    )
+    cu.add_argument("--input", required=True, help="fixture dir with documents.parquet")
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--overwrite", action="store_true")
     args = ap.parse_args(argv)
 
     from .plans.session import get_spark
@@ -90,6 +203,9 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name=f"pipeline-{args.job}")
     if args.job == "dedup":
         stats = run_dedup(spark, args.input, args.output, args.method, args.overwrite)
+        print(stats)
+    elif args.job == "curate":
+        stats = run_curate(spark, args.input, args.output, args.overwrite)
         print(stats)
 
 
