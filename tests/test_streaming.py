@@ -178,3 +178,52 @@ def test_stateful_session_equals_native_session_window(spark, sf_dir):
         n_s, s_s = stateful[k]
         assert n_b == n_s, k
         assert abs(s_b - s_s) < 1e-6, k
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, sf_dir):
+    """Exactly-once file-source semantics: a checkpointed availableNow run
+    commits its progress; a second run over the same source plus one new
+    file must process ONLY the new file — no reprocessing, no duplicate
+    rows in the sink."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.queries._util import scratch_dir
+
+    base = scratch_dir("ckpt_resume", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    src, ckpt, sink = f"{base}/src", f"{base}/ckpt", f"{base}/sink"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/f0")
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_odd = ev.filter(F.col("event_id") % 2 == 1).count()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(src)
+            .select("event_id", "user_id", "value")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(sink).count() == n_even
+    # second batch of source data arrives...
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == n_even + n_odd  # f0 not reprocessed
+    assert out.select("event_id").distinct().count() == n_even + n_odd
