@@ -127,6 +127,35 @@ def sample_frames(with_payload: DataFrame, every_n: int = 64, frame_bytes: int =
     )
 
 
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH v AS (
+        SELECT doc_id, text,
+               GREATEST(CAST(FLOOR(strlen(text) / 64) AS BIGINT), 1) AS m
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
+    FROM v, UNNEST(range(0, m)) AS t(i)
+    """,
+    tags=("multimodal", "framesample"),
+)
+def q_multimodal_framesample(spark, sf_dir):
+    """Frame sampling over the video-modality payloads: every 4th 16-byte
+    chunk becomes one row (``sample_frames`` — pure Catalyst byte
+    slicing, no Python). Frames are projected as md5 hex so the binary
+    column never reaches the driver's canonicalizer; because the stub
+    payload is the utf-8 text bytes (ascii), DuckDB reproduces the exact
+    slicing with substr — a full hash check of the frame extraction."""
+    frames = sample_frames(
+        attach_payload(t(spark, sf_dir, "documents")), every_n=4, frame_bytes=16
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    )
+
+
 @query("q_multimodal_decode", oracle=None, tags=("multimodal", "udf"))
 def q_multimodal_decode(spark, sf_dir):
     """Decode-and-featurize over the multimodal column pattern: binary
