@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..queries.registry import query
+from ..queries import dedup as _dedup  # noqa: F401 — registers the pair oracle
+from ..queries.registry import REGISTRY, query
 
 MAX_ROUNDS = 20
 
@@ -84,12 +85,39 @@ def connected_components(
     )
 
 
-@query("q_dedup_clusters", oracle=None, tags=("dedup", "clusters", "iterative"))
+@query(
+    "q_dedup_clusters",
+    # The engine side is iterative (pointer-doubling rounds), but its
+    # RESULT is SQL-expressible: a recursive CTE over the same pair list
+    # computes, per node, the minimum label among all reachable nodes —
+    # exactly the component labeling min-propagation converges to. The
+    # pair CTE is the registered q_dedup_ngram_jaccard oracle verbatim,
+    # so both engines cluster the identical edge set.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({REGISTRY["q_dedup_ngram_jaccard"].oracle}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node)
+    SELECT comp, COUNT(*) AS n_docs, MIN(node) AS canonical_doc, MAX(node) AS max_doc
+    FROM cc GROUP BY comp
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster formation: connected components over the bigram-
     Jaccard pair graph, per-cluster stats, canonical doc = min doc_id
-    (the q_dedup_exact winner rule). Iterative → not SQL-expressible →
-    rows-only; a driver-side union-find cross-checks it in tests."""
+    (the q_dedup_exact winner rule). The iterative engine path is
+    hash-checked against a recursive-CTE oracle (min reachable label);
+    a driver-side union-find additionally cross-checks it in tests."""
     from ..queries.registry import REGISTRY
 
     pairs = REGISTRY["q_dedup_ngram_jaccard"].fn(spark, sf_dir).select("doc_a", "doc_b")

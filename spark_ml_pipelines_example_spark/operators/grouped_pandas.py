@@ -107,17 +107,36 @@ def q_udaf_second_largest(spark, sf_dir):
     )
 
 
-@query("q_group_normalize", oracle=None, tags=("grouped-map", "pandas"))
+@query(
+    "q_group_normalize",
+    # z-scores have mean exactly 0 and sample-sd exactly 1 by construction;
+    # round(…, 4) absorbs the float fold-order noise between the pandas
+    # kernel and SQL aggregation, and the `+ 0.0` canonicalizes the IEEE
+    # -0.0 that round(avg≈-1e-16) can produce on either engine.
+    oracle="""
+    WITH z AS (
+        SELECT l_returnflag,
+               (l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag))
+               / STDDEV_SAMP(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_z
+        FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(AVG(qty_z), 4) + 0.0 AS z_mean,
+           ROUND(STDDEV_SAMP(qty_z), 4) + 0.0 AS z_sd
+    FROM z GROUP BY l_returnflag
+    """,
+    tags=("grouped-map", "pandas"),
+)
 def q_group_normalize(spark, sf_dir):
     """Grouped-map surface (applyInPandas z-score per returnflag), summed
     to per-group moments for a compact deterministic result: each group's
-    z-scores must have mean ~0 and stddev ~1 by construction. Rows-only
-    (float fold order differs from SQL); the per-row equivalence against
-    the pure-window formulation is asserted in tests."""
+    z-scores have mean 0 and sample-sd 1 by construction, so the rounded
+    moments hash-match the window-SQL twin. The exact per-row equivalence
+    against the pure-window formulation is additionally asserted in tests."""
     li = t(spark, sf_dir, "lineitem")
     z = zscore_grouped_map(li)
     return z.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("qty_z"), 4).alias("z_mean"),
-        F.round(F.stddev_samp("qty_z"), 4).alias("z_sd"),
+        (F.round(F.avg("qty_z"), 4) + F.lit(0.0)).alias("z_mean"),
+        (F.round(F.stddev_samp("qty_z"), 4) + F.lit(0.0)).alias("z_sd"),
     )

@@ -66,13 +66,53 @@ def q_profile_orders(spark, sf_dir):
     )
 
 
-@query("q_sample_stratified", oracle=None, tags=("sample", "stratified"))
+# Per-stratum keep-fractions as 4-hex-digit md5-prefix thresholds:
+# '8000'/65536 = 0.5 exactly, '1999'/65536 ≈ 0.09999. Hex-string compare
+# against the md5 prefix is the same engine-portable trick as
+# q_split_hash — no RNG, no float conversion, identical in DuckDB.
+_STRATA_HEX = {"A": "8000", "N": "1999", "R": "8000"}
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(l_linenumber) AS BIGINT) AS line_sum
+    FROM lineitem
+    WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 4) <
+          CASE l_returnflag
+               WHEN 'A' THEN '{_STRATA_HEX["A"]}'
+               WHEN 'N' THEN '{_STRATA_HEX["N"]}'
+               ELSE '{_STRATA_HEX["R"]}' END
+    GROUP BY l_returnflag
+    """,
+    tags=("sample", "stratified"),
+)
 def q_sample_stratified(spark, sf_dir):
-    """Stratified sampling (sampleBy): a seeded per-stratum Bernoulli
-    sample of lineitem — downsampling dominant classes is the standard
-    training-data rebalance step. Engine-specific RNG → rows-only; the
-    per-stratum proportions are asserted in tests."""
+    """Deterministic stratified sampling: per-stratum Bernoulli keep
+    decided by the md5 prefix of the row key, not a seeded RNG —
+    downsampling dominant classes is the standard training-data rebalance
+    step, and the hash formulation keeps membership reproducible across
+    engines, runs, AND repartitionings (sampleBy's seed changes selection
+    with partition layout, which silently churns eval sets at scale).
+    The per-(stratum) row-key checksums pin exact membership for the
+    hash check; proportions are additionally asserted in tests."""
     li = t(spark, sf_dir, "lineitem")
-    fractions = {"A": 0.5, "N": 0.1, "R": 0.5}
-    sample = li.sampleBy("l_returnflag", fractions, seed=42)
-    return sample.groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+    h4 = F.substring(
+        F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 4
+    )
+    thresh = (
+        F.when(F.col("l_returnflag") == "A", _STRATA_HEX["A"])
+        .when(F.col("l_returnflag") == "N", _STRATA_HEX["N"])
+        .otherwise(_STRATA_HEX["R"])
+    )
+    return (
+        li.filter(h4 < thresh)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("l_orderkey").cast("long").alias("key_sum"),
+            F.sum("l_linenumber").cast("long").alias("line_sum"),
+        )
+    )

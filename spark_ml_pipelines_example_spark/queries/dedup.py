@@ -401,3 +401,72 @@ def q_dedup_editdistance(spark, sf_dir):
         .select("supp_a", "supp_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= 4)
     )
+
+
+@query(
+    "q_dedup_paragraph",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+    exploded AS (
+        SELECT doc_id, UNNEST(range(1, len(parts) + 1)) AS pos, parts FROM d
+    ),
+    paras AS (SELECT doc_id, pos, parts[pos] AS para FROM exploded),
+    kept AS (
+        SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+            FROM paras) WHERE rk = 1
+    ),
+    rebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, '. ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id)
+    SELECT t.doc_id, t.n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+    tags=("dedup", "paragraph", "training-data"),
+)
+def q_dedup_paragraph(spark, sf_dir):
+    """Paragraph-level dedup with document reassembly (the RefinedWeb/
+    Dolma curation step): split each document into sentences, keep only
+    the corpus-wide FIRST occurrence of every distinct sentence
+    (winner = min (doc_id, pos)), and rebuild each document from its
+    surviving sentences in original order.
+
+    Scale shape: the winner per sentence is `min(struct(doc_id, pos))`
+    under a groupBy on the sentence text — a partial-aggregating hash
+    shuffle (map-side combine collapses each partition's duplicates
+    before the exchange), NOT a row_number window, which would shuffle
+    every sentence instance and sort within partitions. Reassembly is a
+    second hash aggregation keyed on doc_id. Two shuffles total, both
+    combiner-friendly; nothing driver-side."""
+    d = t(spark, sf_dir, "documents")
+    paras = d.select(
+        "doc_id", F.posexplode(F.split("text", "\\. ")).alias("pos0", "para")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    winners = (
+        paras.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"), "para")
+    )
+    rebuilt = winners.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            ". ",
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

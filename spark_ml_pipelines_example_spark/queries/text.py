@@ -129,14 +129,41 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
-@query("q_text_langid", oracle=None, tags=("text", "langid"))
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+        SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok
+    ), profiles AS (
+        SELECT lang AS profile_lang, tok FROM (
+            SELECT lang, tok,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+            FROM counts) WHERE rk <= 20
+    ), scores AS (
+        SELECT t.doc_id, t.lang, p.profile_lang, COUNT(*) AS hits
+        FROM tok t JOIN profiles p USING (tok)
+        GROUP BY t.doc_id, t.lang, p.profile_lang
+    ), best AS (
+        SELECT doc_id, lang, pred_lang FROM (
+            SELECT doc_id, lang, profile_lang AS pred_lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY hits DESC, profile_lang) AS rk
+            FROM scores) WHERE rk = 1
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs FROM best GROUP BY lang, pred_lang
+    """,
+    tags=("text", "langid"),
+)
 def q_text_langid(spark, sf_dir):
     """Language-ID by token-profile overlap: build per-language top-20
     token profiles from the corpus itself, score each document by profile
-    hits, predict the argmax language (tie → alphabetical). Deterministic
-    but 40 lines of SQL — declared rows-only; the per-stage SQL twins are
-    covered by q_text_tfidf_topterms (profiles) and q_win_topk_per_group
-    (argmax). Returns the (actual, predicted) confusion counts."""
+    hits, predict the argmax language (tie → alphabetical). Every stage
+    is integer-deterministic with pinned tiebreaks (profile rank: count
+    desc then token; prediction: hits desc then language), so the full
+    cascade hash-checks against its SQL twin. Returns the
+    (actual, predicted) confusion counts."""
     d = t(spark, sf_dir, "documents")
     ex = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
 

@@ -85,3 +85,33 @@ def test_jaccard_df_cap_prunes_hot_shingles(spark):
     # uncapped: every pair shares the hot "zz zz" shingle → C(300,2) pairs
     assert uncapped == 300 * 299 // 2
     assert capped == 0
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Corpus-wide first occurrence (min doc_id, then pos) keeps the
+    sentence; every later instance is dropped and the doc is rebuilt
+    from survivors in original order."""
+    rows = [
+        (1, "a b. c d. e f"),          # all first occurrences → unchanged
+        (2, "c d. x y"),               # "c d" already seen in doc 1
+        (3, "c d. a b"),               # everything already seen → empty
+        (4, "q r. q r. s t"),          # within-doc duplicate: keep first
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    )
+    from spark_ml_pipelines_example_spark.queries import _util
+    from spark_ml_pipelines_example_spark.queries.dedup import q_dedup_paragraph
+
+    orig = _util.load_table
+    try:
+        _util.load_table = lambda s, sf, name: d
+        out = {r.doc_id: r for r in q_dedup_paragraph(spark, "unused").collect()}
+    finally:
+        _util.load_table = orig
+
+    assert out[1].clean_text == "a b. c d. e f" and out[1].n_kept == 3
+    assert out[2].clean_text == "x y" and out[2].n_kept == 1
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[4].clean_text == "q r. s t" and out[4].n_kept == 2
+    assert all(out[i].n_paras >= out[i].n_kept for i in out)
