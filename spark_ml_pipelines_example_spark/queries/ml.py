@@ -30,11 +30,24 @@ def q_ml_train_test_split(spark, sf_dir):
     )
 
 
-@query("q_ml_string_indexer", oracle=None, tags=("ml", "indexer"))
+@query(
+    "q_ml_string_indexer",
+    # StringIndexer(frequencyDesc) is fully deterministic: rank by count
+    # descending, ties alphabetical — the same semantics q_agg_label_encode
+    # pins, here hash-checked through the ACTUAL MLlib fit+transform.
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+    SELECT lang,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, lang) - 1 AS DOUBLE) AS lang_idx,
+           n_docs
+    FROM counts
+    """,
+    tags=("ml", "indexer"),
+)
 def q_ml_string_indexer(spark, sf_dir):
     """StringIndexer fit+transform on documents.lang (reference R6) —
-    returns the fitted label mapping with per-label counts. Exact
-    semantics (freq-desc rank) cross-checked by q_agg_label_encode."""
+    returns the fitted label mapping with per-label counts, hash-checked
+    against the freq-desc-then-alpha rank SQL."""
     from pyspark.ml.feature import StringIndexer
 
     d = t(spark, sf_dir, "documents")
@@ -48,11 +61,24 @@ def q_ml_string_indexer(spark, sf_dir):
     )
 
 
-@query("q_ml_vector_assembler", oracle=None, tags=("ml", "assembler"))
+@query(
+    "q_ml_vector_assembler",
+    # Assembly copies values verbatim into the vector (no arithmetic), so
+    # projecting components back out must reproduce the source columns
+    # bit-exactly — which is precisely what the oracle states.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(3 AS INTEGER) AS dim,
+           CAST(l_quantity AS DOUBLE) AS f_qty,
+           CAST(l_extendedprice AS DOUBLE) AS f_price,
+           CAST(l_discount AS DOUBLE) AS f_disc
+    FROM lineitem
+    """,
+    tags=("ml", "assembler"),
+)
 def q_ml_vector_assembler(spark, sf_dir):
     """VectorAssembler packing lineitem numerics (reference R7); projects
     vector size + components back out via vector_to_array for a stable,
-    UDT-free result schema."""
+    UDT-free result schema, hash-checked against the identity projection."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 

@@ -105,19 +105,24 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_profile_orders",
     "q_join_range_bucketed",
     "q_pack_shards",
-    # (c) never driver-checked, rows-only. 54 priority entries > the ~50
-    # budget: the last four (thin ML wrappers whose logic q_ml_rf_pipeline
-    # exercises end-to-end) are the deliberate spill-over for round 3.
+    # (c) slots 44-50 — now-hash-checkable upgrades (clusters/langid/
+    # stratified/indexer/assembler gained oracles this round) plus the
+    # IVF ANN flagship; every operator family lands at least one row in
+    # the ~50-entry window this round.
     "q_dedup_clusters",
-    "q_sim_ann_ivf",
-    "q_multimodal_decode",
-    "q_group_normalize",
+    "q_dedup_paragraph",
     "q_sample_stratified",
     "q_text_langid",
-    "q_ml_rf_pipeline",
-    "q_ml_train_test_split",
     "q_ml_string_indexer",
     "q_ml_vector_assembler",
+    "q_sim_ann_ivf",
+    # (d) deliberate spill-over past the ~50 budget — round-3 rotation
+    # fodder (rows-only ops whose semantics are already evidenced by
+    # in-window twins: mm_manifest, q_agg_label_encode, udaf tests).
+    "q_multimodal_decode",
+    "q_group_normalize",
+    "q_ml_rf_pipeline",
+    "q_ml_train_test_split",
     "q_ml_evaluator",
     "q_ml_cross_validation",
 )

@@ -211,3 +211,55 @@ def q_stream_gapfill(spark, sf_dir):
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click')
+    SELECT p_id, c_id, p.user_id AS user_id,
+           CAST(epoch(date_trunc('second', p_ts)) AS BIGINT) AS p_epoch,
+           CAST(epoch(date_trunc('second', c_ts)) AS BIGINT) AS c_epoch
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+    """,
+    tags=("stream", "interval-join"),
+)
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join, batch form: each purchase paired with
+    the same user's clicks in the preceding hour. The streaming twin
+    (``streaming/jobs.py streaming_interval_join``) runs the identical
+    condition with watermarks on BOTH sides — the time bound is what lets
+    the state store evict clicks older than 1 h + delay, keeping
+    stream-stream join state finite; tests assert batch ≡ streaming
+    row-for-row. In batch the equi key (user_id) drives a hash join and
+    the interval predicate evaluates inside it — never a cross product."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select(
+            "p_id",
+            "c_id",
+            "user_id",
+            F.unix_timestamp("p_ts").alias("p_epoch"),
+            F.unix_timestamp("c_ts").alias("c_epoch"),
+        )
+    )
