@@ -37,6 +37,8 @@ HEADLINE = [
     "q_text_tokenize_stats",
     "q_fn_json",
     "q_dedup_exact",
+    "q_dedup_paragraph",
+    "q_stream_interval_join",
     "q_dedup_minhash",
     "q_dedup_embedding",
     "q_dedup_embedding_cells",

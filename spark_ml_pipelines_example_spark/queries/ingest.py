@@ -165,3 +165,52 @@ def q_win_funnel(spark, sf_dir):
         F.sum("converted").cast("long").alias("n_converted"),
         F.round(F.sum("converted") / F.count("*"), 6).alias("conv_rate"),
     )
+
+
+@query(
+    "q_seq_pattern_match",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           regexp_matches(journey, 'signup.*click.*purchase') AS has_funnel,
+           md5(journey) AS journey_hash
+    FROM j
+    """,
+    tags=("sequence", "pattern", "funnel"),
+)
+def q_seq_pattern_match(spark, sf_dir):
+    """Sequence-pattern detection (the MATCH_RECOGNIZE shape Spark lacks):
+    per user, assemble the exact event-type journey in (ts, event_id)
+    order and regex-match the ordered subsequence signup → … → click →
+    … → purchase. The md5 of the journey string pins the full per-user
+    ordering, so the hash check proves ordered-aggregation correctness,
+    not just the boolean.
+
+    Scale shape: one hash shuffle on user_id; collect_list + array_sort
+    keeps the sort LOCAL to each group (no global sort, no window over
+    the whole event log). State per key is the user's event history —
+    for unbounded histories, sessionize first (q_stream_session) so the
+    journey is bounded per session."""
+    ev = t(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), journey.alias("journey"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("journey").rlike("signup.*click.*purchase").alias("has_funnel"),
+            F.md5("journey").alias("journey_hash"),
+        )
+    )

@@ -133,7 +133,48 @@ def q_ml_rf_pipeline(spark, sf_dir):
     )
 
 
-@query("q_ml_evaluator", oracle=None, tags=("ml", "evaluator"))
+@query(
+    "q_ml_evaluator",
+    # The derived prediction is a pure function of vec_id, so all four
+    # weighted metrics are exact confusion-matrix arithmetic; round(…,10)
+    # absorbs the 1e-16 fold-order noise of the 10-class weighted sums.
+    oracle="""
+    WITH pairs AS (
+        SELECT CAST(label AS DOUBLE) AS label,
+               CAST(CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
+                         ELSE label END AS DOUBLE) AS prediction
+        FROM embeddings
+    ), tot AS (SELECT COUNT(*) AS n FROM pairs),
+    truec AS (SELECT label AS c, COUNT(*) AS n_true FROM pairs GROUP BY label),
+    predc AS (SELECT prediction AS c, COUNT(*) AS n_pred FROM pairs GROUP BY prediction),
+    tpc AS (SELECT label AS c, COUNT(*) AS tp FROM pairs WHERE label = prediction GROUP BY label),
+    cls AS (
+        SELECT t.c, t.n_true,
+               COALESCE(p.n_pred, 0) AS n_pred,
+               COALESCE(x.tp, 0) AS tp
+        FROM truec t LEFT JOIN predc p ON t.c = p.c LEFT JOIN tpc x ON t.c = x.c
+    ), per AS (
+        SELECT c, CAST(n_true AS DOUBLE) / (SELECT n FROM tot) AS w,
+               CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / n_pred END AS p,
+               CAST(tp AS DOUBLE) / n_true AS r
+        FROM cls
+    ), m AS (
+        SELECT (SELECT CAST(SUM(tp) AS DOUBLE) FROM cls) / (SELECT n FROM tot) AS acc,
+               SUM(w * p) AS wprec,
+               SUM(w * r) AS wrec,
+               SUM(w * CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END) AS wf1
+        FROM per
+    )
+    SELECT metric, mllib, confusion_matrix, agree FROM (
+        SELECT 1 AS ord, 'accuracy' AS metric, ROUND(acc, 10) AS mllib,
+               ROUND(acc, 10) AS confusion_matrix, TRUE AS agree FROM m
+        UNION ALL SELECT 2, 'f1', ROUND(wf1, 10), ROUND(wf1, 10), TRUE FROM m
+        UNION ALL SELECT 3, 'weightedPrecision', ROUND(wprec, 10), ROUND(wprec, 10), TRUE FROM m
+        UNION ALL SELECT 4, 'weightedRecall', ROUND(wrec, 10), ROUND(wrec, 10), TRUE FROM m
+    )
+    """,
+    tags=("ml", "evaluator"),
+)
 def q_ml_evaluator(spark, sf_dir):
     """MulticlassClassificationEvaluator four metrics (reference R13/R14) over
     a deterministic derived (label, prediction) pair — prediction equals
