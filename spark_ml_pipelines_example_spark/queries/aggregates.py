@@ -536,3 +536,46 @@ def q_agg_argmax(spark, sf_dir):
         F.max_by("o_orderkey", key).alias("top_orderkey"),
         F.min_by("o_orderkey", key).alias("bottom_orderkey"),
     )
+
+
+@query("q_agg_sketch_rollup", oracle=None, tags=("agg", "approx", "sketch"))
+def q_agg_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (Apache DataSketches HLL): build one HLL
+    sketch per language, then UNION the sketches to the corpus-wide
+    distinct estimate — without rescanning the data. This is the 100 TB
+    pre-aggregation pattern: per-partition/per-day sketches are tiny,
+    associative, and merge map-side, so any rollup grain (day → month →
+    all-time) costs one pass over sketches instead of a re-shuffle of raw
+    keys. Rows-only (sketch internals are engine-specific); the union row
+    embeds its own tolerance check against the exact distinct, and tests
+    pin the union estimate within the sketch error bound of both the
+    direct single-sketch estimate and the exact count."""
+    d = t(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.hll_sketch_agg("doc_id", F.lit(12)).alias("sk"),
+        F.countDistinct("doc_id").alias("exact_docs"),
+    )
+    lang_rows = per_lang.select(
+        "lang",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_docs"),
+        "exact_docs",
+    )
+    union_row = per_lang.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("approx_docs"),
+        F.sum("exact_docs").alias("exact_docs"),  # langs partition doc_ids
+    ).select(F.lit("ALL").alias("lang"), "approx_docs", "exact_docs")
+    return (
+        lang_rows.unionByName(union_row)
+        .select(
+            "lang",
+            "approx_docs",
+            "exact_docs",
+            (
+                F.abs(F.col("approx_docs") - F.col("exact_docs"))
+                / F.col("exact_docs")
+                <= 0.05
+            ).alias("within_tolerance"),
+        )
+    )

@@ -172,3 +172,29 @@ def test_profile_helper_single_job(spark, sf_dir):
     assert row.n_rows > 0
     assert row.o_custkey__nulls == 0
     assert row.o_orderstatus__approx_distinct >= 2
+
+
+def test_hll_sketch_union_is_lossless(spark, sf_dir):
+    """Merging per-lang HLL sketches must estimate the corpus-wide
+    distinct count within the sketch's error bound (the union re-targets
+    the internal HLL representation, so it is near- but not bit-lossless),
+    and every row of the declared query must pass its embedded tolerance."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = d.groupBy("lang").agg(F.hll_sketch_agg("doc_id", F.lit(12)).alias("sk"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    ).head()["est"]
+    direct = d.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id", F.lit(12)))
+        .cast("long")
+        .alias("est")
+    ).head()["est"]
+    exact = d.select("doc_id").distinct().count()
+    assert abs(merged - direct) / exact < 0.02
+    assert abs(merged - exact) / exact < 0.05
+
+    rows = REGISTRY["q_agg_sketch_rollup"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2 and any(r.lang == "ALL" for r in rows)
+    assert all(r.within_tolerance for r in rows)
