@@ -134,6 +134,7 @@ def load_all() -> dict[str, QuerySpec]:
     on the queries that most need a fresh correctness row."""
     from . import (  # noqa: F401
         aggregates,
+        composites,
         curation,
         dedup,
         filters,

@@ -156,3 +156,49 @@ def q_scan_column_prune(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .filter(F.col("l_quantity") <= 3.0)
     )
+
+
+@query(
+    "q_scan_json_corrupt",
+    # Which lines are broken is a pure function of doc_id (every 7th), so
+    # the oracle derives the expected good/corrupt partition straight from
+    # the documents table without seeing the staged file.
+    oracle="""
+    SELECT COUNT(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_good,
+           COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id END) AS BIGINT) AS id_sum_good,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS chars_good
+    FROM documents
+    """,
+    tags=("scan", "json", "corrupt-record"),
+)
+def q_scan_json_corrupt(spark, sf_dir):
+    """Malformed-record handling on ingest: stage a JSONL file in which
+    every 7th document's line is truncated mid-object, read it back in
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column, and
+    report the good/quarantined split plus checksums over the rows that
+    parsed. This is the production ingest contract at scale — one bad
+    line must quarantine, not kill the job (FAILFAST) or silently vanish
+    (DROPMALFORMED), and the corrupt raw text is retained for replay.
+    The read declares the schema explicitly (no inference pass)."""
+    path = scratch_dir("q_scan_json_corrupt", sf_dir)
+    d = t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "lang": ')),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    parsed = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("doc_id"))).cast("long").alias("id_sum_good"),
+        F.sum(F.when(good, F.col("n_chars"))).cast("long").alias("chars_good"),
+    )
