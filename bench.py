@@ -29,6 +29,7 @@ HEADLINE = [
     "q_agg_cube",
     "q_agg_distinct",
     "q_join_multiway",
+    "q_tpch_q5",
     "q_join_broadcast",
     "q_join_asof_event",
     "q_win_topk_per_group",

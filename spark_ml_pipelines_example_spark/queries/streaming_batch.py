@@ -263,3 +263,40 @@ def q_stream_interval_join(spark, sf_dir):
             F.unix_timestamp("c_ts").alias("c_epoch"),
         )
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, CAST(user_id % 5 AS INT) AS cohort
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT event_id, e.user_id, cohort,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+           event_type
+    FROM events e JOIN dim ON e.user_id = dim.user_id
+    """,
+    tags=("stream", "static-join"),
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static dimension enrichment, batch form: every event joined
+    to a per-user dim row (cohort). The streaming twin
+    (``streaming/jobs.py streaming_static_dim_join``) re-plans the static
+    side each micro-batch — no watermark, no join state — and broadcasts
+    it when small; batch ≡ streaming is asserted in tests. At scale the
+    dim side is the broadcast build unless it outgrows the threshold, in
+    which case the stream side shuffles on the already-keyed user_id."""
+    ev = t(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 5).cast("int").alias("cohort"))
+    )
+    return ev.join(dim, "user_id").select(
+        "event_id",
+        "user_id",
+        "cohort",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+    )
