@@ -99,8 +99,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 def ngram_jaccard_pairs(d, df_cap: int = JACCARD_DF_CAP, threshold: float = 0.3):
     """Core of q_dedup_ngram_jaccard over any (doc_id, lang, source, text)
     frame — factored out so tests can drive it with synthetic hot-shingle
-    corpora."""
-    sh_all = d.select(
+    corpora. Spread on doc_id before the shingle explode: a one-file input
+    otherwise tokenizes the whole corpus in a single task."""
+    sh_all = d.repartition(32, "doc_id").select(
         "doc_id",
         "lang",
         "source",
@@ -292,7 +293,14 @@ def simhash_signatures(d):
     long. The per-bit vote is an unrolled 64-column hash aggregate — partial
     (map-side) combine applies, so the shuffle carries one 64-int row per
     doc, never token rows."""
-    ex = d.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok"))
+    # spread on doc_id BEFORE the explode: from a one-file input the
+    # tokenize + 64-way vote otherwise runs in a single task (same
+    # local-mode artifact as the minhash signature pass), and because the
+    # vote groups by the same doc_id the pre-partitioning also lets
+    # Catalyst elide the aggregate's own exchange.
+    ex = d.repartition(32, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
     h = F.xxhash64("tok")
     bit_votes = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
