@@ -341,7 +341,15 @@ def q_dedup_simhash(spark, sf_dir):
     rows at sf0.1, and filtering first shrinks the distinct's shuffle to
     the survivors (a selective predicate should always sit below a
     dedup shuffle — measured ~10% here, far more on corpora where
-    near-dups are rarer than band collisions)."""
+    near-dups are rarer than band collisions).
+
+    A grouped collect_list + in-array pair-walk variant (compute the
+    signature lineage once, emit Hamming survivors from each bucket's
+    sorted struct array) was measured SLOWER under an interleaved A/B at
+    sf0.1 (1.8s vs 1.4s fresh-plan medians): the interpreted HOF pair walk
+    plus the bigger plan-compile cost outweigh the saved second signature
+    pass, and for minhash (no in-array confirm possible before pair
+    materialization) the same shape was 3× slower. Keep the join."""
     sig = simhash_signatures(t(spark, sf_dir, "documents"))
     bands = sig.select(
         "doc_id",
