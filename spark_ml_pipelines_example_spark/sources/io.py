@@ -65,13 +65,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     physical types), and an explicit .schema() on parquet would disable
     nothing useful while risking int32/int64 physical-type mismatches.
 
-    ``events.ts`` is parquet ``INT64 TIMESTAMP(NANOS)``, which Spark 4
-    rejects outright (PARQUET_TYPE_ILLEGAL) on a vanilla session. This
-    loader is self-sufficient: it sets the runtime SQLConf
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the *caller's* session
-    (not just our own factory's), reads ts as epoch-nanos LONG, and floors
-    to µs. If the conf is somehow rejected or ineffective, it falls back to
-    a cached pyarrow rewrite of the file at µs precision."""
+    ``events.ts`` history: the round-1 fixture was parquet ``INT64
+    TIMESTAMP(NANOS)``, which Spark 4 rejects outright
+    (PARQUET_TYPE_ILLEGAL) on a vanilla session; the round-2 fixture is
+    ``timestamp[us]`` (naive), which Spark reads natively as
+    ``timestamp_ntz``. This loader is self-sufficient against both:
+
+    - µs/naive file → native read; ``ts`` stays TIMESTAMP_NTZ, which is
+      exactly DuckDB's naive-TIMESTAMP semantics (no session-tz coupling
+      in the stored values).
+    - ns file → set the runtime SQLConf
+      ``spark.sql.legacy.parquet.nanosAsLong=true`` on the *caller's*
+      session, read ts as epoch-nanos LONG, floor to µs; pyarrow-rewrite
+      fallback if the conf is rejected.
+
+    Either way the session timezone is pinned to UTC (runtime conf) so
+    ``unix_timestamp(ntz)`` in our queries equals DuckDB ``epoch(naive)``
+    even when the harness's JVM default timezone is not UTC."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
     path = table_path(sf_dir, name)
@@ -79,6 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
 
     try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set(_NANOS_CONF, "true")
     except Exception:
         pass  # static-conf rejection → pyarrow fallback below

@@ -22,29 +22,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_unit: str) -> T.StructType:
+    """Declared file-source schema (readStream requires one). The ts field
+    tracks the fixture's physical unit: a TIMESTAMP(NANOS) file must be
+    declared LONG (nanosAsLong read) and converted, a µs/naive file is
+    declared TIMESTAMP_NTZ and used as-is — same contract as the batch
+    loader (sources/io.py:load_table)."""
+    ts_type = T.LongType() if ts_unit == "ns" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 SENTINEL_USER = -1
-_SENTINEL_TS_NS = 1735689600 * 10**9  # 2025-01-01, far past any fixture event
+_SENTINEL_TS_S = 1735689600  # 2025-01-01, far past any fixture event
 
 
-def _stage_events_dir(sf_dir: str) -> str:
+def _events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of the fixture's ts column, from the parquet footer."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+    return getattr(t, "unit", "us")
+
+
+def _stage_events_dir(sf_dir: str, ts_unit: str) -> str:
     """The parquet file source requires a directory; stage the single
     events file into a per-sf scratch dir (idempotent), plus a sentinel
     event far in the future. The sentinel advances the final watermark
     past every real session's end so append-mode session windows flush —
     without it, each user's last session is withheld forever (its end is
-    always beyond the watermark). Jobs filter SENTINEL_USER out."""
+    always beyond the watermark). Jobs filter SENTINEL_USER out.
+
+    The sentinel is written with the same ts unit as the fixture so the
+    directory is schema-homogeneous; a stale staging from a previous
+    fixture generation (unit mismatch) is detected and restaged."""
     import shutil
     from pathlib import Path
 
@@ -56,14 +75,22 @@ def _stage_events_dir(sf_dir: str) -> str:
     dst = Path(scratch_dir("stream_events_src", sf_dir))
     dst.mkdir(parents=True, exist_ok=True)
     target = dst / "events.parquet"
+    staged = [p for p in (target, dst / "zz_sentinel.parquet") if p.exists()]
+    if any(
+        getattr(pq.read_schema(p).field("ts").type, "unit", "us") != ts_unit
+        for p in staged
+    ):  # stale staging from a previous fixture generation
+        shutil.rmtree(dst)
+        dst.mkdir(parents=True)
     if not target.exists():
         shutil.copyfile(f"{sf_dir.rstrip('/')}/events.parquet", target)
     sentinel = dst / "zz_sentinel.parquet"
     if not sentinel.exists():
+        scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_unit]
         tbl = pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([_SENTINEL_TS_NS], pa.timestamp("ns")),
+                "ts": pa.array([_SENTINEL_TS_S * scale], pa.timestamp(ts_unit)),
                 "user_id": pa.array([SENTINEL_USER], pa.int64()),
                 "event_type": pa.array(["sentinel"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -75,14 +102,26 @@ def _stage_events_dir(sf_dir: str) -> str:
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet, ns→µs converted exactly
-    like the batch loader (sources/io.py)."""
+    """File-source stream over the events parquet. A ns fixture is read as
+    epoch-nanos LONG and floored to µs exactly like the batch loader
+    (sources/io.py); the µs/naive fixture streams straight through as
+    TIMESTAMP_NTZ."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    unit = _events_ts_unit(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(_events_schema(unit))
         .format("parquet")
-        .load(_stage_events_dir(sf_dir))
+        .load(_stage_events_dir(sf_dir, unit))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # withWatermark / event-time ops demand TIMESTAMP
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ); with the session tz
+        # pinned UTC above this cast is epoch-identical to the NTZ values
+        # the batch twins read.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -1,11 +1,14 @@
-"""The events fixture is INT64 TIMESTAMP(NANOS) parquet — Spark 4 rejects it
-on a vanilla session (PARQUET_TYPE_ILLEGAL). load_table must be
-self-sufficient on the *driver's* session, which does not carry our session
-factory's confs (r1 failed q_fn_timestamp / q_fn_json / q_join_asof_event
-exactly this way)."""
+"""The events fixture's timestamp column has changed physical type across
+driver rounds: round 1 shipped INT64 TIMESTAMP(NANOS) parquet (which Spark 4
+rejects on a vanilla session with PARQUET_TYPE_ILLEGAL), round 2 ships
+timestamp[us] naive (which Spark reads natively as TIMESTAMP_NTZ).
+load_table must be self-sufficient on the *driver's* vanilla session for
+both: r1 failed q_fn_timestamp / q_fn_json / q_join_asof_event exactly this
+way."""
 
 from __future__ import annotations
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from spark_ml_pipelines_example_spark.sources.io import (
@@ -15,37 +18,61 @@ from spark_ml_pipelines_example_spark.sources.io import (
 )
 
 
-def test_load_table_sets_nanos_conf_itself(spark, sf_dir):
-    """Simulate the driver's vanilla session: force the conf off, then load."""
+def test_load_table_is_session_self_sufficient(spark, sf_dir):
+    """Simulate the driver's vanilla session: force the conf off, then load.
+    Whatever the fixture's physical unit, ts must come back as a timestamp
+    type (NTZ for the µs/naive fixture — DuckDB-naive semantics — or
+    TIMESTAMP via the ns→µs conversion for a nanos fixture)."""
     spark.conf.set(_NANOS_CONF, "false")
     try:
         df = load_table(spark, sf_dir, "events")
-        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
         assert df.count() > 0
+        # loader re-arms the conf + pins UTC so epoch projections are
+        # deterministic under any harness JVM timezone
         assert spark.conf.get(_NANOS_CONF) == "true"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set(_NANOS_CONF, "true")
 
 
-def test_pyarrow_rewrite_fallback(sf_dir):
-    """The conf-rejected fallback: cached ns→µs rewrite, atomic + idempotent."""
-    out = _rewrite_ns_parquet_to_us(f"{sf_dir}/events.parquet")
+def test_pyarrow_rewrite_fallback(tmp_path, sf_dir):
+    """The conf-rejected fallback: cached ns→µs rewrite, atomic + idempotent.
+    The live fixture is already µs, so build a genuine ns file to exercise
+    the conversion."""
+    ns_path = str(tmp_path / "events_ns.parquet")
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_idx = src.schema.get_field_index("ts")
+    ns_field = pa.field("ts", pa.timestamp("ns"))
+    ns_tbl = src.set_column(ts_idx, ns_field, src.column("ts").cast(pa.timestamp("ns")))
+    pq.write_table(ns_tbl, ns_path)
+
+    out = _rewrite_ns_parquet_to_us(ns_path)
     schema = pq.read_schema(out)
     assert str(schema.field("ts").type).startswith("timestamp[us")
-    assert out == _rewrite_ns_parquet_to_us(f"{sf_dir}/events.parquet")
+    assert out == _rewrite_ns_parquet_to_us(ns_path)  # cached
+
+    # values survive the ns→µs floor exactly (fixture values are µs-aligned)
+    assert pq.read_table(out).column("ts").cast(pa.timestamp("us")).equals(
+        src.column("ts").cast(pa.timestamp("us"))
+    )
 
 
-def test_rewrite_matches_conf_path_values(spark, sf_dir):
-    """Both paths floor ns→µs identically (conf path uses `ts div 1000`)."""
+def test_native_read_matches_duckdb_naive(spark, sf_dir, duck):
+    """The µs fixture path: Spark's epoch projection of ts (NTZ, UTC
+    session) must equal DuckDB's epoch(naive) — the exact contract every
+    events oracle relies on."""
     from pyspark.sql import functions as F
 
-    df_conf = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    rewritten = _rewrite_ns_parquet_to_us(f"{sf_dir}/events.parquet")
-    df_arrow = spark.read.parquet(rewritten).select("event_id", "ts")
-    mismatch = (
-        df_conf.alias("a")
-        .join(df_arrow.alias("b"), "event_id")
-        .where(F.col("a.ts") != F.col("b.ts"))
-        .count()
+    got = (
+        load_table(spark, sf_dir, "events")
+        .select(F.min(F.unix_timestamp("ts")).alias("lo"))
+        .collect()[0]["lo"]
     )
-    assert mismatch == 0
+    # date_trunc before epoch: unix_timestamp floors to the second, while
+    # DuckDB's double→bigint cast rounds — the same discipline every events
+    # oracle in the registry uses
+    want = duck.execute(
+        "SELECT CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) FROM events"
+    ).fetchone()[0]
+    assert got == want

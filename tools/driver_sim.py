@@ -143,6 +143,7 @@ def main() -> None:
         if not r.get("hash_match") and r.get("err") != "no_oracle"
     ]
     print(f"\n{len(results)} run, {len(fails)} FAIL: {fails}")
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
     with open("/root/repo/.scratch/driver_sim.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
     spark.stop()
