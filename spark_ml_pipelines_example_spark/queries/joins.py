@@ -265,3 +265,128 @@ def q_self_join_dedup_pairs(spark, sf_dir):
         F.col("a.p_brand").alias("p_brand"),
         F.col("a.p_type").alias("p_type"),
     )
+
+
+@query(
+    "q_join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "bucketed", "layout"),
+)
+def q_join_bucketed_colocated(spark, sf_dir):
+    """Zero-shuffle co-located equi-join via write-time bucketing
+    (sources/layout.py:write_bucketed): both sides are persisted as
+    parquet tables hash-bucketed AND sorted on the join key, so the
+    sort-merge join needs no Exchange — the shuffle was paid once at
+    layout time, and every recurring join on that key rides it free.
+    This is THE recurring-fact-join strategy at 100 TB (bucket counts
+    there would be 1024+, not 8; the mechanics are identical). In-bucket
+    Sorts remain: Spark ≥3.0 only honors bucket sortBy metadata behind
+    spark.sql.legacy.bucketedTableScan.outputOrdering (planning-time
+    file listing), and a local per-bucket sort is the right trade. The
+    merge hint pins the bucket-riding SMJ even where a small-SF side
+    would be broadcastable; tests/test_plan_quality.py asserts the join
+    subtree has zero Exchange nodes."""
+    from ..sources.layout import write_bucketed
+    from ._util import scratch_dir
+
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    li_tbl, o_tbl = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    write_bucketed(
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        li_tbl,
+        ["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey"],
+        path=scratch_dir(f"bkt/{li_tbl}", sf_dir),
+        one_file_per_bucket=True,
+    )
+    write_bucketed(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        o_tbl,
+        ["o_orderkey"],
+        num_buckets=8,
+        sort_cols=["o_orderkey"],
+        path=scratch_dir(f"bkt/{o_tbl}", sf_dir),
+        one_file_per_bucket=True,
+    )
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_dpp_prune",
+    oracle="""
+    WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS y, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    dim AS (
+        SELECT y FROM yearly
+        WHERE n_orders >= (SELECT 0.9 * MAX(n_orders) FROM yearly)
+    )
+    SELECT l.l_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM (SELECT CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice
+          FROM lineitem) l
+    JOIN dim ON l.l_year = dim.y
+    GROUP BY l.l_year
+    """,
+    tags=("join", "dpp", "layout"),
+)
+def q_join_dpp_prune(spark, sf_dir):
+    """Dynamic partition pruning: the fact side is staged Hive-partitioned
+    by ship year, the dimension is the set of "complete" order years (a
+    runtime-only predicate — n_orders >= 0.9 * max, deliberately NOT
+    statically propagatable through the join), and the join on the
+    partition column lets Spark inject the dim's keys into the fact scan
+    as a runtime partition filter (``dynamicpruningexpression`` in the
+    scan's PartitionFilters — asserted in tests/test_plan_quality.py).
+    At 100 TB this is the difference between scanning every date
+    partition and scanning only the ones the dimension selects; the
+    broadcast of the tiny dim is reused as the pruning subquery, so the
+    filter costs nothing extra."""
+    from ._util import scratch_dir
+
+    path = scratch_dir("q_join_dpp_prune_fact", sf_dir)
+    fact_src = t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("int").alias("l_year"), "l_extendedprice"
+    )
+    fact_src.write.mode("overwrite").partitionBy("l_year").parquet(path)
+    fact = spark.read.parquet(path)
+
+    yearly = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("y"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    yearly.createOrReplaceTempView("__dpp_yearly")
+    dim = spark.sql(
+        """
+        SELECT y FROM __dpp_yearly
+        WHERE n_orders >= (SELECT 0.9 * MAX(n_orders) FROM __dpp_yearly)
+        """
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.l_year == dim.y)
+        .groupBy("l_year")
+        .agg(
+            F.count("*").alias("n_items"),
+            dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )

@@ -238,3 +238,52 @@ def q_text_tfidf_weighted(spark, sf_dir):
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
+@query(
+    "q_text_chunk",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(start // 48 AS INT) AS chunk_id,
+           CAST(len(list_slice(tk, start + 1, start + 64)) AS INT) AS chunk_tokens,
+           array_to_string(list_slice(tk, start + 1, start + 64), ' ') AS chunk_text
+    FROM (SELECT doc_id, tk, n_tokens,
+                 CAST(UNNEST(range(0, GREATEST(n_tokens, 1), 48)) AS INT) AS start
+          FROM tk)
+    """,
+    tags=("text", "chunk", "training-data"),
+)
+def q_text_chunk(spark, sf_dir):
+    """Token-budget document chunking with overlap (64-token chunks,
+    stride 48 → 16 tokens shared between neighbors) — the step that turns
+    variable-length documents into trainer-sized sequences. Pure
+    sequence+explode+slice codegen: chunk starts are generated per row
+    (no self-join, no window), so the only data movement is the explode
+    fan-out, which is embarrassingly parallel and shuffle-free at any
+    corpus size. Chunk ids are derivable from the start offset
+    (start/stride), keeping the output deterministic without a window
+    ordering pass."""
+    CHUNK, STRIDE = 64, 48
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    d = d.withColumn("n_tokens", F.size("tk"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_tokens") - 1, F.lit(0)), F.lit(STRIDE)
+    )
+    ex = d.select(
+        "doc_id", "n_tokens", "tk", F.explode(starts).alias("start")
+    )
+    chunk = F.slice("tk", F.col("start") + 1, F.lit(CHUNK))
+    return ex.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("start") / STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -56,11 +56,20 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     path: str | None = None,
     mode: str = "overwrite",
+    one_file_per_bucket: bool = False,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table. Two tables
     bucketed on the same key with the same bucket count join with zero
     exchanges (and zero sorts if sorted); Spark requires saveAsTable for
-    bucket metadata."""
+    bucket metadata.
+
+    ``one_file_per_bucket`` repartitions on the bucket key first so each
+    bucket is exactly one file — Spark only trusts ``sortBy`` metadata
+    (and elides the join-side Sort) when buckets are single-file. Leave
+    it False for huge tables where one file per bucket would be too big;
+    the join still skips the Exchange, it just re-sorts in-bucket."""
+    if one_file_per_bucket:
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

