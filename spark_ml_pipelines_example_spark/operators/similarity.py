@@ -402,3 +402,23 @@ def q_dedup_embedding_cells(spark, sf_dir):
         .agg(F.max("cos").alias("cos"))
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
     )
+
+
+@query("q_sim_ann_ivf_index", oracle=None, tags=("similarity", "ann", "ivf", "layout"))
+def q_sim_ann_ivf_index(spark, sf_dir):
+    """ANN probe against the MATERIALIZED IVF index — the production
+    layout: corpus persisted partitionBy("cell") plus a tiny centroids
+    table. The probe ranks centroids driver-side (k rows), then scans
+    ONLY the nprobe nearest cell directories — visible in the plan as
+    ``PartitionFilters: cell IN (...)`` (asserted in
+    tests/test_plan_quality.py). At 100 TB the index build is a one-off
+    partitioned write and every probe touches nprobe/k of the corpus
+    files; no index service, no shuffle, no full pass. Rows-only (k-means
+    cell boundaries are engine-specific); equality with the in-memory
+    IVF variant and recall vs brute force are asserted in
+    tests/test_similarity_ops.py."""
+    from ..queries._util import scratch_dir
+
+    index_dir = scratch_dir("q_sim_ann_ivf_index", sf_dir)
+    materialize_ivf_index(spark, sf_dir, index_dir)
+    return ann_ivf_topk_from_index(spark, index_dir)

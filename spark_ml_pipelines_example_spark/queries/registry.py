@@ -116,10 +116,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_string_indexer",
     "q_ml_vector_assembler",
     "q_sim_ann_ivf",
-    # layout-riding joins + chunking (added after the r2 fixture refresh)
+    # layout-riding joins + chunking + materialized ANN index (added after
+    # the r2 fixture refresh)
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",
+    "q_sim_ann_ivf_index",
     # (d) deliberate spill-over past the ~50 budget — round-3 rotation
     # fodder (rows-only ops whose semantics are already evidenced by
     # in-window twins: mm_manifest, q_agg_label_encode, udaf tests).

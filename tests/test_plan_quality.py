@@ -201,3 +201,14 @@ def test_chunking_is_explode_only(spark, sf_dir):
     assert "Generate" in plan
     assert "Exchange" not in plan, f"chunking acquired a shuffle:\n{plan}"
     assert "Join" not in plan, f"chunking acquired a join:\n{plan}"
+
+
+def test_ann_index_probe_prunes_partitions(spark, sf_dir):
+    """The materialized-IVF probe must satisfy its cell filter via parquet
+    partition pruning — PartitionFilters on the scan, nothing in the data
+    filters — and must not shuffle (TakeOrdered top-k only)."""
+    plan = plan_of(spark, sf_dir, "q_sim_ann_ivf_index")
+    assert re.search(r"PartitionFilters: \[.*cell.* IN \(", plan), (
+        f"cell filter did not become a partition prune:\n{plan}"
+    )
+    assert "Exchange" not in plan, f"ANN probe acquired a shuffle:\n{plan}"
