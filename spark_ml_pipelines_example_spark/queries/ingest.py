@@ -214,3 +214,149 @@ def q_seq_pattern_match(spark, sf_dir):
             F.md5("journey").alias("journey_hash"),
         )
     )
+
+
+# Near-dup incremental probe: corpus-side shingle DF cap (same constant and
+# rationale as queries/dedup.py JACCARD_DF_CAP) and Jaccard admit threshold.
+NEARDUP_DF_CAP = 256
+NEARDUP_THRESHOLD = 0.3
+
+
+@query(
+    "q_dedup_incremental_neardup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS tk FROM documents
+    ), sh_all AS (
+        SELECT DISTINCT doc_id, lang, source, g FROM (
+            SELECT doc_id, lang, source,
+                   UNNEST(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks)
+    ), corpus AS (
+        SELECT * FROM sh_all WHERE doc_id % {INCREMENT_MOD} <> {INCREMENT_REMAINDER}
+    ), batch AS (
+        SELECT * FROM sh_all WHERE doc_id % {INCREMENT_MOD} = {INCREMENT_REMAINDER}
+    ), hot AS (
+        SELECT lang, source, g FROM corpus
+        GROUP BY lang, source, g HAVING COUNT(*) > {NEARDUP_DF_CAP}
+    ), corpus_k AS (
+        SELECT corpus.* FROM corpus ANTI JOIN hot USING (lang, source, g)
+    ), batch_k AS (
+        SELECT batch.* FROM batch ANTI JOIN hot USING (lang, source, g)
+    ), c_sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM corpus_k GROUP BY doc_id
+    ), b_sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM batch_k GROUP BY doc_id
+    ), shared AS (
+        SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc, COUNT(*) AS n_shared
+        FROM corpus_k c JOIN batch_k b
+          ON c.lang = b.lang AND c.source = b.source AND c.g = b.g
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT batch_doc, corpus_doc, n_shared,
+               CAST(n_shared AS DOUBLE) / (cs.n + bs.n - n_shared) AS j
+        FROM shared
+        JOIN c_sizes cs ON corpus_doc = cs.doc_id
+        JOIN b_sizes bs ON batch_doc = bs.doc_id
+        WHERE CAST(n_shared AS DOUBLE) / (cs.n + bs.n - n_shared) >= {NEARDUP_THRESHOLD}
+    )
+    SELECT batch_doc, n_matches, best_match_doc, ROUND(best_j, 6) AS best_jaccard
+    FROM (
+        SELECT batch_doc, corpus_doc AS best_match_doc, j AS best_j,
+               COUNT(*) OVER (PARTITION BY batch_doc) AS n_matches,
+               ROW_NUMBER() OVER (PARTITION BY batch_doc ORDER BY j DESC, corpus_doc) AS rn
+        FROM jac
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "incremental", "jaccard", "training-data"),
+)
+def q_dedup_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup probe: an ingest batch checked against the
+    standing corpus's materialized shingle index by exact bigram Jaccard —
+    the recurring-crawl twin of q_dedup_ngram_jaccard (whole-corpus) and
+    q_dedup_incremental (exact fingerprints). The probe never shuffles the
+    index: the index is staged to parquet once (shingles + per-doc sizes,
+    hot stopword shingles already DF-capped out at build time), the batch
+    shingle set is broadcast against it, and the only shuffled rows are
+    the match stream (batch_doc, corpus_doc) pairs and the matched docs'
+    size lookups — both proportional to the batch, not the corpus. Per
+    batch doc: how many standing docs it near-duplicates and its best
+    match (ties broken by min corpus doc), i.e. exactly the drop/keep
+    evidence an append job needs."""
+    index_base = scratch_dir("q_dedup_incremental_neardup", sf_dir)
+    d = t(spark, sf_dir, "documents")
+    from ..functions.text import bigrams, tokens
+
+    sh_all = d.repartition(32, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(bigrams(tokens("text")))).alias("g"),
+    )
+    corpus = sh_all.filter(F.col("doc_id") % INCREMENT_MOD != INCREMENT_REMAINDER)
+    batch = sh_all.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_REMAINDER)
+
+    # ---- one-off index build (at scale: maintained incrementally) ----
+    hot = (
+        corpus.groupBy("lang", "source", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NEARDUP_DF_CAP)
+        .select("lang", "source", "g")
+    )
+    corpus_k = corpus.join(F.broadcast(hot), ["lang", "source", "g"], "left_anti")
+    corpus_k.write.mode("overwrite").parquet(f"{index_base}/shingles")
+    (
+        spark.read.parquet(f"{index_base}/shingles")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .write.mode("overwrite")
+        .parquet(f"{index_base}/sizes")
+    )
+    hot.write.mode("overwrite").parquet(f"{index_base}/hot")
+
+    # ---- the probe: index scanned map-side only ----
+    idx = spark.read.parquet(f"{index_base}/shingles")
+    idx_sizes = spark.read.parquet(f"{index_base}/sizes")
+    hot_staged = spark.read.parquet(f"{index_base}/hot")
+    batch_k = batch.join(F.broadcast(hot_staged), ["lang", "source", "g"], "left_anti")
+    b_sizes = batch_k.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    shared = (
+        idx.join(
+            F.broadcast(batch_k.select(F.col("doc_id").alias("batch_doc"), "lang", "source", "g")),
+            ["lang", "source", "g"],
+        )
+        .groupBy("batch_doc", F.col("doc_id").alias("corpus_doc"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = (
+        shared.join(
+            F.broadcast(idx_sizes.select(F.col("doc_id").alias("corpus_doc"), F.col("n").alias("cn"))),
+            "corpus_doc",
+        )
+        .join(
+            F.broadcast(b_sizes.select(F.col("doc_id").alias("batch_doc"), F.col("n").alias("bn"))),
+            "batch_doc",
+        )
+        .withColumn(
+            "j",
+            F.col("n_shared").cast("double")
+            / (F.col("cn") + F.col("bn") - F.col("n_shared")),
+        )
+        .filter(F.col("j") >= NEARDUP_THRESHOLD)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("batch_doc")
+    ranked = jac.select(
+        "batch_doc",
+        F.col("corpus_doc").alias("best_match_doc"),
+        F.col("j").alias("best_j"),
+        F.count("*").over(w).alias("n_matches"),
+        F.row_number()
+        .over(w.orderBy(F.col("j").desc(), F.col("corpus_doc")))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "batch_doc", "n_matches", "best_match_doc", F.round("best_j", 6).alias("best_jaccard")
+    )

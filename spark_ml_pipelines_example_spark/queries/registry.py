@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_dpp_prune",
     "q_text_chunk",
     "q_sim_ann_ivf_index",
+    "q_dedup_incremental_neardup",
     # (d) deliberate spill-over past the ~50 budget — round-3 rotation
     # fodder (rows-only ops whose semantics are already evidenced by
     # in-window twins: mm_manifest, q_agg_label_encode, udaf tests).

@@ -212,3 +212,14 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir):
         f"cell filter did not become a partition prune:\n{plan}"
     )
     assert "Exchange" not in plan, f"ANN probe acquired a shuffle:\n{plan}"
+
+
+def test_incremental_neardup_never_shuffles_index(spark, sf_dir):
+    """Every join in the incremental near-dup probe must be broadcast
+    (batch set, hot set, size lookups) — the staged index is only ever
+    scanned map-side; the only Exchanges are the match-stream aggregation
+    and the per-batch-doc window, both proportional to the batch."""
+    plan = plan_of(spark, sf_dir, "q_dedup_incremental_neardup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, f"index side shuffled for a join:\n{plan}"
+    assert "CartesianProduct" not in plan
