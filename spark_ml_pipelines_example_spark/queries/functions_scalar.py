@@ -382,3 +382,44 @@ def q_fn_trig(spark, sf_dir):
         F.round(F.atan2(q, F.lit(10.0)), 6).alias("r_atan2"),
         F.round(F.degrees(F.atan(q)), 6).alias("r_deg"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                      IS NOT NULL THEN 1 END) AS n_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_sum,
+           MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("fn", "variant", "json"),
+)
+def q_fn_variant(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` turns the
+    raw JSON string into the binary VARIANT type once at ingest, then
+    every downstream extraction is ``variant_get`` on the pre-parsed
+    value — at 100 TB this is the schema-on-read store-once/extract-many
+    pattern (no per-query re-parse, and variant columns are shredded in
+    parquet by recent writers). ``try_variant_get`` returns NULL on
+    type/path misses instead of failing the job — the PERMISSIVE
+    equivalent for point extraction. Results are projected back to plain
+    BIGINT/INT aggregates so the oracle compares engine-neutral values
+    (DuckDB reads the same JSON via its json extension)."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(k).alias("n_k"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )

@@ -73,6 +73,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_gapfill",
     "q_win_analytic",
     "q_scd2_history",
+    # flagship scale ops added this session — a driver row for these beats
+    # one for the simpler roundtrips below
+    "q_join_bucketed_colocated",
+    "q_join_dpp_prune",
+    "q_text_chunk",
+    "q_dedup_incremental_neardup",
+    "q_fn_variant",
     "q_win_ranking",
     "q_win_frame_rows",
     "q_win_frame_range",
@@ -116,13 +123,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_string_indexer",
     "q_ml_vector_assembler",
     "q_sim_ann_ivf",
-    # layout-riding joins + chunking + materialized ANN index (added after
-    # the r2 fixture refresh)
-    "q_join_bucketed_colocated",
-    "q_join_dpp_prune",
-    "q_text_chunk",
     "q_sim_ann_ivf_index",
-    "q_dedup_incremental_neardup",
     # (d) deliberate spill-over past the ~50 budget — round-3 rotation
     # fodder (rows-only ops whose semantics are already evidenced by
     # in-window twins: mm_manifest, q_agg_label_encode, udaf tests).
