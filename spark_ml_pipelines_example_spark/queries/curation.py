@@ -354,3 +354,131 @@ def q_text_unigram_logprob(spark, sf_dir):
             (F.avg(lp) < SURPRISAL_FLAG).alias("flagged"),
         )
     )
+
+
+# Per-domain document cap (crawl-curation classic): a single domain may
+# contribute at most this many documents, best-first. Absolute, like the
+# shingle DF cap — the bound must not grow with the corpus.
+DOMAIN_CAP = 20
+
+
+@query(
+    "q_text_domain_cap",
+    oracle=f"""
+    WITH urls AS (
+        SELECT doc_id, lang, n_chars,
+               'https://' || source || '.example.com/docs/' || doc_id AS url
+        FROM documents
+    ), parsed AS (
+        SELECT doc_id, lang, n_chars,
+               regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+               regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path
+        FROM urls
+    ), ranked AS (
+        SELECT doc_id, lang, domain, path, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY domain
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM parsed
+    )
+    SELECT domain,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rk <= {DOMAIN_CAP}
+    GROUP BY domain
+    """,
+    tags=("text", "domain-cap", "url", "training-data"),
+)
+def q_text_domain_cap(spark, sf_dir):
+    """Per-domain document caps — the crawl-curation step that stops one
+    hostname from dominating the training mix. Documents get a synthetic
+    URL from their source (the fixture has no url column), the domain
+    comes out via ``parse_url`` (JVM-side URL parsing — HOST/PATH
+    extraction without regex in the engine path), docs rank within their
+    domain best-first (longer docs win, doc_id tie-break), and only the
+    top DOMAIN_CAP survive. One window over the domain partition — at
+    100 TB the domain key is the natural partitioner and no domain's
+    slice exceeds cap-bounded state. Output is the per-domain admit
+    summary with id-sum pinning exact membership."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id"),
+        ),
+    )
+    parsed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.parse_url("url", F.lit("HOST")).alias("domain"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    return (
+        parsed.withColumn("rk", rk)
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_id_sum"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "q_fn_winsorize",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_clipped_lo,
+           CAST(SUM(CAST(GREATEST(LEAST(l_extendedprice, hi), lo) AS DECIMAL(18,2)))
+                AS DOUBLE) AS winsorized_sum,
+           COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_clipped_hi
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("fn", "winsorize", "quality", "training-data"),
+)
+def q_fn_winsorize(spark, sf_dir):
+    """Quantile winsorization per group — outlier clipping before feature
+    normalization: exact p5/p95 bounds per returnflag (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), values clamped into
+    [lo, hi], clipped-row counts reported. Two aggregations over the same
+    shuffle key and a broadcast of the per-group bounds — the clip itself
+    is pure codegen. (At 100 TB you'd swap the exact percentile for
+    approx_percentile and keep everything else; the exact version is what
+    hash-checks cross-engine.)"""
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("l_extendedprice") < F.col("lo"), 1)).alias(
+                "n_clipped_lo"
+            ),
+            F.sum(clipped.cast("decimal(18,2)")).cast("double").alias("winsorized_sum"),
+            F.count(F.when(F.col("l_extendedprice") > F.col("hi"), 1)).alias(
+                "n_clipped_hi"
+            ),
+        )
+    )

@@ -80,6 +80,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_chunk",
     "q_dedup_incremental_neardup",
     "q_fn_variant",
+    "q_text_domain_cap",
+    "q_fn_winsorize",
     "q_win_ranking",
     "q_win_frame_rows",
     "q_win_frame_range",
