@@ -83,7 +83,7 @@ def run_curate(
 ) -> dict:
     """The full pretraining-curation pipeline as ONE job: quality-filter
     cascade → exact dedup (canonical doc per fingerprint) → eval-set
-    decontamination → per-source mix quotas → deterministic hash split →
+    decontamination → per-domain caps → per-source mix quotas → deterministic hash split →
     token-budget shard packing → write partitioned by split.
 
     Every stage is the row-level core of a declared (hash-checked) query,
@@ -121,8 +121,23 @@ def run_curate(
     kept = kept.join(contaminated, "doc_id", "left_anti")
     stats["after_decontamination"] = kept.count()
 
-    # 4. mix quotas: deterministic per-source keep-fraction by md5 rank
+    # 4. per-domain caps: no single domain (≡ source host here — the
+    # fixture's synthetic URLs are 1:1 with source) may contribute more
+    # than DOMAIN_CAP docs; best-first by length, doc_id tie-break
+    # (declared twin: q_text_domain_cap)
     from pyspark.sql import Window as W
+
+    from .queries.curation import DOMAIN_CAP
+
+    w_dom = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    kept = (
+        kept.withColumn("__dom_rk", F.row_number().over(w_dom))
+        .filter(F.col("__dom_rk") <= DOMAIN_CAP)
+        .drop("__dom_rk")
+    )
+    stats["after_domain_cap"] = kept.count()
+
+    # 5. mix quotas: deterministic per-source keep-fraction by md5 rank
 
     frac = F.when(F.col("source") == "src0", MIX_FRACTIONS["src0"])
     for src, fr in list(MIX_FRACTIONS.items())[1:]:
@@ -138,7 +153,7 @@ def run_curate(
     ).drop("rk", "n_src")
     stats["after_mix"] = kept.count()
 
-    # 5. deterministic hash split (train/val/test)
+    # 6. deterministic hash split (train/val/test)
     h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     kept = kept.withColumn(
         "split",
@@ -147,7 +162,7 @@ def run_curate(
         .otherwise("test"),
     )
 
-    # 6. shard packing: exclusive cumsum within (split, source)
+    # 7. shard packing: exclusive cumsum within (split, source)
     from .functions.text import tokens as tok
 
     sized = kept.withColumn("n_tokens", F.size(tok("text")))
@@ -163,7 +178,7 @@ def run_curate(
         "shard", F.floor(cum / float(SHARD_TOKEN_BUDGET)).cast("long")
     )
 
-    # 7. write, partitioned by split (training readers prune their split);
+    # 8. write, partitioned by split (training readers prune their split);
     # rows ordered by (source, shard) so shard files are contiguous
     (
         packed.drop("fp")

@@ -23,11 +23,21 @@ def test_curate_funnel_and_layout(spark, sf_dir):
         stats["after_quality"],
         stats["after_exact_dedup"],
         stats["after_decontamination"],
+        stats["after_domain_cap"],
         stats["after_mix"],
     ]
     assert all(a >= b for a, b in zip(seq, seq[1:])), stats
     assert stats["written"] == stats["after_mix"]
     assert stats["after_quality"] > 0
+
+    # domain-cap honored in the written output: no source over the cap
+    # times 1.0 (the mix stage can only shrink per-source counts further)
+    from spark_ml_pipelines_example_spark.queries.curation import DOMAIN_CAP
+
+    per_src = (
+        spark.read.parquet(out).groupBy("source").agg(F.count("*").alias("n"))
+    )
+    assert per_src.filter(F.col("n") > DOMAIN_CAP).count() == 0
 
     # stage agreement: quality gate == declared cascade's keep count
     cascade = REGISTRY["q_text_filter_cascade"].fn(spark, sf_dir)
