@@ -58,6 +58,13 @@ HEADLINE = [
     "q_scd2_history",
     "q_agg_percentile",
     "q_profile_orders",
+    # late round-2 additions (the staging-heavy layout queries —
+    # bucketed/DPP/incremental-index — are deliberately excluded: their
+    # wall-clock is write-dominated one-off index builds, not query cost)
+    "q_text_chunk",
+    "q_fn_variant",
+    "q_fn_winsorize",
+    "q_text_domain_cap",
 ]
 
 
