@@ -197,3 +197,103 @@ def q_tpch_q10(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(100.0 *
+             SUM(CASE WHEN p_type LIKE 'PROMO%'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                      ELSE 0 END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    tags=("composite", "tpch"),
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one month of shipments ⋈ part,
+    promo-type revenue share as a conditional-aggregate ratio. The date
+    range is scan-side (PushedFilters → row-group pruning), part
+    broadcasts into the fact scan, and both the numerator and denominator
+    accumulate in exact decimal before ONE double division — the
+    order-independence discipline matters double here because the result
+    is a ratio of two sums."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (100.0 * F.sum(promo) / F.sum(rev)).cast("double").alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# TPC-H Q18 quantity threshold, adapted to the fixture's ~4 lineitems per
+# order (the classic 300 would select nothing): the p99 of per-order
+# quantity sums, fixed so both engines compute the same membership.
+_Q18_QTY_MIN = 262
+
+
+@query(
+    "q_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY_MIN}
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("composite", "tpch"),
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    lineitem quantity clears a threshold, re-joined to their customers and
+    lines for the report, deterministic top-100 by order value. The big
+    orders come from a partial+final hash aggregate with the HAVING on
+    the reduced stream; membership then drives a LEFT SEMI join on the
+    fact (ids only ride the broadcast), so the full aggregate-filter-
+    report runs in two shuffles + broadcasts — no correlated re-scan."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > _Q18_QTY_MIN)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            "o_totalprice",
+        )
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

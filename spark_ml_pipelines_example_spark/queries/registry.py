@@ -82,6 +82,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_variant",
     "q_text_domain_cap",
     "q_fn_winsorize",
+    "q_tpch_q14",
+    "q_tpch_q18",
     "q_win_ranking",
     "q_win_frame_rows",
     "q_win_frame_range",
