@@ -176,3 +176,32 @@ def q_multimodal_decode(spark, sf_dir):
         )
         .orderBy("modality")
     )
+
+
+def decode_features_arrow(with_payload: DataFrame) -> DataFrame:
+    """mapInArrow decode — the Spark-4 Arrow-native twin of
+    ``decode_features``: batches arrive as ``pyarrow.RecordBatch`` and
+    never materialize pandas objects, which drops the
+    pandas-Block-construction overhead on wide/binary columns (exactly
+    the multimodal case: payloads are opaque byte blobs pandas can only
+    store as object arrays). The decode itself is the same pure
+    per-payload function; equality with the pandas path is asserted in
+    tests/test_session_additions.py."""
+    import pyarrow as pa
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            payloads = batch.column("payload").to_pylist()
+            metas = batch.column("media_meta")
+            feats = [np.round(_fake_decode(p), 6).tolist() for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    metas.field("modality"),
+                    metas.field("n_bytes"),
+                    pa.array(feats, pa.list_(pa.float64())),
+                ],
+                names=["doc_id", "modality", "n_bytes", "feature"],
+            )
+
+    return with_payload.mapInArrow(run, DECODED_SCHEMA)

@@ -116,3 +116,21 @@ def test_variant_extraction_matches_from_json(spark, sf_dir):
         F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("b"),
     )
     assert both.filter(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
+
+
+def test_arrow_decode_equals_pandas_decode(spark, sf_dir):
+    """mapInArrow and mapInPandas decode paths must produce identical
+    rows — same stub decoder, two batch-transport APIs."""
+    from spark_ml_pipelines_example_spark.operators.multimodal import (
+        attach_payload,
+        decode_features,
+        decode_features_arrow,
+    )
+    from spark_ml_pipelines_example_spark.queries._util import t
+
+    docs = t(spark, sf_dir, "documents")
+    wp = attach_payload(docs)
+    a = decode_features(wp).orderBy("doc_id").collect()
+    b = decode_features_arrow(wp).orderBy("doc_id").collect()
+    assert len(a) == len(b) > 0
+    assert a == b
