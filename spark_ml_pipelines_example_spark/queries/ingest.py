@@ -285,18 +285,33 @@ def q_dedup_incremental_neardup(spark, sf_dir):
     evidence an append job needs."""
     index_base = scratch_dir("q_dedup_incremental_neardup", sf_dir)
     d = t(spark, sf_dir, "documents")
+    batch_docs = d.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_REMAINDER)
+    build_neardup_index(
+        spark, d.filter(F.col("doc_id") % INCREMENT_MOD != INCREMENT_REMAINDER), index_base
+    )
+    return neardup_probe(spark, index_base, batch_docs)
+
+
+def _doc_shingles(docs):
+    """Distinct word-bigram shingles per doc, spread on doc_id first (a
+    one-file input otherwise tokenizes in a single task)."""
     from ..functions.text import bigrams, tokens
 
-    sh_all = d.repartition(32, "doc_id").select(
+    return docs.repartition(32, "doc_id").select(
         "doc_id",
         "lang",
         "source",
         F.explode(F.array_distinct(bigrams(tokens("text")))).alias("g"),
     )
-    corpus = sh_all.filter(F.col("doc_id") % INCREMENT_MOD != INCREMENT_REMAINDER)
-    batch = sh_all.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_REMAINDER)
 
-    # ---- one-off index build (at scale: maintained incrementally) ----
+
+def build_neardup_index(spark, corpus_docs, index_base: str) -> None:
+    """Materialize the standing near-dup index: DF-capped shingles,
+    per-doc shingle sizes, and the hot (stopword) shingle set — the three
+    artifacts every future batch probe reads map-side. One-off here; at
+    scale maintained incrementally (admitted batches append their
+    shingles and sizes)."""
+    corpus = _doc_shingles(corpus_docs)
     hot = (
         corpus.groupBy("lang", "source", "g")
         .agg(F.count("*").alias("df"))
@@ -314,7 +329,14 @@ def q_dedup_incremental_neardup(spark, sf_dir):
     )
     hot.write.mode("overwrite").parquet(f"{index_base}/hot")
 
-    # ---- the probe: index scanned map-side only ----
+
+def neardup_probe(spark, index_base: str, batch_docs):
+    """Probe a batch of documents against the staged index. Every join is
+    broadcast (batch shingles, hot set, size lookups) — the index is only
+    ever scanned map-side; shuffled rows are proportional to the batch.
+    Returns one row per matched batch doc: match count + best match with
+    deterministic tie-break."""
+    batch = _doc_shingles(batch_docs)
     idx = spark.read.parquet(f"{index_base}/shingles")
     idx_sizes = spark.read.parquet(f"{index_base}/sizes")
     hot_staged = spark.read.parquet(f"{index_base}/hot")

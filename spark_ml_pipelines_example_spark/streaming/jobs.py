@@ -449,3 +449,70 @@ def streaming_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(out, "stream_stateful_session_out", "append").filter(
         F.col("user_id") != SENTINEL_USER
     )
+
+
+def run_streaming_ingest_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Streaming corpus curation: new documents arrive as a file-source
+    stream, each micro-batch is near-dup-probed against the STANDING
+    corpus's materialized shingle index (queries/ingest.py:
+    build_neardup_index / neardup_probe — every probe join broadcast,
+    the index only ever scanned map-side), and only novel docs are
+    admitted to the output table. The sink is foreachBatch with
+    overwrite-by-partition on batch_id, so a retried micro-batch
+    rewrites its own partition instead of duplicating — idempotent
+    append without a transactional sink. This is the production shape of
+    `q_dedup_incremental_neardup`: the batch query is one crawl
+    increment; this job is the increment-every-five-minutes version.
+    Streaming ≡ batch (same admitted set) is asserted in
+    tests/test_streaming.py."""
+    from ..queries._util import scratch_dir
+    from ..queries.ingest import (
+        INCREMENT_MOD,
+        INCREMENT_REMAINDER,
+        build_neardup_index,
+        neardup_probe,
+    )
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_docs = docs.filter(F.col("doc_id") % INCREMENT_MOD != INCREMENT_REMAINDER)
+    batch_docs = docs.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_REMAINDER)
+
+    index_base = scratch_dir("stream_neardup_index", sf_dir)
+    build_neardup_index(spark, corpus_docs, index_base)
+
+    # stage the increment as MULTIPLE files so availableNow +
+    # maxFilesPerTrigger exercises real multi-micro-batch behavior
+    src_dir = scratch_dir("stream_neardup_src", sf_dir)
+    batch_docs.withColumn("part", (F.col("doc_id") % 3).cast("int")).repartition(
+        3, "part"
+    ).write.mode("overwrite").partitionBy("part").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/part=*")
+    )
+
+    def probe_and_admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matched = neardup_probe(spark, index_base, batch_df).select(
+            F.col("batch_doc").alias("doc_id")
+        )
+        admitted = batch_df.select("doc_id", "lang").join(matched, "doc_id", "left_anti")
+        (
+            admitted.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(probe_and_admit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

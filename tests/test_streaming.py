@@ -227,3 +227,40 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir):
     out = spark.read.parquet(sink)
     assert out.count() == n_even + n_odd  # f0 not reprocessed
     assert out.select("event_id").distinct().count() == n_even + n_odd
+
+
+def test_streaming_ingest_dedup_equals_batch(spark, sf_dir):
+    """The streamed per-micro-batch near-dup admission must admit exactly
+    the docs the one-shot batch probe admits, across >1 micro-batch."""
+    from spark_ml_pipelines_example_spark.queries._util import scratch_dir
+    from spark_ml_pipelines_example_spark.queries.ingest import (
+        INCREMENT_MOD,
+        INCREMENT_REMAINDER,
+    )
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+    from spark_ml_pipelines_example_spark.streaming.jobs import (
+        run_streaming_ingest_dedup,
+    )
+
+    from pyspark.sql import functions as F
+
+    out = scratch_dir("stream_neardup_out", sf_dir)
+    got = run_streaming_ingest_dedup(spark, sf_dir, out)
+    admitted = {r.doc_id for r in got.select("doc_id").collect()}
+
+    reg = load_all()
+    matched = {
+        r.batch_doc
+        for r in reg["q_dedup_incremental_neardup"].fn(spark, sf_dir).collect()
+    }
+    batch_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_REMAINDER)
+        .select("doc_id")
+        .collect()
+    }
+    assert admitted == batch_ids - matched
+    # multi-batch actually exercised (3 staged files, 1 per trigger)
+    assert got.select("batch_id").distinct().count() >= 2
