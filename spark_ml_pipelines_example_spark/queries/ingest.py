@@ -260,13 +260,22 @@ NEARDUP_THRESHOLD = 0.3
         JOIN b_sizes bs ON batch_doc = bs.doc_id
         WHERE CAST(n_shared AS DOUBLE) / (cs.n + bs.n - n_shared) >= {NEARDUP_THRESHOLD}
     )
-    SELECT batch_doc, n_matches, best_match_doc, ROUND(best_j, 6) AS best_jaccard
-    FROM (
-        SELECT batch_doc, corpus_doc AS best_match_doc, j AS best_j,
-               COUNT(*) OVER (PARTITION BY batch_doc) AS n_matches,
-               ROW_NUMBER() OVER (PARTITION BY batch_doc ORDER BY j DESC, corpus_doc) AS rn
-        FROM jac
-    ) WHERE rn = 1
+    , best AS (
+        SELECT batch_doc, n_matches, best_match_doc, ROUND(best_j, 6) AS best_jaccard
+        FROM (
+            SELECT batch_doc, corpus_doc AS best_match_doc, j AS best_j,
+                   COUNT(*) OVER (PARTITION BY batch_doc) AS n_matches,
+                   ROW_NUMBER() OVER (PARTITION BY batch_doc ORDER BY j DESC, corpus_doc) AS rn
+            FROM jac
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id AS batch_doc, d.lang,
+           COALESCE(b.n_matches, 0) AS n_matches,
+           b.best_match_doc, b.best_jaccard,
+           CASE WHEN b.batch_doc IS NULL THEN 'admit' ELSE 'reject' END AS verdict
+    FROM (SELECT doc_id, lang FROM documents
+          WHERE doc_id % {INCREMENT_MOD} = {INCREMENT_REMAINDER}) d
+    LEFT JOIN best b ON d.doc_id = b.batch_doc
     """,
     tags=("dedup", "incremental", "jaccard", "training-data"),
 )
@@ -279,17 +288,33 @@ def q_dedup_incremental_neardup(spark, sf_dir):
     hot stopword shingles already DF-capped out at build time), the batch
     shingle set is broadcast against it, and the only shuffled rows are
     the match stream (batch_doc, corpus_doc) pairs and the matched docs'
-    size lookups — both proportional to the batch, not the corpus. Per
-    batch doc: how many standing docs it near-duplicates and its best
-    match (ties broken by min corpus doc), i.e. exactly the drop/keep
-    evidence an append job needs."""
+    size lookups — both proportional to the batch, not the corpus. The
+    result is the full admit/reject verdict table: one row per batch doc
+    with its match count and best standing match (ties broken by min
+    corpus doc) — exactly the evidence an append job acts on, and a
+    hash check over the whole batch (including the zero-match docs)
+    rather than just the usually-tiny reject set."""
     index_base = scratch_dir("q_dedup_incremental_neardup", sf_dir)
     d = t(spark, sf_dir, "documents")
     batch_docs = d.filter(F.col("doc_id") % INCREMENT_MOD == INCREMENT_REMAINDER)
     build_neardup_index(
         spark, d.filter(F.col("doc_id") % INCREMENT_MOD != INCREMENT_REMAINDER), index_base
     )
-    return neardup_probe(spark, index_base, batch_docs)
+    matched = neardup_probe(spark, index_base, batch_docs)
+    return (
+        batch_docs.select(F.col("doc_id").alias("batch_doc"), "lang")
+        .join(F.broadcast(matched), "batch_doc", "left")
+        .select(
+            "batch_doc",
+            "lang",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match_doc",
+            "best_jaccard",
+            F.when(F.col("best_match_doc").isNull(), "admit")
+            .otherwise("reject")
+            .alias("verdict"),
+        )
+    )
 
 
 def _doc_shingles(docs):

@@ -83,6 +83,8 @@ def test_incremental_neardup_agrees_with_corpus_pairs(spark, sf_dir):
     )
 
     probe = REGISTRY["q_dedup_incremental_neardup"].fn(spark, sf_dir)
+    # the verdict table covers every batch doc exactly once
+    assert probe.groupBy("batch_doc").count().filter("count > 1").count() == 0
     exact = probe.filter(F.col("best_jaccard") >= 0.999999).select(
         "batch_doc", "best_match_doc"
     )

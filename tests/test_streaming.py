@@ -252,7 +252,10 @@ def test_streaming_ingest_dedup_equals_batch(spark, sf_dir):
     reg = load_all()
     matched = {
         r.batch_doc
-        for r in reg["q_dedup_incremental_neardup"].fn(spark, sf_dir).collect()
+        for r in reg["q_dedup_incremental_neardup"]
+        .fn(spark, sf_dir)
+        .filter(F.col("verdict") == "reject")
+        .collect()
     }
     batch_ids = {
         r.doc_id
