@@ -65,6 +65,8 @@ HEADLINE = [
     "q_fn_variant",
     "q_fn_winsorize",
     "q_text_domain_cap",
+    "q_tpch_q14",
+    "q_tpch_q18",
 ]
 
 
