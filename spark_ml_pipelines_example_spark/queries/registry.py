@@ -84,6 +84,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_winsorize",
     "q_tpch_q14",
     "q_tpch_q18",
+    "q_win_gaps_islands",
+    "q_set_unpivot",
     "q_win_ranking",
     "q_win_frame_rows",
     "q_win_frame_range",

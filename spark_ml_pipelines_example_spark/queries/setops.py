@@ -149,3 +149,44 @@ def q_set_intersect_except(spark, sf_dir):
         .unionByName(tag(ok.intersectAll(cu), "ia"))
         .unionByName(tag(ok.exceptAll(cu), "ea"))
     )
+
+
+@query(
+    "q_set_unpivot",
+    oracle="""
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    GROUP BY l_returnflag, measure
+    """,
+    tags=("setop", "unpivot", "melt"),
+)
+def q_set_unpivot(spark, sf_dir):
+    """Unpivot (melt, wide→long) — the inverse of q_agg_pivot: four
+    lineitem measure columns become (measure, val) rows via the native
+    ``unpivot`` operator (Catalyst Expand node — the same zero-join
+    machinery as rollup/cube, one scan, 4× row fan-out map-side, no
+    shuffle until the aggregate). The long form then aggregates per
+    (flag, measure) — the normalize-then-aggregate shape feature stores
+    and metrics pipelines run constantly. The oracle spells it as the
+    UNION ALL the Expand is equivalent to."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

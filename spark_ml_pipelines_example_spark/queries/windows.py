@@ -204,3 +204,68 @@ def q_win_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "q_win_gaps_islands",
+    # identical semantics (and oracle) to q_stream_session: the native
+    # session_window operator and this pure-window formulation must
+    # produce the same sessions — asserted against each other in
+    # tests/test_session_additions.py as well as against DuckDB here.
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS sess_start,
+           CAST(epoch(date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+    tags=("window", "session", "gaps-islands"),
+)
+def q_win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands sessionization — the pure-window formulation of
+    what ``session_window`` does natively (q_stream_session): lag() flags
+    session starts (gap ≥ 30 min), a running sum of flags numbers the
+    islands, and a hash aggregate per (user, island) emits the sessions.
+    This is the shape you need the moment the gap rule isn't a constant
+    (per-user gaps, activity-type resets) — session_window can't express
+    those, two windows + one aggregate can. Same shuffle profile as the
+    native operator: everything partitions by user_id; the ordering-
+    sensitive windows and the aggregate ride one exchange."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact epoch for the gap test (unix_timestamp floors to seconds,
+    # which could flip events within 1s of the boundary vs the oracle's
+    # exact interval comparison; ts is NTZ → cast through TIMESTAMP under
+    # the UTC-pinned session)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w_ord)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("sess_start"),
+        (F.unix_timestamp(F.max("ts")) + 30 * 60).alias("sess_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    ).drop("sess_id")

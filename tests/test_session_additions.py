@@ -136,3 +136,14 @@ def test_arrow_decode_equals_pandas_decode(spark, sf_dir):
     b = decode_features_arrow(wp).orderBy("doc_id").collect()
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_gaps_islands_equals_native_session_window(spark, sf_dir):
+    """The pure-window sessionization and native session_window must
+    produce identical session rows — two formulations, one semantics."""
+    a = REGISTRY["q_win_gaps_islands"].fn(spark, sf_dir)
+    b = REGISTRY["q_stream_session"].fn(spark, sf_dir)
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
