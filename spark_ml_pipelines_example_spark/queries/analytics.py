@@ -1,0 +1,257 @@
+"""Event/behavioral analytics queries — cohort retention, rolling
+time-window features, deterministic mode/median, interval-overlap joins,
+and exact-k group sampling.
+
+These extend the engine past the reference's batch-ML surface into the
+product-analytics shapes every event-log deployment runs (reference
+parity: the `events` fixture mirrors the reference's event stream,
+SURVEY §2.2b). Scale notes per query; the common theme is that every
+shape resolves to ONE shuffle on a real key plus broadcast-size side
+inputs — no global sorts, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ._util import ORACLE_EPOCH_S, dec, epoch_s, t
+from .registry import query
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH user_day AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM user_day GROUP BY user_id
+    ), act AS (
+        SELECT c.cohort_day,
+               datediff('day', c.cohort_day, d.day) AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_active
+        FROM user_day d JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cohort_day, COUNT(*) AS n_cohort FROM cohort GROUP BY 1
+    )
+    SELECT a.cohort_day, a.day_offset, a.n_active, s.n_cohort,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.n_cohort, 4) AS retention_pct
+    FROM act a JOIN sizes s USING (cohort_day)
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def q_events_retention(spark, sf_dir):
+    """Cohort retention matrix: cohort = first active day per user;
+    each (cohort_day, day_offset) cell counts users still active that
+    many days later. The classic growth-analytics rollup.
+
+    Scale shape: one shuffle on user_id produces both the per-user
+    cohort day and the distinct (user, day) activity set; the final
+    matrix is |days|² rows — driver-size output from any input volume.
+    The cohort-size side of the last join is tiny → broadcast.
+    """
+    ev = t(spark, sf_dir, "events")
+    user_day = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = user_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        user_day.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("n_cohort"))
+    return act.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention_pct"),
+    )
+
+
+@query(
+    "q_win_rolling_time",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {ORACLE_EPOCH_S.format(col="ts")} AS ts_s,
+           COUNT(*) OVER w AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_prev_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY {ORACLE_EPOCH_S.format(col="ts")}
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame", "timeseries", "feature-engineering"),
+)
+def q_win_rolling_time(spark, sf_dir):
+    """Rolling 1-hour event count and value sum per user — the RANGE
+    frame over event-time epoch seconds (feature engineering's "activity
+    in the trailing hour" signal). RANGE (not ROWS) so same-second peers
+    always land in the same frame regardless of tie order — the result
+    is deterministic without a tie-break key. Decimal accumulation keeps
+    the rolling sums exact under any partition order; one shuffle on
+    user_id, per-partition sort, no global ordering anywhere.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch_s("ts"))
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch_s("ts").alias("ts_s"),
+        F.count("*").over(w).alias("n_prev_hour"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_prev_hour"),
+    )
+
+
+@query(
+    "q_agg_mode_median",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ), mode AS (
+        SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS mode_count,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cnt DESC, o_orderstatus) AS rn
+        FROM counts
+    ), stats AS (
+        SELECT o_orderpriority,
+               ROUND(median(o_totalprice), 2) AS median_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT s.o_orderpriority, s.median_price, s.n_orders,
+           m.mode_status, m.mode_count
+    FROM stats s JOIN mode m USING (o_orderpriority)
+    WHERE m.rn = 1
+    """,
+    tags=("agg", "mode", "median"),
+)
+def q_agg_mode_median(spark, sf_dir):
+    """Deterministic mode + exact median per group. Spark's built-in
+    ``mode()`` returns an arbitrary value on frequency ties, so the mode
+    is derived as count-per-value → row_number with a lexicographic
+    tie-break — same two-shuffle shape, deterministic at any scale.
+    ``median`` is the exact interpolated percentile (both engines
+    implement percentile_cont(0.5)); rounded to cents for hash safety.
+    The 5-row mode/stats join is broadcast-size by construction.
+    """
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.col("o_orderstatus")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+    stats = o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+    return stats.join(F.broadcast(mode), "o_orderpriority").select(
+        "o_orderpriority", "median_price", "n_orders", "mode_status", "mode_count"
+    )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH spans AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_start,
+               CAST(o_orderdate AS DATE) + 7 AS o_end
+        FROM orders
+    ), campaigns AS (
+        SELECT DISTINCT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS c_start,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) + 45 AS c_end
+        FROM orders
+    )
+    SELECT c.c_start, c.c_end,
+           COUNT(*) AS n_overlapping,
+           CAST(SUM(CAST(s.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM spans s JOIN campaigns c
+      ON s.o_start < c.c_end AND c.c_start < s.o_end
+    GROUP BY 1, 2
+    """,
+    tags=("join", "interval", "overlap"),
+)
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join: order activity spans [orderdate, +7d)
+    against quarterly campaign windows [quarter_start, +45d), half-open
+    overlap predicate ``a.start < b.end AND b.start < a.end``. The
+    campaign side is derived (distinct quarters → dozens of rows) and
+    broadcast, so the fact side streams through with zero shuffle — the
+    only scalable plan for interval joins where one side is small. When
+    BOTH sides are large, the bucketed-range-join operator
+    (operators/rangejoin.py) is the right tool instead.
+    """
+    o = t(spark, sf_dir, "orders")
+    spans = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_start"),
+        F.date_add(F.to_date("o_orderdate"), 7).alias("o_end"),
+    )
+    campaigns = (
+        o.select(F.date_trunc("quarter", "o_orderdate").cast("date").alias("c_start"))
+        .distinct()
+        .withColumn("c_end", F.date_add("c_start", 45))
+    )
+    joined = spans.join(
+        F.broadcast(campaigns),
+        (F.col("o_start") < F.col("c_end")) & (F.col("c_start") < F.col("o_end")),
+    )
+    return joined.groupBy("c_start", "c_end").agg(
+        F.count("*").alias("n_overlapping"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "q_sample_reservoir_group",
+    oracle="""
+    SELECT lang, doc_id, rn FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(concat_ws('|', 'rsv', CAST(doc_id AS VARCHAR))),
+                            doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+    tags=("sample", "reservoir", "training-data"),
+)
+def q_sample_reservoir_group(spark, sf_dir):
+    """Exact-k uniform sample per group (reservoir-sampling semantics,
+    deterministic): rank every doc within its language by the md5 of a
+    keyed salt and keep the first 50. Unlike Bernoulli stratified
+    sampling (q_sample_stratified) this guarantees EXACTLY k per group,
+    and unlike ``rand()`` it is reproducible across runs/engines. One
+    shuffle on lang; at 100 TB the per-group sort is bounded by a
+    top-k-per-partition pre-filter Catalyst derives from the rank
+    filter (WindowGroupLimit in the physical plan).
+    """
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("|", F.lit("rsv"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id", "rn")
+    )

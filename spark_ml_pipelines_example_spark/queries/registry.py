@@ -139,6 +139,18 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_train_test_split",
     "q_ml_evaluator",
     "q_ml_cross_validation",
+    # (e) round-2 late additions (analytics + projection family) — past
+    # this round's window; selfcheck-evidenced, round-3 rotation fodder.
+    "q_events_retention",
+    "q_win_rolling_time",
+    "q_agg_mode_median",
+    "q_join_interval_overlap",
+    "q_sample_reservoir_group",
+    "q_sim_random_projection",
+    "q_tpch_q4",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
 )
 
 
@@ -148,6 +160,7 @@ def load_all() -> dict[str, QuerySpec]:
     on the queries that most need a fresh correctness row."""
     from . import (  # noqa: F401
         aggregates,
+        analytics,
         composites,
         curation,
         dedup,

@@ -52,6 +52,46 @@ def q_sim_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "q_sim_random_projection",
+    oracle="""
+    SELECT vec_id, g.j AS j,
+           ROUND(list_sum(list_transform(range(64), i ->
+               CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE WHEN (i * 73 + g.j * 151) % 2 = 0 THEN 1.0 ELSE -1.0 END))),
+                 4) AS comp
+    FROM embeddings, range(16) g(j)
+    """,
+    tags=("similarity", "projection", "dimensionality-reduction"),
+)
+def q_sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 16 dims with a
+    DETERMINISTIC ±1 projection matrix (sign = parity of a linear hash
+    of (i, j), identical in both engines — no RNG state to ship).
+    Output is exploded to (vec_id, j, comp) rows, scalar cells only.
+
+    Entirely inside whole-stage codegen: nested HOFs
+    (transform ∘ aggregate) compute R·x per row with zero shuffle and
+    zero Python — the map-only shape that runs at scan speed on 100 TB.
+    Sign projections (Achlioptas 2001) need only the row index pair, so
+    the 'matrix' is never materialized or broadcast.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    sign = (
+        "CASE WHEN pmod(i * 73 + j * 151, 2) = 0 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    )
+    proj = F.expr(
+        "transform(sequence(0, 15), j -> "
+        "  round(aggregate(sequence(0, 63), cast(0.0 as double), (acc, i) -> "
+        f"    acc + cast(element_at(embedding, i + 1) as double) * ({sign})), 4))"
+    )
+    return (
+        e.select("vec_id", F.posexplode(proj).alias("j", "comp"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "comp")
+    )
+
+
+@query(
     "q_sim_pairwise_sample",
     oracle="""
     WITH sample AS (

@@ -223,3 +223,31 @@ def test_incremental_neardup_never_shuffles_index(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, f"index side shuffled for a join:\n{plan}"
     assert "CartesianProduct" not in plan
+
+
+def test_reservoir_sample_pushes_group_limit(spark, sf_dir):
+    """The rank<=k filter must become a WindowGroupLimit so each map task
+    pre-truncates its partition to k rows before the shuffle sort — the
+    difference between sorting 50 rows/group and sorting the full table."""
+    plan = plan_of(spark, sf_dir, "q_sample_reservoir_group")
+    assert "WindowGroupLimit" in plan, (
+        f"rank filter did not derive a group-limit pushdown:\n{plan}"
+    )
+
+
+def test_interval_overlap_broadcasts_campaigns(spark, sf_dir):
+    """An interval-overlap join has no equi key, so the only scalable plan
+    with a small side is BroadcastNestedLoopJoin — the fact scan must not
+    shuffle and must not plan a cartesian product."""
+    plan = plan_of(spark, sf_dir, "q_join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" in plan, f"campaign side not broadcast:\n{plan}"
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_map_only(spark, sf_dir):
+    """The JL projection must stay scan → project/generate: zero Exchange,
+    zero Join, zero Python — it runs at scan speed or it is wrong."""
+    plan = plan_of(spark, sf_dir, "q_sim_random_projection")
+    assert "Exchange" not in plan, f"projection acquired a shuffle:\n{plan}"
+    assert "Join" not in plan
+    assert "Python" not in plan, f"projection left codegen:\n{plan}"
