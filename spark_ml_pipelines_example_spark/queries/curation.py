@@ -482,3 +482,74 @@ def q_fn_winsorize(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal: the second-order upgrade of q_text_unigram_logprob.
+
+BIGRAM_K = 0.5  # add-k smoothing
+BIGRAM_FLAG = -3.43  # ~p5 of the score distribution at sf0.001-0.1
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk)),
+                          i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+            FROM toks)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    ugc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+              FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents))
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln((c.c12 + {BIGRAM_K}) / (g.c1 + {BIGRAM_K} * vocab.v))), 6)
+               AS avg_logprob2,
+           (AVG(ln((c.c12 + {BIGRAM_K}) / (g.c1 + {BIGRAM_K} * vocab.v)))
+               < {BIGRAM_FLAG}) AS flagged
+    FROM bg b
+    JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+    JOIN ugc g ON b.w1 = g.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "quality", "lm", "bigram", "training-data"),
+)
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model surprisal with add-k smoothing:
+    P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V), each document scored by its
+    mean log-probability over bigram positions — the second-order
+    perplexity proxy (catches locally-fluent-but-globally-odd text the
+    unigram score misses). Count model: one shuffle each for the bigram
+    and prefix tables; scoring re-joins the bigram stream to its counts
+    on the (w1,w2) key (shuffle — the bigram table is NOT broadcast-safe
+    at corpus scale) with the much smaller prefix table broadcast. V is
+    one driver-side scalar (same pattern as the unigram total)."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ugc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = float(d.select(F.explode(tk).alias("tok")).distinct().count())
+    lp = F.log((F.col("c12") + BIGRAM_K) / (F.col("c1") + BIGRAM_K * F.lit(v)))
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(ugc), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob2"),
+            (F.avg(lp) < BIGRAM_FLAG).alias("flagged"),
+        )
+    )

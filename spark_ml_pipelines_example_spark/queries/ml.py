@@ -259,3 +259,94 @@ def q_ml_cross_validation(spark, sf_dir):
         ],
         "n_param_maps int, n_folds int, best_avg_accuracy double, worst_avg_accuracy double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing + quantile discretization: the two MLlib featurizers
+# whose semantics can be pinned exactly cross-engine.
+
+FH_BUCKETS = 256
+FH_DOC_MOD = 50  # featurize every 50th doc (keeps the declared output compact)
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "q_ml_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % {FH_DOC_MOD} = 0
+    )
+    SELECT doc_id,
+           (strpos('{_HEX}', substr(md5(tok), 1, 1)) - 1) * 16
+             + (strpos('{_HEX}', substr(md5(tok), 2, 1)) - 1) AS bucket,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT tok) AS n_terms
+    FROM tok GROUP BY 1, 2
+    """,
+    tags=("ml", "feature-hashing", "training-data"),
+)
+def q_ml_feature_hashing(spark, sf_dir):
+    """Feature hashing (the hashing trick, HashingTF semantics) with a
+    cross-engine-deterministic hash: bucket = first md5 byte → 256-dim
+    sparse term-frequency vectors as (doc_id, bucket, cnt) rows, plus
+    the per-bucket collision width (n_terms > 1 = colliding terms).
+    MLlib's HashingTF uses murmur3 — same algorithm shape, but its hash
+    is JVM-private, so the declared query pins md5 (identical in every
+    engine) and tests assert the MLlib twin produces the same vector
+    SHAPE. Explode → hash-groupBy is one map-side-combinable shuffle;
+    the hash is computed inside codegen, no UDF."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % FH_DOC_MOD == 0)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bucket = (
+        (F.expr(f"instr('{_HEX}', substring(md5(tok), 1, 1))") - 1) * 16
+        + F.expr(f"instr('{_HEX}', substring(md5(tok), 2, 1))")
+        - 1
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("tok").alias("n_terms"),
+    )
+
+
+@query(
+    "q_ml_quantile_discretizer",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS q FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               CAST(o_totalprice > q[1] AS INT) + CAST(o_totalprice > q[2] AS INT)
+                 + CAST(o_totalprice > q[3] AS INT) AS bucket
+        FROM orders, b
+    )
+    GROUP BY bucket
+    """,
+    tags=("ml", "discretizer", "quantile"),
+)
+def q_ml_quantile_discretizer(spark, sf_dir):
+    """QuantileDiscretizer semantics with EXACT quartile bounds:
+    bucket(x) = #{bounds below x} — deterministic where MLlib's
+    approxQuantile-backed fit is relative-error bound. The three bounds
+    come from one exact percentile aggregate (driver-side 3-element
+    array, same pattern as the winsorize bounds) and fold into the scan
+    as literals — the bucketing pass is map-only, then one tiny
+    aggregate. At 100 TB the exact percentile is the expensive step;
+    swap in approx_percentile(1e-4) without touching the bucket logic."""
+    o = t(spark, sf_dir, "orders")
+    q1, q2, q3 = o.agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("q")
+    ).head()[0]
+    p = F.col("o_totalprice")
+    bucket = (
+        (p > q1).cast("int") + (p > q2).cast("int") + (p > q3).cast("int")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min(p), 2).alias("lo"),
+        F.round(F.max(p), 2).alias("hi"),
+    )

@@ -151,6 +151,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q19",
     "q_tpch_q21",
     "q_tpch_q22",
+    "q_graph_pagerank",
+    "q_text_bigram_lm",
+    "q_ml_feature_hashing",
+    "q_ml_quantile_discretizer",
 )
 
 
@@ -184,6 +188,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ..operators import grouped_pandas as _op_grouped_pandas  # noqa: F401
     from ..operators import merge as _op_merge  # noqa: F401
     from ..operators import multimodal as _op_multimodal  # noqa: F401
+    from ..operators import pagerank as _op_pagerank  # noqa: F401
     from ..operators import profile as _op_profile  # noqa: F401
     from ..operators import rangejoin as _op_rangejoin  # noqa: F401
     from ..operators import scd as _op_scd  # noqa: F401
