@@ -155,6 +155,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_bigram_lm",
     "q_ml_feature_hashing",
     "q_ml_quantile_discretizer",
+    "q_layout_zorder",
+    "q_embed_quantize",
 )
 
 

@@ -202,3 +202,49 @@ def q_scan_json_corrupt(spark, sf_dir):
         F.sum(F.when(good, F.col("doc_id"))).cast("long").alias("id_sum_good"),
         F.sum(F.when(good, F.col("n_chars"))).cast("long").alias("chars_good"),
     )
+
+
+@query(
+    "q_layout_zorder",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+           MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 299 AND l_suppkey BETWEEN 10 AND 39
+    """,
+    tags=("scan", "layout", "zorder", "data-skipping"),
+)
+def q_layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering for two-dimensional data skipping:
+    lineitem is staged sorted by the bit-interleaved (l_partkey,
+    l_suppkey) key (sources/layout.py:zorder_key), then a 2-D range
+    query runs against the staged layout. Because each output file holds
+    a contiguous Morton range, its min/max footer stats are tight in
+    BOTH dimensions and the scan skips most files/row-groups for any
+    selective partkey AND/OR suppkey filter — a single-column sort only
+    serves one of the two. tests/test_layout.py measures the stats
+    tightness directly from the parquet footers. Results are
+    layout-invariant (the oracle reads the unsorted table)."""
+    path = scratch_dir("q_layout_zorder", sf_dir)
+    from ..sources.layout import write_zordered
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    write_zordered(li, path, "l_partkey", "l_suppkey", n_files=16)
+    staged = spark.read.parquet(path)
+    f = staged.filter(
+        F.col("l_partkey").between(100, 299) & F.col("l_suppkey").between(10, 39)
+    )
+    from ._util import dec
+
+    return f.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )

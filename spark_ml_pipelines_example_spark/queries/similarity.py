@@ -131,3 +131,67 @@ def q_sim_pairwise_sample(spark, sf_dir):
     return a.join(b, (a.label == b.label_b) & (F.col("id_a") < F.col("id_b"))).select(
         "label", "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), p AS (
+        SELECT vec_id, v,
+               list_min(v) AS lo,
+               GREATEST(list_max(v) - list_min(v), 1e-12) AS span
+        FROM e
+    ), q AS (
+        SELECT vec_id, lo, span,
+               list_transform(v, x ->
+                   CAST(LEAST(FLOOR((x - lo) * 256 / span), 255) AS BIGINT)) AS codes,
+               v
+        FROM p
+    )
+    SELECT vec_id,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           ROUND(lo, 6) AS zero_point,
+           ROUND(span / 256, 6) AS scale,
+           ROUND(list_sum(list_transform(range(1, 65),
+                 i -> abs(v[i] - (lo + (codes[i] + 0.5) * span / 256)))) / 64,
+                 6) AS mae
+    FROM q
+    """,
+    tags=("similarity", "quantization", "training-data"),
+)
+def q_embed_quantize(spark, sf_dir):
+    """Per-vector int8 affine quantization of the embedding column — the
+    4× storage/bandwidth compression every vector store applies before
+    ANN serving. code = floor((x - min)·256 / span) clamped to 255
+    (floor, not round: floor of the same IEEE double is identical in
+    every engine, while round differs in tie rules); dequant uses the
+    bucket midpoint. Declared output is scalar-only (code checksum +
+    zero-point/scale + mean reconstruction error) per the harness's
+    no-array-cells rule; the codes array itself is an intermediate.
+    Pure nested HOFs — map-only, zero shuffle, zero Python. (On the
+    one-file local fixture this runs as a single task; deliberately NOT
+    repartitioned — a shuffle would cost more than it saves on a
+    map-only pass, and any real deployment's input has many splits.)"""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    lo = F.array_min(v)
+    span = F.greatest(F.array_max(v) - lo, F.lit(1e-12))
+    codes = F.transform(
+        v, lambda x: F.least(F.floor((x - lo) * 256 / span), F.lit(255)).cast("long")
+    )
+    dq = F.zip_with(
+        v, codes, lambda x, c: F.abs(x - (lo + (c + F.lit(0.5)) * span / 256))
+    )
+    return e.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "sum_codes"
+        ),
+        F.round(lo, 6).alias("zero_point"),
+        F.round(span / 256, 6).alias("scale"),
+        F.round(
+            F.aggregate(dq, F.lit(0.0), lambda a, x: a + x) / 64, 6
+        ).alias("mae"),
+    )

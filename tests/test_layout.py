@@ -92,3 +92,58 @@ def test_single_file_output_plans_coalesce_not_shuffle(spark, sf_dir):
     plan = _formatted_plan(df)
     assert "Coalesce" in plan
     assert "Exchange" not in plan
+
+
+def test_zorder_tightens_both_dims(spark, sf_dir, tmp_path):
+    """The point of Z-ordering: per-file parquet min/max stats must be
+    selective in BOTH dimensions. Measure footer stats directly: the mean
+    fraction of each key's domain covered per file must shrink vs the
+    natural (unsorted) layout in both columns at once — a single-column
+    sort can only achieve this for one."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.sources.layout import write_zordered
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+    )
+    dom = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).head()
+    pk_dom = max(1, dom[1] - dom[0])
+    sk_dom = max(1, dom[3] - dom[2])
+
+    z_path, n_path = str(tmp_path / "z"), str(tmp_path / "n")
+    write_zordered(li, z_path, "l_partkey", "l_suppkey", n_files=16)
+    li.repartition(16).write.parquet(n_path)  # natural: round-robin files
+
+    def mean_span(path, col):
+        spans = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                st = c.statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    z_pk = mean_span(z_path, "l_partkey") / pk_dom
+    z_sk = mean_span(z_path, "l_suppkey") / sk_dom
+    n_pk = mean_span(n_path, "l_partkey") / pk_dom
+    n_sk = mean_span(n_path, "l_suppkey") / sk_dom
+    # natural files span ~the whole domain in both dims; z-ordered files
+    # must cover meaningfully less of BOTH (the 2-D skipping guarantee)
+    assert n_pk > 0.9 and n_sk > 0.9, (n_pk, n_sk)
+    assert z_pk < 0.6 and z_sk < 0.6, f"zorder not clustering: pk={z_pk} sk={z_sk}"
+    assert z_pk * z_sk < 0.25 * n_pk * n_sk
