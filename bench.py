@@ -67,6 +67,15 @@ HEADLINE = [
     "q_text_domain_cap",
     "q_tpch_q14",
     "q_tpch_q18",
+    # round-2 continuation additions (analytics + graph + featurize;
+    # q_layout_zorder stays out — staging-write-dominated like the other
+    # layout queries)
+    "q_events_retention",
+    "q_win_rolling_time",
+    "q_tpch_q21",
+    "q_text_bigram_lm",
+    "q_graph_pagerank",
+    "q_embed_quantize",
 ]
 
 
