@@ -255,3 +255,49 @@ def q_sample_reservoir_group(spark, sf_dir):
         .filter(F.col("rn") <= 50)
         .select("lang", "doc_id", "rn")
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), edges AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM edges)
+    SELECT from_type, to_type, n, ROUND(n / tot.t, 6) AS share
+    FROM edges, tot
+    """,
+    tags=("events", "transitions", "funnel", "graph"),
+)
+def q_events_transitions(spark, sf_dir):
+    """Event-transition matrix (the Sankey/journey-graph aggregate):
+    consecutive event-type pairs per user, counted and normalized to
+    transition shares. One user_id shuffle for the LEAD window, then a
+    |event_types|²-sized aggregate — driver-scale output from any event
+    volume. The transition total re-aggregates the tiny edge table
+    (broadcast), not the event stream."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    edges = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = edges.agg(F.sum("n").cast("double").alias("t"))
+    return edges.crossJoin(F.broadcast(tot)).select(
+        "from_type", "to_type", "n", F.round(F.col("n") / F.col("t"), 6).alias("share")
+    )

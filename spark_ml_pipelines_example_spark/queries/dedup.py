@@ -491,3 +491,67 @@ def q_dedup_paragraph(spark, sf_dir):
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+SNM_WINDOW = 3  # sorted-neighborhood width: compare to the next w-1 rows
+SNM_MAX_DIST = 2
+
+
+@query(
+    "q_dedup_snm",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT s_nationkey, s_suppkey, s_name,
+               LEAD(s_suppkey, 1) OVER w AS nk1, LEAD(s_name, 1) OVER w AS nn1,
+               LEAD(s_suppkey, 2) OVER w AS nk2, LEAD(s_name, 2) OVER w AS nn2
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_name, s_suppkey)
+    ), pairs AS (
+        SELECT s_nationkey, s_suppkey AS id_a, nk1 AS id_b,
+               levenshtein(s_name, nn1) AS dist
+        FROM ranked WHERE nk1 IS NOT NULL
+        UNION ALL
+        SELECT s_nationkey, s_suppkey, nk2, levenshtein(s_name, nn2)
+        FROM ranked WHERE nk2 IS NOT NULL
+    )
+    SELECT s_nationkey, id_a, id_b, dist
+    FROM pairs WHERE dist <= {SNM_MAX_DIST}
+    """,
+    tags=("dedup", "snm", "entity-resolution"),
+)
+def q_dedup_snm(spark, sf_dir):
+    """Sorted-neighborhood method (SNM) entity resolution: sort records
+    by a blocking key (name within nation), slide a width-{SNM_WINDOW}
+    window, and compare each record only to its immediate neighbors —
+    O(n·w) comparisons instead of the blocked join's Σ block². The
+    complementary trade to q_dedup_editdistance's equi-blocking: SNM
+    catches near-dups that *sort* adjacently even when no exact block
+    key matches, and the window/sort is one shuffle on the block key
+    (each nation partition sorts locally — never a global sort). The
+    neighbor probes are LEAD columns, so no self-join at all."""
+    from pyspark.sql import Window as W
+
+    s = t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_name", "s_suppkey")
+    ranked = s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_name",
+        F.lead("s_suppkey", 1).over(w).alias("nk1"),
+        F.lead("s_name", 1).over(w).alias("nn1"),
+        F.lead("s_suppkey", 2).over(w).alias("nk2"),
+        F.lead("s_name", 2).over(w).alias("nn2"),
+    )
+    p1 = ranked.filter(F.col("nk1").isNotNull()).select(
+        "s_nationkey",
+        F.col("s_suppkey").alias("id_a"),
+        F.col("nk1").alias("id_b"),
+        F.levenshtein("s_name", "nn1").alias("dist"),
+    )
+    p2 = ranked.filter(F.col("nk2").isNotNull()).select(
+        "s_nationkey",
+        F.col("s_suppkey").alias("id_a"),
+        F.col("nk2").alias("id_b"),
+        F.levenshtein("s_name", "nn2").alias("dist"),
+    )
+    return p1.unionAll(p2).filter(F.col("dist") <= SNM_MAX_DIST)

@@ -157,6 +157,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_quantile_discretizer",
     "q_layout_zorder",
     "q_embed_quantize",
+    "q_text_vocab_coverage",
+    "q_text_pmi_collocations",
+    "q_dedup_snm",
+    "q_events_transitions",
 )
 
 

@@ -287,3 +287,109 @@ def q_text_chunk(spark, sf_dir):
         F.size(chunk).alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), vc AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vc
+    ), top AS (
+        SELECT tok, c FROM vc ORDER BY c DESC, tok LIMIT 100
+    )
+    SELECT tok, c,
+           ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk,
+           ROUND(SUM(c) OVER (ORDER BY c DESC, tok
+                              ROWS UNBOUNDED PRECEDING) / tot.t, 6) AS cum_share
+    FROM top, tot
+    """,
+    tags=("text", "vocab", "training-data"),
+)
+def q_text_vocab_coverage(spark, sf_dir):
+    """Vocabulary builder with coverage curve: top-100 tokens by corpus
+    frequency and the cumulative share of all token positions they
+    cover — the tokenizer-design question ("how big a vocab covers 95%
+    of the corpus?") as one query. The frequency aggregate is one
+    combinable shuffle; the top-100 cut is TakeOrdered (never a global
+    sort of the vocab), and ONLY those 100 rows enter the unpartitioned
+    cumsum window — the window input is constant-size by construction at
+    any corpus scale. Corpus token total is one driver-side scalar."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tok"))
+    vc = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = float(vc.agg(F.sum("c").cast("double")).head()[0])
+    top = vc.orderBy(F.col("c").desc(), "tok").limit(100)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("c").desc(), "tok")
+    return top.select(
+        "tok",
+        "c",
+        F.row_number().over(w).alias("rnk"),
+        F.round(
+            F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            / total,
+            6,
+        ).alias("cum_share"),
+    )
+
+
+PMI_MIN_COUNT = 5
+
+
+@query(
+    "q_text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT UNNEST(list_transform(range(1, len(tk)),
+                   i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+            FROM toks)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    n1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    n2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM bg)
+    SELECT b.w1, b.w2, b.c12,
+           ROUND(ln(b.c12 * tot.t / (n1.c1 * n2.c2)), 6) AS pmi
+    FROM bgc b JOIN n1 USING (w1) JOIN n2 USING (w2) CROSS JOIN tot
+    WHERE b.c12 >= {PMI_MIN_COUNT}
+    ORDER BY ln(b.c12 * tot.t / (n1.c1 * n2.c2)) DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+    tags=("text", "pmi", "collocation", "training-data"),
+)
+def q_text_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(c12·T / (c1·c2)) over bigram positions, with a
+    min-count floor (rare pairs have unboundedly high PMI — the floor is
+    the standard fix). Three combinable count aggregates; the two
+    unigram-position tables broadcast into the bigram table (vocab ≪
+    bigrams), and the top-20 is TakeOrdered on the exact same IEEE
+    doubles both engines compute — no global sort."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = d.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    n1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    n2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    total = float(bg.count())
+    pmi = F.log(F.col("c12") * F.lit(total) / (F.col("c1") * F.col("c2")))
+    return (
+        bgc.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(F.broadcast(n1), "w1")
+        .join(F.broadcast(n2), "w2")
+        .orderBy(pmi.desc(), "w1", "w2")
+        .limit(20)
+        .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
+    )
