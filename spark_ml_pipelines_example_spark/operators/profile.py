@@ -116,3 +116,87 @@ def q_sample_stratified(spark, sf_dir):
             F.sum("l_linenumber").cast("long").alias("line_sum"),
         )
     )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    WITH o AS (
+        SELECT COUNT(*) AS n,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_cust,
+               COUNT(DISTINCT o_orderkey) AS n_distinct_ok,
+               COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+                   AS n_bad_status,
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_bad_price
+        FROM orders
+    ), l AS (
+        SELECT COUNT(*) AS n_li,
+               COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+                   AS n_bad_disc
+        FROM lineitem
+    ), refint AS (
+        SELECT COUNT(*) AS n_orphans
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT rule, actual, passed FROM (
+        SELECT 'orders.custkey_complete' AS rule,
+               CAST(n_null_cust AS BIGINT) AS actual, n_null_cust = 0 AS passed
+        FROM o
+        UNION ALL SELECT 'orders.orderkey_unique', n - n_distinct_ok,
+               n = n_distinct_ok FROM o
+        UNION ALL SELECT 'orders.status_in_set', n_bad_status,
+               n_bad_status = 0 FROM o
+        UNION ALL SELECT 'orders.totalprice_positive', n_bad_price,
+               n_bad_price = 0 FROM o
+        UNION ALL SELECT 'lineitem.discount_in_range', n_bad_disc,
+               n_bad_disc = 0 FROM l
+        UNION ALL SELECT 'lineitem.orderkey_refint', n_orphans,
+               n_orphans = 0 FROM refint
+    )
+    """,
+    tags=("profile", "data-quality", "constraints"),
+)
+def q_dq_checks(spark, sf_dir):
+    """Deequ-style declarative data-quality suite: completeness,
+    uniqueness, accepted-values, range, and referential-integrity rules
+    evaluated as ONE aggregate per table plus one anti-join — never a
+    per-rule scan (500 rules at 100 TB must still be ~2 passes). Each
+    rule reports its violation count and verdict as a row; the suite is
+    the gate an ingest pipeline runs before promoting a batch
+    (cf. q_scan_json_corrupt for the per-record quarantine side)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    om = o.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_cust"),
+        F.countDistinct("o_orderkey").alias("n_distinct_ok"),
+        F.count(F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)).alias(
+            "n_bad_status"
+        ),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_bad_price"),
+    )
+    lm = li.agg(
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+        ).alias("n_bad_disc"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"),
+              "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    wide = om.crossJoin(lm).crossJoin(orphans)
+    rules = wide.select(
+        F.expr(
+            "stack(6, "
+            "'orders.custkey_complete', n_null_cust, "
+            "'orders.orderkey_unique', n - n_distinct_ok, "
+            "'orders.status_in_set', n_bad_status, "
+            "'orders.totalprice_positive', n_bad_price, "
+            "'lineitem.discount_in_range', n_bad_disc, "
+            "'lineitem.orderkey_refint', n_orphans"
+            ") AS (rule, actual)"
+        )
+    )
+    return rules.select("rule", "actual", (F.col("actual") == 0).alias("passed"))

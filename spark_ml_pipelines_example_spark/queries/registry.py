@@ -161,6 +161,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_pmi_collocations",
     "q_dedup_snm",
     "q_events_transitions",
+    "q_dq_checks",
 )
 
 
