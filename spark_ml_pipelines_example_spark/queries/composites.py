@@ -494,3 +494,245 @@ def q_tpch_q22(spark, sf_dir):
             F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eligible AS (
+        SELECT ps.l_partkey, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+        FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    minbal AS (SELECT l_partkey, MIN(s_acctbal) AS mb FROM eligible GROUP BY 1)
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           e.l_partkey AS p_partkey, e.s_suppkey, p.p_type
+    FROM eligible e
+    JOIN minbal m ON e.l_partkey = m.l_partkey AND e.s_acctbal = m.mb
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size = 15
+    ORDER BY e.s_acctbal DESC, e.l_partkey, e.s_suppkey
+    LIMIT 100
+    """,
+    tags=("composite", "tpch", "argmin"),
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: the fixture has
+    no partsupp, so distinct (l_partkey, l_suppkey) pairs from lineitem
+    play that role, and min s_acctbal plays min ps_supplycost. The
+    correlated scalar-min subquery decorrelates to a groupBy-min +
+    equality join back on (part, bal) — the argmin-per-group-via-join
+    shape (vs the window formulation in q_win_topk_per_group); supplier/
+    nation/region dims broadcast, the pair table shuffles once on
+    partkey, top-100 is TakeOrdered."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eligible = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    minbal = eligible.groupBy("l_partkey").agg(F.min("s_acctbal").alias("mb"))
+    return (
+        eligible.join(
+            minbal.withColumnRenamed("l_partkey", "mk"),
+            (F.col("l_partkey") == F.col("mk")) & (F.col("s_acctbal") == F.col("mb")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "p_type",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               EXTRACT(year FROM l_shipdate) AS l_year,
+               l_extendedprice, l_discount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE ((nc.n_name = 'NATION_1' AND ns.n_name = 'NATION_2')
+            OR (nc.n_name = 'NATION_2' AND ns.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("composite", "tpch"),
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue between
+    two nations per ship year. The nation-pair disjunction lands AFTER
+    the two broadcast nation hops, the date filter pushes into the
+    lineitem scan, and the only shuffle is lineitem ⋈ orders — the
+    year×direction aggregate is 4 rows."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+        .filter(
+            ((F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+        )
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           sum_national, sum_total,
+           ROUND(sum_national / sum_total, 6) AS mkt_share
+    FROM (
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(SUM(CASE WHEN ns.n_name = 'NATION_10'
+                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_national,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_total
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+    )
+    """,
+    tags=("composite", "tpch", "market-share"),
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the share of an ASIA
+    region's delivered revenue supplied by one nation, per order year.
+    The share is a conditional-decimal-sum / decimal-sum ratio inside
+    one aggregate — never two scans; both sums are exact so the ratio is
+    the same IEEE division in both engines. Customer-side region filter
+    prunes before the fact shuffle; all six dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    ns = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 18, 4)
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("crk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_10", rev).otherwise(zero))
+        .cast("double")
+        .alias("sum_national"),
+        F.sum(rev).cast("double").alias("sum_total"),
+    )
+    return agg.select(
+        "o_year",
+        "sum_national",
+        "sum_total",
+        F.round(F.col("sum_national") / F.col("sum_total"), 6).alias("mkt_share"),
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT ns.n_name AS nation,
+               EXTRACT(year FROM o_orderdate) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount)
+                    - p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE p_name LIKE '%gear%'
+    )
+    GROUP BY 1, 2
+    """,
+    tags=("composite", "tpch", "profit"),
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit), adapted: the fixture has no
+    ps_supplycost, so p_retailprice·quantity stands in as cost. Profit
+    per supplier nation per order year for parts matching a name
+    pattern. The part filter (LIKE) prunes the broadcast dim BEFORE the
+    fact join — at 100 TB that broadcast-side reduction is what keeps
+    the fact scan's join selective; per-line amounts go through one
+    decimal cast so the profit sums are exact under any shuffle order."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
+    )
+    amount = dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity"),
+        18,
+        4,
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("sk"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )

@@ -162,6 +162,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_snm",
     "q_events_transitions",
     "q_dq_checks",
+    "q_tpch_q2",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
 )
 
 
