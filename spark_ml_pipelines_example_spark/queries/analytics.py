@@ -301,3 +301,66 @@ def q_events_transitions(spark, sf_dir):
     return edges.crossJoin(F.broadcast(tot)).select(
         "from_type", "to_type", "n", F.round(F.col("n") / F.col("t"), 6).alias("share")
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_CUT = 3.0
+
+
+@query(
+    "q_agg_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT o_orderpriority, median(o_totalprice) AS m
+        FROM orders GROUP BY 1
+    ), dev AS (
+        SELECT o.o_orderpriority, o.o_totalprice, m.m,
+               ABS(o.o_totalprice - m.m) AS ad
+        FROM orders o JOIN med m USING (o_orderpriority)
+    ), mad AS (
+        SELECT o_orderpriority, median(ad) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority,
+           ROUND(d.m, 2) AS med_price,
+           ROUND(a.mad, 2) AS mad,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN d.ad > {MAD_CUT} * {MAD_K} * a.mad THEN 1 END)
+               AS n_outliers
+    FROM dev d JOIN mad a USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, d.m, a.mad
+    """,
+    tags=("agg", "robust-stats", "outliers", "data-quality"),
+)
+def q_agg_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: per
+    group, MAD = median(|x − median(x)|), outlier ⇔ |x − med| >
+    3·1.4826·MAD — the robust z-score that survives the heavy tails that
+    wreck stddev-based cuts (cf. q_fn_winsorize's quantile clamp). Two
+    exact-median aggregates; each median table is group-count-sized and
+    broadcasts back over the same group key, so the data shuffles once
+    and the plan never re-sorts the fact rows."""
+    o = t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(F.median("o_totalprice").alias("m"))
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "m",
+        F.abs(F.col("o_totalprice") - F.col("m")).alias("ad"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "m", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("ad") > MAD_CUT * MAD_K * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("m", 2).alias("med_price"),
+            F.round("mad", 2).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )

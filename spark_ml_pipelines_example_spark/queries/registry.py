@@ -166,6 +166,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q7",
     "q_tpch_q8",
     "q_tpch_q9",
+    "q_graph_treepath",
+    "q_agg_mad_outliers",
 )
 
 
@@ -199,6 +201,7 @@ def load_all() -> dict[str, QuerySpec]:
     from ..operators import grouped_pandas as _op_grouped_pandas  # noqa: F401
     from ..operators import merge as _op_merge  # noqa: F401
     from ..operators import multimodal as _op_multimodal  # noqa: F401
+    from ..operators import hierarchy as _op_hierarchy  # noqa: F401
     from ..operators import pagerank as _op_pagerank  # noqa: F401
     from ..operators import profile as _op_profile  # noqa: F401
     from ..operators import rangejoin as _op_rangejoin  # noqa: F401
