@@ -64,3 +64,68 @@ def q_scd2_history(spark, sf_dir):
         "is_current",
         "value",
     )
+
+
+@query(
+    "q_scd2_lookup",
+    oracle="""
+    WITH hist AS (
+        SELECT user_id, event_id AS version_id, value AS version_value,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM events WHERE event_type = 'purchase'
+    ), facts AS (
+        SELECT user_id, event_id AS fact_id, ts AS fact_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT f.fact_id, f.user_id, h.version_id,
+           ROUND(h.version_value, 4) AS version_value,
+           CAST(epoch(date_trunc('second', f.fact_ts)) AS BIGINT) AS fact_epoch
+    FROM facts f JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.fact_ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
+    """,
+    tags=("scd", "lookup", "temporal-join"),
+)
+def q_scd2_lookup(spark, sf_dir):
+    """Effective-dated dimension lookup — the OTHER half of SCD2: each
+    fact (click) joins to the dimension version (purchase history row)
+    valid AT its event time, via equality on the key plus the half-open
+    [valid_from, valid_to) containment predicate. The equality key
+    carries the shuffle (hash join); the range residual filters within
+    each key's versions — never a nested-loop over the table. Where
+    q_join_asof_event matches *at-or-before latest*, this matches the
+    *containing validity interval* (facts before any version simply
+    don't match — the warehouse 'late-arriving dimension' gap, surfaced
+    not papered over)."""
+    ev = t(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", ts="ts", tiebreak="event_id",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("version_value"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("f_user_id"),
+        F.col("event_id").alias("fact_id"),
+        F.col("ts").alias("fact_ts"),
+    )
+    joined = facts.join(
+        hist,
+        (F.col("f_user_id") == F.col("user_id"))
+        & (F.col("fact_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "fact_id",
+        "user_id",
+        "version_id",
+        F.round("version_value", 4).alias("version_value"),
+        F.unix_timestamp("fact_ts").alias("fact_epoch"),
+    )

@@ -168,6 +168,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q9",
     "q_graph_treepath",
     "q_agg_mad_outliers",
+    "q_scd2_lookup",
 )
 
 
