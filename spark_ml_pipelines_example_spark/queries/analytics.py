@@ -364,3 +364,111 @@ def q_agg_mad_outliers(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@query(
+    "q_events_rolling_dau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), maxd AS (SELECT MAX(day) AS md FROM ud),
+    expanded AS (
+        SELECT u.user_id, u.day + CAST(g.i AS INTEGER) AS wday, g.i
+        FROM ud u, range(7) g(i)
+    )
+    SELECT wday,
+           COUNT(DISTINCT user_id) AS wau7,
+           COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) AS dau
+    FROM expanded, maxd WHERE wday <= maxd.md
+    GROUP BY wday
+    """,
+    tags=("events", "dau", "rolling-distinct"),
+)
+def q_events_rolling_dau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) next to daily actives (DAU) —
+    the sliding-window DISTINCT that window functions cannot express
+    (COUNT(DISTINCT) OVER a frame is unsupported in both engines). The
+    scalable formulation: each distinct (user, day) fact is exploded
+    into the 7 window-days it contributes to (a map-side ×7 fan-out of
+    an already-deduped, tiny-per-user stream), then one distinct
+    aggregate per window-day — never a per-day self-join over the event
+    log. DAU rides the same pass as a conditional distinct."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    maxd = ud.agg(F.max("day").alias("md"))
+    expanded = ud.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select("user_id", F.expr("date_add(day, i)").alias("wday"), "i")
+    return (
+        expanded.crossJoin(F.broadcast(maxd))
+        .filter(F.col("wday") <= F.col("md"))
+        .groupBy("wday")
+        .agg(
+            F.countDistinct("user_id").alias("wau7"),
+            F.countDistinct(F.when(F.col("i") == 0, F.col("user_id"))).alias("dau"),
+        )
+    )
+
+
+@query(
+    "q_diff_tables",
+    oracle="""
+    WITH newv AS (
+        SELECT o_orderkey, o_totalprice + 1.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 100.0 FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM orders o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey
+    )
+    GROUP BY status
+    """,
+    tags=("diff", "reconciliation", "data-quality"),
+)
+def q_diff_tables(spark, sf_dir):
+    """Table diff / reconciliation — the "what changed between snapshot
+    A and snapshot B" audit (data-diff): FULL OUTER join on the key,
+    each row classified added / removed / changed / same, summarized as
+    counts + key-sum membership pins (never materializing the diff
+    itself in the declared result). The synthetic B-side reuses
+    q_merge_upsert's deterministic mutation recipe (%7 price bump, %13
+    delete, %997 insert) so merge and diff cross-validate. One shuffle
+    on the key; at 100 TB both sides bucket on the key and even that
+    shuffle disappears (cf. q_join_bucketed_colocated)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    kept = o.filter(F.col("o_orderkey") % 13 != 0)
+    newv = (
+        kept.filter(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 1.0).alias("o_totalprice"))
+        .unionAll(kept.filter(F.col("o_orderkey") % 7 != 0))
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(100.0).alias("o_totalprice"),
+            )
+        )
+    )
+    a = o.select(F.col("o_orderkey").alias("ka"), F.col("o_totalprice").alias("va"))
+    b = newv.select(F.col("o_orderkey").alias("kb"), F.col("o_totalprice").alias("vb"))
+    diff = a.join(b, F.col("ka") == F.col("kb"), "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("same")
+        .alias("status"),
+    )
+    return diff.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("long").alias("key_sum"),
+    )

@@ -169,6 +169,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_treepath",
     "q_agg_mad_outliers",
     "q_scd2_lookup",
+    "q_events_rolling_dau",
+    "q_diff_tables",
 )
 
 
