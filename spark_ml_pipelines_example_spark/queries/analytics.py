@@ -1,6 +1,7 @@
 """Event/behavioral analytics queries — cohort retention, rolling
-time-window features, deterministic mode/median, interval-overlap joins,
-and exact-k group sampling.
+time-window features, rolling DAU/WAU, event-transition matrices,
+deterministic mode/median, MAD robust outliers, interval-overlap joins,
+exact-k group sampling, and snapshot diff/reconciliation.
 
 These extend the engine past the reference's batch-ML surface into the
 product-analytics shapes every event-log deployment runs (reference
@@ -471,4 +472,135 @@ def q_diff_tables(spark, sf_dir):
     return diff.groupBy("status").agg(
         F.count("*").alias("n"),
         F.sum("k").cast("long").alias("key_sum"),
+    )
+
+
+TS_BAR_S = 900  # 15-minute resample bars
+
+
+@query(
+    "q_ts_interpolate",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+        FROM events
+    ), b AS (
+        SELECT event_type, (es // {TS_BAR_S}) * {TS_BAR_S} AS bar,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS v
+        FROM ev GROUP BY 1, 2
+    ), bounds AS (SELECT MIN(bar) AS lo, MAX(bar) AS hi FROM b),
+    grid AS (
+        SELECT t.event_type, g.bar
+        FROM (SELECT DISTINCT event_type FROM ev) t,
+             (SELECT UNNEST(range(lo, hi + {TS_BAR_S}, {TS_BAR_S})) AS bar
+              FROM bounds) g
+    ), j AS (
+        SELECT g.event_type, g.bar, b.v
+        FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.bar = b.bar
+    ), w AS (
+        SELECT *,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN bar END IGNORE NULLS)
+                   OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN bar END IGNORE NULLS)
+                   OVER wn AS nt
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY bar
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY event_type ORDER BY bar
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bar, v,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv) * (bar - pt) / (nt - pt)
+                  END) * 1000000) / 1000000 AS v_interp,
+           (v IS NULL) AS filled
+    FROM w
+    """,
+    tags=("timeseries", "resample", "interpolate", "gapfill"),
+)
+def q_ts_interpolate(spark, sf_dir):
+    """Time-series resample + linear interpolation (the TimescaleDB
+    ``time_bucket_gapfill + interpolate`` shape): events downsample to
+    15-minute mean-value bars; empty bars are filled by interpolating
+    between the nearest real bars on each side (edge bars carry the one
+    available neighbor). The neighbor lookup is two IGNORE-NULLS window
+    scans over the BAR table (types × bars rows — grid-sized, not
+    event-sized), so the event stream is touched exactly once by the
+    bar aggregate; per-bar means go through exact decimal sums and every
+    interpolated value derives from already-rounded doubles — identical
+    IEEE arithmetic in both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", epoch_s("ts").alias("es"), "value"
+    )
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"(es div {TS_BAR_S}) * {TS_BAR_S}").alias("bar"),
+        )
+        .agg(
+            F.round(
+                F.sum(dec("value")).cast("double") / F.count("*"), 6
+            ).alias("v")
+        )
+    )
+    lo, hi = b.agg(F.min("bar"), F.max("bar")).head()
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            ev.sparkSession.range(1).select(
+                F.explode(
+                    F.sequence(F.lit(lo), F.lit(hi), F.lit(TS_BAR_S))
+                ).alias("bar")
+            )
+        )
+    )
+    j = grid.join(b, ["event_type", "bar"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("bar")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    bar_if_v = F.when(F.col("v").isNotNull(), F.col("bar"))
+    w = j.select(
+        "event_type",
+        "bar",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(bar_if_v, ignorenulls=True).over(wp).alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(bar_if_v, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("bar") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    # floor-truncate instead of round: linear interpolation midpoints land
+    # EXACTLY on .xxxxxx5 whenever the gap fraction is 1/2 over 6-decimal
+    # inputs, and Spark (half-up) and DuckDB (half-even) break that tie
+    # differently; floor of the identical IEEE double is engine-invariant.
+    return w.select(
+        "event_type",
+        "bar",
+        "v",
+        (F.floor(interp * 1000000) / 1000000).alias("v_interp"),
+        F.col("v").isNull().alias("filled"),
     )

@@ -171,6 +171,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scd2_lookup",
     "q_events_rolling_dau",
     "q_diff_tables",
+    "q_ts_interpolate",
 )
 
 
