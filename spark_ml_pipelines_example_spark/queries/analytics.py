@@ -604,3 +604,117 @@ def q_ts_interpolate(spark, sf_dir):
         (F.floor(interp * 1000000) / 1000000).alias("v_interp"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+WS_K = 20  # weighted sample size per group
+_WS_2_48 = float(1 << 48)
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH k AS (
+        SELECT lang, doc_id, n_chars,
+               ln((CAST('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) + 0.5) / {_WS_2_48!r}) / n_chars AS es_key
+        FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rk FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY es_key DESC, doc_id) AS rk
+        FROM k
+    ) WHERE rk <= {WS_K}
+    """,
+    tags=("sample", "weighted", "training-data"),
+)
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws key = u^(1/w) — here rank-equivalently ln(u)/w — with
+    w = n_chars, and the top-K keys per language are the sample, so
+    longer documents are proportionally likelier WITHOUT replacement
+    bias. The uniform u is hash-derived ((md5 48-bit prefix + 0.5)/2^48),
+    making the draw reproducible across runs AND engines — the property
+    ``rand()``-based sampling can never give a differential test. One
+    window per group; WindowGroupLimit truncates per-partition like
+    q_sample_reservoir_group."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("ws"), F.col("doc_id"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    es_key = F.log((h + 0.5) / F.lit(_WS_2_48)) / F.col("n_chars")
+    w = W.partitionBy("lang").orderBy(es_key.desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= WS_K)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
+_OLS_X0 = 1704067200  # 2024-01-01 epoch: re-origin x so decimal sums stay narrow
+
+
+@query(
+    "q_agg_ols_trend",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) - {_OLS_X0} AS x,
+               value AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                    AS DOUBLE) AS sxx
+        FROM pts GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6, 6) AS slope_e6,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept
+    FROM s
+    """,
+    tags=("agg", "regression", "trend", "ml-twin"),
+)
+def q_agg_ols_trend(spark, sf_dir):
+    """Per-group closed-form OLS trend (value regressed on event time):
+    slope and intercept from the five sufficient statistics (n, Σx, Σy,
+    Σxy, Σx²) in ONE pass — how regression runs at 100 TB (never an
+    iterative fit for 1-D least squares). The sums accumulate in
+    decimal (exact, order-independent — both engines' regr_slope would
+    be float-order-dependent); the final slope/intercept arithmetic is
+    division of identical doubles. x is re-origined to the fixture epoch
+    so Σx² stays inside decimal(38,0)."""
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (epoch_s("ts") - F.lit(_OLS_X0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = dec("y")
+    s = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope * 1e6, 6).alias("slope_e6"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )

@@ -555,3 +555,118 @@ def q_dedup_snm(spark, sf_dir):
         F.levenshtein("s_name", "nn2").alias("dist"),
     )
     return p1.unionAll(p2).filter(F.col("dist") <= SNM_MAX_DIST)
+
+
+PREFIX_T = 0.7  # Jaccard threshold for the prefix-filter join
+
+
+@query(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks)
+    ), df AS (
+        SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), ranked AS (
+        SELECT sh.doc_id, sh.g, sizes.n,
+               ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY df.df, sh.g) AS rn
+        FROM sh JOIN df USING (g) JOIN sizes USING (doc_id)
+    ), prefix AS (
+        SELECT doc_id, g, n FROM ranked
+        WHERE rn <= n - CAST(CEIL({PREFIX_T} * n) AS BIGINT) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+         AND b.n >= CEIL({PREFIX_T} * a.n) AND a.n >= CEIL({PREFIX_T} * b.n)
+    ), shared AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.g = x.g
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {PREFIX_T}
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"),
+)
+def q_dedup_prefix_filter(spark, sf_dir):
+    """Set-similarity join by prefix filtering (AllPairs/PPJoin family):
+    for Jaccard ≥ t, two shingle sets MUST share a token among each
+    set's (|S| − ⌈t·|S|⌉ + 1) globally-rarest shingles — so the
+    candidate join keys on rare-prefix tokens only, instead of every
+    shared shingle (q_dedup_ngram_jaccard's blocked join) or hashed
+    bands (MinHash). Exact — zero recall loss at the threshold, with
+    candidate volume bounded by rare-token document frequencies. The
+    rarest-first ordering IS the load balancer: prefix keys are by
+    construction the lowest-fan-out shingles in the corpus. Pipeline:
+    distinct shingles → DF counts (broadcast) → per-doc rarity rank →
+    prefix explode → equi-join on prefix token → exact Jaccard confirm
+    against the full sets."""
+    d = t(spark, sf_dir, "documents")
+    sh = (
+        d.repartition(32, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(bigrams(tokens("text")))).alias("g"),
+        )
+    )
+    df = sh.groupBy("g").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id").orderBy("df", "g")
+    ranked = (
+        sh.join(F.broadcast(df), "g")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_T) * F.col("n")) + 1
+    ).select("doc_id", "g", "n")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("na"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("nb"))
+    # PPJoin length filter: Jaccard >= t forces t <= |a|/|b| <= 1/t, so
+    # size-incompatible candidates never reach the verify join
+    cand = (
+        pa.join(pb, ["g"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(PREFIX_T) * F.col("na")))
+            & (F.col("na") >= F.ceil(F.lit(PREFIX_T) * F.col("nb")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("gx"))
+    y = sh.select(F.col("doc_id").alias("yb"), F.col("g").alias("gy"))
+    shared = (
+        cand.join(x, "doc_a")
+        .join(y, (F.col("doc_b") == F.col("yb")) & (F.col("gx") == F.col("gy")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= PREFIX_T)
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_a", "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -172,6 +172,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_rolling_dau",
     "q_diff_tables",
     "q_ts_interpolate",
+    "q_sample_weighted",
+    "q_agg_ols_trend",
+    "q_dedup_prefix_filter",
 )
 
 
