@@ -251,3 +251,30 @@ def test_random_projection_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, f"projection acquired a shuffle:\n{plan}"
     assert "Join" not in plan
     assert "Python" not in plan, f"projection left codegen:\n{plan}"
+
+
+def test_weighted_sample_pushes_group_limit(spark, sf_dir):
+    """A-ES weighted sampling must also derive WindowGroupLimit — the
+    per-partition top-K pre-truncation is what keeps the sort bounded."""
+    plan = plan_of(spark, sf_dir, "q_sample_weighted")
+    assert "WindowGroupLimit" in plan, f"no group-limit pushdown:\n{plan}"
+
+
+def test_prefix_filter_never_cartesian(spark, sf_dir):
+    """The prefix-filter similarity join must stay equi-keyed end to end:
+    candidates join on the (hashed) prefix token, confirm joins on pair
+    ids — a cartesian or BNL anywhere means the length/prefix filters
+    fell out of the join condition."""
+    plan = plan_of(spark, sf_dir, "q_dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ols_trend_is_one_aggregate_pass(spark, sf_dir):
+    """Closed-form OLS must be a single partial+final aggregate over the
+    scan — any join or second Exchange means the sufficient statistics
+    were not computed in one pass."""
+    plan = plan_of(spark, sf_dir, "q_agg_ols_trend")
+    tree = plan.split("\n\n")[0]  # operator tree only, not detail sections
+    assert "Join" not in tree, f"OLS acquired a join:\n{plan}"
+    assert tree.count("Exchange") <= 1, f"OLS shuffles more than once:\n{plan}"
