@@ -718,3 +718,49 @@ def q_agg_ols_trend(spark, sf_dir):
             "intercept"
         ),
     )
+
+
+COPURCHASE_MIN_SUPPORT = 2  # the fixture baskets are random; >=2 is already signal
+
+
+@query(
+    "q_agg_copurchase",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support FROM pairs
+    WHERE support >= {COPURCHASE_MIN_SUPPORT}
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 50
+    """,
+    tags=("agg", "copurchase", "market-basket", "recommendation"),
+)
+def q_agg_copurchase(spark, sf_dir):
+    """Frequent co-purchase pairs (market-basket / frequent-itemset-2):
+    parts appearing in the same order, counted across orders, support
+    floor + deterministic top-50. The self-join keys on the basket id,
+    so pair volume is Σ basket² with |basket| ≈ 4 — NOT corpus² — and
+    the support floor drops the long random tail. This is the support
+    counting at the heart of association-rule mining; k>2 itemsets
+    iterate this same join shape (A-priori) with the support floor
+    pruning between rounds."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= COPURCHASE_MIN_SUPPORT)
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(50)
+    )

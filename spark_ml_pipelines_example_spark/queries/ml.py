@@ -350,3 +350,38 @@ def q_ml_quantile_discretizer(spark, sf_dir):
         F.round(F.min(p), 2).alias("lo"),
         F.round(F.max(p), 2).alias("hi"),
     )
+
+
+@query(
+    "q_ml_onehot",
+    oracle="""
+    SELECT doc_id,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS lang_en,
+           COUNT(CASE WHEN lang = 'de' THEN 1 END) AS lang_de,
+           COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS lang_fr,
+           COUNT(CASE WHEN lang = 'es' THEN 1 END) AS lang_es,
+           COUNT(CASE WHEN lang NOT IN ('en','de','fr','es') THEN 1 END)
+               AS lang_other
+    FROM documents WHERE doc_id % 25 = 0
+    GROUP BY doc_id
+    """,
+    tags=("ml", "onehot", "encoder"),
+)
+def q_ml_onehot(spark, sf_dir):
+    """OneHotEncoder semantics as explicit indicator columns (dense
+    form, fixed category vocabulary + 'other' bucket — the
+    handle-invalid='keep' behavior): a map-only CASE projection, no
+    fit step, no shuffle beyond the trivial per-doc group. MLlib's
+    OneHotEncoder emits a sparse vector over StringIndexer output; the
+    declared twin pins the same 0/1 semantics in a schema the
+    cross-engine harness can hash (cf. q_ml_string_indexer for the
+    index mapping itself)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    known = ("en", "de", "fr", "es")
+    cols = [
+        F.count(F.when(F.col("lang") == v, 1)).alias(f"lang_{v}") for v in known
+    ]
+    cols.append(
+        F.count(F.when(~F.col("lang").isin(*known), 1)).alias("lang_other")
+    )
+    return d.groupBy("doc_id").agg(*cols)

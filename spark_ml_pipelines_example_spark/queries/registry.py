@@ -175,6 +175,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sample_weighted",
     "q_agg_ols_trend",
     "q_dedup_prefix_filter",
+    "q_ml_onehot",
+    "q_agg_copurchase",
 )
 
 

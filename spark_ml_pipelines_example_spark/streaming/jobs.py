@@ -516,3 +516,32 @@ def run_streaming_ingest_dedup(spark: SparkSession, sf_dir: str, out_dir: str) -
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def streaming_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user counts on the event stream: two-stage exact
+    distinct — dropDuplicates on (user_id, day) holds one state row per
+    user-day (bounded state: users × days inside the watermark horizon),
+    then a complete-mode count per day. The streaming form of the DAU
+    half of q_events_rolling_dau; the WAU window would stack the same
+    fan-out trick before the dedup. At scale the state store shards on
+    (user_id, day) — no skew, keys are uniform."""
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+    user_day = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    agg = user_day.groupBy("day").agg(F.count("*").alias("dau"))
+    return _run_to_memory(agg, "stream_daily_users_out", "complete")
+
+
+def batch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_daily_users (same distinct → count)."""
+    from ..sources.io import load_table
+
+    b = load_table(spark, sf_dir, "events")
+    return (
+        b.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("dau"))
+    )

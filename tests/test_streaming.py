@@ -267,3 +267,19 @@ def test_streaming_ingest_dedup_equals_batch(spark, sf_dir):
     assert admitted == batch_ids - matched
     # multi-batch actually exercised (3 staged files, 1 per trigger)
     assert got.select("batch_id").distinct().count() >= 2
+
+
+def test_streaming_daily_users_equals_batch(spark, sf_dir):
+    from spark_ml_pipelines_example_spark.streaming.jobs import (
+        batch_daily_users,
+        streaming_daily_users,
+    )
+
+    got = {
+        (str(r["day"]), r["dau"])
+        for r in streaming_daily_users(spark, sf_dir).collect()
+    }
+    want = {
+        (str(r["day"]), r["dau"]) for r in batch_daily_users(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
