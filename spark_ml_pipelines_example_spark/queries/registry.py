@@ -177,6 +177,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_prefix_filter",
     "q_ml_onehot",
     "q_agg_copurchase",
+    "q_stream_session_dynamic",
 )
 
 

@@ -300,3 +300,64 @@ def q_stream_static_join(spark, sf_dir):
         F.unix_timestamp("ts").alias("epoch"),
         "event_type",
     )
+
+
+@query(
+    "q_stream_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 3600 ELSE 900 END AS gap_s
+        FROM events
+    ), f AS (
+        SELECT user_id, ts, gap_s, value,
+               CASE WHEN MAX(ts + gap_s * INTERVAL 1 SECOND) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+                    THEN 0 ELSE 1 END AS is_new
+        FROM g
+    ), s AS (
+        SELECT user_id, ts, gap_s, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sess_id
+        FROM f
+    )
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS sess_start,
+           CAST(epoch(date_trunc('second',
+                MAX(ts + gap_s * INTERVAL 1 SECOND))) AS BIGINT) AS sess_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sess_id
+    """,
+    tags=("stream", "session", "dynamic-gap"),
+)
+def q_stream_session_dynamic(spark, sf_dir):
+    """DYNAMIC-gap session windows — native ``session_window`` with a
+    per-event gap column (purchases hold a session open 60 min, other
+    events 15 min): each event contributes [ts, ts+gap) and overlapping
+    windows merge, so the session end is the max per-event deadline, not
+    last-event+constant. The oracle is the running-max-end islands
+    formulation (break when ts ≥ max prior deadline) — the general
+    interval-merge sessionization that q_win_gaps_islands' constant-gap
+    lag test cannot express. Same single user_id shuffle; in streaming
+    form the same expression drives state eviction per event."""
+    ev = t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("3600 seconds")).otherwise(
+        F.lit("900 seconds")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
