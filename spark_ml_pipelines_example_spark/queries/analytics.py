@@ -764,3 +764,104 @@ def q_agg_copurchase(spark, sf_dir):
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+# Funnel stages in conversion order. Strict event-time ordering: a user
+# counts at stage k only if their earliest stage-k event happens AFTER
+# the chained earliest times of stages 1..k-1.
+FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+
+
+@query(
+    "q_events_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN({ORACLE_EPOCH_S.format(col="ts")}) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND {ORACLE_EPOCH_S.format(col="e.ts")} > s1.t1
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'signup' AND {ORACLE_EPOCH_S.format(col="e.ts")} > s2.t2
+        GROUP BY e.user_id
+    ), s4 AS (
+        SELECT e.user_id, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t4
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND {ORACLE_EPOCH_S.format(col="e.ts")} > s3.t3
+        GROUP BY e.user_id
+    ), stages AS (
+        SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'signup', COUNT(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    )
+    SELECT stage_idx, stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / FIRST_VALUE(n_users) OVER w, 4) AS pct_of_start,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / LAG(n_users) OVER w, 4) AS pct_of_prev
+    FROM stages
+    WINDOW w AS (ORDER BY stage_idx)
+    """,
+    tags=("events", "funnel", "conversion", "product-analytics"),
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → signup → purchase) with
+    strict event-time chaining: stage k's timestamp must be strictly
+    after the user's chained stage-(k-1) time, so out-of-order events
+    (a purchase before the first view) never inflate conversion.
+
+    Scale shape: every stage is a groupBy + equi-join on ``user_id`` —
+    the SAME shuffle key throughout, so AQE/exchange-reuse co-partitions
+    the whole chain, and each stage's frame shrinks monotonically (the
+    classic funnel property). The final percentages run over a 4-row
+    frame — a single-partition window over driver-size data, not a
+    global sort of the input. At 100 TB the only cost is the first
+    user_id shuffle of the events scan; stages 2-4 join against
+    ever-smaller keyed frames.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_s("ts").alias("ts_s")
+    )
+
+    prev = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_prev"))
+    )
+    stage_frames = [prev]
+    for stage in FUNNEL_STAGES[1:]:
+        prev = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts_s") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts_s").alias("t_prev"))
+        )
+        stage_frames.append(prev)
+
+    counts = None
+    for i, (stage, frame) in enumerate(zip(FUNNEL_STAGES, stage_frames), start=1):
+        row = frame.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionAll(row)
+
+    w = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.first("n_users").over(w), 4
+        ).alias("pct_of_start"),
+        F.round(
+            F.col("n_users") / F.lag("n_users").over(W.orderBy("stage_idx")), 4
+        ).alias("pct_of_prev"),
+    )

@@ -11,10 +11,11 @@ broadcasts it and the scan-side never shuffles.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import ngrams, tokens
-from ._util import t
+from ._util import epoch_s, t
 from .registry import query
 
 # Repetition flags (Gopher-style): a doc is repetitive when its most
@@ -209,4 +210,204 @@ def q_text_contamination(spark, sf_dir):
         .join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# Drift-detection epsilon: zero-count categories would make the PSI
+# log-ratio infinite, so shares are floored at 1e-6 (the standard PSI
+# smoothing) before the log — identically in Spark and the oracle.
+PSI_EPS = 1e-6
+# Numeric-drift ECDF resolution: 100 equi-width bins over the observed
+# value range. The binned KS statistic is exact at bin granularity and
+# needs only a 100-row window — never a global sort of the input.
+KS_BINS = 100
+
+# Time-split fragment shared by the drift oracles: rows in the first
+# half of the observed time range are snapshot 'a', the rest 'b'.
+# Integer arithmetic ((ts - lo) * 2 < hi - lo) keeps the split exact in
+# both engines — no double midpoint.
+_DRIFT_SPLIT = """
+    bounds AS (
+        SELECT MIN({ts_s}) AS lo_t, MAX({ts_s}) AS hi_t FROM events
+    ), tagged AS (
+        SELECT e.*, CASE WHEN ({ts_s} - b.lo_t) * 2 < (b.hi_t - b.lo_t)
+                         THEN 'a' ELSE 'b' END AS grp
+        FROM events e CROSS JOIN bounds b
+    )
+"""
+
+
+@query(
+    "q_dq_drift_psi",
+    oracle="WITH "
+    + _DRIFT_SPLIT.format(ts_s="CAST(epoch(date_trunc('second', ts)) AS BIGINT)")
+    + f"""
+    , counts AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM tagged GROUP BY event_type
+    ), shares AS (
+        SELECT event_type, n_a, n_b,
+               GREATEST(CAST(n_a AS DOUBLE) / SUM(n_a) OVER (), {PSI_EPS}) AS p_a,
+               GREATEST(CAST(n_b AS DOUBLE) / SUM(n_b) OVER (), {PSI_EPS}) AS p_b
+        FROM counts
+    ), terms AS (
+        SELECT event_type, n_a, n_b,
+               ROUND(p_a, 6) AS share_a, ROUND(p_b, 6) AS share_b,
+               ROUND((p_a - p_b) * LN(p_a / p_b), 6) AS psi_term
+        FROM shares
+    )
+    SELECT event_type, n_a, n_b, share_a, share_b, psi_term,
+           CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+    FROM terms
+    """,
+    tags=("dq", "drift", "psi", "data-quality"),
+)
+def q_dq_drift_psi(spark, sf_dir):
+    """Categorical distribution drift between two time snapshots of the
+    event stream, scored as Population Stability Index: split the stream
+    at the midpoint of its time range, compare per-category shares, and
+    sum ``(p_a - p_b) * ln(p_a / p_b)`` over categories (PSI > 0.2 is
+    the conventional "significant drift" alarm). This is the monitoring
+    primitive a training-data pipeline runs between ingest snapshots to
+    catch source-mix shifts before they poison a training run.
+
+    Scale shape: ONE hash aggregate on the category key produces both
+    snapshots' counts (conditional aggregation — no second scan, no
+    join of two halves); the bounds side-input is a 1-row broadcast
+    cross join, and every window after the aggregate runs over
+    |categories| rows, which is driver-size for any real corpus. The
+    per-term decimal cast makes the PSI total order-independent.
+    """
+    ev = t(spark, sf_dir, "events")
+    ts_s = epoch_s("ts")
+    bounds = ev.agg(F.min(ts_s).alias("lo_t"), F.max(ts_s).alias("hi_t"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "grp",
+        F.when((ts_s - F.col("lo_t")) * 2 < F.col("hi_t") - F.col("lo_t"), "a")
+        .otherwise("b"),
+    )
+    counts = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    w_all = W.partitionBy()
+    shares = counts.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.greatest(F.col("n_a") / F.sum("n_a").over(w_all), F.lit(PSI_EPS)).alias("p_a"),
+        F.greatest(F.col("n_b") / F.sum("n_b").over(w_all), F.lit(PSI_EPS)).alias("p_b"),
+    )
+    terms = shares.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("p_a", 6).alias("share_a"),
+        F.round("p_b", 6).alias("share_b"),
+        F.round((F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")), 6).alias(
+            "psi_term"
+        ),
+    )
+    return terms.withColumn(
+        "psi_total",
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).over(w_all).cast("double"),
+    )
+
+
+@query(
+    "q_dq_drift_ks",
+    oracle="WITH "
+    + _DRIFT_SPLIT.format(ts_s="CAST(epoch(date_trunc('second', ts)) AS BIGINT)")
+    + f"""
+    , vals AS (
+        SELECT grp, value,
+               MIN(value) OVER () AS lo_v, MAX(value) OVER () AS hi_v
+        FROM tagged WHERE value IS NOT NULL
+    ), binned AS (
+        SELECT CAST(LEAST(FLOOR((value - lo_v) * {KS_BINS}.0 / (hi_v - lo_v)),
+                          {KS_BINS - 1}) AS INT) AS bin,
+               CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM vals GROUP BY 1
+    ), ecdf AS (
+        SELECT bin,
+               CAST(SUM(n_a) OVER (ORDER BY bin) AS DOUBLE)
+                   / SUM(n_a) OVER () AS f_a,
+               CAST(SUM(n_b) OVER (ORDER BY bin) AS DOUBLE)
+                   / SUM(n_b) OVER () AS f_b,
+               SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b
+        FROM binned
+    )
+    SELECT ROUND(MAX(ABS(f_a - f_b)), 6) AS ks_stat,
+           COUNT(*) AS n_bins_hit,
+           CAST(MAX(tot_a) AS BIGINT) AS n_a_total,
+           CAST(MAX(tot_b) AS BIGINT) AS n_b_total
+    FROM ecdf
+    """,
+    tags=("dq", "drift", "ks", "data-quality"),
+)
+def q_dq_drift_ks(spark, sf_dir):
+    """Numeric distribution drift between two time snapshots, scored as
+    a binned two-sample Kolmogorov–Smirnov statistic: max ECDF gap over
+    a {KS_BINS}-bin equi-width grid of the observed value range. The
+    binned form trades exact KS for a bounded-size cumulative pass —
+    the trade every production drift monitor makes.
+
+    Scale shape: the input never sorts globally. One hash aggregate on
+    the bin id (≤100 groups) collapses any input volume to ≤100 rows;
+    the cumulative-sum window and the final max run over that
+    driver-size frame. The value-range bounds ride along as analytic
+    windows over the same scan (Catalyst evaluates them in one pass);
+    the time-range bounds are a 1-row broadcast. ECDF gaps only change
+    at observed bins, so skipping empty bins is exact, not an
+    approximation.
+    """
+    ev = t(spark, sf_dir, "events")
+    ts_s = epoch_s("ts")
+    bounds = ev.agg(F.min(ts_s).alias("lo_t"), F.max(ts_s).alias("hi_t"))
+    w_all = W.partitionBy()
+    vals = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "grp",
+            F.when((ts_s - F.col("lo_t")) * 2 < F.col("hi_t") - F.col("lo_t"), "a")
+            .otherwise("b"),
+        )
+        .withColumn("lo_v", F.min("value").over(w_all))
+        .withColumn("hi_v", F.max("value").over(w_all))
+    )
+    binned = (
+        vals.withColumn(
+            "bin",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo_v"))
+                    * float(KS_BINS)
+                    / (F.col("hi_v") - F.col("lo_v"))
+                ),
+                F.lit(KS_BINS - 1),
+            ).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = binned.select(
+        "bin",
+        (F.sum("n_a").over(w_cum) / F.sum("n_a").over(w_all)).alias("f_a"),
+        (F.sum("n_b").over(w_cum) / F.sum("n_b").over(w_all)).alias("f_b"),
+        F.sum("n_a").over(w_all).alias("tot_a"),
+        F.sum("n_b").over(w_all).alias("tot_b"),
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("f_a") - F.col("f_b"))), 6).alias("ks_stat"),
+        F.count("*").alias("n_bins_hit"),
+        F.max("tot_a").alias("n_a_total"),
+        F.max("tot_b").alias("n_b_total"),
     )

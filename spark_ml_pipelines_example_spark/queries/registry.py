@@ -178,6 +178,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_onehot",
     "q_agg_copurchase",
     "q_stream_session_dynamic",
+    "q_events_funnel",
+    "q_dq_drift_psi",
+    "q_dq_drift_ks",
 )
 
 
