@@ -76,6 +76,13 @@ HEADLINE = [
     "q_text_bigram_lm",
     "q_graph_pagerank",
     "q_embed_quantize",
+    # round-2 final additions: funnel (chained user_id joins), KS drift
+    # (bin-collapsed ECDF), correlated-avg TPC-H (Q17), decorrelated
+    # scalar-threshold TPC-H (Q11)
+    "q_events_funnel",
+    "q_dq_drift_ks",
+    "q_tpch_q17",
+    "q_tpch_q11",
 ]
 
 

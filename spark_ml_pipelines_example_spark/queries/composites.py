@@ -736,3 +736,390 @@ def q_tpch_q9(spark, sf_dir):
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS pair_value
+        FROM lineitem GROUP BY 1, 2
+    ), scoped AS (
+        SELECT ps.l_partkey, ps.pair_value
+        FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ), total AS (
+        SELECT CAST(SUM(pair_value) AS DOUBLE) AS tot FROM scoped
+    )
+    SELECT l_partkey, CAST(SUM(pair_value) AS DOUBLE) AS value
+    FROM scoped CROSS JOIN total
+    GROUP BY l_partkey, tot
+    HAVING CAST(SUM(pair_value) AS DOUBLE) > tot * 0.001
+    """,
+    tags=("composite", "tpch", "scalar-subquery"),
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification), adapted: no
+    partsupp, so per-(part, supplier) shipped value — Σ(extendedprice ×
+    quantity) from lineitem — stands in for supplycost × availqty, and
+    the scope filter is the EUROPE region's suppliers. Parts whose
+    scoped value exceeds 0.1% of the scoped total survive.
+
+    Scale shape: one shuffle builds the pair values, supplier/nation/
+    region broadcast into it, the grand total is a 1-row broadcast cross
+    join (the decorrelated scalar subquery), and the HAVING filter runs
+    inside the final part-key aggregate. Decimal accumulation end-to-end
+    makes both the per-part values and the threshold order-independent.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("pair_value")
+    )
+    scoped = (
+        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "pair_value")
+    )
+    total = scoped.agg(F.sum("pair_value").cast("double").alias("tot"))
+    return (
+        scoped.crossJoin(F.broadcast(total))
+        .groupBy("l_partkey", "tot")
+        .agg(F.sum("pair_value").cast("double").alias("value"))
+        .filter(F.col("value") > F.col("tot") * 0.001)
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'fast'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'normal'
+                ELSE 'late' END AS latency_band,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("composite", "tpch", "conditional-agg"),
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority analysis), adapted: the
+    fixture has no l_shipmode/commitdate/receiptdate, so the grouping
+    dimension is a derived ship-latency band (days from order to ship:
+    <30 fast, ≤90 normal, else late) and the measures are the classic
+    Q12 conditional counts of high- vs low-priority orders per band.
+
+    Scale shape: the date filter prunes the lineitem scan, the
+    fact-to-fact join shuffles once on the order key, and the 3-group
+    conditional aggregate is a map-side partial — the canonical
+    join + CASE-count rollup.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(days < 30, "fast")
+            .when(days <= 90, "normal")
+            .otherwise("late")
+            .alias("latency_band")
+        )
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey
+            AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+    tags=("composite", "tpch", "outer-join"),
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    order-less customers keep c_count = 0, with the exclusion predicate
+    ('special' orders — adapted to the '4-NOT SPECIFIED' priority, since
+    the fixture has no o_comment) inside the join condition, NOT a WHERE
+    (a WHERE would silently turn the outer join inner and drop the zero
+    bucket). Double aggregation: orders-per-customer, then customers-
+    per-count.
+
+    Scale shape: one shuffle on the customer key for join + first
+    aggregate (co-partitioned), then a tiny second aggregate over
+    |distinct counts| rows.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+        "left",
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    ), top AS (SELECT MAX(total_revenue) AS mx FROM revenue)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON s_suppkey = supplier_no
+                 CROSS JOIN top
+    WHERE total_revenue = mx
+    """,
+    tags=("composite", "tpch", "scalar-subquery", "argmax"),
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+    the supplier(s) hitting the maximum — the view + scalar-max-subquery
+    formulation, decorrelated to a 1-row broadcast cross join. Revenue
+    is decimal-accumulated then cast to double, so the max-equality
+    comparison is on identical bit patterns in both engines.
+
+    Scale shape: scan-pruned by the date filter, one shuffle on
+    supplier key, the max is a driver-size side input; supplier dim
+    broadcasts. No global sort — the argmax is a filter, not an order.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND ps.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("composite", "tpch", "anti", "distinct-agg"),
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: distinct
+    (l_partkey, l_suppkey) pairs stand in for partsupp, and the
+    complaint exclusion becomes 'suppliers with negative account
+    balance' (fixture has no s_comment). Brand/type/size exclusions +
+    NOT IN supplier set + count-distinct suppliers per (brand, type,
+    size).
+
+    Scale shape: part filter broadcasts into the pair build; the NOT IN
+    decorrelates to a broadcast LEFT ANTI join (the excluded-supplier
+    set is dimension-size); count-distinct plans as two-phase expand
+    aggregate. No fact-side cartesian anywhere.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH target AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#3'
+    ), avg_qty AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(l_quantity) AS aq
+        FROM target GROUP BY 1
+    )
+    SELECT CAST(ROUND(
+               CAST(SUM(CAST(t.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+               2) AS DOUBLE) AS avg_yearly
+    FROM target t JOIN avg_qty a ON t.l_partkey = a.l_partkey
+    WHERE t.l_quantity < 0.2 * a.aq
+    """,
+    tags=("composite", "tpch", "correlated-avg"),
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    whose quantity is below 20% of that part's average quantity; the
+    correlated AVG subquery decorrelates to a groupBy-avg joined back on
+    the part key. The average is derived as exact-decimal-sum / count
+    (one deterministic IEEE division) so the 0.2×avg threshold is
+    bit-identical in both engines.
+
+    Scale shape: brand filter broadcasts into the scan; ONE shuffle on
+    l_partkey feeds both the average build and the join back
+    (exchange-reused); the final global sum is a driver-size reduce.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    target = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = target.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("aq")
+    )
+    return (
+        target.join(avg_qty.withColumnRenamed("l_partkey", "ak"),
+                    F.col("l_partkey") == F.col("ak"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH pair_qty AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    ), red AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), fair AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_share
+        FROM pair_qty JOIN red ON p_partkey = l_partkey
+        GROUP BY 1
+    ), dominant AS (
+        SELECT DISTINCT pq.l_suppkey
+        FROM pair_qty pq
+        JOIN red ON red.p_partkey = pq.l_partkey
+        JOIN fair f ON f.l_partkey = pq.l_partkey
+        WHERE pq.qty > 2.0 * f.avg_share
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+    tags=("composite", "tpch", "semi", "nested-subquery"),
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion), adapted: no
+    ps_availqty, so a supplier is 'dominant' for a red part when their
+    1996 shipped quantity for it exceeds 2× the average per-supplier
+    share of that part; EUROPE-region suppliers appearing as dominant
+    for any red part survive (the nested-IN chain of the original,
+    decorrelated to aggregates + a LEFT SEMI join).
+
+    Scale shape: the date filter prunes the pair-quantity scan; the red
+    part set broadcasts twice (dimension-size); the fair-share aggregate
+    reuses the pair shuffle key; the final supplier membership test is a
+    broadcast semi join against a distinct supplier set far smaller than
+    the dimension.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    pair_qty = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("qty"))
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_partkey", "l_suppkey", "qty")
+    )
+    fair = pair_qty.groupBy(F.col("l_partkey").alias("fk")).agg(
+        (F.sum(dec("qty")).cast("double") / F.count("*")).alias("avg_share")
+    )
+    dominant = (
+        pair_qty.join(fair, F.col("l_partkey") == F.col("fk"))
+        .filter(F.col("qty") > 2.0 * F.col("avg_share"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )

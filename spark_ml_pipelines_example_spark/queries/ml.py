@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import scratch_dir, t
+from ._util import dec, scratch_dir, t
 from .registry import query
 
 
@@ -385,3 +385,59 @@ def q_ml_onehot(spark, sf_dir):
         F.count(F.when(~F.col("lang").isin(*known), 1)).alias("lang_other")
     )
     return d.groupBy("doc_id").agg(*cols)
+
+
+@query(
+    "q_ml_scaler",
+    oracle="""
+    WITH stats AS (
+        SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*) AS mu_q,
+               STDDEV_SAMP(l_quantity) AS sd_q,
+               MIN(l_extendedprice) AS lo_p, MAX(l_extendedprice) AS hi_p
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - mu_q) / sd_q, 6) AS qty_std,
+           ROUND((l_extendedprice - lo_p) / (hi_p - lo_p), 6) AS price_minmax
+    FROM lineitem CROSS JOIN stats
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("ml", "scaler", "feature-engineering"),
+)
+def q_ml_scaler(spark, sf_dir):
+    """StandardScaler + MinMaxScaler semantics (MLlib's feature/
+    StandardScaler, MinMaxScaler) as a fit-then-transform twin: the
+    'fit' is ONE global aggregate row (mean via exact-decimal-sum /
+    count, sample stddev, min/max), the 'transform' is a map-only
+    projection with the stats broadcast — never a global window over
+    the fact (a ``W.partitionBy()`` formulation would funnel 100 TB
+    through one partition). Rounded to 6dp per the stddev discipline
+    (single-pass moment algorithms agree across engines to ~1e-9
+    relative). Output keyed by (orderkey, linenumber); a mod filter
+    keeps the declared result driver-size while the stats still
+    aggregate the FULL table.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("mu_q"),
+        F.stddev_samp("l_quantity").alias("sd_q"),
+        F.min("l_extendedprice").alias("lo_p"),
+        F.max("l_extendedprice").alias("hi_p"),
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round((F.col("l_quantity") - F.col("mu_q")) / F.col("sd_q"), 6).alias(
+                "qty_std"
+            ),
+            F.round(
+                (F.col("l_extendedprice") - F.col("lo_p"))
+                / (F.col("hi_p") - F.col("lo_p")),
+                6,
+            ).alias("price_minmax"),
+        )
+    )

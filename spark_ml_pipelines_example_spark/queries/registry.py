@@ -181,6 +181,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_funnel",
     "q_dq_drift_psi",
     "q_dq_drift_ks",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q20",
+    "q_ml_scaler",
+    "q_graph_triangles",
 )
 
 
