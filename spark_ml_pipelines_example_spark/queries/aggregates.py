@@ -579,3 +579,38 @@ def q_agg_sketch_rollup(spark, sf_dir):
             ).alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "q_agg_corr_matrix",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+           ROUND(corr(l_quantity, l_discount), 4) AS qty_disc,
+           ROUND(corr(l_quantity, l_tax), 4) AS qty_tax,
+           ROUND(corr(l_extendedprice, l_discount), 4) AS price_disc,
+           ROUND(corr(l_extendedprice, l_tax), 4) AS price_tax,
+           ROUND(corr(l_discount, l_tax), 4) AS disc_tax
+    FROM lineitem
+    """,
+    tags=("agg", "stats", "corr-matrix", "feature-engineering"),
+)
+def q_agg_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over the fact's numeric
+    measures — the feature-redundancy screen run before assembling a
+    training matrix (drop one of any highly-correlated pair). All six
+    pairs compute in ONE aggregate pass (single scan, single reduce,
+    map-side partials — the same plan as one corr), vs MLlib's
+    ``Correlation.corr`` which assembles vectors first. Rounded to 4dp
+    per the single-pass-moment discipline (q_agg_stats)."""
+    li = t(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        *[F.round(F.corr(x, y), 4).alias(name) for x, y, name in pairs]
+    )

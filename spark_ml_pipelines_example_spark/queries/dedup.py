@@ -696,3 +696,94 @@ def q_dedup_prefix_filter(spark, sf_dir):
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+# Containment threshold: fraction of the SMALLER doc's shingles that the
+# pair shares. 0.8 = "most of the smaller document appears in the larger".
+CONTAINMENT_MIN = 0.8
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS tk FROM documents
+    ), sh_all AS (
+        SELECT DISTINCT doc_id, lang, source, g FROM (
+            SELECT doc_id, lang, source,
+                   UNNEST(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks)
+    ), rare AS (
+        SELECT lang, source, g FROM sh_all
+        GROUP BY lang, source, g HAVING COUNT(*) <= {JACCARD_DF_CAP}
+    ), sh AS (
+        SELECT sh_all.* FROM sh_all JOIN rare USING (lang, source, g)
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.g = b.g
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM shared JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAINMENT_MIN}
+    """,
+    tags=("dedup", "containment", "training-data"),
+)
+def q_dedup_containment(spark, sf_dir):
+    """Containment near-dup detection (quote/excerpt finding): score =
+    shared shingles / shingles of the SMALLER document. Jaccard misses
+    a short doc fully embedded in a long one (the union term swamps the
+    overlap); containment is the asymmetric measure decontamination and
+    excerpt-dedup pipelines use for exactly that case. Same blocked
+    candidate generation + DF-cap pruning as q_dedup_ngram_jaccard —
+    only the final measure differs, so the 100 TB plan shape is
+    identical (block-bounded pair volume, never corpus²)."""
+    d = t(spark, sf_dir, "documents")
+    sh_all = d.repartition(32, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(bigrams(tokens("text")))).alias("g"),
+    )
+    rare = (
+        sh_all.groupBy("lang", "source", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= JACCARD_DF_CAP)
+        .select("lang", "source", "g")
+    )
+    sh = sh_all.join(rare, ["lang", "source", "g"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("n_shared").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            F.round(containment, 6).alias("containment"),
+        )
+        .filter(containment >= CONTAINMENT_MIN)
+    )

@@ -9,6 +9,7 @@ iris-scale golden assertions in tests/test_ml.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ._util import dec, scratch_dir, t
@@ -440,4 +441,95 @@ def q_ml_scaler(spark, sf_dir):
                 6,
             ).alias("price_minmax"),
         )
+    )
+
+
+# Lift-table score: a fixed logistic link over order value — a stand-in
+# for any model score that is monotone, closed-form, and therefore
+# bit-identical across engines (a fitted model's scores would force the
+# weaker rows-only check; cf. q_ml_rf_pipeline).
+_LIFT_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@query(
+    "q_ml_lift_table",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + EXP(-(o_totalprice - 30000.0) / 20000.0)) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ), bounds AS (
+        SELECT quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM scored
+    ), bucketed AS (
+        SELECT 10 - len(list_filter(b.bs, x -> s.score > x)) AS decile,
+               s.label
+        FROM scored s CROSS JOIN bounds b
+    ), per AS (
+        SELECT decile, COUNT(*) AS n,
+               CAST(COUNT(CASE WHEN label = 1 THEN 1 END) AS BIGINT) AS n_pos
+        FROM bucketed GROUP BY decile
+    )
+    SELECT decile, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+           ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / SUM(n_pos) OVER (), 6) AS cum_capture,
+           ROUND((CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(SUM(n_pos) OVER () AS DOUBLE) / SUM(n) OVER ()), 6) AS lift
+    FROM per
+    """,
+    tags=("ml", "lift", "calibration", "evaluation"),
+)
+def q_ml_lift_table(spark, sf_dir):
+    """Decile lift/gains table — the model-evaluation rollup scoring
+    pipelines run after batch inference (decile 1 = top scores; lift =
+    decile positive rate / base rate; cum_capture = fraction of all
+    positives caught by deciles 1..k). Deciles come from EXACT score
+    percentiles computed as ONE aggregate row and broadcast back — a
+    map-only bucketing pass, never a global-sort ``ntile`` window
+    (which would funnel 100 TB through one partition; at production
+    scale swap the exact percentile for approx_percentile, same plan).
+
+    The score is a fixed logistic link over order value so both engines
+    compute bit-identical doubles end-to-end; all downstream windows
+    run over the 10-row decile frame.
+    """
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 30000.0) / 20000.0))).alias(
+            "score"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    bounds = scored.agg(
+        F.percentile("score", F.lit([float(q) for q in _LIFT_DECILES])).alias("bs")
+    )
+    bucketed = scored.crossJoin(F.broadcast(bounds)).select(
+        (
+            10
+            - F.size(
+                F.filter("bs", lambda x: F.col("score") > x)
+            )
+        ).alias("decile"),
+        "label",
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("label") == 1, 1)).alias("n_pos"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(
+            F.sum("n_pos").over(w_cum) / F.sum("n_pos").over(w_all), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("n_pos") / F.col("n"))
+            / (F.sum("n_pos").over(w_all) / F.sum("n").over(w_all)),
+            6,
+        ).alias("lift"),
     )

@@ -190,6 +190,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tpch_q20",
     "q_ml_scaler",
     "q_graph_triangles",
+    "q_scan_text_log",
+    "q_dedup_containment",
+    "q_ml_lift_table",
+    "q_agg_corr_matrix",
 )
 
 

@@ -248,3 +248,73 @@ def q_layout_zorder(spark, sf_dir):
         F.min("l_suppkey").alias("min_sk"),
         F.max("l_suppkey").alias("max_sk"),
     )
+
+
+@query(
+    "q_scan_text_log",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id % 500 <> 0
+    GROUP BY event_type
+    """,
+    tags=("scan", "text", "log-ingest"),
+)
+def q_scan_text_log(spark, sf_dir):
+    """Raw text-line ingestion (the log-parsing shape): events rendered
+    as pipe-delimited log lines — every 500th deliberately corrupted —
+    written via the text sink, read back with ``spark.read.text``,
+    regex-parsed, malformed lines dropped, then aggregated. The value
+    field round-trips through Spark's shortest-repr double→string cast,
+    so the re-parsed doubles are bit-identical to the originals and the
+    decimal-summed aggregate matches the oracle computed on the parquet
+    source directly.
+
+    Scale shape: text scan splits by line ranges exactly like any
+    production log read; the regex runs in codegen (no Python), the
+    malformed filter is scan-side, and the only shuffle is the final
+    event_type aggregate. Schema-on-read via regexp groups is the
+    standard first hop of a 100 TB log pipeline (before converting to
+    columnar — which q_sink_parquet_roundtrip covers).
+    """
+    path = scratch_dir("q_scan_text_log", sf_dir)
+    ev = t(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 500 == 0,
+        F.concat(F.lit("!!corrupt "), F.col("event_id").cast("string")),
+    ).otherwise(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.unix_timestamp("ts").cast("string"),
+            "event_type",
+            F.col("user_id").cast("string"),
+            F.col("value").cast("string"),
+        )
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    raw = spark.read.text(path)
+    pat = r"^(\d+)\|(-?\d+)\|(\w+)\|(\d+)\|(.+)$"
+    parsed = raw.select(
+        F.regexp_extract("value", pat, 1).alias("event_id_s"),
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.regexp_extract("value", pat, 4).alias("user_id_s"),
+        F.regexp_extract("value", pat, 5).alias("value_s"),
+    ).filter(F.col("event_id_s") != "")
+    return (
+        parsed.select(
+            "event_type",
+            F.col("user_id_s").cast("bigint").alias("user_id"),
+            F.col("value_s").cast("double").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
