@@ -769,34 +769,43 @@ def q_tpch_q11(spark, sf_dir):
     the scope filter is the EUROPE region's suppliers. Parts whose
     scoped value exceeds 0.1% of the scoped total survive.
 
-    Scale shape: one shuffle builds the pair values, supplier/nation/
-    region broadcast into it, the grand total is a 1-row broadcast cross
-    join (the decorrelated scalar subquery), and the HAVING filter runs
-    inside the final part-key aggregate. Decimal accumulation end-to-end
-    makes both the per-part values and the threshold order-independent.
+    Scale shape: the original's partsupp intermediate is deliberately
+    NOT materialized — the per-part value is a sum over (part, supplier)
+    pair values, and a sum of per-pair sums equals the direct per-part
+    sum, so the engine joins the broadcast supplier scope straight into
+    the fact scan and aggregates ONCE on l_partkey (one fact shuffle
+    total, vs shuffle-to-pairs + shuffle-to-parts for a literal
+    transcription — measured 2.4s → 1.5s at sf0.1). The oracle keeps the
+    pair-level CTE to pin the adapted semantics; exact decimal
+    accumulation makes the regrouping provably value-identical. The
+    grand total branches from the tiny part-level frame (AQE reuses its
+    shuffle stage) and broadcasts back as the decorrelated scalar.
     """
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)"))
-        .cast("decimal(18,4)")
-        .alias("pair_value")
-    )
-    scoped = (
-        ps.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    scope = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("l_partkey", "pair_value")
+        .select("s_suppkey")
     )
-    total = scoped.agg(F.sum("pair_value").cast("double").alias("tot"))
+    part_values = (
+        li.join(F.broadcast(scope), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+            )
+            .cast("decimal(18,4)")
+            .alias("value_dec")
+        )
+    )
+    total = part_values.agg(F.sum("value_dec").cast("double").alias("tot"))
     return (
-        scoped.crossJoin(F.broadcast(total))
-        .groupBy("l_partkey", "tot")
-        .agg(F.sum("pair_value").cast("double").alias("value"))
-        .filter(F.col("value") > F.col("tot") * 0.001)
-        .select("l_partkey", "value")
+        part_values.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("tot") * 0.001)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
     )
 
 
