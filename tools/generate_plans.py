@@ -60,6 +60,12 @@ SHOWCASE = [
     ("q_dq_checks", "DQ rule suite: one aggregate per table + anti-join, stack to rows"),
     ("q_dedup_snm", "sorted-neighborhood: LEAD-window probes, no self-join"),
     ("q_text_vocab_coverage", "vocab coverage: TakeOrdered cut before constant-size window"),
+    ("q_events_funnel", "funnel: stage chain co-partitioned on user_id, 4-row pct window"),
+    ("q_dq_drift_ks", "binned KS drift: bin-collapsed ECDF, no global sort"),
+    ("q_tpch_q11", "Q11: broadcast scope into ONE fact aggregate; total reuses its stage"),
+    ("q_graph_triangles", "triangles: oriented wedge join + closing-edge equi-join"),
+    ("q_ml_lift_table", "lift table: exact-percentile bounds broadcast, map-only bucketing"),
+    ("q_scan_text_log", "text-line ingest: codegen regex parse, malformed-drop at scan"),
 ]
 
 
