@@ -945,3 +945,83 @@ def q_graph_triangles(spark, sf_dir):
         triangles.agg(F.count("*").alias("n_triangles"))
     )
     return nodes.crossJoin(counts).select("n_nodes", "n_edges", "n_triangles")
+
+
+# Anomaly flag threshold in sigmas, and the trailing window width in
+# hours the baseline is estimated from.
+ANOMALY_Z = 2.0
+ANOMALY_LOOKBACK_H = 24
+
+
+@query(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT event_type, hour_s, cnt,
+               AVG(cnt) OVER w AS mu,
+               STDDEV_SAMP(cnt) OVER w AS sd,
+               COUNT(*) OVER w AS n_baseline
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
+                     ROWS BETWEEN {ANOMALY_LOOKBACK_H} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_s, cnt, n_baseline,
+           ROUND(mu, 4) AS baseline_mean,
+           ROUND((cnt - mu) / sd, 4) AS z
+    FROM scored
+    WHERE n_baseline >= 12 AND sd > 0
+      AND ABS((cnt - mu) / sd) > {ANOMALY_Z}
+    """,
+    tags=("events", "anomaly", "monitoring", "data-quality"),
+)
+def q_events_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection on hourly event volumes — the
+    volume-monitoring alarm every ingest pipeline runs (a collapsed
+    source or a bot flood shows up as |z| > {ANOMALY_Z} against the
+    trailing-{ANOMALY_LOOKBACK_H}h baseline; current hour excluded from
+    its own baseline, warm-up hours suppressed).
+
+    Scale shape: the hourly aggregate collapses any event volume to
+    |types| × |hours| rows FIRST (one combinable shuffle); the rolling
+    mean/stddev window runs over that collapsed frame, partitioned by
+    event_type — never over raw events. AVG of bigint counts is the
+    same double division in both engines; z rounds to 4dp per the
+    moment discipline.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_s"),
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(-ANOMALY_LOOKBACK_H, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_s",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_baseline"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_baseline") >= 12) & (F.col("sd") > 0) & (F.abs(z) > ANOMALY_Z)
+        )
+        .select(
+            "event_type",
+            "hour_s",
+            "cnt",
+            "n_baseline",
+            F.round("mu", 4).alias("baseline_mean"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -533,3 +533,153 @@ def q_ml_lift_table(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+# Binned-AUC resolution. 1000 equi-width bins over the (0,1) logistic
+# score: the rank statistic is computed on the bin histogram, exact at
+# bin granularity — the scalable form of exact rank-sum AUC (whose
+# global rank assignment would need a full distributed sort; cf.
+# q_shuffle_global for that two-phase machinery).
+AUC_BINS = 1000
+
+
+@query(
+    "q_ml_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + EXP(-(o_totalprice - 30000.0) / 20000.0)) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ), binned AS (
+        SELECT CAST(LEAST(FLOOR(score * {AUC_BINS}.0), {AUC_BINS - 1}) AS INT) AS bin,
+               CAST(COUNT(CASE WHEN label = 1 THEN 1 END) AS BIGINT) AS n_pos,
+               CAST(COUNT(CASE WHEN label = 0 THEN 1 END) AS BIGINT) AS n_neg
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT n_pos, n_neg,
+               SUM(n_neg) OVER (ORDER BY bin) - n_neg AS neg_below,
+               SUM(n_pos) OVER () AS tot_pos, SUM(n_neg) OVER () AS tot_neg
+        FROM binned
+    )
+    SELECT ROUND(SUM(n_pos * (neg_below + n_neg / 2.0))
+                 / (MAX(tot_pos) * MAX(tot_neg)), 6) AS auc,
+           CAST(MAX(tot_pos) AS BIGINT) AS n_pos_total,
+           CAST(MAX(tot_neg) AS BIGINT) AS n_neg_total,
+           COUNT(*) AS n_bins_hit
+    FROM cum
+    """,
+    tags=("ml", "auc", "evaluation"),
+)
+def q_ml_auc(spark, sf_dir):
+    """ROC-AUC via the rank-sum (Mann-Whitney U) identity on a binned
+    score histogram: AUC = Σ_bins pos_b · (neg_below_b + neg_b/2) /
+    (P·N) — ties within a bin contribute ½, which is exactly the
+    trapezoidal ROC integral at bin granularity. One hash aggregate
+    collapses any input volume to ≤{AUC_BINS} rows; the cumulative pass
+    runs over that driver-size frame. This is how AUC is computed at
+    100 TB — the textbook global-rank formulation needs a full
+    distributed sort for ONE scalar. Closed-form logistic score keeps
+    both engines bit-identical (a fitted model would force rows-only).
+    """
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 30000.0) / 20000.0))).alias(
+            "score"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    binned = (
+        scored.withColumn(
+            "bin",
+            F.least(F.floor(F.col("score") * float(AUC_BINS)), F.lit(AUC_BINS - 1)).cast(
+                "int"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("label") == 1, 1)).alias("n_pos"),
+            F.count(F.when(F.col("label") == 0, 1)).alias("n_neg"),
+        )
+    )
+    w_cum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    cum = binned.select(
+        "n_pos",
+        "n_neg",
+        (F.sum("n_neg").over(w_cum) - F.col("n_neg")).alias("neg_below"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+        F.sum("n_neg").over(w_all).alias("tot_neg"),
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos") * (F.col("neg_below") + F.col("n_neg") / 2.0))
+            / (F.max("tot_pos") * F.max("tot_neg")),
+            6,
+        ).alias("auc"),
+        F.max("tot_pos").alias("n_pos_total"),
+        F.max("tot_neg").alias("n_neg_total"),
+        F.count("*").alias("n_bins_hit"),
+    )
+
+
+# Target-encoding smoothing prior weight (the standard m-estimate).
+TARGET_ENCODE_M = 20.0
+
+
+@query(
+    "q_ml_target_encode",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT c_mktsegment,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), prior AS (
+        SELECT CAST(SUM(label) AS DOUBLE) / COUNT(*) AS p FROM labeled
+    ), per_cat AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS n_pos
+        FROM labeled GROUP BY 1
+    )
+    SELECT c_mktsegment, n, n_pos,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS raw_rate,
+           ROUND((n_pos + {TARGET_ENCODE_M} * p.p) / (n + {TARGET_ENCODE_M}), 6)
+               AS encoded
+    FROM per_cat CROSS JOIN prior p
+    """,
+    tags=("ml", "target-encoding", "feature-engineering"),
+)
+def q_ml_target_encode(spark, sf_dir):
+    """Smoothed target encoding (m-estimate): replace a categorical
+    feature with (n_pos + m·prior) / (n + m) — the shrinkage that stops
+    rare categories from memorizing their few labels. The fit is one
+    hash aggregate per category plus a 1-row global prior broadcast
+    back; applying the encoding to a scoring set is then a broadcast
+    dimension join (the per-category table is vocabulary-size). The
+    leave-one-out variant subtracts the own row's label from the
+    numerator/denominator — same plan, row-local arithmetic.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    labeled = o.join(
+        F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_mktsegment",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    prior = labeled.agg(
+        (F.sum("label").cast("double") / F.count("*")).alias("p")
+    )
+    per_cat = labeled.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.sum("label").cast("bigint").alias("n_pos")
+    )
+    m = TARGET_ENCODE_M
+    return per_cat.crossJoin(F.broadcast(prior)).select(
+        "c_mktsegment",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("raw_rate"),
+        F.round((F.col("n_pos") + m * F.col("p")) / (F.col("n") + m), 6).alias(
+            "encoded"
+        ),
+    )

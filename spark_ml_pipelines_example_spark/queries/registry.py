@@ -194,6 +194,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_containment",
     "q_ml_lift_table",
     "q_agg_corr_matrix",
+    "q_ml_auc",
+    "q_ml_target_encode",
+    "q_events_anomaly",
 )
 
 
