@@ -197,6 +197,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_auc",
     "q_ml_target_encode",
     "q_events_anomaly",
+    "q_multimodal_phash",
 )
 
 

@@ -20,6 +20,8 @@ PYTHON_OK = {
     "q_group_normalize",
     "q_dedup_embedding_cells",  # per-cell GEMM confirm (applyInPandas)
     "q_sim_knn_all",  # block GEMM kernel (mapInPandas)
+    "q_multimodal_phash",  # decode+signature GEMM (mapInPandas)
+    "q_multimodal_framesample",  # rides attach_payload; slicing itself is Catalyst
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.

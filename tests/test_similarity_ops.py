@@ -119,3 +119,28 @@ def test_knn_join_matches_brute_force_for_probe0(spark, sf_dir):
     for i, r in enumerate(brute[:5], start=1):
         assert knn[i][0] == r["vec_id"]
         assert abs(knn[i][1] - r["cos_sim"]) < 1e-9
+
+
+def test_phash_clusters_cover_exact_payload_dups(spark, sf_dir):
+    """Docs with byte-identical payloads MUST land in the same phash
+    cluster (signature is a pure function of the bytes), so the
+    phash-duplicate doc set is a superset of exact-text duplicates."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("id_sum"))
+        .filter(F.col("n") >= 2)
+    )
+    exact_docs = exact.agg(F.sum("n")).collect()[0][0] or 0
+    clusters = load_all()["q_multimodal_phash"].fn(spark, sf_dir)
+    phash_docs = clusters.agg(F.sum("n_copies")).collect()[0][0] or 0
+    assert phash_docs >= exact_docs
+    # determinism across invocations (pure function of bytes)
+    again = load_all()["q_multimodal_phash"].fn(spark, sf_dir)
+    assert sorted((r.asDict() for r in clusters.collect()), key=lambda d: d["phash"]) == sorted(
+        (r.asDict() for r in again.collect()), key=lambda d: d["phash"]
+    )
