@@ -614,3 +614,72 @@ def q_agg_corr_matrix(spark, sf_dir):
     return li.agg(
         *[F.round(F.corr(x, y), 4).alias(name) for x, y, name in pairs]
     )
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+    ), stats AS (
+        SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS s FROM base GROUP BY 1
+    ), centered AS (
+        SELECT b.l_returnflag, t.n,
+               CAST(t.n * b.x - t.s AS HUGEINT) AS d
+        FROM base b JOIN stats t USING (l_returnflag)
+    ), sums AS (
+        SELECT l_returnflag, n,
+               CAST(SUM(d * d) AS DOUBLE) AS m2,
+               CAST(SUM(d * d * d) AS DOUBLE) AS m3,
+               CAST(SUM(d * d * d * d) AS DOUBLE) AS m4
+        FROM centered GROUP BY 1, 2
+    )
+    SELECT l_returnflag, n,
+           ROUND(m3 * SQRT(CAST(n AS DOUBLE)) / POWER(m2, 1.5), 6) AS skewness,
+           ROUND(m4 * n / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+    FROM sums
+    """,
+    tags=("agg", "stats", "moments"),
+)
+def q_agg_moments(spark, sf_dir):
+    """Population skewness and excess kurtosis per group from EXACT
+    integer sufficient statistics: for integer-valued x, n·x − Σx is an
+    exact integer, so the centered power sums Σdᵏ are exact in wide
+    decimals and the final g1/g2 are single deterministic double
+    expressions — immune to the accumulation-order drift that makes
+    both engines' built-in skewness/kurtosis (and their differing
+    sample-correction conventions) unhashable across engines. Same
+    closed-form-sufficient-statistics trick as q_agg_ols_trend, one
+    tier up in moment order.
+
+    Scale shape: two combinable shuffles on the group key (sum/count,
+    then centered powers) — the second pass joins a broadcast
+    group-stats table into the scan; no window, no sort.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("x").alias("s")
+    )
+    d = (F.col("n") * F.col("x") - F.col("s")).cast("decimal(38,0)")
+    centered = li.join(F.broadcast(stats), "l_returnflag").select(
+        "l_returnflag", "n", d.alias("d")
+    )
+    sums = centered.groupBy("l_returnflag", "n").agg(
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("m2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).cast("double").alias("m3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d"))
+        .cast("double")
+        .alias("m4"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.col("m3") * F.sqrt(F.col("n").cast("double")) / F.pow("m2", 1.5), 6
+        ).alias("skewness"),
+        F.round(F.col("m4") * F.col("n") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias(
+            "kurtosis_excess"
+        ),
+    )

@@ -1025,3 +1025,70 @@ def q_events_anomaly(spark, sf_dir):
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "q_agg_pareto",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT l_partkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey) AS cum_rev,
+               SUM(revenue) OVER () AS tot_rev
+        FROM part_rev
+    ), classed AS (
+        SELECT l_partkey, revenue,
+               CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+                    WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class, COUNT(*) AS n_parts,
+           CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS class_revenue
+    FROM classed GROUP BY 1
+    """,
+    tags=("agg", "pareto", "abc", "merchandising"),
+)
+def q_agg_pareto(spark, sf_dir):
+    """Pareto / ABC classification (the 80-15-5 merchandising rollup):
+    parts ranked by revenue, classed A while their running share ≤ 80%,
+    B to 95%, else C. The cumulative window is ordered but runs over
+    the COLLAPSED per-part frame (one combinable fact shuffle first),
+    never the raw fact — and deterministic because revenue sums are
+    exact decimals and the running sum carries a part-key tiebreak. At
+    catalog sizes where even the part frame is huge, the same query
+    runs on a revenue-bucket histogram (cf. q_ml_auc's binning); the
+    fixture-size frame keeps the exact form hash-checkable.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    w_run = (
+        W.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy()
+    share = F.sum("revenue").over(w_run) / F.sum("revenue").over(w_all)
+    classed = part_rev.select(
+        "l_partkey",
+        "revenue",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum(F.col("revenue").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("class_revenue"),
+    )

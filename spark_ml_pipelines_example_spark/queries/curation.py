@@ -553,3 +553,82 @@ def q_text_bigram_lm(spark, sf_dir):
             (F.avg(lp) < BIGRAM_FLAG).alias("flagged"),
         )
     )
+
+
+@query(
+    "q_text_url_canonical",
+    oracle="""
+    WITH messy AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END
+               || CASE WHEN doc_id % 2 = 0 THEN 'WWW' ELSE 'www' END
+               || '.Example.COM/docs/' || (doc_id // 4)
+               || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN '?utm_source=feed&utm_campaign=x' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+               AS url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^[hH][tT][tT][pP][sS]?://([^/?#]+)', 1))
+               || regexp_replace(
+                      regexp_extract(url, '^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)', 1),
+                      '/$', '')
+               AS canonical
+        FROM messy
+    )
+    SELECT canonical,
+           COUNT(*) AS n_urls,
+           MIN(doc_id) AS keep_id,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM canon
+    GROUP BY canonical
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "url", "canonicalization", "training-data"),
+)
+def q_text_url_canonical(spark, sf_dir):
+    """URL canonicalization + dedup — the crawl-frontier step that stops
+    the same page entering the corpus under cosmetic URL variants:
+    lowercase scheme/host, strip tracking query params and fragments,
+    drop trailing slashes, then cluster on the canonical form (min-id
+    keeper). The fixture synthesizes the messy variants (case-mixed
+    hosts, utm params, fragments, trailing slash) deterministically
+    from doc_id so both engines build identical inputs.
+
+    Scale shape: canonicalization is pure codegen regex (map-only);
+    the cluster aggregate is ONE combinable shuffle on the canonical
+    URL — same plan as exact text dedup. A real frontier adds
+    scheme/port normalization and param allowlists per domain; all of
+    it stays map-side.
+    """
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, "HTTPS://").otherwise("https://"),
+        F.when(F.col("doc_id") % 2 == 0, "WWW").otherwise("www"),
+        F.lit(".Example.COM/docs/"),
+        F.floor(F.col("doc_id") / 4).cast("string"),
+        F.when(F.col("doc_id") % 4 == 1, "/").otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, "?utm_source=feed&utm_campaign=x").otherwise(
+            ""
+        ),
+        F.when(F.col("doc_id") % 7 == 0, "#section-2").otherwise(""),
+    )
+    messy = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[hH][tT][tT][pP][sS]?://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[hH][tT][tT][pP][sS]?://[^/?#]+([^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    canon = messy.select("doc_id", F.concat(host, path).alias("canonical"))
+    return (
+        canon.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("keep_id"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .filter(F.col("n_urls") >= 2)
+    )

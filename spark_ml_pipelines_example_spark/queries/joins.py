@@ -390,3 +390,46 @@ def q_join_dpp_prune(spark, sf_dir):
             dec_sum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH ck AS (
+        SELECT c_custkey, NULLIF(c_nationkey % 10, 7) AS k FROM customer
+    ), sk AS (
+        SELECT s_suppkey, NULLIF(s_nationkey % 10, 7) AS k FROM supplier
+    )
+    SELECT ck.k AS join_key,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c_custkey) AS n_cust,
+           COUNT(DISTINCT s_suppkey) AS n_supp
+    FROM ck JOIN sk ON ck.k IS NOT DISTINCT FROM sk.k
+    GROUP BY 1
+    """,
+    tags=("join", "null-safe"),
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics entity-
+    resolution and SCD comparisons need when 'unknown' is a legitimate
+    key value (a plain equi-join silently drops every NULL-keyed row
+    from both sides). Catalyst plans EqualNullSafe as a hash join on
+    a null-coalesced key, so this stays a real equi-join — no
+    nested-loop fallback; the NULL bucket is one more hash key (and at
+    scale the one to watch for skew — cf. q_join_salted_skew)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 10, F.lit(7)).alias("ck")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey") % 10, F.lit(7)).alias("sk")
+    )
+    return (
+        c.join(s, F.col("ck").eqNullSafe(F.col("sk")))
+        .groupBy(F.col("ck").alias("join_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )

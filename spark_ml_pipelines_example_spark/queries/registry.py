@@ -198,6 +198,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_target_encode",
     "q_events_anomaly",
     "q_multimodal_phash",
+    "q_agg_pareto",
+    "q_text_url_canonical",
+    "q_join_nullsafe",
+    "q_agg_moments",
 )
 
 
