@@ -202,6 +202,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_url_canonical",
     "q_join_nullsafe",
     "q_agg_moments",
+    "q_win_ntile",
 )
 
 

@@ -269,3 +269,45 @@ def q_win_gaps_islands(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     ).drop("sess_id")
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    WITH tiled AS (
+        SELECT event_type, event_id, value,
+               NTILE(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS quartile
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, quartile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM tiled GROUP BY 1, 2
+    """,
+    tags=("window", "ntile", "bucketing"),
+)
+def q_win_ntile(spark, sf_dir):
+    """Per-group NTILE(4) quartile assignment with a unique (value,
+    event_id) ordering — ntile splits ties by position, so without the
+    id tiebreak the bucket boundaries would be partition-order-dependent
+    and unhashable. The window partitions by event_type (bounded
+    cardinality → bounded per-partition sort); a GLOBAL ntile over raw
+    facts is the anti-pattern this query deliberately avoids — for
+    corpus-wide quantile bucketing use broadcast percentile bounds
+    instead (q_ml_lift_table / q_ml_quantile_discretizer)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
