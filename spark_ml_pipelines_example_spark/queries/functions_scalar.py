@@ -423,3 +423,45 @@ def q_fn_variant(spark, sf_dir):
         F.min(k).alias("k_min"),
         F.max(k).alias("k_max"),
     )
+
+
+@query(
+    "q_fn_try_safe",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN l_quantity - 25 = 0 THEN 1 END) AS n_div_by_zero,
+           ROUND(SUM(COALESCE(l_extendedprice / NULLIF(l_quantity - 25, 0), 0)), 2)
+               AS sum_safe_ratio,
+           COUNT(TRY_CAST(CASE WHEN l_linenumber % 3 = 0
+                               THEN 'not-a-number'
+                               ELSE CAST(l_linenumber AS VARCHAR) END AS INTEGER))
+               AS n_parsed
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("fn", "try", "error-safe"),
+)
+def q_fn_try_safe(spark, sf_dir):
+    """Error-safe expression surface (``try_divide`` / ``try_cast``):
+    division by zero yields NULL instead of ANSI errors or ±Inf, and
+    malformed casts yield NULL instead of failing the job — the
+    semantics a 100 TB pipeline needs, where one bad row must not kill
+    a stage. The oracle states the same algebra via NULLIF/TRY_CAST;
+    NULL-safe aggregation (COUNT skips NULLs) then quantifies the bad
+    rows — turning failures into a data-quality measure. The ratio sum
+    stays a raw double rounded to 2dp: its ~1e-7 partition-order drift
+    is 4 orders below the rounding step, while a per-term round→decimal
+    chain double-rounds differently per engine at 4dp boundaries
+    (measured: last-ulp hash mismatch)."""
+    li = t(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+    parse_src = F.when(F.col("l_linenumber") % 3 == 0, "not-a-number").otherwise(
+        F.col("l_linenumber").cast("string")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("l_quantity") - 25 == 0, 1)).alias("n_div_by_zero"),
+        F.round(F.sum(F.coalesce(ratio, F.lit(0.0))), 2).alias("sum_safe_ratio"),
+        F.count(parse_src.try_cast("int")).alias("n_parsed"),
+    )

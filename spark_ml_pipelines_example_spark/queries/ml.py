@@ -683,3 +683,87 @@ def q_ml_target_encode(spark, sf_dir):
             "encoded"
         ),
     )
+
+
+@query(
+    "q_ml_pit_features",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(epoch(CAST(ts AS DATE) + INTERVAL 1 DAY) AS BIGINT) AS snap_s,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ), clicks AS (
+        SELECT user_id,
+               CAST(epoch(CAST(ts AS DATE) + INTERVAL 1 DAY) AS BIGINT) AS snap_s,
+               COUNT(*) AS day_clicks
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    ), probes AS (
+        SELECT event_id, user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_s,
+           s.day_spend AS f_spend,
+           c.day_clicks AS f_clicks
+    FROM probes p
+    ASOF LEFT JOIN spend s
+         ON p.user_id = s.user_id AND p.ts_s >= s.snap_s
+    ASOF LEFT JOIN clicks c
+         ON p.user_id = c.user_id AND p.ts_s >= c.snap_s
+    """,
+    tags=("ml", "feature-store", "pit", "asof"),
+)
+def q_ml_pit_features(spark, sf_dir):
+    """Point-in-time-correct feature join — the feature-store primitive:
+    each scoring event picks up, from EACH feature table, the latest
+    snapshot whose availability time is ≤ the event time. Snapshots
+    become available at the NEXT midnight after their day (a feature
+    computed over Tuesday is usable from Wednesday 00:00) — the
+    leakage rule that separates a feature store from a plain join;
+    events on a user's first purchase day get NULL features, not a
+    peek at same-day data.
+
+    Scale shape: each feature attach is one ``asof_join``
+    (operators/asof.py): union on the (user, time) spine + a single
+    keyed window — one shuffle per feature table, all on the SAME
+    user_id key, so AQE co-partitions the chain. The oracle states the
+    same semantics as DuckDB ASOF LEFT JOINs; the Spark plan is the
+    linear merge-scan formulation, not the oracle's correlated probe.
+    """
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    next_midnight = F.unix_timestamp(
+        F.date_add(F.to_date("ts"), 1).cast("timestamp")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", next_midnight.alias("ts_s"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("day_spend")
+        )
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", next_midnight.alias("ts_s"))
+        .agg(F.count("*").alias("day_clicks"))
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    with_spend = asof_join(
+        probes, spend, on="user_id", ts="ts_s", payload="day_spend", alias="f_spend"
+    )
+    return asof_join(
+        with_spend,
+        clicks,
+        on="user_id",
+        ts="ts_s",
+        payload="day_clicks",
+        alias="f_clicks",
+    )

@@ -411,3 +411,71 @@ def q_dq_drift_ks(spark, sf_dir):
         F.max("tot_a").alias("n_a_total"),
         F.max("tot_b").alias("n_b_total"),
     )
+
+
+# Low-entropy flag threshold (bits/token): natural text over this
+# fixture's vocabulary sits well above it; templated/gibberish-repetitive
+# docs fall below.
+ENTROPY_MIN_BITS = 3.0
+
+
+@query(
+    "q_text_entropy",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), sizes AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+    ), ent AS (
+        SELECT c.doc_id, s.n AS n_tokens,
+               CAST(SUM(CAST(ROUND(
+                   -(CAST(c.c AS DOUBLE) / s.n) * LOG2(CAST(c.c AS DOUBLE) / s.n),
+                   9) AS DECIMAL(18,9))) AS DOUBLE) AS h_raw
+        FROM counts c JOIN sizes s USING (doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(h_raw, 6) AS entropy_bits,
+           ROUND(h_raw, 6) < {{ENTROPY_MIN_BITS}} AS low_entropy
+    FROM ent
+    """.format(ENTROPY_MIN_BITS=ENTROPY_MIN_BITS),
+    tags=("text", "quality", "entropy", "training-data"),
+)
+def q_text_entropy(spark, sf_dir):
+    """Per-document token-entropy quality signal (gibberish/template
+    detection): H = −Σ p·log₂p over the doc's token distribution, in
+    bits/token — low entropy = few distinct tokens dominating (boiler-
+    plate, keyword stuffing); the information-theoretic complement to
+    q_text_repetition's top-bigram fraction. Each −p·log₂p term rounds
+    to 9dp and accumulates in decimal, so the per-doc sum is order-
+    independent (a raw double Σ would drift with partition merge order
+    at 100 TB aggregate widths).
+
+    Scale shape: explode → (doc, token) hash aggregate → per-doc
+    aggregate — two combinable shuffles on doc-keyed data, the same
+    shape as every text statistic here; the sizes side collapses to one
+    row per doc before the join back.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.repartition(32, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = counts.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
+    ent = (
+        counts.join(sizes, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.sum(term).cast("double").alias("h_raw"))
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        F.round("h_raw", 6).alias("entropy_bits"),
+        (F.round("h_raw", 6) < ENTROPY_MIN_BITS).alias("low_entropy"),
+    )

@@ -203,6 +203,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_nullsafe",
     "q_agg_moments",
     "q_win_ntile",
+    "q_ml_pit_features",
+    "q_text_entropy",
+    "q_fn_try_safe",
 )
 
 
