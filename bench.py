@@ -83,6 +83,8 @@ HEADLINE = [
     "q_dq_drift_ks",
     "q_tpch_q17",
     "q_tpch_q11",
+    "q_ml_pit_features",
+    "q_multimodal_phash",
 ]
 
 
