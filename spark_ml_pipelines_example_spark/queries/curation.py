@@ -22,6 +22,7 @@ tokenization. Scale posture, per operator:
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
@@ -631,4 +632,66 @@ def q_text_url_canonical(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
         .filter(F.col("n_urls") >= 2)
+    )
+
+
+# Mixing temperature: weights ∝ n_source^ALPHA. α=1 is proportional
+# (no rebalance), α=0 is uniform; 0.5 is the usual multilingual/
+# multi-source compromise (rare sources upweighted, but not to parity).
+MIX_ALPHA = 0.5
+
+
+@query(
+    "q_curate_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+    ), weighted AS (
+        SELECT source, n_src,
+               POWER(CAST(n_src AS DOUBLE), {MIX_ALPHA})
+                   / SUM(POWER(CAST(n_src AS DOUBLE), {MIX_ALPHA})) OVER () AS w,
+               CAST(SUM(n_src) OVER () AS BIGINT) AS total
+        FROM counts
+    )
+    SELECT source, n_src,
+           ROUND(w, 6) AS weight,
+           CAST(FLOOR(total * w + 0.5) AS BIGINT) AS quota,
+           CAST(FLOOR(total * w + 0.5) AS BIGINT) // n_src AS full_epochs,
+           CAST(FLOOR(total * w + 0.5) AS BIGINT) % n_src AS remainder_docs
+    FROM weighted
+    """,
+    tags=("text", "mixture", "temperature", "training-data"),
+)
+def q_curate_mix_temperature(spark, sf_dir):
+    """Temperature-based source re-mixing (the GPT-3/PaLM/Llama data-mix
+    step): sampling weights ∝ n_source^α with α={MIX_ALPHA}, rebalanced
+    to the original corpus size. Small sources get quota > n_src — the
+    plan is 'full_epochs' complete repetitions plus a deterministic
+    'remainder_docs' subset (md5-rank, as in q_mix_sources) — which is
+    exactly how LLM training data schedules express upsampling (epochs
+    per source), not row duplication in storage.
+
+    Scale shape: everything derives from ONE per-source count aggregate;
+    the weight normalization and quota arithmetic run over the
+    |sources|-row frame. The materialization step (repeat + remainder)
+    is a broadcast join of this quota table back into the corpus scan —
+    no shuffle of the corpus at all."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    w_all = W.partitionBy()
+    pw = F.pow(F.col("n_src").cast("double"), MIX_ALPHA)
+    weighted = counts.select(
+        "source",
+        "n_src",
+        (pw / F.sum(pw).over(w_all)).alias("w"),
+        F.sum("n_src").over(w_all).cast("bigint").alias("total"),
+    )
+    quota = F.floor(F.col("total") * F.col("w") + 0.5).cast("bigint")
+    return weighted.select(
+        "source",
+        "n_src",
+        F.round("w", 6).alias("weight"),
+        quota.alias("quota"),
+        F.floor(quota / F.col("n_src")).cast("bigint").alias("full_epochs"),
+        (quota % F.col("n_src")).alias("remainder_docs"),
     )

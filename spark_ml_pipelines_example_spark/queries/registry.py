@@ -206,6 +206,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_pit_features",
     "q_text_entropy",
     "q_fn_try_safe",
+    "q_curate_mix_temperature",
 )
 
 
