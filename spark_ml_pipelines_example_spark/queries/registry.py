@@ -207,6 +207,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_entropy",
     "q_fn_try_safe",
     "q_curate_mix_temperature",
+    "q_win_period_growth",
 )
 
 

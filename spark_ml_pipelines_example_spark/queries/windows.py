@@ -311,3 +311,76 @@ def q_win_ntile(spark, sf_dir):
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "q_win_period_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT n_name,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT n_name, week, revenue, n_orders,
+           ROUND(revenue / LAG(revenue) OVER w - 1.0, 6) AS wow_growth,
+           ROUND(revenue / FIRST_VALUE(revenue) OVER w, 6) AS vs_first_week
+    FROM weekly
+    WINDOW w AS (PARTITION BY n_name ORDER BY week)
+    """,
+    tags=("window", "growth", "period-over-period", "bi"),
+)
+def q_win_period_growth(spark, sf_dir):
+    """Period-over-period growth (the WoW/MoM BI rollup): weekly revenue
+    per nation with week-over-week growth rate and an index against the
+    first week. The LAG/FIRST_VALUE windows run over the COLLAPSED
+    (nation × week) frame — one combinable fact shuffle first, then
+    |nations|·|weeks| rows of window work; gaps (a nation with a silent
+    week) surface as missing rows, which LAG then treats as
+    adjacent-known-weeks — the convention to document, or gapfill first
+    via q_stream_gapfill's dense grid when calendar-strict growth is
+    required. Exact decimal revenue makes the ratios deterministic.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    weekly = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("week")
+    return weekly.select(
+        "n_name",
+        "week",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias(
+            "wow_growth"
+        ),
+        F.round(
+            F.col("revenue")
+            / F.first("revenue").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            6,
+        ).alias("vs_first_week"),
+    )
