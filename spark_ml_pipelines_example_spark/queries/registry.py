@@ -208,6 +208,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_try_safe",
     "q_curate_mix_temperature",
     "q_win_period_growth",
+    "q_layout_compact",
 )
 
 

@@ -318,3 +318,54 @@ def q_scan_text_log(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# Compaction target: rows per output file (stands in for the byte-size
+# target a production compactor uses — e.g. 512 MB files).
+COMPACT_ROWS_PER_FILE = 200
+
+
+@query(
+    "q_layout_compact",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           LEAST(64, COUNT(*)) AS n_files_before,
+           CAST(CEIL(COUNT(*) / {COMPACT_ROWS_PER_FILE}.0) AS BIGINT) AS n_files_after,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    """,
+    tags=("scan", "layout", "compaction", "maintenance"),
+)
+def q_layout_compact(spark, sf_dir):
+    """Small-files compaction — the table-maintenance job every long-
+    lived 100 TB dataset needs (streaming sinks and partitioned writes
+    accrete KB-size files; each file costs a task + open + footer read,
+    so a million tiny files poisons every downstream scan). The engine
+    stages a deliberately fragmented copy (round-robin repartition(64)),
+    then compacts to ⌈rows / {COMPACT_ROWS_PER_FILE}⌉ files via
+    round-robin repartition — rewriting data files only; at production
+    scale the same job runs per-partition with a byte target
+    (maxRecordsPerFile / AQE coalescing are the built-in knobs this
+    makes explicit). File counts are measured from the actual written
+    directories and pinned in the result next to an id-sum content
+    checksum, so the oracle verifies BOTH content preservation and the
+    layout arithmetic."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    frag_path = scratch_dir("q_layout_compact_frag", sf_dir)
+    d.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    n_before = len(frag.inputFiles())
+
+    n_rows = frag.count()
+    n_target = -(-n_rows // COMPACT_ROWS_PER_FILE)
+    compact_path = scratch_dir("q_layout_compact_out", sf_dir)
+    frag.repartition(n_target).write.mode("overwrite").parquet(compact_path)
+    compacted = spark.read.parquet(compact_path)
+    n_after = len(compacted.inputFiles())
+
+    return compacted.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_before).cast("bigint").alias("n_files_before"),
+        F.lit(n_after).cast("bigint").alias("n_files_after"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
