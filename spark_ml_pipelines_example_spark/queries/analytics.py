@@ -1092,3 +1092,88 @@ def q_agg_pareto(spark, sf_dir):
         .cast("double")
         .alias("class_revenue"),
     )
+
+
+# Attribution lookback: a purchase credits the user's latest click no
+# older than this many seconds; otherwise it counts as organic.
+ATTRIB_LOOKBACK_S = 86400
+
+
+@query(
+    "q_events_attribution",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS c_ts,
+               'ch' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 4 AS VARCHAR)
+                   AS channel
+        FROM events WHERE event_type = 'click'
+    ), purchases AS (
+        SELECT event_id, user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_ts,
+               value
+        FROM events WHERE event_type = 'purchase'
+    ), attributed AS (
+        SELECT p.event_id, p.value,
+               CASE WHEN c.c_ts IS NOT NULL
+                         AND p.p_ts - c.c_ts <= {ATTRIB_LOOKBACK_S}
+                    THEN c.channel ELSE 'organic' END AS channel
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+             ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM attributed GROUP BY channel
+    """,
+    tags=("events", "attribution", "marketing", "asof"),
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution with a lookback cap: each
+    purchase credits the user's most recent click within the prior
+    {ATTRIB_LOOKBACK_S}s (channel = click's props.k mod 4); stale or
+    absent clicks fall to 'organic'. The temporal-credit shape every
+    growth team runs, and the capped variant of a plain as-of join —
+    the cap is a post-attach filter, NOT a join predicate, so the plan
+    stays the linear merge-scan asof (operators/asof.py): one user_id
+    shuffle, no inequality-join blowup.
+
+    Ties: same-second clicks resolve to the struct-max (ts, channel) —
+    deterministic in both engines. The asof payload is a STRUCT riding
+    the standard asof machinery (the sentinel-null cast covers nested
+    types — cf. ADVICE r1 on payload dtypes).
+    """
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.struct(
+            F.unix_timestamp("ts").alias("c_ts"),
+            F.concat(
+                F.lit("ch"),
+                (F.get_json_object("props", "$.k").cast("bigint") % 4).cast("string"),
+            ).alias("channel"),
+        ).alias("click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    attached = asof_join(
+        purchases, clicks, on="user_id", ts="ts_s", payload="click", alias="last_click"
+    )
+    channel = F.when(
+        F.col("last_click").isNotNull()
+        & (F.col("ts_s") - F.col("last_click.c_ts") <= ATTRIB_LOOKBACK_S),
+        F.col("last_click.channel"),
+    ).otherwise("organic")
+    return (
+        attached.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+    )

@@ -209,6 +209,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_curate_mix_temperature",
     "q_win_period_growth",
     "q_layout_compact",
+    "q_events_attribution",
 )
 
 
