@@ -1177,3 +1177,189 @@ def q_events_attribution(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
         )
     )
+
+
+# Capped funnel: stage k must happen within this many seconds of the
+# chained stage-(k-1) time, not merely after it.
+FUNNEL_WINDOW_S = 7 * 86400
+
+
+@query(
+    "q_events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN({ORACLE_EPOCH_S.format(col="ts")}) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND {ORACLE_EPOCH_S.format(col="e.ts")} > s1.t1
+          AND {ORACLE_EPOCH_S.format(col="e.ts")} <= s1.t1 + {FUNNEL_WINDOW_S}
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'signup'
+          AND {ORACLE_EPOCH_S.format(col="e.ts")} > s2.t2
+          AND {ORACLE_EPOCH_S.format(col="e.ts")} <= s2.t2 + {FUNNEL_WINDOW_S}
+        GROUP BY e.user_id
+    ), s4 AS (
+        SELECT e.user_id, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t4
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase'
+          AND {ORACLE_EPOCH_S.format(col="e.ts")} > s3.t3
+          AND {ORACLE_EPOCH_S.format(col="e.ts")} <= s3.t3 + {FUNNEL_WINDOW_S}
+        GROUP BY e.user_id
+    ), stages AS (
+        SELECT 1 AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'signup', COUNT(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+    )
+    SELECT stage_idx, stage, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / FIRST_VALUE(n_users) OVER w, 4) AS pct_of_start
+    FROM stages
+    WINDOW w AS (ORDER BY stage_idx)
+    """,
+    tags=("events", "funnel", "conversion", "windowed"),
+)
+def q_events_funnel_windowed(spark, sf_dir):
+    """Time-capped conversion funnel: stage k counts only when reached
+    within {FUNNEL_WINDOW_S}s of the user's chained stage-(k-1) time —
+    the form product analytics actually reports ('signup within 7 days
+    of first click'), where the uncapped q_events_funnel overstates
+    conversion by crediting arbitrarily-late events. Identical plan
+    shape: the cap is one more scan-side predicate on each stage's
+    filter, so the co-partitioned user_id join chain and its shuffle
+    count are unchanged.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_s("ts").alias("ts_s")
+    )
+    prev = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_prev"))
+    )
+    frames = [prev]
+    for stage in FUNNEL_STAGES[1:]:
+        prev = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts_s") > F.col("t_prev"))
+                & (F.col("ts_s") <= F.col("t_prev") + FUNNEL_WINDOW_S)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_s").alias("t_prev"))
+        )
+        frames.append(prev)
+    counts = None
+    for i, (stage, frame) in enumerate(zip(FUNNEL_STAGES, frames), start=1):
+        row = frame.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionAll(row)
+    w = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return counts.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 4).alias(
+            "pct_of_start"
+        ),
+    )
+
+
+@query(
+    "q_events_abtest",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT variant,
+               COUNT(*) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS rate
+        FROM assigned GROUP BY variant
+    ), test AS (
+        SELECT a.n_users AS n_a, a.n_converted AS c_a, a.rate AS rate_a,
+               b.n_users AS n_b, b.n_converted AS c_b, b.rate AS rate_b,
+               CAST(a.n_converted + b.n_converted AS DOUBLE)
+                   / (a.n_users + b.n_users) AS pooled
+        FROM arms a JOIN arms b ON a.variant = 0 AND b.variant = 1
+    )
+    SELECT n_a, c_a, ROUND(rate_a, 6) AS rate_a,
+           n_b, c_b, ROUND(rate_b, 6) AS rate_b,
+           ROUND((rate_b - rate_a)
+                 / NULLIF(SQRT(pooled * (1 - pooled) * (1.0/n_a + 1.0/n_b)), 0), 4)
+               AS z_score,
+           ABS((rate_b - rate_a)
+               / NULLIF(SQRT(pooled * (1 - pooled) * (1.0/n_a + 1.0/n_b)), 0)) > 1.96
+               AS significant_95
+    FROM test
+    """,
+    tags=("events", "abtest", "ztest", "experimentation"),
+)
+def q_events_abtest(spark, sf_dir):
+    """Two-proportion z-test between experiment arms (variant = user_id
+    parity; conversion = any purchase): pooled-variance z-score and the
+    95% significance verdict — the experimentation readout every event
+    pipeline serves. Per-user collapse FIRST (one user_id shuffle —
+    unit of randomization = unit of analysis, the correctness rule
+    that stops event-level pseudo-replication), then a 2-row arm
+    aggregate and closed-form arithmetic. All counts exact integers;
+    the z formula is one deterministic double expression.
+    """
+    ev = t(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    arms = assigned.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count("*")).alias("rate"),
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("c_a"),
+        F.col("rate").alias("rate_a"),
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("c_b"),
+        F.col("rate").alias("rate_b"),
+    )
+    test = a.crossJoin(F.broadcast(b)).withColumn(
+        "pooled",
+        (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b")),
+    )
+    z = (F.col("rate_b") - F.col("rate_a")) / F.nullif(
+        F.sqrt(
+            F.col("pooled")
+            * (1 - F.col("pooled"))
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return test.select(
+        "n_a",
+        "c_a",
+        F.round("rate_a", 6).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

@@ -210,6 +210,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_period_growth",
     "q_layout_compact",
     "q_events_attribution",
+    "q_events_funnel_windowed",
+    "q_events_abtest",
 )
 
 
