@@ -13,6 +13,7 @@ go through decimal casts so results are shuffle-order-independent (§2.4).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ._util import avg_exact, dec, dec_sum, t
@@ -682,4 +683,60 @@ def q_agg_moments(spark, sf_dir):
         F.round(F.col("m4") * F.col("n") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias(
             "kurtosis_excess"
         ),
+    )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH part_rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev, l_partkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(rev) OVER () AS tot
+        FROM part_rev
+    )
+    SELECT ROUND(CAST(SUM((2.0 * i - n - 1) * rev) AS DOUBLE)
+                 / (MAX(n) * MAX(tot)), 6) AS gini,
+           CAST(MAX(n) AS BIGINT) AS n_parts
+    FROM ranked
+    """,
+    tags=("agg", "gini", "concentration", "merchandising"),
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of revenue concentration across parts (the
+    inequality scalar that pairs with q_agg_pareto's ABC classes):
+    G = Σ(2i − n − 1)·xᵢ / (n·Σx) over ascending-ranked revenues. The
+    rank runs over the COLLAPSED per-part frame (one combinable fact
+    shuffle first) with a part-key tiebreak so equal revenues rank
+    deterministically — and because the formula is tie-invariant under
+    any ordering of equal values (their (2i−n−1) weights sum the same),
+    the result is stable too. For catalog-size frames, the binned
+    variant (Lorenz curve over revenue-histogram bins, cf. q_ml_auc)
+    replaces the exact rank at the same plan shape."""
+    li = t(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w_rank = W.orderBy("rev", "l_partkey")
+    w_all = W.partitionBy()
+    ranked = part_rev.select(
+        "rev",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("rev"))
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("bigint").alias("n_parts"),
     )

@@ -787,3 +787,78 @@ def q_dedup_containment(spark, sf_dir):
         )
         .filter(containment >= CONTAINMENT_MIN)
     )
+
+
+@query(
+    "q_dedup_survivorship",
+    oracle="""
+    WITH blocked AS (
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               s_nationkey || '|' ||
+               substr(lower(regexp_replace(s_name, '[^a-zA-Z]', '', 'g')), 1, 4)
+                   AS cluster_key
+        FROM supplier
+    ), name_votes AS (
+        SELECT cluster_key, s_name, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY cluster_key
+                                  ORDER BY COUNT(*) DESC, s_name) AS rn
+        FROM blocked GROUP BY cluster_key, s_name
+    )
+    SELECT b.cluster_key,
+           COUNT(*) AS n_members,
+           MIN(b.s_suppkey) AS canonical_id,
+           MAX(b.s_acctbal) AS best_acctbal,
+           MAX(nv.s_name) AS survived_name
+    FROM blocked b
+    JOIN name_votes nv ON b.cluster_key = nv.cluster_key AND nv.rn = 1
+    GROUP BY b.cluster_key
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("dedup", "survivorship", "golden-record", "entity-resolution"),
+)
+def q_dedup_survivorship(spark, sf_dir):
+    """Survivorship / golden-record merge — the step AFTER entity
+    matching (q_dedup_editdistance finds the pairs; this builds the
+    canonical record): per blocked cluster, each attribute survives by
+    its own rule — name by frequency vote (lexicographic tiebreak),
+    balance by max, id by min. The MDM pattern: survivorship is
+    per-attribute aggregation, not row selection.
+
+    Scale shape: the cluster key is a deterministic blocking key
+    (nation + normalized name prefix), so everything is two hash
+    aggregates + a broadcast-size vote table join on the cluster key —
+    no pairwise comparisons at all in the merge phase. The vote's
+    window runs per cluster key (bounded groups), never globally.
+    """
+    s = t(spark, sf_dir, "supplier")
+    cluster_key = F.concat_ws(
+        "|",
+        F.col("s_nationkey").cast("string"),
+        F.substring(F.lower(F.regexp_replace("s_name", "[^a-zA-Z]", "")), 1, 4),
+    )
+    blocked = s.select(
+        "s_suppkey", "s_name", "s_acctbal", cluster_key.alias("cluster_key")
+    )
+    votes = (
+        blocked.groupBy("cluster_key", "s_name")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cluster_key").orderBy(F.col("c").desc(), "s_name")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_key", F.col("s_name").alias("survived_name"))
+    )
+    return (
+        blocked.join(F.broadcast(votes), "cluster_key")
+        .groupBy("cluster_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("s_suppkey").alias("canonical_id"),
+            F.max("s_acctbal").alias("best_acctbal"),
+            F.max("survived_name").alias("survived_name"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -212,6 +212,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_attribution",
     "q_events_funnel_windowed",
     "q_events_abtest",
+    "q_dedup_survivorship",
+    "q_agg_gini",
+    "q_scan_schema_evolution",
 )
 
 

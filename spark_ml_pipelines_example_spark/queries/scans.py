@@ -369,3 +369,53 @@ def q_layout_compact(spark, sf_dir):
         F.lit(n_after).cast("bigint").alias("n_files_after"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_legacy,
+           COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_current,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+               AS new_col_chars
+    FROM documents
+    """,
+    tags=("scan", "schema-evolution", "ingest"),
+)
+def q_scan_schema_evolution(spark, sf_dir):
+    """Schema evolution on read (``mergeSchema``): a dataset whose early
+    files were written before a column existed — the normal state of
+    any long-lived ingest path. The engine stages a legacy batch
+    (doc_id, lang) and a current batch (+ n_chars, source), reads BOTH
+    through one merged-schema scan, and rows from legacy files surface
+    the new columns as NULL — which the aggregate then quantifies
+    (n_legacy vs n_current), turning schema drift into a monitored
+    dimension instead of a crash.
+
+    Scale note: mergeSchema reconciles footers at planning time — cost
+    ∝ number of files, not data volume; production datasets pin the
+    merged schema in a metastore/table format instead of re-deriving
+    it per read (and THIS query's read could pass the union schema
+    explicitly to skip footer reconciliation) — the read-side NULL-fill
+    semantics are identical either way, which is what the oracle pins.
+    """
+    d = t(spark, sf_dir, "documents")
+    base = scratch_dir("q_scan_schema_evolution", sf_dir)
+    legacy = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    current = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    legacy.write.mode("overwrite").parquet(f"{base}/batch=legacy")
+    current.write.mode("overwrite").parquet(f"{base}/batch=current")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=legacy", f"{base}/batch=current"
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("n_chars").isNull(), 1)).alias("n_legacy"),
+        F.count(F.when(F.col("n_chars").isNotNull(), 1)).alias("n_current"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("new_col_chars"),
+    )
