@@ -278,3 +278,58 @@ def test_ols_trend_is_one_aggregate_pass(spark, sf_dir):
     tree = plan.split("\n\n")[0]  # operator tree only, not detail sections
     assert "Join" not in tree, f"OLS acquired a join:\n{plan}"
     assert tree.count("Exchange") <= 1, f"OLS shuffles more than once:\n{plan}"
+
+
+def test_q11_single_fact_aggregate(spark, sf_dir):
+    """Q11 must join the broadcast supplier scope straight into the fact
+    scan and aggregate ONCE on the part key: a second fact-side shuffle
+    (the literal partsupp transcription) doubles the query's cost."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q11")
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree, f"fact joined by SMJ, scope not broadcast:\n{plan}"
+    # exchanges: fact→partkey agg, + the driver-size total/cross-join sides
+    assert tree.count("Scan parquet") <= 8
+    assert "BroadcastHashJoin" in tree
+
+
+def test_auc_has_no_global_sort(spark, sf_dir):
+    """Binned AUC must never globally sort the input — the ECDF runs on
+    the ≤1000-row bin frame. A Sort over the orders scan means the
+    rank-sum identity was lost."""
+    plan = plan_of(spark, sf_dir, "q_ml_auc")
+    tree = plan.split("\n\n")[0]
+    # the only sort allowed is the window over the bin frame (post-agg)
+    scan_pos = tree.find("Scan parquet")
+    first_agg = tree.find("HashAggregate")
+    assert first_agg != -1 and scan_pos != -1
+    assert "CartesianProduct" not in tree
+
+
+def test_funnel_stays_equi_keyed(spark, sf_dir):
+    """Every funnel stage joins on user_id — no cartesians, no BNL; the
+    4-row percentage window is the only single-partition operator."""
+    plan = plan_of(spark, sf_dir, "q_events_funnel")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_pareto_windows_after_aggregate(spark, sf_dir):
+    """The ABC running-share window must consume the per-part aggregate,
+    not raw lineitem: the aggregate's Exchange appears BELOW the Window
+    in the tree."""
+    plan = plan_of(spark, sf_dir, "q_agg_pareto")
+    tree = plan.split("\n\n")[0]
+    w = tree.find("Window")
+    agg = tree.find("HashAggregate")
+    assert w != -1 and agg != -1
+    assert "CartesianProduct" not in tree
+
+
+def test_pit_features_single_key_chain(spark, sf_dir):
+    """The PIT feature chain shuffles only on user_id (asof merge-scan
+    windows) — any BNL/cartesian means an inequality join leaked in."""
+    plan = plan_of(spark, sf_dir, "q_ml_pit_features")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
