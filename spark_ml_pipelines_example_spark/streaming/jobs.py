@@ -545,3 +545,67 @@ def batch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count("*").alias("dau"))
     )
+
+
+def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: every micro-batch's
+    event_type mix is scored as PSI against a frozen reference
+    distribution (the standing corpus), and one monitor row per batch
+    — (batch_id, n_rows, psi) — appends to a parquet alarm log. This is
+    the streaming deployment of q_dq_drift_psi: the reference shares are
+    a driver-side constant (|categories| entries — the same
+    driver-size-side-input rule as the IVF centroids), each batch's
+    category counts are ONE combinable aggregate of that batch, and the
+    PSI arithmetic runs on |categories| numbers. foreachBatch (not a
+    streaming agg) because the score is per-batch, not per-window —
+    state size zero, any batch cadence.
+    """
+    import math
+
+    from ..sources.io import load_table
+
+    ref_rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ref_total = sum(r["n"] for r in ref_rows)
+    ref = {r["event_type"]: r["n"] / ref_total for r in ref_rows}
+    eps = 1e-6
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.filter(F.col("user_id") != SENTINEL_USER)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        total = sum(r["n"] for r in counts)
+        if total == 0:
+            return
+        psi = 0.0
+        cats = set(ref) | {r["event_type"] for r in counts}
+        got = {r["event_type"]: r["n"] / total for r in counts}
+        for c in cats:
+            p_ref = max(ref.get(c, 0.0), eps)
+            p_got = max(got.get(c, 0.0), eps)
+            psi += (p_got - p_ref) * math.log(p_got / p_ref)
+        row = spark.createDataFrame(
+            [(int(batch_id), int(total), float(round(psi, 6)))],
+            "batch_id long, n_rows long, psi double",
+        )
+        row.write.mode("append").parquet(out_dir)
+
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(score_batch)
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", f"{out_dir}_ckpt"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -283,3 +283,28 @@ def test_streaming_daily_users_equals_batch(spark, sf_dir):
         (str(r["day"]), r["dau"]) for r in batch_daily_users(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_drift_monitor_scores_batches(spark, sf_dir, tmp_path):
+    """One PSI row per micro-batch; row counts conserve the stream; and
+    a batch containing the whole reference distribution scores PSI≈0."""
+    import math
+    import shutil
+
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+    from spark_ml_pipelines_example_spark.streaming.jobs import (
+        run_streaming_drift_monitor,
+    )
+
+    out = str(tmp_path / "drift_out")
+    log = run_streaming_drift_monitor(spark, sf_dir, out).collect()
+    assert len(log) >= 1
+    total_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in log) == total_events
+    for r in log:
+        assert r["psi"] >= 0.0 and math.isfinite(r["psi"])
+    # the full-corpus batch (the big staged file) must score ~zero drift
+    big = max(log, key=lambda r: r["n_rows"])
+    assert big["n_rows"] == total_events  # sentinel file carries 1 row, filtered
+    assert big["psi"] < 1e-6
+    shutil.rmtree(out, ignore_errors=True)
