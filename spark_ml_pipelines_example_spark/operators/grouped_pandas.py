@@ -140,3 +140,65 @@ def q_group_normalize(spark, sf_dir):
         (F.round(F.avg("qty_z"), 4) + F.lit(0.0)).alias("z_mean"),
         (F.round(F.stddev_samp("qty_z"), 4) + F.lit(0.0)).alias("z_sd"),
     )
+
+
+UDTF_CHUNK_TOKENS = 10
+
+
+@query(
+    "q_udtf_chunk_table",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ), chunks AS (
+        SELECT doc_id, lang,
+               array_to_string(
+                   tk[(i * {UDTF_CHUNK_TOKENS} + 1):((i + 1) * {UDTF_CHUNK_TOKENS})],
+                   ' ') AS chunk
+        FROM toks, UNNEST(range(CAST(CEIL(len(tk) / {UDTF_CHUNK_TOKENS}.0) AS BIGINT)))
+             AS u(i)
+    )
+    SELECT lang,
+           COUNT(*) AS n_chunks,
+           COUNT(DISTINCT chunk) AS n_distinct_chunks,
+           CAST(SUM(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY lang
+    """,
+    tags=("udtf", "text", "chunking"),
+)
+def q_udtf_chunk_table(spark, sf_dir):
+    """Python UDTF surface (SURVEY §2.3's third member next to scalar
+    pandas UDFs and grouped UDAFs): a table function exploding each
+    document into {UDTF_CHUNK_TOKENS}-token chunks via a LATERAL
+    correlated call — the row-generating API for logic whose output
+    cardinality varies per input row. The same chunking is ALSO
+    expressed engine-side in q_text_chunk (sequence+explode+slice,
+    whole-stage codegen, the fast path); this declared twin pins the
+    UDTF call path itself — at 100 TB you reach for a UDTF only when
+    the row-expansion logic can't be said in expressions (recursive
+    descent parsers, tokenizer libraries), and it stays partition-
+    parallel with no shuffle of its own either way.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, pos: int, chunk: string, n_tok: int")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            toks = text.split(" ")
+            k = UDTF_CHUNK_TOKENS
+            for i in range(0, len(toks), k):
+                part = toks[i : i + k]
+                yield (doc_id, i // k, " ".join(part), len(part))
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs_src")
+    chunks = spark.sql(
+        "SELECT s.doc_id AS doc_id, d.lang, s.chunk, s.n_tok "
+        "FROM udtf_docs_src d, LATERAL chunk_doc_udtf(d.doc_id, d.text) s"
+    )
+    return chunks.groupBy("lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk").alias("n_distinct_chunks"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )

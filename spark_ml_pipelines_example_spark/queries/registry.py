@@ -215,6 +215,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_survivorship",
     "q_agg_gini",
     "q_scan_schema_evolution",
+    "q_udtf_chunk_table",
 )
 
 

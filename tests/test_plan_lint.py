@@ -21,6 +21,7 @@ PYTHON_OK = {
     "q_dedup_embedding_cells",  # per-cell GEMM confirm (applyInPandas)
     "q_sim_knn_all",  # block GEMM kernel (mapInPandas)
     "q_multimodal_phash",  # decode+signature GEMM (mapInPandas)
+    "q_udtf_chunk_table",  # declared Python UDTF surface (LATERAL call path)
     "q_multimodal_framesample",  # rides attach_payload; slicing itself is Catalyst
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
