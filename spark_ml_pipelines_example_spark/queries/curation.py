@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, tokens
-from ._util import t
+from ._util import scratch_dir, t
 from .registry import query
 
 # ---------------------------------------------------------------------------
@@ -694,4 +694,53 @@ def q_curate_mix_temperature(spark, sf_dir):
         quota.alias("quota"),
         F.floor(quota / F.col("n_src")).cast("bigint").alias("full_epochs"),
         (quota % F.col("n_src")).alias("remainder_docs"),
+    )
+
+
+@query(
+    "q_curate_erasure",
+    oracle="""
+    SELECT COUNT(*) AS n_after,
+           (SELECT COUNT(*) FROM events) AS n_before,
+           (SELECT COUNT(*) FROM events WHERE user_id % 97 = 0) AS n_erased,
+           COUNT(CASE WHEN user_id % 97 = 0 THEN 1 END) AS n_leaked,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE user_id % 97 <> 0
+    """,
+    tags=("curation", "erasure", "compliance", "gdpr"),
+)
+def q_curate_erasure(spark, sf_dir):
+    """Right-to-be-forgotten erasure job: a deletion-request set (here
+    the user_id % 97 == 0 cohort standing in for a requests table) is
+    anti-joined out of the event log, the surviving data is REWRITTEN
+    to storage (erasure means bytes gone, not a view filter), and the
+    read-back audits itself — requested users remaining (must be 0),
+    before/after/erased counts, and a content checksum. The audit
+    riding the same result row as the rewrite is the compliance
+    pattern: evidence, not trust.
+
+    Scale shape: the request set is broadcast (deletion requests are
+    tiny vs the log) so the anti join never shuffles the fact; the
+    rewrite is a straight partition-parallel write. On a partitioned
+    production table the same job rewrites ONLY partitions containing
+    requested users (dynamic overwrite — cf. run_foreach_batch_upsert),
+    not the whole log.
+    """
+    ev = t(spark, sf_dir, "events")
+    requests = (
+        ev.select("user_id").distinct().filter(F.col("user_id") % 97 == 0)
+    )
+    erased_path = scratch_dir("q_curate_erasure", sf_dir)
+    survivors = ev.join(F.broadcast(requests), "user_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(erased_path)
+
+    n_before = ev.count()
+    n_erased = ev.join(F.broadcast(requests), "user_id", "left_semi").count()
+    back = spark.read.parquet(erased_path)
+    return back.agg(
+        F.count("*").alias("n_after"),
+        F.lit(n_before).cast("bigint").alias("n_before"),
+        F.lit(n_erased).cast("bigint").alias("n_erased"),
+        F.count(F.when(F.col("user_id") % 97 == 0, 1)).alias("n_leaked"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
     )

@@ -216,6 +216,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_gini",
     "q_scan_schema_evolution",
     "q_udtf_chunk_table",
+    "q_curate_erasure",
 )
 
 
