@@ -66,6 +66,13 @@ SHOWCASE = [
     ("q_graph_triangles", "triangles: oriented wedge join + closing-edge equi-join"),
     ("q_ml_lift_table", "lift table: exact-percentile bounds broadcast, map-only bucketing"),
     ("q_scan_text_log", "text-line ingest: codegen regex parse, malformed-drop at scan"),
+    ("q_ml_pit_features", "PIT feature join: two asof merge-scans on one user_id key"),
+    ("q_events_attribution", "last-touch attribution: struct-payload asof + age cap"),
+    ("q_events_abtest", "A/B z-test: per-user collapse, 2-row arm aggregate"),
+    ("q_agg_gini", "Gini: rank window over the collapsed per-part frame"),
+    ("q_dedup_survivorship", "golden record: per-attribute survival aggregates, no pairs"),
+    ("q_multimodal_phash", "pHash dedup: Arrow decode+GEMM, one signature shuffle"),
+    ("q_curate_mix_temperature", "temperature mix: one count aggregate + quota arithmetic"),
 ]
 
 
