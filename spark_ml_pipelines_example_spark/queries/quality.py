@@ -479,3 +479,129 @@ def q_text_entropy(spark, sf_dir):
         F.round("h_raw", 6).alias("entropy_bits"),
         (F.round("h_raw", 6) < ENTROPY_MIN_BITS).alias("low_entropy"),
     )
+
+
+# Per-feature drift grid resolution.
+FEATURE_DRIFT_BINS = 10
+
+
+@query(
+    "q_dq_drift_features",
+    oracle=f"""
+    WITH long AS (
+        SELECT CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT) AS ts_s,
+               'quantity' AS feature, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT),
+               'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT),
+               'discount', l_discount FROM lineitem
+    ), bounds AS (
+        SELECT MIN(ts_s) AS lo_t, MAX(ts_s) AS hi_t FROM long
+    ), fb AS (
+        SELECT feature, MIN(value) AS lo_v, MAX(value) AS hi_v
+        FROM long GROUP BY 1
+    ), tagged AS (
+        SELECT l.feature, l.value,
+               CASE WHEN (l.ts_s - b.lo_t) * 2 < (b.hi_t - b.lo_t)
+                    THEN 'a' ELSE 'b' END AS grp,
+               f.lo_v, f.hi_v
+        FROM long l CROSS JOIN bounds b JOIN fb f ON l.feature = f.feature
+    ), binned AS (
+        SELECT feature,
+               CAST(LEAST(FLOOR((value - lo_v) * {FEATURE_DRIFT_BINS}.0
+                                / (hi_v - lo_v)), {FEATURE_DRIFT_BINS - 1}) AS INT)
+                   AS bin,
+               CAST(COUNT(CASE WHEN grp = 'a' THEN 1 END) AS BIGINT) AS n_a,
+               CAST(COUNT(CASE WHEN grp = 'b' THEN 1 END) AS BIGINT) AS n_b
+        FROM tagged GROUP BY 1, 2
+    ), shares AS (
+        SELECT feature, bin, n_a, n_b,
+               GREATEST(CAST(n_a AS DOUBLE)
+                        / SUM(n_a) OVER (PARTITION BY feature), {PSI_EPS}) AS p_a,
+               GREATEST(CAST(n_b AS DOUBLE)
+                        / SUM(n_b) OVER (PARTITION BY feature), {PSI_EPS}) AS p_b
+        FROM binned
+    )
+    SELECT feature,
+           CAST(SUM(CAST(ROUND((p_a - p_b) * LN(p_a / p_b), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS psi_raw,
+           ROUND(CAST(SUM(CAST(ROUND((p_a - p_b) * LN(p_a / p_b), 9)
+                              AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi,
+           COUNT(*) AS n_bins_hit
+    FROM shares GROUP BY feature
+    """,
+    tags=("dq", "drift", "psi", "feature-store", "monitoring"),
+)
+def q_dq_drift_features(spark, sf_dir):
+    """Per-feature drift table — the nightly feature-store monitor: every
+    numeric feature scored with binned PSI between the two time halves
+    of the fact, one verdict row per feature. The single-feature
+    q_dq_drift_psi/ks machinery, widened by an UNPIVOT (map-side 3×
+    fan-out, Catalyst Expand — no extra scan per feature) so ALL
+    features ride one pass; per-feature bounds/shares come from
+    grouped (not global) windows over the bin-collapsed frame. Per-term
+    rounding + decimal summation keeps each feature's PSI
+    order-independent.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ts_s = F.unix_timestamp("l_shipdate")
+    long = li.select(
+        ts_s.alias("ts_s"), "l_quantity", "l_extendedprice", "l_discount"
+    ).unpivot(
+        ["ts_s"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "feature",
+        "value",
+    ).withColumn("feature", F.regexp_replace("feature", "^l_", ""))
+    bounds = long.agg(F.min("ts_s").alias("lo_t"), F.max("ts_s").alias("hi_t"))
+    fb = long.groupBy("feature").agg(
+        F.min("value").alias("lo_v"), F.max("value").alias("hi_v")
+    )
+    tagged = (
+        long.crossJoin(F.broadcast(bounds))
+        .join(F.broadcast(fb), "feature")
+        .withColumn(
+            "grp",
+            F.when(
+                (F.col("ts_s") - F.col("lo_t")) * 2 < F.col("hi_t") - F.col("lo_t"),
+                "a",
+            ).otherwise("b"),
+        )
+    )
+    binned = (
+        tagged.withColumn(
+            "bin",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo_v"))
+                    * float(FEATURE_DRIFT_BINS)
+                    / (F.col("hi_v") - F.col("lo_v"))
+                ),
+                F.lit(FEATURE_DRIFT_BINS - 1),
+            ).cast("int"),
+        )
+        .groupBy("feature", "bin")
+        .agg(
+            F.count(F.when(F.col("grp") == "a", 1)).alias("n_a"),
+            F.count(F.when(F.col("grp") == "b", 1)).alias("n_b"),
+        )
+    )
+    w_f = W.partitionBy("feature")
+    shares = binned.select(
+        "feature",
+        "bin",
+        "n_a",
+        "n_b",
+        F.greatest(F.col("n_a") / F.sum("n_a").over(w_f), F.lit(PSI_EPS)).alias("p_a"),
+        F.greatest(F.col("n_b") / F.sum("n_b").over(w_f), F.lit(PSI_EPS)).alias("p_b"),
+    )
+    term = F.round(
+        (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")), 9
+    ).cast("decimal(18,9)")
+    return shares.groupBy("feature").agg(
+        F.sum(term).cast("double").alias("psi_raw"),
+        F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        F.count("*").alias("n_bins_hit"),
+    )

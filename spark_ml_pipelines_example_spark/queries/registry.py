@@ -217,6 +217,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scan_schema_evolution",
     "q_udtf_chunk_table",
     "q_curate_erasure",
+    "q_dq_drift_features",
 )
 
 
