@@ -1363,3 +1363,81 @@ def q_events_abtest(spark, sf_dir):
         F.round(z, 4).alias("z_score"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "q_events_session_metrics",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800000000
+                         OR LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id,
+               ts_us
+        FROM ordered
+    ), per_session AS (
+        SELECT user_id, sess_id,
+               COUNT(*) AS n_events,
+               (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+           ROUND(quantile_cont(duration_s, 0.5), 2) AS p50_duration_s,
+           ROUND(quantile_cont(duration_s, 0.9), 2) AS p90_duration_s,
+           ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM per_session
+    """,
+    tags=("events", "sessions", "metrics", "product-analytics"),
+)
+def q_events_session_metrics(spark, sf_dir):
+    """Session-quality metrics — the reporting layer over
+    sessionization: session count, average events per session, exact
+    p50/p90 duration, and bounce rate (single-event sessions). Sessions
+    come from the same gaps-and-islands chain as q_win_gaps_islands
+    (30-min gap); the metrics are then a GLOBAL rollup over the
+    COLLAPSED per-session frame — sessions are orders of magnitude
+    fewer than events, so the exact percentile over them is fine where
+    one over raw events would not be (approx_percentile is the swap-in
+    when even sessions are huge).
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w_ord)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap >= SESSION_GAP_US), 1).otherwise(0)
+    ).withColumn("ts_us", epoch_us)
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor((F.max("ts_us") - F.min("ts_us")) / 1_000_000).alias("duration_s"),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("n_events") / F.count("*"), 6).alias("avg_events"),
+        F.round(F.percentile("duration_s", F.lit(0.5)), 2).alias("p50_duration_s"),
+        F.round(F.percentile("duration_s", F.lit(0.9)), 2).alias("p90_duration_s"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)) / F.count("*"), 6
+        ).alias("bounce_rate"),
+    )

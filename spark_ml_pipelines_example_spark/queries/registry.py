@@ -218,6 +218,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_udtf_chunk_table",
     "q_curate_erasure",
     "q_dq_drift_features",
+    "q_events_session_metrics",
 )
 
 
