@@ -1441,3 +1441,82 @@ def q_events_session_metrics(spark, sf_dir):
             F.count(F.when(F.col("n_events") == 1, 1)) / F.count("*"), 6
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "q_events_funnel_lag",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN({ORACLE_EPOCH_S.format(col="ts")}) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, s1.t1, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND {ORACLE_EPOCH_S.format(col="e.ts")} > s1.t1
+        GROUP BY e.user_id, s1.t1
+    ), s3 AS (
+        SELECT e.user_id, s2.t2, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'signup' AND {ORACLE_EPOCH_S.format(col="e.ts")} > s2.t2
+        GROUP BY e.user_id, s2.t2
+    ), s4 AS (
+        SELECT e.user_id, s3.t3, MIN({ORACLE_EPOCH_S.format(col="e.ts")}) AS t4
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND {ORACLE_EPOCH_S.format(col="e.ts")} > s3.t3
+        GROUP BY e.user_id, s3.t3
+    ), lags AS (
+        SELECT 2 AS stage_idx, 'view->click' AS transition, t2 - t1 AS lag_s FROM s2
+        UNION ALL SELECT 3, 'click->signup', t3 - t2 FROM s3
+        UNION ALL SELECT 4, 'signup->purchase', t4 - t3 FROM s4
+    )
+    SELECT stage_idx, transition,
+           COUNT(*) AS n_users,
+           ROUND(quantile_cont(lag_s, 0.5), 2) AS p50_lag_s,
+           ROUND(quantile_cont(lag_s, 0.9), 2) AS p90_lag_s
+    FROM lags GROUP BY 1, 2
+    """,
+    tags=("events", "funnel", "latency", "product-analytics"),
+)
+def q_events_funnel_lag(spark, sf_dir):
+    """Time-to-convert per funnel transition: for each user reaching
+    stage k, the lag from their chained stage-(k-1) time; reported as
+    per-transition p50/p90 — the 'how long does conversion take'
+    readout that pairs with q_events_funnel's 'how many convert'. Same
+    co-partitioned user_id join chain; each stage keeps its
+    predecessor's timestamp alongside its own, so the lag is row-local
+    arithmetic and the exact percentile runs over the per-transition
+    user frames (funnel-shrunk, ≪ events).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_s("ts").alias("ts_s")
+    )
+    prev = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t_prev"))
+    )
+    lag_frames = []
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        cur = (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts_s") > F.col("t_prev"))
+            .groupBy("user_id", "t_prev")
+            .agg(F.min("ts_s").alias("t_cur"))
+        )
+        lag_frames.append(
+            cur.select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(f"{FUNNEL_STAGES[i - 2]}->{stage}").alias("transition"),
+                (F.col("t_cur") - F.col("t_prev")).alias("lag_s"),
+            )
+        )
+        prev = cur.select("user_id", F.col("t_cur").alias("t_prev"))
+    lags = lag_frames[0]
+    for fr in lag_frames[1:]:
+        lags = lags.unionAll(fr)
+    return lags.groupBy("stage_idx", "transition").agg(
+        F.count("*").alias("n_users"),
+        F.round(F.percentile("lag_s", F.lit(0.5)), 2).alias("p50_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.9)), 2).alias("p90_lag_s"),
+    )

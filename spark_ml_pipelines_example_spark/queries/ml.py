@@ -767,3 +767,117 @@ def q_ml_pit_features(spark, sf_dir):
         payload="day_clicks",
         alias="f_clicks",
     )
+
+
+NDCG_K = 100
+
+
+@query(
+    "q_ml_ndcg",
+    oracle=f"""
+    WITH scored AS (
+        SELECT o_orderkey,
+               1.0 / (1.0 + EXP(-(o_totalprice - 30000.0) / 20000.0)) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ), topk AS (
+        SELECT label,
+               ROW_NUMBER() OVER (ORDER BY score DESC, o_orderkey) AS pos
+        FROM scored
+        ORDER BY score DESC, o_orderkey LIMIT {NDCG_K}
+    ), ideal AS (
+        SELECT label,
+               ROW_NUMBER() OVER (ORDER BY label DESC, o_orderkey) AS pos
+        FROM (SELECT label, o_orderkey FROM scored
+              ORDER BY label DESC, o_orderkey LIMIT {NDCG_K})
+    )
+    SELECT ROUND((SELECT SUM(label / LOG2(pos + 1.0)) FROM topk)
+                 / (SELECT SUM(label / LOG2(pos + 1.0)) FROM ideal), 6) AS ndcg_at_k,
+           (SELECT CAST(SUM(label) AS BIGINT) FROM topk) AS hits_in_topk,
+           {NDCG_K} AS k
+    """,
+    tags=("ml", "ndcg", "ranking", "evaluation"),
+)
+def q_ml_ndcg(spark, sf_dir):
+    """NDCG@{NDCG_K} — the ranking-quality metric for scored retrieval:
+    DCG of the model's top-K (binary gains, log2 position discount)
+    normalized by the ideal ordering's DCG. Both top-Ks come from
+    TakeOrderedAndProject with unique tiebreaks (score then key; label
+    then key) — a distributed top-K heap, never a global sort — and the
+    position-discount arithmetic runs over the K-row frames. The same
+    closed-form logistic score as q_ml_auc keeps it hash-checkable;
+    with a real ranker only the score column changes.
+    """
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_orderkey",
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 30000.0) / 20000.0))).alias(
+            "score"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    topk = (
+        scored.orderBy(F.col("score").desc(), "o_orderkey")
+        .limit(NDCG_K)
+        .select(
+            "label",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), "o_orderkey"))
+            .alias("pos"),
+        )
+    )
+    ideal = (
+        scored.orderBy(F.col("label").desc(), "o_orderkey")
+        .limit(NDCG_K)
+        .select(
+            "label",
+            F.row_number()
+            .over(W.orderBy(F.col("label").desc(), "o_orderkey"))
+            .alias("pos"),
+        )
+    )
+    disc = F.col("label") / F.log2(F.col("pos") + 1.0)
+    dcg = topk.agg(
+        F.sum(disc).alias("dcg"), F.sum("label").cast("bigint").alias("hits")
+    )
+    idcg = ideal.agg(F.sum(disc).alias("idcg"))
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .select(
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.col("hits").alias("hits_in_topk"),
+            F.lit(NDCG_K).alias("k"),
+        )
+    )
+
+
+@query("q_ml_kmeans", oracle=None, tags=("ml", "kmeans", "clustering"))
+def q_ml_kmeans(spark, sf_dir):
+    """KMeans clustering over the embedding corpus, declared as a
+    first-class query (the IVF ANN index uses the same fit internally —
+    operators/similarity.py — but clustering is its own workload:
+    segmentation, vector-quantization codebooks, topic discovery).
+    Seeded fit → per-cluster sizes + inertia (within-cluster sum of
+    squared distances). Rows-only: MLlib's k-means|| initialization is
+    seed-deterministic inside one engine but not reproducible in SQL.
+
+    Scale shape: MLlib KMeans is the distributed Lloyd's loop — each
+    iteration is one broadcast of k×dim centroids + one map-side
+    assignment + one combinable per-cluster mean; cost k·dim·n per
+    round, no pairwise joins. The assignment output here reuses the
+    fitted model's transform (map-only)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=8, seed=42, maxIter=20, featuresCol="features")
+    model = km.fit(emb)
+    cost = float(model.summary.trainingCost)
+    assigned = model.transform(emb)
+    return (
+        assigned.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vectors"))
+        .withColumn("inertia_total", F.round(F.lit(cost), 4))
+    )

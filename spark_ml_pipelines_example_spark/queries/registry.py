@@ -219,6 +219,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_curate_erasure",
     "q_dq_drift_features",
     "q_events_session_metrics",
+    "q_ml_ndcg",
+    "q_ml_kmeans",
+    "q_events_funnel_lag",
 )
 
 
