@@ -1520,3 +1520,77 @@ def q_events_funnel_lag(spark, sf_dir):
         F.round(F.percentile("lag_s", F.lit(0.5)), 2).alias("p50_lag_s"),
         F.round(F.percentile("lag_s", F.lit(0.9)), 2).alias("p90_lag_s"),
     )
+
+
+@query(
+    "q_events_rfm",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_seen,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), bounds AS (
+        SELECT quantile_cont(last_seen, [0.25, 0.5, 0.75]) AS rb,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fb,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mb
+        FROM per_user
+    ), scored AS (
+        SELECT u.user_id,
+               1 + len(list_filter(b.rb, x -> u.last_seen > x)) AS r_score,
+               1 + len(list_filter(b.fb, x -> u.frequency > x)) AS f_score,
+               1 + len(list_filter(b.mb, x -> u.monetary > x)) AS m_score
+        FROM per_user u CROSS JOIN bounds b
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_users,
+           CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+                WHEN r_score = 1 AND f_score >= 3 THEN 'at_risk'
+                WHEN f_score = 1 AND r_score >= 3 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+    tags=("events", "rfm", "segmentation", "marketing"),
+)
+def q_events_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary): per-user
+    purchase profile → quartile scores per dimension → named segments
+    (champion / at-risk / new / regular) — the workhorse customer
+    segmentation. Scores come from EXACT quartile bounds computed as
+    ONE aggregate row and broadcast back (map-only bucketing — the same
+    no-global-ntile rule as q_ml_lift_table: a rank window over all
+    users would single-partition the user frame at scale; swap in
+    approx_percentile beyond fixture sizes, same plan). Output is the
+    4³-cell segment distribution — driver-size from any input.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(epoch_s("ts")).alias("last_seen"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("monetary"),
+    )
+    qs = F.lit([0.25, 0.5, 0.75])
+    bounds = per_user.agg(
+        F.percentile("last_seen", qs).alias("rb"),
+        F.percentile("frequency", qs).alias("fb"),
+        F.percentile("monetary", qs).alias("mb"),
+    )
+    scored = per_user.crossJoin(F.broadcast(bounds)).select(
+        (1 + F.size(F.filter("rb", lambda x: F.col("last_seen") > x))).alias("r_score"),
+        (1 + F.size(F.filter("fb", lambda x: F.col("frequency") > x))).alias("f_score"),
+        (1 + F.size(F.filter("mb", lambda x: F.col("monetary") > x))).alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") == 4) & (F.col("f_score") == 4), "champion")
+        .when((F.col("r_score") == 1) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("f_score") == 1) & (F.col("r_score") >= 3), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_users"))
+        .withColumn("segment", segment)
+    )

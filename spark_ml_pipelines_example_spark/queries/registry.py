@@ -222,6 +222,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_ndcg",
     "q_ml_kmeans",
     "q_events_funnel_lag",
+    "q_events_rfm",
 )
 
 
