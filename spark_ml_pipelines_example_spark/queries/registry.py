@@ -223,6 +223,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_kmeans",
     "q_events_funnel_lag",
     "q_events_rfm",
+    "q_stream_stateful_session",
+    "q_stream_drift_monitor",
 )
 
 

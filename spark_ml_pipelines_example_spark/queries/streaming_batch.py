@@ -361,3 +361,83 @@ def q_stream_session_dynamic(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "q_stream_stateful_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS sess_start,
+           CAST(epoch(date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS sess_end,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+    tags=("stream", "session", "stateful", "applyInPandasWithState"),
+)
+def q_stream_stateful_session(spark, sf_dir):
+    """The custom-stateful-processing surface, driver-checked against
+    the SAME gap-and-islands oracle as the native session window: a
+    REAL Structured Streaming run (file source → watermark →
+    ``applyInPandasWithState`` with event-time timeouts → memory sink,
+    streaming/jobs.py streaming_stateful_session) whose emitted
+    sessions hash-match the batch SQL. This is the hardest equivalence
+    in the streaming family — open-state timeout flushes, watermark
+    advancement via the staged sentinel, per-user Python state — pinned
+    to a deterministic oracle. Per-session sums accumulate in event-time
+    order inside the state (deterministic), and rounding to 2dp absorbs
+    the float-vs-decimal last-ulp (values are exact 2dp; error ≪ step).
+    """
+    from ..streaming.jobs import streaming_stateful_session
+
+    # The state store shards on spark.sql.shuffle.partitions; a vanilla
+    # session's 200 empty-ish shards cost ~25s of task overhead at
+    # fixture scale. Scope a fixture-sized setting around the run and
+    # restore the caller's value (at 100 TB you WANT hundreds of state
+    # shards — this is a fixture-size ergonomics fix, not a plan change).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        out = streaming_stateful_session(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.select(
+        "user_id",
+        "sess_start",
+        "sess_end",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@query("q_stream_drift_monitor", oracle=None, tags=("stream", "dq", "drift", "psi"))
+def q_stream_drift_monitor(spark, sf_dir):
+    """Driver-visible wrapper of the streaming PSI drift alarm
+    (streaming/jobs.py run_streaming_drift_monitor): per-micro-batch
+    category mix scored against frozen reference shares via foreachBatch,
+    one (batch_id, n_rows, psi) row per batch. Rows-only: the row set
+    depends on micro-batch file boundaries (maxFilesPerTrigger), which
+    the SQL oracle cannot express; determinism across reruns is ensured
+    by clearing the alarm log + checkpoint before each run."""
+    import shutil
+
+    from ..streaming.jobs import run_streaming_drift_monitor
+    from ._util import scratch_dir
+
+    out_dir = scratch_dir("q_stream_drift_monitor", sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(f"{out_dir}_ckpt", ignore_errors=True)
+    return run_streaming_drift_monitor(spark, sf_dir, out_dir)

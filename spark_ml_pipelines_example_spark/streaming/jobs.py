@@ -385,7 +385,11 @@ def streaming_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap = SESSION_GAP_S
+    # µs precision: a floored-seconds gap test flips sessions whose true
+    # gap straddles the 30-min boundary inside one second (the same
+    # boundary rule q_win_gaps_islands pins µs-exact); state carries µs,
+    # emissions floor to seconds like the oracle's date_trunc('second').
+    gap = SESSION_GAP_S * 1_000_000
 
     def sessionize(key, pdfs, state: GroupState):
         user_id = key[0]
@@ -395,8 +399,8 @@ def streaming_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "sess_start": [start],
-                    "sess_end": [last + gap],
+                    "sess_start": [start // 1_000_000],
+                    "sess_end": [(last + gap) // 1_000_000],
                     "n_events": [n],
                     "sum_value": [sv],
                 }
@@ -416,13 +420,13 @@ def streaming_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur[2] += 1
             cur[3] += float(value)
         state.update(tuple(cur))
-        state.setTimeoutTimestamp((cur[1] + gap) * 1000)  # ms epoch
+        state.setTimeoutTimestamp((cur[1] + gap) // 1000)  # ms epoch
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
-                    "sess_start": [c[0] for c in closed],
-                    "sess_end": [c[1] + gap for c in closed],
+                    "sess_start": [c[0] // 1_000_000 for c in closed],
+                    "sess_end": [(c[1] + gap) // 1_000_000 for c in closed],
                     "n_events": [c[2] for c in closed],
                     "sum_value": [c[3] for c in closed],
                 }
@@ -436,7 +440,7 @@ def streaming_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         read_events_stream(spark, sf_dir)
         .withWatermark("ts", "0 seconds")
-        .select("user_id", "ts", F.unix_timestamp("ts").alias("epoch"), "value")
+        .select("user_id", "ts", F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch"), "value")
     )
     out = ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
