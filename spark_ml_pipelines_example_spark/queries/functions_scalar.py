@@ -465,3 +465,49 @@ def q_fn_try_safe(spark, sf_dir):
         F.round(F.sum(F.coalesce(ratio, F.lit(0.0))), 2).alias("sum_safe_ratio"),
         F.count(parse_src.try_cast("int")).alias("n_parsed"),
     )
+
+
+@query(
+    "q_fn_collation",
+    oracle="""
+    WITH cased AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 2 = 0 THEN upper(s_name) ELSE s_name END
+                   AS display_name
+        FROM supplier
+    )
+    SELECT lower(display_name) AS name_key,
+           COUNT(*) AS n_variants,
+           MIN(s_suppkey) AS first_key
+    FROM cased
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("fn", "collation", "case-insensitive"),
+)
+def q_fn_collation(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 ``collate``): case-insensitive
+    semantics declared ON THE COLUMN (UTF8_LCASE) instead of smeared
+    through lower() calls at every use site — grouping, joins, and
+    comparisons on the collated column are case-insensitive by type.
+    The fixture synthesizes mixed-case variants (even keys uppercased),
+    groups them under one collated key, and projects the lower-cased
+    form so the result is engine-neutral (DuckDB states the same
+    semantics via lower()). Collation evaluates inside codegen — same
+    one-shuffle aggregate plan as any groupBy."""
+    s = t(spark, sf_dir, "supplier")
+    display = F.when(
+        F.col("s_suppkey") % 2 == 0, F.upper("s_name")
+    ).otherwise(F.col("s_name"))
+    cased = s.select("s_suppkey", display.alias("display_name"))
+    return (
+        cased.groupBy(
+            F.lower(F.collate(F.col("display_name"), "UTF8_LCASE")).alias("name_key")
+        )
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("s_suppkey").alias("first_key"),
+        )
+        .filter(F.col("n_variants") >= 2)
+        .select(F.col("name_key").cast("string").alias("name_key"), "n_variants", "first_key")
+    )

@@ -225,6 +225,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_rfm",
     "q_stream_stateful_session",
     "q_stream_drift_monitor",
+    "q_fn_collation",
+    "q_scan_file_provenance",
 )
 
 

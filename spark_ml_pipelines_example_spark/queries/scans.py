@@ -419,3 +419,44 @@ def q_scan_schema_evolution(spark, sf_dir):
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("new_col_chars"),
     )
+
+
+@query(
+    "q_scan_file_provenance",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'batch_a' ELSE 'batch_b' END AS ingest_batch,
+           COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("scan", "provenance", "lineage", "metadata"),
+)
+def q_scan_file_provenance(spark, sf_dir):
+    """Row-level file provenance via the hidden ``_metadata`` column:
+    every parquet row carries its source file path without any stored
+    column — the lineage primitive that answers 'which ingest batch
+    produced this row' and 'which files do I reprocess' (quarantine,
+    backfill, audit). The engine stages two ingest batches into
+    separate directories, reads them through one scan, derives the
+    batch id from ``_metadata.file_path`` in codegen, and aggregates
+    per batch — zero storage overhead, constant metadata cost per row.
+    """
+    d = t(spark, sf_dir, "documents")
+    base = scratch_dir("q_scan_file_provenance", sf_dir)
+    d.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(f"{base}/batch_a")
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(f"{base}/batch_b")
+    merged = spark.read.parquet(f"{base}/batch_a", f"{base}/batch_b")
+    return (
+        merged.select(
+            "doc_id",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"/(batch_[ab])/", 1
+            ).alias("ingest_batch"),
+        )
+        .groupBy("ingest_batch")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+    )
