@@ -1594,3 +1594,74 @@ def q_events_rfm(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .withColumn("segment", segment)
     )
+
+
+@query(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), rev AS (
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS day_rev
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ), sizes AS (
+        SELECT cohort_day, COUNT(*) AS n_users FROM firsts GROUP BY 1
+    )
+    SELECT r.cohort_day, r.age_days, s.n_users,
+           CAST(SUM(r.day_rev) OVER (PARTITION BY r.cohort_day
+                                     ORDER BY r.age_days) AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(SUM(r.day_rev) OVER (PARTITION BY r.cohort_day
+                                           ORDER BY r.age_days) AS DOUBLE)
+                 / s.n_users, 6) AS ltv_per_user
+    FROM rev r JOIN sizes s ON r.cohort_day = s.cohort_day
+    """,
+    tags=("events", "ltv", "cohort", "growth"),
+)
+def q_events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve — cumulative purchase revenue per cohort by age
+    (days since the cohort's first activity), normalized per cohort
+    user: the payback-period readout that sits next to
+    q_events_retention's activity matrix. One user_id shuffle derives
+    cohorts; the revenue rollup collapses to (cohort × age) BEFORE the
+    running-sum window (partitioned by cohort — bounded frames);
+    cohort sizes broadcast. Exact decimal accumulation end-to-end, so
+    the cumulative sums hash despite the window ordering.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("day_rev")
+        )
+    )
+    sizes = firsts.groupBy("cohort_day").agg(F.count("*").alias("n_users"))
+    w_cum = (
+        W.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "age_days",
+            "n_users",
+            F.sum("day_rev").over(w_cum).cast("double").alias("cum_revenue"),
+            F.round(
+                F.sum("day_rev").over(w_cum).cast("double") / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+    )

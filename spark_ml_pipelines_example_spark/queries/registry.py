@@ -227,6 +227,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_drift_monitor",
     "q_fn_collation",
     "q_scan_file_provenance",
+    "q_events_cohort_ltv",
 )
 
 
