@@ -1665,3 +1665,84 @@ def q_events_cohort_ltv(spark, sf_dir):
             ).alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "q_events_churn",
+    oracle="""
+    WITH user_week AS (
+        SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS week
+        FROM events
+    ), weeks AS (
+        SELECT DISTINCT week FROM user_week
+    ), flows AS (
+        SELECT w.week,
+               (SELECT COUNT(*) FROM user_week a WHERE a.week = w.week) AS n_active,
+               (SELECT COUNT(*) FROM user_week prev
+                WHERE prev.week = w.week - INTERVAL 7 DAY
+                  AND NOT EXISTS (SELECT 1 FROM user_week cur
+                                  WHERE cur.week = w.week
+                                    AND cur.user_id = prev.user_id)) AS n_churned,
+               (SELECT COUNT(*) FROM user_week cur
+                WHERE cur.week = w.week
+                  AND NOT EXISTS (SELECT 1 FROM user_week prev
+                                  WHERE prev.week = w.week - INTERVAL 7 DAY
+                                    AND prev.user_id = cur.user_id)) AS n_new_or_resurrected
+        FROM weeks w
+    )
+    SELECT CAST(week AS DATE) AS week, n_active, n_churned, n_new_or_resurrected,
+           ROUND(CAST(n_churned AS DOUBLE)
+                 / NULLIF(n_active - n_new_or_resurrected + n_churned, 0), 6)
+               AS churn_rate
+    FROM flows
+    """,
+    tags=("events", "churn", "retention", "growth"),
+)
+def q_events_churn(spark, sf_dir):
+    """Weekly churn accounting: actives, churned (active last week, gone
+    this week), new-or-resurrected (active now, absent last week), and
+    churn rate against last week's base — the growth-accounting
+    identity (active_t = active_{t-1} − churned + new/resurrected)
+    every subscription/engagement dashboard runs.
+
+    Scale shape: ONE distinct (user, week) collapse, then a self-join
+    on (user, adjacent week) — both shuffles keyed on user_id; the
+    per-week rollup is a driver-size frame. The oracle states the
+    semantics as correlated NOT EXISTS; the engine runs the
+    decorrelated FULL OUTER self-join form (one pass, no per-row
+    subqueries).
+    """
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+    ).distinct()
+    cur = uw.alias("cur")
+    prev = uw.select(
+        "user_id", F.date_add(F.col("week"), 7).alias("week")
+    ).alias("prev")
+    flows = cur.join(prev, ["user_id", "week"], "full_outer").select(
+        "week",
+        F.col("cur.user_id").isNotNull().alias("is_active"),
+        F.col("prev.user_id").isNotNull().alias("was_active"),
+    )
+    per_week = flows.groupBy("week").agg(
+        F.count(F.when(F.col("is_active"), 1)).alias("n_active"),
+        F.count(F.when(F.col("was_active") & ~F.col("is_active"), 1)).alias(
+            "n_churned"
+        ),
+        F.count(F.when(F.col("is_active") & ~F.col("was_active"), 1)).alias(
+            "n_new_or_resurrected"
+        ),
+    )
+    # weeks present only as prev+7 of the LAST real week (no current
+    # activity at all) are phantom rows the oracle's week list doesn't
+    # have — keep only weeks that exist in the distinct activity set.
+    weeks = uw.select("week").distinct()
+    base = F.col("n_active") - F.col("n_new_or_resurrected") + F.col("n_churned")
+    return per_week.join(weeks, "week").select(
+        "week",
+        "n_active",
+        "n_churned",
+        "n_new_or_resurrected",
+        F.round(F.col("n_churned") / F.nullif(base, F.lit(0)), 6).alias("churn_rate"),
+    )

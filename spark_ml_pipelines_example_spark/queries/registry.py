@@ -228,6 +228,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_collation",
     "q_scan_file_provenance",
     "q_events_cohort_ltv",
+    "q_win_moving_median",
+    "q_events_churn",
 )
 
 

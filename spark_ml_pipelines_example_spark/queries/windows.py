@@ -384,3 +384,43 @@ def q_win_period_growth(spark, sf_dir):
             6,
         ).alias("vs_first_week"),
     )
+
+
+@query(
+    "q_win_moving_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           ROUND(quantile_cont(cnt, 0.5) OVER w, 2) AS med7,
+           ROUND(AVG(cnt) OVER w, 4) AS avg7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    """,
+    tags=("window", "moving-median", "smoothing", "timeseries"),
+)
+def q_win_moving_median(spark, sf_dir):
+    """Centered rolling-median smoothing (±3-day window) of daily event
+    volumes next to the rolling mean — the robust denoiser time-series
+    monitoring uses where one spike day would drag a moving average
+    (median ignores it). Spark evaluates the exact ``percentile``
+    aggregate per frame; the frame is over the COLLAPSED (type × day)
+    frame — types × days rows, never raw events — so the per-frame sort
+    is over ≤7 values. The aggregate-first rule yet again: windows ride
+    collapsed frames.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(F.percentile("cnt", F.lit(0.5)).over(w), 2).alias("med7"),
+        F.round(F.avg("cnt").over(w), 4).alias("avg7"),
+    )
