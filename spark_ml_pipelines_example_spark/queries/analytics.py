@@ -1746,3 +1746,58 @@ def q_events_churn(spark, sf_dir):
         "n_new_or_resurrected",
         F.round(F.col("n_churned") / F.nullif(base, F.lit(0)), 6).alias("churn_rate"),
     )
+
+
+@query(
+    "q_events_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ), labeled AS (
+        SELECT day, cnt, dayofweek(day) + 1 AS dow FROM daily  -- Spark: Sunday=1; DuckDB: Sunday=0
+    ), per_dow AS (
+        SELECT dow,
+               COUNT(*) AS n_days,
+               CAST(SUM(cnt) AS BIGINT) AS total_events,
+               CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS dow_mean
+        FROM labeled GROUP BY dow
+    ), overall AS (
+        SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS grand_mean FROM labeled
+    )
+    SELECT dow, n_days, total_events,
+           ROUND(dow_mean, 4) AS dow_mean,
+           ROUND(dow_mean / grand_mean, 6) AS seasonal_index
+    FROM per_dow CROSS JOIN overall
+    """,
+    tags=("events", "seasonality", "timeseries"),
+)
+def q_events_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile: per-weekday mean daily volume
+    and its seasonal index against the grand mean — the multiplicative
+    decomposition's seasonal factor (index > 1 = above-trend weekday),
+    which both capacity planning and the anomaly monitor's baseline
+    (q_events_anomaly) consume to avoid flagging every Monday.
+
+    Scale shape: collapse to days first (one combinable shuffle), then
+    a 7-group aggregate and a 1-row grand-mean broadcast. Day counts
+    are exact integers; the two divisions are deterministic doubles.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("cnt"))
+    labeled = daily.withColumn("dow", F.dayofweek("day"))
+    per_dow = labeled.groupBy("dow").agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        (F.sum("cnt").cast("double") / F.count("*")).alias("dow_mean"),
+    )
+    overall = labeled.agg(
+        (F.sum("cnt").cast("double") / F.count("*")).alias("grand_mean")
+    )
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        "total_events",
+        F.round("dow_mean", 4).alias("dow_mean"),
+        F.round(F.col("dow_mean") / F.col("grand_mean"), 6).alias("seasonal_index"),
+    )

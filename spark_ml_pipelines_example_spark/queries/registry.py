@@ -230,6 +230,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_cohort_ltv",
     "q_win_moving_median",
     "q_events_churn",
+    "q_win_ewma",
+    "q_events_seasonality",
 )
 
 

@@ -424,3 +424,60 @@ def q_win_moving_median(spark, sf_dir):
         F.round(F.percentile("cnt", F.lit(0.5)).over(w), 2).alias("med7"),
         F.round(F.avg("cnt").over(w), 4).alias("avg7"),
     )
+
+
+EWMA_ALPHA = 0.3
+EWMA_TAPS = 8
+
+
+@query(
+    "q_win_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, day, cnt,
+               {", ".join(f"LAG(cnt, {i}) OVER (PARTITION BY event_type ORDER BY day) AS l{i}" for i in range(1, EWMA_TAPS + 1))}
+        FROM daily
+    )
+    SELECT event_type, day, cnt,
+           ROUND((
+               cnt * {EWMA_ALPHA}
+               + {" + ".join(f"COALESCE(l{i}, 0) * {EWMA_ALPHA} * POWER(1 - {EWMA_ALPHA}, {i})" for i in range(1, EWMA_TAPS + 1))}
+           ) / (
+               {EWMA_ALPHA}
+               + {" + ".join(f"CASE WHEN l{i} IS NOT NULL THEN {EWMA_ALPHA} * POWER(1 - {EWMA_ALPHA}, {i}) ELSE 0 END" for i in range(1, EWMA_TAPS + 1))}
+           ), 4) AS ewma
+    FROM lagged
+    """,
+    tags=("window", "ewma", "smoothing", "timeseries"),
+)
+def q_win_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of daily event volumes —
+    the finite-impulse form: {EWMA_TAPS} lag taps with weights
+    α(1−α)^i, renormalized over the taps actually present (series
+    heads). The infinite-recursion EWMA is not SQL-window-expressible;
+    truncating at {EWMA_TAPS} taps bounds the omitted mass at
+    (1−α)^{EWMA_TAPS + 1} ≈ 4% for α={EWMA_ALPHA} — the standard FIR
+    approximation, stated rather than hidden. All taps come from ONE
+    ordered window pass over the collapsed (type × day) frame; the
+    weighted combine is pure codegen arithmetic with literal weights.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    lags = [F.lag("cnt", i).over(w).alias(f"l{i}") for i in range(1, EWMA_TAPS + 1)]
+    lagged = daily.select("event_type", "day", "cnt", *lags)
+    a = EWMA_ALPHA
+    num = F.col("cnt") * a
+    den = F.lit(a)
+    for i in range(1, EWMA_TAPS + 1):
+        wi = a * (1 - a) ** i
+        num = num + F.coalesce(F.col(f"l{i}"), F.lit(0)) * wi
+        den = den + F.when(F.col(f"l{i}").isNotNull(), wi).otherwise(0.0)
+    return lagged.select(
+        "event_type", "day", "cnt", F.round(num / den, 4).alias("ewma")
+    )
