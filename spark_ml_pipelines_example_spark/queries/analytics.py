@@ -1801,3 +1801,85 @@ def q_events_seasonality(spark, sf_dir):
         F.round("dow_mean", 4).alias("dow_mean"),
         F.round(F.col("dow_mean") / F.col("grand_mean"), 6).alias("seasonal_index"),
     )
+
+
+@query(
+    "q_events_user_growth",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+    ), per_day AS (
+        SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+    FROM per_day
+    """,
+    tags=("events", "growth", "cumulative-distinct"),
+)
+def q_events_user_growth(spark, sf_dir):
+    """Cumulative-users growth curve — running DISTINCT count by day,
+    computed the scalable way: distinct-to-date(d) ≡ count of users
+    whose FIRST day ≤ d, so one user_id aggregate (first-seen day) +
+    a per-day count + a running sum over the driver-size day frame
+    replaces the naive per-day distinct-over-prefix (which re-counts
+    the whole history per day). The identity is exact, not an
+    approximation — the standard rewrite for cumulative uniques.
+    """
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@query(
+    "q_events_new_vs_repeat",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_purchase_day
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), labeled AS (
+        SELECT date_trunc('week', CAST(e.ts AS DATE)) AS week,
+               CASE WHEN CAST(e.ts AS DATE) = f.first_purchase_day
+                    THEN 'new' ELSE 'repeat' END AS buyer_type,
+               e.value
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT CAST(week AS DATE) AS week, buyer_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM labeled GROUP BY 1, 2
+    """,
+    tags=("events", "new-vs-repeat", "commerce"),
+)
+def q_events_new_vs_repeat(spark, sf_dir):
+    """New-vs-repeat revenue split per week (first-purchase-day
+    purchases are 'new'; everything after is 'repeat') — the commerce
+    health readout separating acquisition revenue from retention
+    revenue. One user_id aggregate pins each user's first purchase day;
+    joined back (same shuffle key) it labels every purchase row-locally;
+    the weekly rollup is a combinable aggregate. Exact decimal revenue.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_purchase_day")
+    )
+    labeled = ev.join(firsts, "user_id").select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        F.when(
+            F.to_date("ts") == F.col("first_purchase_day"), "new"
+        ).otherwise("repeat").alias("buyer_type"),
+        "value",
+    )
+    return labeled.groupBy("week", "buyer_type").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
+    )

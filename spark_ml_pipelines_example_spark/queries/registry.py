@@ -232,6 +232,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_churn",
     "q_win_ewma",
     "q_events_seasonality",
+    "q_events_user_growth",
+    "q_events_new_vs_repeat",
 )
 
 
