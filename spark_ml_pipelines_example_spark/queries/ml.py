@@ -881,3 +881,107 @@ def q_ml_kmeans(spark, sf_dir):
         .agg(F.count("*").alias("n_vectors"))
         .withColumn("inertia_total", F.round(F.lit(cost), 4))
     )
+
+
+KNN_K = 5
+KNN_PROBE_MOD = 20
+
+
+@query(
+    "q_ml_knn_classifier",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
+    ), corpus AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} <> 0
+    ), pairs AS (
+        SELECT p.vec_id AS pid, p.label AS true_label,
+               c.vec_id AS cid, c.label AS nlabel,
+               list_dot_product(p.e, c.e)
+               / (sqrt(list_dot_product(p.e, p.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS cos
+        FROM probes p, corpus c
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                                     ORDER BY cos DESC, cid) AS rk
+        FROM pairs
+    ), votes AS (
+        SELECT pid, true_label, nlabel, COUNT(*) AS c
+        FROM ranked WHERE rk <= {KNN_K} GROUP BY 1, 2, 3
+    ), pred AS (
+        SELECT pid, true_label, nlabel AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY c DESC, nlabel) AS vr
+        FROM votes
+    )
+    SELECT true_label, COUNT(*) AS n_probes,
+           COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS n_correct,
+           ROUND(CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM pred WHERE vr = 1
+    GROUP BY true_label
+    """,
+    tags=("ml", "knn", "classifier", "similarity"),
+)
+def q_ml_knn_classifier(spark, sf_dir):
+    """kNN classification end-to-end, hash-checked: every {KNN_PROBE_MOD}th
+    vector is held out and classified by majority label of its {KNN_K}
+    nearest corpus neighbors (exact cosine), reported as per-class
+    accuracy — the non-parametric baseline every embedding-quality
+    evaluation starts from, and a declared eval the seeded-MLlib
+    pipelines (rows-only) can't give the driver. Vote AND rank ties
+    break deterministically (neighbor id, then smaller label); both
+    engines accumulate the dot products in index order over doubles, so
+    the ranking is bit-stable.
+
+    Scale shape: probes broadcast into a map-side cosine scan of the
+    corpus (probes ≪ corpus — the q_sim_knn_all regime, which swaps in
+    the block-GEMM kernel when the probe set grows); the top-{KNN_K}
+    window runs per probe after a WindowGroupLimit pre-truncation, and
+    the vote/accuracy rollups are probe-count-sized."""
+    from ..functions.similarity import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("pe"),
+    )
+    corpus = e.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(probes)).select(
+        "pid",
+        "true_label",
+        "cid",
+        "nlabel",
+        cosine(F.col("pe"), F.col("ce")).alias("cos"),
+    )
+    topk = (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy(F.col("cos").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= KNN_K)
+    )
+    votes = topk.groupBy("pid", "true_label", "nlabel").agg(F.count("*").alias("c"))
+    pred = votes.withColumn(
+        "vr",
+        F.row_number().over(
+            W.partitionBy("pid").orderBy(F.col("c").desc(), "nlabel")
+        ),
+    ).filter(F.col("vr") == 1)
+    return pred.groupBy("true_label").agg(
+        F.count("*").alias("n_probes"),
+        F.count(F.when(F.col("nlabel") == F.col("true_label"), 1)).alias("n_correct"),
+        F.round(
+            F.count(F.when(F.col("nlabel") == F.col("true_label"), 1)) / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
