@@ -1883,3 +1883,63 @@ def q_events_new_vs_repeat(spark, sf_dir):
         F.count("*").alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("revenue"),
     )
+
+
+PATH_TOP_N = 15
+
+
+@query(
+    "q_events_purchase_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               LAG(event_type, 1) OVER w AS prev1,
+               LAG(event_type, 2) OVER w AS prev2,
+               LAG(event_type, 3) OVER w AS prev3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+        SELECT COALESCE(prev3, '∅') || '>' || COALESCE(prev2, '∅') || '>'
+               || COALESCE(prev1, '∅') || '>purchase' AS path
+        FROM ordered WHERE event_type = 'purchase'
+    )
+    SELECT path, COUNT(*) AS n
+    FROM paths GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOP_N}
+    """,
+    tags=("events", "paths", "journey", "product-analytics"),
+)
+def q_events_purchase_paths(spark, sf_dir):
+    """Top paths-to-purchase: the exact 3-event window preceding each
+    purchase, counted and ranked — the journey analysis that tells a
+    growth team WHICH sequences convert (the Sankey drill-down beyond
+    q_events_transitions' single-hop matrix). One user_id-partitioned
+    window computes all three lags in a single pass; the path strings
+    aggregate map-side-combinably and the top-{PATH_TOP_N} is
+    TakeOrdered with a path tiebreak. Path cardinality is bounded by
+    |event_types|³ — the aggregate never explodes.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 3).over(w).alias("prev3"),
+    )
+    paths = ordered.filter(F.col("event_type") == "purchase").select(
+        F.concat_ws(
+            ">",
+            F.coalesce(F.col("prev3"), F.lit("∅")),
+            F.coalesce(F.col("prev2"), F.lit("∅")),
+            F.coalesce(F.col("prev1"), F.lit("∅")),
+            F.lit("purchase"),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(PATH_TOP_N)
+    )

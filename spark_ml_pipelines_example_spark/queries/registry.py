@@ -235,6 +235,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_user_growth",
     "q_events_new_vs_repeat",
     "q_ml_knn_classifier",
+    "q_events_purchase_paths",
 )
 
 
