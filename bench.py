@@ -85,6 +85,10 @@ HEADLINE = [
     "q_tpch_q11",
     "q_ml_pit_features",
     "q_multimodal_phash",
+    # round-2 final-wave additions: broadcast-probe kNN eval and the
+    # full-outer churn self-join
+    "q_ml_knn_classifier",
+    "q_events_churn",
 ]
 
 

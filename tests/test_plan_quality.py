@@ -333,3 +333,30 @@ def test_pit_features_single_key_chain(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_knn_classifier_pushes_group_limit(spark, sf_dir):
+    """The kNN top-K rank filter must derive WindowGroupLimit so each
+    probe's candidate list truncates per-partition before the sort."""
+    plan = plan_of(spark, sf_dir, "q_ml_knn_classifier")
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree, f"no group-limit pushdown:\n{plan}"
+    assert "CartesianProduct" not in tree
+
+
+def test_churn_is_single_outer_self_join(spark, sf_dir):
+    """Churn accounting must stay one FULL OUTER equi-join on
+    (user, week) — no nested-loop, no correlated re-scans."""
+    plan = plan_of(spark, sf_dir, "q_events_churn")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    """All 8 EWMA lag taps must ride ONE Window operator (one sort, one
+    pass) — Catalyst collapses same-spec window functions; 8 separate
+    Window nodes would mean the spec drifted."""
+    plan = plan_of(spark, sf_dir, "q_win_ewma")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") <= 2, f"lag taps split across windows:\n{plan}"
