@@ -433,3 +433,93 @@ def q_join_nullsafe(spark, sf_dir):
             F.countDistinct("s_suppkey").alias("n_supp"),
         )
     )
+
+
+@query(
+    "q_join_bloom_runtime",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l.l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN dim ON l.l_orderkey = dim.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def q_join_bloom_runtime(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction: a selective dimension
+    (urgent + high-value orders, ~2% of keys) joins a fact that is 100%
+    scanned by a naive plan. Spark's ``InjectRuntimeFilter`` builds a
+    bloom filter over the dim's join keys at runtime and pushes
+    ``BloomFilterMightContain`` into the fact scan, discarding
+    non-matching rows BEFORE the shuffle — at 100 TB this cuts the
+    shuffled fact volume to roughly the dim's selectivity, which is the
+    entire cost of the join. The production thresholds
+    (creation side < 10 MB, application side > 10 GB) trigger naturally
+    at scale; at test SFs they never would, so this query scopes the
+    confs (application threshold → 0, broadcast off so the join keeps
+    the shuffle shape the rule requires), materializes the reduced
+    aggregate under them, then restores every conf — the bloom
+    genuinely executes, and the caller's session is untouched.
+    Plan shape (BloomFilterMightContain / bloom_filter_agg subquery on
+    the fact side) is pinned in tests/test_plan_quality.py."""
+    return _bloom_runtime_impl(spark, sf_dir)
+
+
+def bloom_reduced_join(spark, sf_dir):
+    """The logical plan q_join_bloom_runtime materializes: selective-dim
+    equi-join + aggregate, broadcast disabled so ``InjectRuntimeFilter``
+    sees the shuffle-join shape it requires. Exposed separately so
+    tests/test_plan_quality.py can explain it under the bloom confs."""
+    dim = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    return (
+        li.join(dim, li.l_orderkey == dim.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            dec_sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _bloom_runtime_impl(spark, sf_dir):
+    from ._util import scratch_dir
+
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    out = scratch_dir("q_join_bloom_runtime", sf_dir)
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        bloom_reduced_join(spark, sf_dir).write.mode("overwrite").parquet(out)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(out)

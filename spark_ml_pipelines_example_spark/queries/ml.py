@@ -985,3 +985,66 @@ def q_ml_knn_classifier(spark, sf_dir):
             6,
         ).alias("accuracy"),
     )
+
+
+# Reliability-curve resolution: 10 equi-width score bins is the standard
+# calibration-plot granularity; like AUC_BINS it collapses any input
+# volume to a driver-size frame in one hash aggregate.
+CAL_BINS = 10
+
+
+@query(
+    "q_ml_calibration",
+    oracle=f"""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + EXP(-(o_totalprice - 30000.0) / 20000.0)) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    )
+    SELECT CAST(LEAST(FLOOR(score * {CAL_BINS}.0), {CAL_BINS - 1}) AS INT)
+               AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(CAST(label AS DOUBLE)), 6) AS pos_rate,
+           ROUND(AVG((score - label) * (score - label)), 6) AS brier_bin
+    FROM scored
+    GROUP BY 1
+    """,
+    tags=("ml", "calibration", "evaluation"),
+)
+def q_ml_calibration(spark, sf_dir):
+    """Calibration reliability curve + per-bin Brier score: bucket the
+    predicted probability into CAL_BINS equi-width bins and compare
+    mean predicted probability against the observed positive rate —
+    the gap per bin IS the calibration error (ECE is its n-weighted
+    sum). One partial+final hash aggregate collapses any input volume
+    to ≤CAL_BINS rows; nothing sorts, nothing shuffles more than the
+    bin keys, so the plan is identical at 100 TB. Same closed-form
+    logistic score as q_ml_auc so both engines stay bit-identical."""
+    scored = t(spark, sf_dir, "orders").select(
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 30000.0) / 20000.0))).alias(
+            "score"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    return (
+        scored.withColumn(
+            "bin",
+            F.least(
+                F.floor(F.col("score") * float(CAL_BINS)), F.lit(CAL_BINS - 1)
+            ).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("pos_rate"),
+            F.round(
+                F.avg(
+                    (F.col("score") - F.col("label"))
+                    * (F.col("score") - F.col("label"))
+                ),
+                6,
+            ).alias("brier_bin"),
+        )
+    )

@@ -360,3 +360,33 @@ def test_ewma_single_window_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_win_ewma")
     tree = plan.split("\n\n")[0]
     assert tree.count("Window") <= 2, f"lag taps split across windows:\n{plan}"
+
+
+def test_bloom_runtime_filter_injects(spark, sf_dir):
+    """Under the scoped confs q_join_bloom_runtime materializes with,
+    InjectRuntimeFilter must push a might_contain(bloom) predicate onto
+    the fact side — the semi-join reduction that cuts shuffled fact
+    volume to the dim's selectivity at 100 TB. Conf scoping must also
+    restore the caller's session untouched."""
+    from spark_ml_pipelines_example_spark.queries.joins import (
+        BLOOM_CONFS,
+        bloom_reduced_join,
+    )
+
+    saved = {k: spark.conf.get(k, None) for k in BLOOM_CONFS}
+    try:
+        for k, v in BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_reduced_join(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, f"no bloom runtime filter:\n{plan}"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    # and the declared query itself leaves the session confs untouched
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    REGISTRY["q_join_bloom_runtime"].fn(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
