@@ -1943,3 +1943,136 @@ def q_events_purchase_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(PATH_TOP_N)
     )
+
+
+@query(
+    "q_events_cuped",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST((MIN(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                     + MAX(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))))
+                    // 2 AS BIGINT) AS mid
+        FROM events
+    ), per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               COUNT(CASE WHEN event_type = 'purchase'
+                          AND datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                              < (SELECT mid FROM bounds) THEN 1 END) AS x,
+               COUNT(CASE WHEN event_type = 'purchase'
+                          AND datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                              >= (SELECT mid FROM bounds) THEN 1 END) AS y
+        FROM events GROUP BY user_id
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(COUNT(CASE WHEN variant = 0 THEN 1 END) AS DOUBLE) AS n_a,
+               CAST(SUM(CASE WHEN variant = 0 THEN x ELSE 0 END) AS DOUBLE) AS sx_a,
+               CAST(SUM(CASE WHEN variant = 0 THEN y ELSE 0 END) AS DOUBLE) AS sy_a,
+               CAST(COUNT(CASE WHEN variant = 1 THEN 1 END) AS DOUBLE) AS n_b,
+               CAST(SUM(CASE WHEN variant = 1 THEN x ELSE 0 END) AS DOUBLE) AS sx_b,
+               CAST(SUM(CASE WHEN variant = 1 THEN y ELSE 0 END) AS DOUBLE) AS sy_b
+        FROM per_user
+    ), derived AS (
+        SELECT n, n_a, n_b,
+               (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS theta,
+               sx / n AS mean_x,
+               sy_a / n_a AS mean_y_a, sy_b / n_b AS mean_y_b,
+               sx_a / n_a AS mean_x_a, sx_b / n_b AS mean_x_b,
+               (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)
+                   AS rho2
+        FROM stats
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(theta, 6) AS theta,
+           ROUND(mean_y_b - mean_y_a, 6) AS lift_raw,
+           ROUND((mean_y_b - theta * (mean_x_b - mean_x))
+                 - (mean_y_a - theta * (mean_x_a - mean_x)), 6) AS lift_cuped,
+           ROUND(rho2, 6) AS var_reduction
+    FROM derived
+    """,
+    tags=("events", "cuped", "experimentation", "variance-reduction"),
+)
+def q_events_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM'13):
+    adjust each user's in-experiment purchase count Y by their
+    pre-period count X — Y' = Y − θ(X − mean X), θ = cov(X,Y)/var(X) —
+    shrinking metric variance by ρ² and making small lifts detectable
+    with far fewer users. The pre/post split is the midpoint day of the
+    event range. Plan shape: one user_id shuffle collapses events to
+    per-user (X, Y), then ONE global aggregate reduces any user count
+    to exact integer sufficient statistics (Σx, Σy, Σx², Σxy, Σy², per
+    arm) — θ, both arm adjustments, and ρ² are closed-form arithmetic
+    on that single row, so the whole readout costs two aggregates at
+    any scale and every intermediate is exactly representable (integer
+    sums cast to double), keeping Spark and DuckDB bit-identical."""
+    ev = t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    mid = ev.agg(
+        F.floor((F.min(day) + F.max(day)) / 2).cast("bigint").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.count(
+                F.when((F.col("event_type") == "purchase") & (day < F.col("mid")), 1)
+            ).alias("x"),
+            F.count(
+                F.when((F.col("event_type") == "purchase") & (day >= F.col("mid")), 1)
+            ).alias("y"),
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    d = F.col
+    stats = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(d("x") * d("x")).cast("double").alias("sxx"),
+        F.sum(d("x") * d("y")).cast("double").alias("sxy"),
+        F.sum(d("y") * d("y")).cast("double").alias("syy"),
+        F.count(F.when(d("variant") == 0, 1)).cast("double").alias("n_a"),
+        F.sum(F.when(d("variant") == 0, d("x")).otherwise(0)).cast("double").alias("sx_a"),
+        F.sum(F.when(d("variant") == 0, d("y")).otherwise(0)).cast("double").alias("sy_a"),
+        F.count(F.when(d("variant") == 1, 1)).cast("double").alias("n_b"),
+        F.sum(F.when(d("variant") == 1, d("x")).otherwise(0)).cast("double").alias("sx_b"),
+        F.sum(F.when(d("variant") == 1, d("y")).otherwise(0)).cast("double").alias("sy_b"),
+    )
+    theta = (d("n") * d("sxy") - d("sx") * d("sy")) / F.nullif(
+        d("n") * d("sxx") - d("sx") * d("sx"), F.lit(0.0)
+    )
+    derived = stats.select(
+        "n",
+        "n_a",
+        "n_b",
+        theta.alias("theta"),
+        (d("sx") / d("n")).alias("mean_x"),
+        (d("sy_a") / d("n_a")).alias("mean_y_a"),
+        (d("sy_b") / d("n_b")).alias("mean_y_b"),
+        (d("sx_a") / d("n_a")).alias("mean_x_a"),
+        (d("sx_b") / d("n_b")).alias("mean_x_b"),
+        (
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            * (d("n") * d("sxy") - d("sx") * d("sy"))
+            / F.nullif(
+                (d("n") * d("sxx") - d("sx") * d("sx"))
+                * (d("n") * d("syy") - d("sy") * d("sy")),
+                F.lit(0.0),
+            )
+        ).alias("rho2"),
+    )
+    return derived.select(
+        d("n").cast("bigint").alias("n_users"),
+        F.round("theta", 6).alias("theta"),
+        F.round(d("mean_y_b") - d("mean_y_a"), 6).alias("lift_raw"),
+        F.round(
+            (d("mean_y_b") - d("theta") * (d("mean_x_b") - d("mean_x")))
+            - (d("mean_y_a") - d("theta") * (d("mean_x_a") - d("mean_x"))),
+            6,
+        ).alias("lift_cuped"),
+        F.round("rho2", 6).alias("var_reduction"),
+    )

@@ -1048,3 +1048,105 @@ def q_ml_calibration(spark, sf_dir):
             ).alias("brier_bin"),
         )
     )
+
+
+@query(
+    "q_ml_pr_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + EXP(-(o_totalprice - 30000.0) / 20000.0)) AS score,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ), binned AS (
+        SELECT CAST(LEAST(FLOOR(score * 1000.0), 999) AS INT) AS bin,
+               CAST(COUNT(CASE WHEN label = 1 THEN 1 END) AS BIGINT) AS n_pos,
+               CAST(COUNT(CASE WHEN label = 0 THEN 1 END) AS BIGINT) AS n_neg
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT SUM(n_pos) OVER (ORDER BY bin DESC) AS tp,
+               SUM(n_neg) OVER (ORDER BY bin DESC) AS fp,
+               SUM(n_pos) OVER () AS p, SUM(n_neg) OVER () AS neg
+        FROM binned
+    ), pts AS (
+        SELECT CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+               CAST(tp AS DOUBLE) / p AS rec,
+               COALESCE(LAG(CAST(tp AS DOUBLE) / (tp + fp))
+                        OVER (ORDER BY rec), 1.0) AS prev_prec,
+               COALESCE(LAG(CAST(tp AS DOUBLE) / p) OVER (ORDER BY rec), 0.0)
+                   AS prev_rec,
+               p, neg
+        FROM cum
+    )
+    SELECT ROUND(SUM((rec - prev_rec) * (prec + prev_prec) / 2.0), 6) AS pr_auc,
+           ROUND(CAST(MAX(p) AS DOUBLE) / (MAX(p) + MAX(neg)), 6) AS prevalence,
+           COUNT(*) AS n_bins_hit
+    FROM pts
+    """,
+    tags=("ml", "pr-auc", "evaluation"),
+)
+def q_ml_pr_auc(spark, sf_dir):
+    """Precision-recall AUC (trapezoidal over the PR curve, anchored at
+    recall 0 / precision 1) on the same 1000-bin score histogram as
+    q_ml_auc — the metric that actually discriminates classifiers under
+    class imbalance, where ROC-AUC saturates. One hash aggregate
+    collapses any input volume to ≤1000 (bin, n_pos, n_neg) rows; the
+    cumulative TP/FP sweep, precision/recall points, and trapezoid sum
+    all run over that driver-size frame, so there is no global sort of
+    raw rows at any scale. Prevalence is reported alongside because
+    PR-AUC is only interpretable against it."""
+    scored = t(spark, sf_dir, "orders").select(
+        (1.0 / (1.0 + F.exp(-(F.col("o_totalprice") - 30000.0) / 20000.0))).alias(
+            "score"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    binned = (
+        scored.withColumn(
+            "bin",
+            F.least(F.floor(F.col("score") * 1000.0), F.lit(999)).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.when(F.col("label") == 1, 1)).alias("n_pos"),
+            F.count(F.when(F.col("label") == 0, 1)).alias("n_neg"),
+        )
+    )
+    w_desc = W.orderBy(F.col("bin").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    cum = binned.select(
+        F.sum("n_pos").over(w_desc).alias("tp"),
+        F.sum("n_neg").over(w_desc).alias("fp"),
+        F.sum("n_pos").over(w_all).alias("p"),
+        F.sum("n_neg").over(w_all).alias("neg"),
+    )
+    pts = cum.select(
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("prec"),
+        (F.col("tp").cast("double") / F.col("p")).alias("rec"),
+        "p",
+        "neg",
+    )
+    w_rec = W.orderBy("rec")
+    pts = pts.select(
+        "prec",
+        "rec",
+        F.coalesce(F.lag("prec").over(w_rec), F.lit(1.0)).alias("prev_prec"),
+        F.coalesce(F.lag("rec").over(w_rec), F.lit(0.0)).alias("prev_rec"),
+        "p",
+        "neg",
+    )
+    return pts.agg(
+        F.round(
+            F.sum(
+                (F.col("rec") - F.col("prev_rec"))
+                * (F.col("prec") + F.col("prev_prec"))
+                / 2.0
+            ),
+            6,
+        ).alias("pr_auc"),
+        F.round(
+            F.max("p").cast("double") / (F.max("p") + F.max("neg")), 6
+        ).alias("prevalence"),
+        F.count("*").alias("n_bins_hit"),
+    )

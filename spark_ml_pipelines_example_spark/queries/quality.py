@@ -605,3 +605,59 @@ def q_dq_drift_features(spark, sf_dir):
         F.round(F.sum(term).cast("double"), 6).alias("psi"),
         F.count("*").alias("n_bins_hit"),
     )
+
+
+@query(
+    "q_dq_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                   AS digit
+        FROM orders WHERE o_totalprice > 0
+    ), counted AS (
+        SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM counted)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT n_total FROM tot), 6) AS obs_freq,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_freq,
+           ROUND(POWER(n - (SELECT n_total FROM tot) * LOG10(1.0 + 1.0 / digit), 2)
+                 / ((SELECT n_total FROM tot) * LOG10(1.0 + 1.0 / digit)), 4)
+               AS chi2_term
+    FROM counted
+    """,
+    tags=("quality", "benford", "fraud"),
+)
+def q_dq_benford(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data / fraud screen: naturally occurring amounts follow
+    P(d) = log10(1 + 1/d), and a synthetic or tampered column shows up
+    as fat chi-square terms on specific digits. The digit is extracted
+    through an exact decimal→cents→string path (no float log10 of the
+    value itself, whose power-of-ten boundaries round differently per
+    engine). One hash aggregate to ≤9 rows, a broadcast scalar total,
+    then closed-form arithmetic — the audit costs one scan at any
+    scale."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digits = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counted = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counted.agg(F.sum("n").cast("double").alias("n_total"))
+    exp_freq = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("n_total"), 6).alias("obs_freq"),
+            F.round(exp_freq, 6).alias("benford_freq"),
+            F.round(
+                F.pow(F.col("n") - F.col("n_total") * exp_freq, 2)
+                / (F.col("n_total") * exp_freq),
+                4,
+            ).alias("chi2_term"),
+        )
+    )
