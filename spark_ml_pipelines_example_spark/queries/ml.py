@@ -891,17 +891,19 @@ KNN_PROBE_MOD = 20
     "q_ml_knn_classifier",
     oracle=f"""
     WITH probes AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
     ), corpus AS (
-        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} <> 0
     ), pairs AS (
         SELECT p.vec_id AS pid, p.label AS true_label,
                c.vec_id AS cid, c.label AS nlabel,
-               list_dot_product(p.e, c.e)
-               / (sqrt(list_dot_product(p.e, p.e))
-                  * sqrt(list_dot_product(c.e, c.e))) AS cos
+               list_dot_product(p.e, c.e) / (p.nrm * c.nrm) AS cos
         FROM probes p, corpus c
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
@@ -938,28 +940,41 @@ def q_ml_knn_classifier(spark, sf_dir):
 
     Scale shape: probes broadcast into a map-side cosine scan of the
     corpus (probes ≪ corpus — the q_sim_knn_all regime, which swaps in
-    the block-GEMM kernel when the probe set grows); the top-{KNN_K}
-    window runs per probe after a WindowGroupLimit pre-truncation, and
-    the vote/accuracy rollups are probe-count-sized."""
-    from ..functions.similarity import cosine
+    the block-GEMM kernel when the probe set grows); each side's norm is
+    projected BEFORE the pair join (cosine_prenorm — per-pair work is
+    one array fold, not three; hoisting sqrt(dot(x,x)) is bit-identical
+    to computing it per pair, so the oracle hash is unchanged); the
+    top-{KNN_K} window runs per probe after a WindowGroupLimit
+    pre-truncation, and the vote/accuracy rollups are
+    probe-count-sized."""
+    from ..functions.similarity import cosine_prenorm, l2_norm
 
     e = t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("pe"),
+        l2_norm(F.col("embedding")).alias("pn"),
     )
-    corpus = e.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+    # repartition: the one-file fixture scan is a single task, which would
+    # serialize the pairwise fold (cf. q_dedup_minhash — a no-op cost at
+    # real scale, where the corpus arrives in many splits).
+    corpus = e.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).repartition(
+        32, "vec_id"
+    ).select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("nlabel"),
         F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
     pairs = corpus.crossJoin(F.broadcast(probes)).select(
         "pid",
         "true_label",
         "cid",
         "nlabel",
-        cosine(F.col("pe"), F.col("ce")).alias("cos"),
+        cosine_prenorm(
+            F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")
+        ).alias("cos"),
     )
     topk = (
         pairs.withColumn(
