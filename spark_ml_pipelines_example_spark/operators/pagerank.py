@@ -43,11 +43,15 @@ def pagerank(
     same pattern as the IVF centroid count); everything inside the loop
     stays distributed.
     """
+    # Materialize the (src, dst, w) edge list once: it is node²-bounded
+    # (pre-aggregated), but its LINEAGE is the caller's edge build — often
+    # a fact-scale join — which lazy evaluation would otherwise re-execute
+    # for the node set, the out-weight table, and every iteration.
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).cast("double").alias("w"),
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
