@@ -94,3 +94,69 @@ def test_mix_temperature_quota_conserves_total(spark, sf_dir):
     assert abs(total_quota - total_docs) <= len(rows)
     for r in rows:
         assert r["quota"] == r["full_epochs"] * r["n_src"] + r["remainder_docs"]
+
+
+def test_cuped_variance_reduction_is_valid(spark, sf_dir):
+    """rho-squared must land in [0,1], and the CUPED adjustment must not
+    invent lift: with a pooled theta, adjusted and raw lift differ only
+    by theta times the arms' pre-period imbalance."""
+    row = REGISTRY["q_events_cuped"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["var_reduction"] <= 1.0
+    assert row["n_users"] > 0
+    # pre-period counts can't predict sign flips stronger than the raw
+    # effect unless arms were imbalanced pre-experiment; on the parity
+    # split the imbalance is tiny, so the two lifts stay close
+    assert abs(row["lift_cuped"] - row["lift_raw"]) < 0.5
+
+
+def test_pr_auc_bounds_and_prevalence_floor(spark, sf_dir):
+    """PR-AUC of the (informative) logistic score must beat the
+    random-classifier baseline (= prevalence) and stay in [0,1]."""
+    row = REGISTRY["q_ml_pr_auc"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["pr_auc"] <= 1.0
+    assert 0.0 < row["prevalence"] < 1.0
+    assert row["pr_auc"] > row["prevalence"]
+
+
+def test_calibration_bins_partition_input(spark, sf_dir):
+    """Reliability bins must partition the scored rows exactly, and each
+    bin's mean predicted score must lie inside the bin's bounds."""
+    import duckdb
+
+    rows = REGISTRY["q_ml_calibration"].fn(spark, sf_dir).collect()
+    n_orders = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()[0][0]
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert r["bin"] / 10.0 - 1e-6 <= r["mean_score"] <= (r["bin"] + 1) / 10.0 + 1e-6
+        assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_dir):
+    """Digits 1-9 only; observed and expected frequencies each sum to 1
+    (Benford expected by identity, observed because counts partition)."""
+    rows = REGISTRY["q_dq_benford"].fn(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 1e-4
+    full = sum(__import__("math").log10(1 + 1 / d) for d in range(1, 10))
+    assert abs(full - 1.0) < 1e-12
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+
+
+def test_bloom_runtime_matches_plain_join(spark, sf_dir):
+    """The bloom-reduced materialization must return exactly what the
+    plain (unfiltered-plan) join computes — the runtime filter is an
+    optimization, never a semantics change."""
+    from spark_ml_pipelines_example_spark.queries.joins import bloom_reduced_join
+
+    got = {
+        r["l_returnflag"]: (r["n_items"], r["n_orders"])
+        for r in REGISTRY["q_join_bloom_runtime"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["l_returnflag"]: (r["n_items"], r["n_orders"])
+        for r in bloom_reduced_join(spark, sf_dir).collect()
+    }
+    assert got == want
