@@ -89,6 +89,12 @@ HEADLINE = [
     # full-outer churn self-join
     "q_ml_knn_classifier",
     "q_events_churn",
+    # runtime-filter join reduction + experimentation/eval additions
+    "q_join_bloom_runtime",
+    "q_events_cuped",
+    "q_ml_pr_auc",
+    "q_ml_calibration",
+    "q_dq_benford",
 ]
 
 

@@ -73,6 +73,11 @@ SHOWCASE = [
     ("q_dedup_survivorship", "golden record: per-attribute survival aggregates, no pairs"),
     ("q_multimodal_phash", "pHash dedup: Arrow decode+GEMM, one signature shuffle"),
     ("q_curate_mix_temperature", "temperature mix: one count aggregate + quota arithmetic"),
+    ("q_ml_knn_classifier", "kNN eval: prenormed broadcast-probe cosine, WindowGroupLimit top-k"),
+    ("q_events_cuped", "CUPED: two aggregates to exact sufficient statistics, closed-form theta"),
+    ("q_ml_pr_auc", "PR-AUC: 1000-bin histogram collapse, cumulative sweep on driver-size frame"),
+    ("q_ml_calibration", "reliability curve: one hash aggregate to 10 bins"),
+    ("q_dq_benford", "Benford audit: digit hash-agg to 9 rows + broadcast scalar total"),
 ]
 
 
