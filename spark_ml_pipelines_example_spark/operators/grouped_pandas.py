@@ -202,3 +202,89 @@ def q_udtf_chunk_table(spark, sf_dir):
         F.countDistinct("chunk").alias("n_distinct_chunks"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+# Threshold-reset accumulator: flush when the running spend would reach
+# CAP. Genuinely sequential per user — no window frame expresses "state
+# feeding back into the next row", which is exactly the grouped-map
+# escape hatch's job; the oracle states the same recurrence as a DuckDB
+# RECURSIVE CTE, so this stateful op is still hash-checked.
+CAPPED_CUMSUM_CAP = 200.0
+
+_CAPPED_SCHEMA = (
+    "user_id long, n_purchases long, n_flushes long, final_residual double"
+)
+
+
+@query(
+    "q_win_capped_cumsum",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), rec AS (
+        SELECT user_id, rn,
+               CASE WHEN value >= {CAPPED_CUMSUM_CAP!r} THEN 0.0
+                    ELSE value END AS bal,
+               CASE WHEN value >= {CAPPED_CUMSUM_CAP!r} THEN 1
+                    ELSE 0 END AS flushes
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               CASE WHEN r.bal + s.value >= {CAPPED_CUMSUM_CAP!r} THEN 0.0
+                    ELSE r.bal + s.value END,
+               r.flushes + CASE WHEN r.bal + s.value >= {CAPPED_CUMSUM_CAP!r}
+                                THEN 1 ELSE 0 END
+        FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    ), final AS (
+        SELECT user_id, rn AS n_purchases, flushes AS n_flushes, bal,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS last
+        FROM rec
+    )
+    SELECT user_id, n_purchases, n_flushes,
+           ROUND(bal, 6) AS final_residual
+    FROM final WHERE last = 1
+    """,
+    tags=("window", "stateful", "grouped-map", "recurrence"),
+)
+def q_win_capped_cumsum(spark, sf_dir):
+    """Threshold-reset running accumulator (spend throttle / batch-flush
+    semantics): per user, in event order, balance += value; when it
+    would reach CAP it flushes to zero and the flush counter
+    increments. The recurrence feeds each row's state into the next, so
+    no window frame can state it — this is applyInPandas (grouped-map)
+    doing the one thing Catalyst genuinely can't, while the DuckDB
+    oracle expresses the identical recurrence as a RECURSIVE CTE, which
+    keeps even this stateful operator hash-checked. Both engines
+    accumulate float64 in the same per-user (ts, event_id) order, so
+    balances are bit-identical. Scale: one user_id shuffle; each
+    group streams to the worker as Arrow batches (group size =
+    purchases-per-user, bounded; salt first if a key exploded)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, flushes = 0.0, 0
+        for v in pdf["value"].to_numpy():
+            nxt = bal + float(v)
+            if nxt >= CAPPED_CUMSUM_CAP:
+                bal = 0.0
+                flushes += 1
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_purchases": [len(pdf)],
+                "n_flushes": [flushes],
+                "final_residual": [round(bal, 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(run, _CAPPED_SCHEMA)
