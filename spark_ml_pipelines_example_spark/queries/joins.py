@@ -523,3 +523,98 @@ def _bloom_runtime_impl(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(out)
+
+
+# Grid-blocked spatial radius join: cell size = radius, so any pair
+# within R sits in the same or an adjacent cell — the geohash/S2-style
+# blocking that turns an O(n·m) distance nested-loop into an equi-join.
+SPATIAL_R = 2.0
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey,
+               CAST(c_custkey * 37 % 1000 AS DOUBLE) / 10.0 AS x,
+               CAST(c_custkey * 91 % 1000 AS DOUBLE) / 10.0 AS y
+        FROM customer
+    ), supp AS (
+        SELECT s_suppkey,
+               CAST(s_suppkey * 53 % 1000 AS DOUBLE) / 10.0 AS x,
+               CAST(s_suppkey * 17 % 1000 AS DOUBLE) / 10.0 AS y
+        FROM supplier
+    ), supp_cells AS (
+        SELECT s.s_suppkey, s.x, s.y,
+               CAST(FLOOR(s.x / {SPATIAL_R!r}) AS BIGINT) + dx.d AS cx,
+               CAST(FLOOR(s.y / {SPATIAL_R!r}) AS BIGINT) + dy.d AS cy
+        FROM supp s
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dx(d)
+        CROSS JOIN (VALUES (-1), (0), (1)) AS dy(d)
+    ), pairs AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+        FROM cust c
+        JOIN supp_cells s
+          ON CAST(FLOOR(c.x / {SPATIAL_R!r}) AS BIGINT) = s.cx
+         AND CAST(FLOOR(c.y / {SPATIAL_R!r}) AS BIGINT) = s.cy
+        WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+               <= {SPATIAL_R!r} * {SPATIAL_R!r}
+    )
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT c_custkey) AS n_cust,
+           COUNT(DISTINCT s_suppkey) AS n_supp,
+           ROUND(AVG(SQRT(d2)), 6) AS avg_dist
+    FROM pairs
+    """,
+    tags=("join", "spatial", "grid-blocked"),
+)
+def q_join_spatial_grid(spark, sf_dir):
+    """Grid-blocked spatial radius join: both sides get deterministic
+    synthetic coordinates (key-arithmetic, exact in float64), the plane
+    is tiled into R-sized cells, the smaller side is replicated into
+    its 3×3 cell neighborhood, and candidates meet in a plain EQUI-join
+    on (cx, cy) before the exact distance confirm — the geohash/S2
+    blocking that makes radius joins shuffle-bounded instead of the
+    O(n·m) nested loop a raw distance predicate plans. Replication
+    factor is a constant 9; at 100 TB you replicate whichever side is
+    smaller post-filter, and skewed cells (urban hot spots) salt like
+    any hot join key (cf. q_join_salted_skew)."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 1000).cast("double") / 10.0).alias("x"),
+        ((F.col("c_custkey") * 91 % 1000).cast("double") / 10.0).alias("y"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53 % 1000).cast("double") / 10.0).alias("sx"),
+        ((F.col("s_suppkey") * 17 % 1000).cast("double") / 10.0).alias("sy"),
+    )
+    offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    s_cells = (
+        s.withColumn("dx", F.explode(offsets))
+        .withColumn("dy", F.explode(offsets))
+        .select(
+            "s_suppkey",
+            "sx",
+            "sy",
+            (F.floor(F.col("sx") / SPATIAL_R).cast("bigint") + F.col("dx")).alias("cx"),
+            (F.floor(F.col("sy") / SPATIAL_R).cast("bigint") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("x") - F.col("sx")) ** 2 + (F.col("y") - F.col("sy")) ** 2
+    pairs = (
+        c.join(
+            s_cells,
+            (F.floor(F.col("x") / SPATIAL_R).cast("bigint") == F.col("cx"))
+            & (F.floor(F.col("y") / SPATIAL_R).cast("bigint") == F.col("cy")),
+        )
+        .filter(d2 <= F.lit(SPATIAL_R * SPATIAL_R))
+        .select("c_custkey", "s_suppkey", d2.alias("d2"))
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_cust"),
+        F.countDistinct("s_suppkey").alias("n_supp"),
+        F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+    )
