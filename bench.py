@@ -95,6 +95,8 @@ HEADLINE = [
     "q_ml_pr_auc",
     "q_ml_calibration",
     "q_dq_benford",
+    "q_win_capped_cumsum",
+    "q_join_spatial_grid",
 ]
 
 

@@ -78,6 +78,8 @@ SHOWCASE = [
     ("q_ml_pr_auc", "PR-AUC: 1000-bin histogram collapse, cumulative sweep on driver-size frame"),
     ("q_ml_calibration", "reliability curve: one hash aggregate to 10 bins"),
     ("q_dq_benford", "Benford audit: digit hash-agg to 9 rows + broadcast scalar total"),
+    ("q_win_capped_cumsum", "threshold-reset recurrence: user_id shuffle + sorted mapInPandas stream"),
+    ("q_join_spatial_grid", "grid-blocked radius join: 3x3 cell replication, equi-join, no nested loop"),
 ]
 
 
