@@ -740,3 +740,65 @@ def q_agg_gini(spark, sf_dir):
         ).alias("gini"),
         F.max("n").cast("bigint").alias("n_parts"),
     )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH levels AS (
+        SELECT l_returnflag,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, disc, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY disc
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM levels
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN disc END) AS DOUBLE)
+               AS weighted_median_disc,
+           CAST(MAX(tot) AS BIGINT) AS total_qty
+    FROM cum GROUP BY l_returnflag
+    """,
+    tags=("agg", "weighted-median", "percentile"),
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (discount weighted by quantity, per return
+    flag) via the collapse-then-cumulate pattern: one hash aggregate
+    shrinks any input volume to (group × distinct-level) rows — 11
+    discount levels here, value-cardinality-bounded in general — then
+    the cumulative-weight window and the 2·cw ≥ tot pick run on that
+    collapsed frame. This is how exact weighted percentiles are
+    computed at 100 TB when the value domain is discrete/bucketed;
+    contrast `percentile_approx` (sketch, rows-only) and the exact
+    unweighted `q_agg_percentile`. All weights are exact integer sums,
+    so the pick is deterministic in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    levels = (
+        li.select(
+            "l_returnflag",
+            F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("l_returnflag", "disc")
+        .agg(F.sum("q").alias("w"))
+    )
+    wf = W.partitionBy("l_returnflag").orderBy("disc").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wt = W.partitionBy("l_returnflag")
+    cum = levels.select(
+        "l_returnflag",
+        "disc",
+        F.sum("w").over(wf).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("disc")))
+        .cast("double")
+        .alias("weighted_median_disc"),
+        F.max("tot").cast("bigint").alias("total_qty"),
+    )
