@@ -802,3 +802,159 @@ def q_agg_weighted_median(spark, sf_dir):
         .alias("weighted_median_disc"),
         F.max("tot").cast("bigint").alias("total_qty"),
     )
+
+
+@query(
+    "q_agg_proration",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p_cents
+        FROM lineitem
+    ), o AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS t_cents
+        FROM orders
+    ), based AS (
+        SELECT l.*, o.t_cents,
+               SUM(p_cents) OVER (PARTITION BY l_orderkey) AS s_cents,
+               (o.t_cents * p_cents) // SUM(p_cents) OVER (PARTITION BY l_orderkey)
+                   AS base_cents,
+               (o.t_cents * p_cents) % SUM(p_cents) OVER (PARTITION BY l_orderkey)
+                   AS rem
+        FROM li l JOIN o ON l.l_orderkey = o.o_orderkey
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, p_cents, l_partkey,
+                                           l_suppkey, l_linenumber,
+                                           l_returnflag) AS rk,
+               t_cents - SUM(base_cents) OVER (PARTITION BY l_orderkey) AS short_cents
+        FROM based
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(base_cents + CASE WHEN rk <= short_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS alloc_cents,
+           CAST(SUM(CASE WHEN rk <= short_cents THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bumped
+    FROM ranked
+    GROUP BY 1
+    """,
+    tags=("agg", "proration", "largest-remainder", "finance"),
+)
+def q_agg_proration(spark, sf_dir):
+    """Penny-exact proration (largest-remainder method): spread each
+    order's total across its lineitems proportionally to extended price
+    so that the allocated integer cents sum EXACTLY to the order total —
+    the allocation shape behind revenue recognition, tax apportionment,
+    and cost attribution jobs. All arithmetic is integer (cents via
+    exact decimal casts; products ≤ ~5e14 stay far inside bigint), so
+    base = (total*price) div sum, remainder = the exact modulo, and the
+    per-order shortfall T − Σbase (always in [0, n_lines)) is handed out
+    one cent each to the largest remainders, ties broken by the full
+    line identity (price, part, supplier, line number — the synthetic
+    fixture repeats l_linenumber within an order, so line number alone
+    is not a unique tiebreak; residual ties are bit-identical rows whose
+    interchangeable ranks cannot change any aggregate).
+    Invariant: Σ alloc_cents across flags = Σ order totals (asserted in
+    tests). Scale shape: one shuffle by orderkey carries the windowed
+    sums and the remainder ranking, then a returnflag hash-aggregate;
+    nothing leaves integer space, so the result is bit-identical under
+    any partitioning."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        (dec("l_extendedprice") * 100).cast("long").alias("p_cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", (dec("o_totalprice") * 100).cast("long").alias("t_cents")
+    )
+    w_ord = W.partitionBy("l_orderkey")
+    based = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("s_cents", F.sum("p_cents").over(w_ord))
+        .withColumn(
+            "base_cents",
+            F.expr("(t_cents * p_cents) div s_cents"),
+        )
+        .withColumn("rem", (F.col("t_cents") * F.col("p_cents")) % F.col("s_cents"))
+    )
+    ranked = based.withColumn(
+        "rk",
+        F.row_number().over(
+            w_ord.orderBy(
+                F.desc("rem"),
+                "p_cents",
+                "l_partkey",
+                "l_suppkey",
+                "l_linenumber",
+                "l_returnflag",
+            )
+        ),
+    ).withColumn("short_cents", F.col("t_cents") - F.sum("base_cents").over(w_ord))
+    bump = F.when(F.col("rk") <= F.col("short_cents"), 1).otherwise(0)
+    return ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("base_cents") + bump).alias("alloc_cents"),
+        F.sum(bump).alias("n_bumped"),
+    )
+
+
+@query(
+    "q_agg_skyline",
+    # Independent oracle formulation: the literal dominance definition as
+    # a NOT EXISTS anti-join (DuckDB plans it as an IEJoin); the engine
+    # side uses the O(n log n) sort-based skyline instead — agreement
+    # between the two is the point of the differential test.
+    oracle="""
+    WITH agg AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                    * 100 AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT a.l_partkey, a.qty, a.rev_cents
+    FROM agg a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM agg b
+        WHERE b.qty >= a.qty AND b.rev_cents >= a.rev_cents
+          AND (b.qty > a.qty OR b.rev_cents > a.rev_cents)
+    )
+    """,
+    tags=("agg", "skyline", "pareto-frontier", "dominance"),
+)
+def q_agg_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier): parts not dominated on (total
+    quantity, total revenue) — p dominates q when it is ≥ on both axes
+    and > on at least one. The naive definition is an O(n²) self-join;
+    the engine runs the sort-based O(n log n) skyline instead: per-part
+    aggregate → per-qty-level max revenue (the only candidate that can
+    dominate from each quantity level) → prefix max over STRICTLY
+    greater quantity levels (a 1-preceding window over the level table,
+    whose cardinality is distinct-qty-values, thousands — not parts) →
+    broadcast the level table back onto the aggregate and keep rows
+    beaten by neither the strict-greater prefix max nor an equal-qty
+    strictly-richer sibling. All comparisons happen on exact integer
+    cents/units, so dominance is engine-independent. Scale shape: one
+    partkey shuffle for the aggregate; the global window rides the tiny
+    level table; the final filter is a broadcast hash join on qty."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity", 18, 0)).cast("long").alias("qty"),
+        (F.sum(dec("l_extendedprice")).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    levels = agg.groupBy("qty").agg(F.max("rev_cents").alias("level_max"))
+    w_prefix = W.orderBy(F.desc("qty")).rowsBetween(W.unboundedPreceding, -1)
+    levels = levels.withColumn("prefix_max", F.max("level_max").over(w_prefix))
+    joined = agg.join(F.broadcast(levels), "qty")
+    dominated = (
+        F.col("prefix_max").isNotNull() & (F.col("prefix_max") >= F.col("rev_cents"))
+    ) | (F.col("level_max") > F.col("rev_cents"))
+    return joined.filter(~dominated).select("l_partkey", "qty", "rev_cents")

@@ -862,3 +862,66 @@ def q_dedup_survivorship(spark, sf_dir):
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@query(
+    "q_dedup_substring_spans",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 8
+    ), pos AS (
+        SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+        FROM tk, UNNEST(range(1, len(tk) - 6)) AS u(i)
+    ), dupg AS (
+        SELECT g FROM pos GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(d.g) AS n_dup_spans,
+           ROUND(COUNT(d.g) * 1.0 / COUNT(*), 4) AS dup_ratio
+    FROM pos p LEFT JOIN dupg d USING (g)
+    GROUP BY 1
+    """,
+    tags=("dedup", "substring", "spans", "training-data"),
+)
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact duplicated-span detection (the positional flavor of
+    exact-substring dedup from "Deduplicating Training Data Makes
+    Language Models Better"): every 8-token window of every document is
+    a span; a span is duplicated when its exact text occurs in ≥2
+    distinct documents; each document reports its span count, duplicated
+    span count, and coverage ratio — the signal a curation pipeline
+    thresholds to drop or trim boilerplate-heavy documents. Position
+    granularity matters: a span repeated at 3 offsets contributes 3 to
+    the duplicated count, which is what "fraction of the document that
+    is copied" means. Plan shape: explode to one row per offset (no
+    self-join), hash-aggregate per span text for the cross-doc count,
+    left-semi the duplicated spans back, one final doc_id aggregate. At
+    100 TB the span join key would be xxhash64(span) (8-byte shuffle
+    keys instead of strings) with the same plan; the string key here is
+    what keeps the DuckDB oracle bit-identical."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 8)
+    )
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(tk) - 8), i -> array_join(slice(tk, i + 1, 8), ' '))")
+        ).alias("g"),
+    )
+    dupg = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("g")
+    )
+    flagged = pos.join(dupg.withColumn("is_dup", F.lit(1)), "g", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.count("is_dup").alias("n_dup_spans"),
+        F.round(F.count("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+    )

@@ -75,6 +75,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scd2_history",
     # flagship scale ops added this session — a driver row for these beats
     # one for the simpler roundtrips below
+    "q_agg_proration",
+    "q_agg_skyline",
+    "q_win_concurrency",
+    "q_dedup_substring_spans",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

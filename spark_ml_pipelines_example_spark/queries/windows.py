@@ -481,3 +481,70 @@ def q_win_ewma(spark, sf_dir):
     return lagged.select(
         "event_type", "day", "cnt", F.round(num / den, 4).alias("ewma")
     )
+
+
+@query(
+    "q_win_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS at, 1 AS d
+        FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) + 900000000, -1
+        FROM events
+    ), net AS (
+        SELECT event_type, at, CAST(SUM(d) AS BIGINT) AS net
+        FROM deltas GROUP BY 1, 2
+    ), run AS (
+        SELECT event_type, at,
+               SUM(net) OVER (PARTITION BY event_type ORDER BY at
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running
+        FROM net
+    )
+    SELECT event_type, CAST(peak AS BIGINT) AS peak,
+           MIN(at) AS peak_at_us
+    FROM (SELECT event_type, at, running,
+                 MAX(running) OVER (PARTITION BY event_type) AS peak
+          FROM run)
+    WHERE running = peak
+    GROUP BY 1, 2
+    """,
+    tags=("window", "sweep-line", "concurrency", "capacity"),
+)
+def q_win_concurrency(spark, sf_dir):
+    """Peak-concurrency sweep line: each event opens a 15-minute activity
+    interval [ts, ts+15m); the answer is, per event_type, the maximum
+    number of simultaneously-open intervals and the earliest instant it
+    is reached. The classic O(n log n) algorithm — +1/-1 boundary deltas,
+    sort, running sum — expressed as union → hash-aggregate → windowed
+    prefix sum. Collapsing deltas per (type, µs) BEFORE the prefix sum is
+    what makes the result deterministic: simultaneous opens/closes net
+    out in the aggregate, so no tie-break ordering between a +1 and a -1
+    at the same instant can change the peak. Scale shape: one shuffle by
+    event_type carries both the aggregate and both windows (the prefix
+    sum is the distributed two-pass per key that Spark's window executes
+    after the exchange); boundary timestamps are µs-floored identically
+    in both engines (Spark unix_micros vs DuckDB epoch_us of the
+    µs-truncated timestamp)."""
+    DUR_US = 15 * 60 * 1_000_000
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    deltas = ev.select(
+        "event_type", F.col("us").alias("at"), F.lit(1).alias("d")
+    ).unionAll(
+        ev.select("event_type", (F.col("us") + DUR_US).alias("at"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("event_type", "at").agg(F.sum("d").alias("net"))
+    w_run = (
+        W.partitionBy("event_type").orderBy("at").rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = net.withColumn("running", F.sum("net").over(w_run)).withColumn(
+        "peak", F.max("running").over(W.partitionBy("event_type"))
+    )
+    return (
+        run.filter(F.col("running") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("at").alias("peak_at_us"))
+    )
