@@ -958,3 +958,72 @@ def q_agg_skyline(spark, sf_dir):
         F.col("prefix_max").isNotNull() & (F.col("prefix_max") >= F.col("rev_cents"))
     ) | (F.col("level_max") > F.col("rev_cents"))
     return joined.filter(~dominated).select("l_partkey", "qty", "rev_cents")
+
+
+@query(
+    "q_agg_mutual_info",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+        FROM orders GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM joint),
+    mx AS (SELECT x, CAST(SUM(nxy) AS DOUBLE) AS nx FROM joint GROUP BY 1),
+    my AS (SELECT y, CAST(SUM(nxy) AS DOUBLE) AS ny FROM joint GROUP BY 1),
+    mi AS (
+        SELECT SUM((nxy / n) * LN(nxy * n / (nx * ny))) AS mi
+        FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ),
+    hx AS (SELECT -SUM((nx / n) * LN(nx / n)) AS hx FROM mx CROSS JOIN tot),
+    hy AS (SELECT -SUM((ny / n) * LN(ny / n)) AS hy FROM my CROSS JOIN tot)
+    SELECT ROUND(mi, 6) AS mi_nats,
+           ROUND(hx, 6) AS h_x,
+           ROUND(hy, 6) AS h_y,
+           ROUND(mi / SQRT(hx * hy), 6) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+    tags=("agg", "mutual-information", "entropy", "feature-selection"),
+)
+def q_agg_mutual_info(spark, sf_dir):
+    """Mutual information between two categorical columns (order priority
+    vs order status) plus both marginal entropies and the normalized MI —
+    the dependence screen feature-selection and drift pipelines run over
+    candidate feature pairs. One hash aggregate builds the joint
+    contingency table (|X|·|Y| rows — tiny for any real categorical);
+    marginals and totals derive from it without touching the fact again,
+    so the fact table is scanned once and shuffled once regardless of
+    data size. Entropy/MI terms are integer-ratio logs summed over ~15
+    cells, rounded to 6dp — far below double noise for so few terms."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    joint = o.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    tot = joint.agg(F.sum("nxy").cast("double").alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").cast("double").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").cast("double").alias("ny"))
+    mi = (
+        joint.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nxy") / F.col("n"))
+                * F.log(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+            ).alias("mi")
+        )
+    )
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nx") / F.col("n")) * F.log(F.col("nx") / F.col("n")))).alias("hx")
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("ny") / F.col("n")) * F.log(F.col("ny") / F.col("n")))).alias("hy")
+    )
+    return (
+        mi.crossJoin(hx)
+        .crossJoin(hy)
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("hx", 6).alias("h_x"),
+            F.round("hy", 6).alias("h_y"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+        )
+    )

@@ -2076,3 +2076,69 @@ def q_events_cuped(spark, sf_dir):
         ).alias("lift_cuped"),
         F.round("rho2", 6).alias("var_reduction"),
     )
+
+
+@query(
+    "q_ts_ohlc",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bar,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        FROM events
+    ), ordered AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                  ORDER BY us, event_id) AS rn_open,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                                  ORDER BY us DESC, event_id DESC) AS rn_close
+        FROM ev
+    )
+    SELECT event_type, bar,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS volume,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM ordered
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "ohlc", "resample", "bars"),
+)
+def q_ts_ohlc(spark, sf_dir):
+    """Time-series resampling into hourly OHLC bars per event_type —
+    open/high/low/close, volume, and an exact decimal value sum (the
+    candlestick rollup every metrics store materializes). Open and close
+    are first/last by (µs, event_id) — the unique composite order that
+    keeps bars deterministic when events share a timestamp; high/low/
+    volume are plain aggregates. One shuffle on (type, hour): the two
+    ranking windows and the final hash aggregate all ride the same
+    exchange, so resampling 100 TB of ticks is a single pass. (min_by/
+    max_by would fold the windows into the aggregate but tie-break on
+    engine row order; the explicit row_number is what makes the result
+    hash-stable.)"""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias(
+            "bar"
+        ),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    w_open = W.partitionBy("event_type", "bar").orderBy("us", "event_id")
+    w_close = W.partitionBy("event_type", "bar").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    ordered = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return ordered.groupBy("event_type", "bar").agg(
+        F.min(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("volume"),
+        F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
+    )

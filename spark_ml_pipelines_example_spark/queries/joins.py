@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
-from ._util import dec_sum, t
+from ._util import dec, dec_sum, t
 from .registry import query
 
 
@@ -617,4 +617,164 @@ def q_join_spatial_grid(spark, sf_dir):
         F.countDistinct("c_custkey").alias("n_cust"),
         F.countDistinct("s_suppkey").alias("n_supp"),
         F.round(F.avg(F.sqrt("d2")), 6).alias("avg_dist"),
+    )
+
+
+@query(
+    "q_join_nearest_event",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                      - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 7200000000
+            ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                         - epoch_us(CAST(p.ts AS TIMESTAMP))), c.event_id
+            LIMIT 1) AS ref_id,
+           (SELECT abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                       - epoch_us(CAST(p.ts AS TIMESTAMP)))
+            FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                      - epoch_us(CAST(p.ts AS TIMESTAMP))) <= 7200000000
+            ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                         - epoch_us(CAST(p.ts AS TIMESTAMP))), c.event_id
+            LIMIT 1) AS gap_us
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "nearest", "asof", "band"),
+)
+def q_join_nearest_event(spark, sf_dir):
+    """Nearest-neighbor temporal join (the bidirectional as-of): each
+    purchase matched to the CLOSEST click of the same user within ±2h,
+    before or after — the alignment step for sensor fusion and
+    click-attribution when causality can run either way. Unmatched
+    probes survive with NULLs. Band blocking makes it a pure equi-join:
+    both sides bucket time into 2h cells, refs are replicated into their
+    cell and both neighbors (3×, a constant), so every candidate pair
+    within ±2h shares a (user, cell) key; a per-probe row_number on
+    (|gap|, ref_id) picks the winner deterministically. Scale shape: one
+    (user, cell) shuffle bounded by band width — never a time-range
+    nested loop; the final left join restores unmatched probes. The
+    oracle is the literal correlated nearest-1 definition."""
+    BAND_US = 2 * 3600 * 1_000_000
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    probes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("probe_id"), "user_id", us.alias("p_us"))
+        .withColumn("cell", F.floor(F.col("p_us") / BAND_US))
+    )
+    refs = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("ref_id"), "user_id", us.alias("r_us"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    F.floor(F.col("r_us") / BAND_US) - 1,
+                    F.floor(F.col("r_us") / BAND_US),
+                    F.floor(F.col("r_us") / BAND_US) + 1,
+                )
+            ),
+        )
+    )
+    cand = (
+        probes.join(refs, ["user_id", "cell"])
+        .withColumn("gap_us", F.abs(F.col("r_us") - F.col("p_us")))
+        .filter(F.col("gap_us") <= BAND_US)
+    )
+    w = W.partitionBy("probe_id").orderBy("gap_us", "ref_id")
+    best = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe_id", "ref_id", "gap_us")
+    )
+    return probes.select("probe_id").join(best, "probe_id", "left")
+
+
+@query(
+    "q_join_fifo_match",
+    oracle="""
+    WITH s AS (
+        SELECT l_partkey, l_returnflag AS s_flag,
+               CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS qty,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  l_suppkey, l_extendedprice
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        FROM lineitem WHERE l_linestatus = 'F'
+    ), d AS (
+        SELECT l_partkey, l_returnflag AS d_flag,
+               CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS qty,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT))
+                   OVER (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  l_suppkey, l_extendedprice
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        FROM lineitem WHERE l_linestatus = 'O'
+    )
+    SELECT s.s_flag, d.d_flag,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(LEAST(s.hi, d.hi) - GREATEST(s.hi - s.qty, d.hi - d.qty))
+                AS BIGINT) AS matched_units
+    FROM s JOIN d ON s.l_partkey = d.l_partkey
+       AND s.hi - s.qty < d.hi AND d.hi - d.qty < s.hi
+    GROUP BY 1, 2
+    """,
+    tags=("join", "fifo", "matching", "inventory"),
+)
+def q_join_fifo_match(spark, sf_dir):
+    """FIFO lot matching (inventory cost-basis / order-fill semantics):
+    per part, 'F' lineitems are supply lots and 'O' lineitems are demand
+    lots, each consumed strictly in ship-date order; the imperative
+    pop-the-queue algorithm is re-expressed as pure relational algebra
+    via the cumulative-interval identity — lot i occupies units
+    (cum_i − qty_i, cum_i] on its side's FIFO axis, and supply lot s
+    fills demand lot d by exactly the overlap of their unit intervals.
+    Two windowed prefix sums (one per side, partitioned by part) + one
+    partkey equi-join with the half-open overlap predicate replace any
+    stateful loop, so the operator is one shuffle and embarrassingly
+    parallel across parts. Pair fan-out is bounded by per-part lot
+    counts (TPC-H ≤ ~7 a side); the aggregate reports matched units by
+    (supply flag, demand flag). Ordering ties beyond the full sort key
+    are bit-identical rows and cannot change any aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity", 18, 0).cast("long")
+    w = (
+        W.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+
+    def side(status, flag_alias):
+        return (
+            li.filter(F.col("l_linestatus") == status)
+            .withColumn("qty", qty)
+            .withColumn("hi", F.sum("qty").over(w))
+            .select(
+                "l_partkey",
+                F.col("l_returnflag").alias(flag_alias),
+                F.col("qty").alias(f"{flag_alias}_qty"),
+                F.col("hi").alias(f"{flag_alias}_hi"),
+            )
+        )
+
+    s = side("F", "s_flag").withColumnRenamed("s_flag_qty", "s_qty").withColumnRenamed(
+        "s_flag_hi", "s_hi"
+    )
+    d = side("O", "d_flag").withColumnRenamed("d_flag_qty", "d_qty").withColumnRenamed(
+        "d_flag_hi", "d_hi"
+    )
+    joined = s.join(d, "l_partkey").filter(
+        (F.col("s_hi") - F.col("s_qty") < F.col("d_hi"))
+        & (F.col("d_hi") - F.col("d_qty") < F.col("s_hi"))
+    )
+    matched = F.least("s_hi", "d_hi") - F.greatest(
+        F.col("s_hi") - F.col("s_qty"), F.col("d_hi") - F.col("d_qty")
+    )
+    return joined.groupBy("s_flag", "d_flag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(matched).alias("matched_units"),
     )

@@ -79,6 +79,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_skyline",
     "q_win_concurrency",
     "q_dedup_substring_spans",
+    "q_join_fifo_match",
+    "q_join_nearest_event",
+    "q_agg_mutual_info",
+    "q_ts_ohlc",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -120,3 +120,103 @@ def test_substring_spans_brute_force(spark, sf_dir):
     for doc_id, spans in spans_by_doc.items():
         n_dup = sum(1 for g in spans if len(span_docs[g]) >= 2)
         assert out[doc_id] == (len(spans), n_dup), doc_id
+
+
+def test_fifo_match_conserves_units(spark, sf_dir):
+    """Relational FIFO must agree with an imperative queue simulation:
+    matched units per part = what popping supply lots against demand
+    lots in ship order yields; totals must equal min(supply, demand)."""
+    out = REGISTRY["q_join_fifo_match"].fn(spark, sf_dir).collect()
+    total_matched = sum(r["matched_units"] for r in out)
+    rows = duckdb.sql(
+        f"""
+        SELECT l_partkey, l_linestatus, l_returnflag,
+               CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS qty,
+               l_shipdate, l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber,
+                 l_suppkey, l_extendedprice
+        """
+    ).fetchall()
+    supply = defaultdict(list)
+    demand = defaultdict(list)
+    for pk, status, flag, qty, *_ in rows:
+        (supply if status == "F" else demand)[pk].append([qty, flag])
+    expected_total = 0
+    pair_units = Counter()
+    for pk in set(supply) & set(demand):
+        s, d = supply[pk], demand[pk]
+        si = di = 0
+        while si < len(s) and di < len(d):
+            take = min(s[si][0], d[di][0])
+            expected_total += take
+            pair_units[(s[si][1], d[di][1])] += take
+            s[si][0] -= take
+            d[di][0] -= take
+            if s[si][0] == 0:
+                si += 1
+            if d[di][0] == 0:
+                di += 1
+    assert total_matched == expected_total
+    got_units = {(r["s_flag"], r["d_flag"]): r["matched_units"] for r in out}
+    assert got_units == dict(pair_units)
+
+
+def test_nearest_event_brute_force(spark, sf_dir):
+    """Band-blocked nearest join must equal the O(n²) per-user scan."""
+    out = {
+        r["probe_id"]: (r["ref_id"], r["gap_us"])
+        for r in REGISTRY["q_join_nearest_event"].fn(spark, sf_dir).collect()
+    }
+    ev = duckdb.sql(
+        f"""
+        SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_type IN ('purchase', 'click')
+        """
+    ).fetchall()
+    BAND = 2 * 3600 * 1_000_000
+    clicks = defaultdict(list)
+    for eid, uid, et, us in ev:
+        if et == "click":
+            clicks[uid].append((eid, us))
+    for eid, uid, et, us in ev:
+        if et != "purchase":
+            continue
+        cands = [
+            (abs(cus - us), cid) for cid, cus in clicks.get(uid, []) if abs(cus - us) <= BAND
+        ]
+        expect = (min(cands)[1], min(cands)[0]) if cands else (None, None)
+        assert out[eid] == expect, (eid, out[eid], expect)
+
+
+def test_mutual_info_bounds(spark, sf_dir):
+    """0 ≤ MI ≤ min(H(x), H(y)); NMI in [0, 1]."""
+    row = REGISTRY["q_agg_mutual_info"].fn(spark, sf_dir).collect()[0]
+    assert -1e-6 <= row["mi_nats"] <= min(row["h_x"], row["h_y"]) + 1e-6
+    assert -1e-6 <= row["nmi"] <= 1 + 1e-6
+
+
+def test_ohlc_brute_force(spark, sf_dir):
+    """OHLC bars must match a pure-Python resample with the same
+    (µs, event_id) open/close ordering."""
+    out = {
+        (r["event_type"], r["bar"]): (r["open"], r["high"], r["low"], r["close"], r["volume"])
+        for r in REGISTRY["q_ts_ohlc"].fn(spark, sf_dir).collect()
+    }
+    ev = duckdb.sql(
+        f"""
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS bar,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    bars = defaultdict(list)
+    for et, bar, us, eid, v in ev:
+        bars[(et, bar)].append((us, eid, v))
+    assert set(out) == set(bars)
+    for key, rows in bars.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        assert out[key] == (rows[0][2], max(vals), min(vals), rows[-1][2], len(rows)), key

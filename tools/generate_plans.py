@@ -80,6 +80,13 @@ SHOWCASE = [
     ("q_dq_benford", "Benford audit: digit hash-agg to 9 rows + broadcast scalar total"),
     ("q_win_capped_cumsum", "threshold-reset recurrence: user_id shuffle + sorted mapInPandas stream"),
     ("q_join_spatial_grid", "grid-blocked radius join: 3x3 cell replication, equi-join, no nested loop"),
+    ("q_win_concurrency", "sweep line: delta union + per-type hash agg + one-exchange prefix sum"),
+    ("q_agg_proration", "largest-remainder allocation: one orderkey shuffle, all-integer arithmetic"),
+    ("q_agg_skyline", "sort-based skyline: tiny level-table window + broadcast join back"),
+    ("q_dedup_substring_spans", "span explode + span hash-agg + left join, no self-join"),
+    ("q_join_fifo_match", "FIFO as cumulative-interval overlap: two windows + partkey equi-join"),
+    ("q_join_nearest_event", "banded nearest join: 3-cell replication equi-join + per-probe top-1"),
+    ("q_ts_ohlc", "OHLC bars: two rankings + aggregate on one (type,hour) exchange"),
 ]
 
 
