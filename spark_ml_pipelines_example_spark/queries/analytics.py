@@ -2142,3 +2142,187 @@ def q_ts_ohlc(spark, sf_dir):
         F.count("*").alias("volume"),
         F.sum(dec("value", 18, 6)).cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "q_agg_item_cosine",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+        SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+    SELECT part_a, part_b, support,
+           ROUND(support / SQRT(fa.n * fb.n), 6) AS cosine,
+           ROUND(CAST(support AS DOUBLE) * n_orders / (fa.n * fb.n), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN tot
+    WHERE support >= 3
+    """,
+    tags=("agg", "item-similarity", "cosine", "lift", "recommendation"),
+)
+def q_agg_item_cosine(spark, sf_dir):
+    """Item-item similarity (the co-occurrence → cosine/lift
+    normalization at the heart of item-based collaborative filtering):
+    raw co-purchase support (q_agg_copurchase's join) normalized by the
+    items' individual basket frequencies — cosine = support/√(n_a·n_b),
+    lift = support·N/(n_a·n_b) — so popular items stop dominating the
+    neighbor lists. The frequency table is one hash aggregate the size
+    of the catalog and joins back broadcast; total N is a broadcast
+    scalar. Both scores are single IEEE expressions over exact integer
+    counts, rounded to 6dp. Scale shape: the pair join keys on basket
+    id (Σ basket², never catalog²), the support floor prunes the random
+    tail before the broadcast joins."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = items.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_win_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev_cents
+        FROM events GROUP BY 1, 2
+    ), cums AS (
+        SELECT event_type, day,
+               SUM(rev_cents) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM daily
+    ), curve AS (
+        SELECT event_type, day, cum,
+               MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM cums
+    ), dd AS (
+        SELECT event_type, day, peak - cum AS drawdown,
+               MAX(peak - cum) OVER (PARTITION BY event_type) AS max_dd
+        FROM curve
+    )
+    SELECT event_type,
+           CAST(MAX(drawdown) AS BIGINT) AS max_drawdown_cents,
+           MIN(CASE WHEN drawdown = max_dd THEN day END) AS trough_day
+    FROM dd
+    GROUP BY 1
+    """,
+    tags=("window", "drawdown", "timeseries", "finance"),
+)
+def q_win_drawdown(spark, sf_dir):
+    """Maximum drawdown of the cumulative daily value curve per
+    event_type — running peak minus running total, maximized, with the
+    earliest trough day (the risk metric every portfolio/retention
+    dashboard carries; here 'revenue pace vs best pace so far'). Three
+    stacked windows — cumulative sum, running max of it, and the
+    argmax — all ordered by day within the same event_type partition,
+    so Catalyst executes them on ONE exchange: daily hash-aggregate,
+    then a per-key sorted pass. Everything is integer cents, so the
+    drawdown is exact and the argmax tie-break (earliest day) is
+    engine-independent."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value") * 100).cast("long").alias("rev_cents"))
+    )
+    w_cum = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    curve = daily.withColumn("cum", F.sum("rev_cents").over(w_cum)).withColumn(
+        "peak", F.max(F.sum("rev_cents").over(w_cum)).over(w_cum)
+    )
+    dd = curve.withColumn("drawdown", F.col("peak") - F.col("cum")).withColumn(
+        "max_dd", F.max(F.col("peak") - F.col("cum")).over(W.partitionBy("event_type"))
+    )
+    return dd.groupBy("event_type").agg(
+        F.max("drawdown").alias("max_drawdown_cents"),
+        F.min(F.when(F.col("drawdown") == F.col("max_dd"), F.col("day"))).alias(
+            "trough_day"
+        ),
+    )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type, cnt,
+               LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt
+        FROM daily
+    )
+    SELECT event_type,
+           COUNT(prev_cnt) AS n_pairs,
+           ROUND(CORR(cnt, prev_cnt), 4) AS autocorr_lag1
+    FROM lagged WHERE prev_cnt IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("timeseries", "autocorrelation", "stats"),
+)
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series per
+    event_type — the quick seasonality/momentum screen (near 0 ⇒ counts
+    are day-independent, positive ⇒ trending, negative ⇒ alternating)
+    run before fitting any forecasting model. Daily hash-aggregate,
+    one lag window, and Pearson corr per type; lag and corr share the
+    event_type exchange. corr is the single-pass co-moment form in both
+    engines, rounded to 4dp (the repo's established tolerance for
+    moment statistics over hundreds of points)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    lagged = daily.withColumn(
+        "prev_cnt", F.lag("cnt").over(W.partitionBy("event_type").orderBy("day"))
+    ).filter(F.col("prev_cnt").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("prev_cnt").alias("n_pairs"),
+        F.round(F.corr("cnt", "prev_cnt"), 4).alias("autocorr_lag1"),
+    )

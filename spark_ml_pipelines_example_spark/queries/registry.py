@@ -83,6 +83,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_nearest_event",
     "q_agg_mutual_info",
     "q_ts_ohlc",
+    "q_win_drawdown",
+    "q_ts_autocorr",
+    "q_agg_item_cosine",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

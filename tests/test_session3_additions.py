@@ -220,3 +220,77 @@ def test_ohlc_brute_force(spark, sf_dir):
         rows.sort()
         vals = [v for _, _, v in rows]
         assert out[key] == (rows[0][2], max(vals), min(vals), rows[-1][2], len(rows)), key
+
+
+def test_drawdown_brute_force(spark, sf_dir):
+    """Max drawdown must match the textbook running-peak scan over the
+    exact-cents daily curve."""
+    out = {
+        r["event_type"]: (r["max_drawdown_cents"], r["trough_day"])
+        for r in REGISTRY["q_win_drawdown"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS rev
+        FROM read_parquet('{sf_dir}/events.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for et, day, rev in rows:
+        series[et].append((day, rev))
+    for et, days in series.items():
+        cum = peak = 0
+        max_dd, trough = 0, None
+        for day, rev in days:
+            cum += rev
+            peak = max(peak, cum)
+            dd = peak - cum
+            if dd > max_dd:
+                max_dd, trough = dd, day
+        if trough is None:  # drawdown 0 -> earliest day with dd == 0
+            trough = days[0][0]
+        assert out[et] == (max_dd, trough), (et, out[et], (max_dd, trough))
+
+
+def test_autocorr_in_range(spark, sf_dir):
+    for r in REGISTRY["q_ts_autocorr"].fn(spark, sf_dir).collect():
+        assert -1.0001 <= r["autocorr_lag1"] <= 1.0001
+        assert r["n_pairs"] > 0
+
+
+def test_item_cosine_brute_force(spark, sf_dir):
+    """Cosine/lift must match a pure-Python basket recount."""
+    out = {
+        (r["part_a"], r["part_b"]): (r["support"], r["cosine"], r["lift"])
+        for r in REGISTRY["q_agg_item_cosine"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+    freq = Counter(pk for b in baskets.values() for pk in b)
+    support = Counter()
+    for b in baskets.values():
+        for x in b:
+            for y in b:
+                if x < y:
+                    support[(x, y)] += 1
+    n_orders = len(baskets)
+    expect = {}
+    for pair, s in support.items():
+        if s >= 3:
+            na, nb = freq[pair[0]], freq[pair[1]]
+            expect[pair] = (
+                s,
+                round(s / (na * nb) ** 0.5, 6),
+                round(s * n_orders / (na * nb), 6),
+            )
+    assert set(out) == set(expect)
+    for pair in out:
+        s_o, c_o, l_o = out[pair]
+        s_e, c_e, l_e = expect[pair]
+        assert s_o == s_e and abs(c_o - c_e) < 2e-6 and abs(l_o - l_e) < 2e-6, pair
