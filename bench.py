@@ -97,6 +97,20 @@ HEADLINE = [
     "q_dq_benford",
     "q_win_capped_cumsum",
     "q_join_spatial_grid",
+    # session-3 additions: sweep-line concurrency, integer-exact
+    # allocation, sort-based skyline, span-level dedup, FIFO interval
+    # matching, banded nearest join, OHLC resample, drawdown stack,
+    # contingency statistics, state-v2 streaming milestones
+    "q_win_concurrency",
+    "q_agg_proration",
+    "q_agg_skyline",
+    "q_dedup_substring_spans",
+    "q_join_fifo_match",
+    "q_join_nearest_event",
+    "q_ts_ohlc",
+    "q_win_drawdown",
+    "q_agg_mutual_info",
+    "q_stream_milestones",
 ]
 
 

@@ -1027,3 +1027,56 @@ def q_agg_mutual_info(spark, sf_dir):
             F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
         )
     )
+
+
+@query(
+    "q_agg_chisq",
+    oracle="""
+    WITH joint AS (
+        SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS nxy
+        FROM orders GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n,
+                      COUNT(DISTINCT x) AS r, COUNT(DISTINCT y) AS c FROM joint),
+    mx AS (SELECT x, CAST(SUM(nxy) AS DOUBLE) AS nx FROM joint GROUP BY 1),
+    my AS (SELECT y, CAST(SUM(nxy) AS DOUBLE) AS ny FROM joint GROUP BY 1)
+    SELECT ROUND(SUM(POW(nxy - nx * ny / n, 2) / (nx * ny / n)), 4) AS chi2,
+           CAST(MAX((r - 1) * (c - 1)) AS BIGINT) AS dof,
+           ROUND(SQRT(SUM(POW(nxy - nx * ny / n, 2) / (nx * ny / n))
+                      / (MAX(n) * LEAST(MAX(r) - 1, MAX(c) - 1))), 4) AS cramers_v
+    FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    """,
+    tags=("agg", "chi-square", "independence", "stats"),
+)
+def q_agg_chisq(spark, sf_dir):
+    """Pearson chi-square test of independence (order priority vs order
+    status) with degrees of freedom and Cramér's V — the categorical
+    association screen that pairs with q_agg_mutual_info (same single
+    contingency-table aggregate, frequentist statistic instead of
+    information-theoretic). Expected counts derive from the marginals of
+    the joint table, so the fact is scanned and shuffled exactly once;
+    the ~15-cell sum of integer-ratio terms rounds at 4dp."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y")
+    )
+    joint = o.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    tot = joint.agg(
+        F.sum("nxy").cast("double").alias("n"),
+        F.count_distinct("x").alias("r"),
+        F.count_distinct("y").alias("c"),
+    )
+    mx = joint.groupBy("x").agg(F.sum("nxy").cast("double").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").cast("double").alias("ny"))
+    cells = joint.join(mx, "x").join(my, "y").crossJoin(F.broadcast(tot))
+    expected = F.col("nx") * F.col("ny") / F.col("n")
+    term = F.pow(F.col("nxy") - expected, 2) / expected
+    return cells.agg(
+        F.round(F.sum(term), 4).alias("chi2"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.sum(term)
+                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+            ),
+            4,
+        ).alias("cramers_v"),
+    )

@@ -1165,3 +1165,38 @@ def q_ml_pr_auc(spark, sf_dir):
         ).alias("prevalence"),
         F.count("*").alias("n_bins_hit"),
     )
+
+
+@query("q_ml_pca", oracle=None, tags=("ml", "pca", "dimensionality-reduction"))
+def q_ml_pca(spark, sf_dir):
+    """PCA over the embedding corpus (MLlib PCA estimator, k=8): the
+    dimensionality-reduction step in front of clustering/visualization
+    and a cheap drift fingerprint (component drift ⇒ distribution
+    shift). MLlib computes the d×d covariance distributively (one
+    treeAggregate of outer products — n·d² map work, d² reduce) and
+    eigen-decomposes the tiny d×d matrix on the driver, so corpus size
+    only affects the single aggregate pass; the projection is a
+    broadcast d×k matmul (map-only). Output: per-component explained
+    variance ratio plus the sample variance of the projected coordinate,
+    whose agreement with the eigenvalue is asserted in tests (rows-only:
+    eigenvector sign/order conventions aren't SQL-reproducible).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    K = 8
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = PCA(k=K, inputCol="features", outputCol="pc").fit(emb)
+    evr = [float(v) for v in model.explainedVariance]
+    proj = model.transform(emb).select(vector_to_array("pc").alias("p"))
+    per_comp = proj.select(
+        *[F.col("p")[i].alias(f"c{i}") for i in range(K)]
+    ).agg(*[F.var_samp(f"c{i}").alias(f"v{i}") for i in range(K)])
+    row = per_comp.collect()[0]
+    out = [
+        (i, round(evr[i], 6), round(float(row[f"v{i}"]), 6)) for i in range(K)
+    ]
+    return spark.createDataFrame(out, "component int, explained_var_ratio double, proj_var double")

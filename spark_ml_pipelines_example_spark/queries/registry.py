@@ -86,6 +86,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_drawdown",
     "q_ts_autocorr",
     "q_agg_item_cosine",
+    "q_agg_chisq",
+    "q_stream_milestones",
+    "q_ml_pca",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

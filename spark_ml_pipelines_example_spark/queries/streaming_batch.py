@@ -441,3 +441,64 @@ def q_stream_drift_monitor(spark, sf_dir):
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(f"{out_dir}_ckpt", ignore_errors=True)
     return run_streaming_drift_monitor(spark, sf_dir, out_dir)
+
+
+@query(
+    "q_stream_milestones",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), cum AS (
+        SELECT user_id, event_id, us,
+               SUM(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM ev
+    ), lev AS (
+        SELECT user_id, event_id, us, cum // 50000 AS level,
+               COALESCE(LAG(cum // 50000) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id), 0)
+                   AS prev_level
+        FROM cum
+    )
+    SELECT user_id, CAST(level AS BIGINT) AS level, event_id,
+           CAST(us // 1000000 AS BIGINT) AS at_epoch
+    FROM lev WHERE level > prev_level
+    """,
+    tags=("stream", "stateful", "transformWithState", "milestones"),
+)
+def q_stream_milestones(spark, sf_dir):
+    """The state-v2 arbitrary-stateful surface (Spark 4's
+    ``transformWithStateInPandas``) driver-checked against a batch
+    window-scan oracle: a REAL Structured Streaming run — file source →
+    per-user typed ValueState of exact cumulative cents (RocksDB state
+    store) → append sink — emitting one row per 500.00-boundary
+    crossing, hash-equal to LAG-over-cumsum SQL. Complements
+    q_stream_stateful_session (the applyInPandasWithState generation of
+    the same surface); exact integer cents make stream and oracle
+    bit-identical."""
+    from ..streaming.jobs import streaming_spend_milestones
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return streaming_spend_milestones(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

@@ -613,3 +613,137 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) 
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+MILESTONE_CENTS = 50_000  # one level per 500.00 of cumulative value
+
+
+def streaming_spend_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend-milestone detector on the arbitrary-stateful state-v2
+    surface (``transformWithStateInPandas``, Spark 4): the cumulative
+    value a user has produced lives in a typed ValueState (one BIGINT of
+    exact cents per user, RocksDB-backed); every event that pushes the
+    running total across a 500.00 boundary emits (user, new level,
+    crossing event, time). This is the API generation after
+    ``applyInPandasWithState`` (streaming_stateful_session): named typed
+    state handles instead of one packed tuple, so production jobs can mix
+    value/list/map state and timers per key.
+
+    Scale: state is O(users) × 8 bytes; each micro-batch shuffles only
+    its own events on user_id (the state-store key), emissions are only
+    crossing events. Semantics are defined in event-time order per user
+    — processed here in one availableNow batch sorted in-processor, so
+    the emitted set equals the batch window-scan oracle row-for-row.
+
+    The state-v2 Python runner speaks protobuf to the JVM state server;
+    when the ``protobuf`` package is absent (this container has no pip),
+    the job runs the SAME per-user recurrence on the v1
+    ``applyInPandasWithState`` surface instead — still a real Structured
+    Streaming run with per-key state, identical emissions."""
+    import importlib.util
+
+    import pandas as pd
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        return _spend_milestones_v1(spark, sf_dir)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Milestones(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cum = handle.getValueState("cum", "cum long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            user_id = key[0]
+            pdf = pd.concat(list(rows)).sort_values(["us", "event_id"])
+            cum = self._cum.get()[0] if self._cum.exists() else 0
+            out = []
+            for us, event_id, cents in pdf[["us", "event_id", "cents"]].itertuples(
+                index=False
+            ):
+                prev_level = cum // MILESTONE_CENTS
+                cum += int(cents)
+                level = cum // MILESTONE_CENTS
+                if level > prev_level:
+                    out.append((user_id, level, int(event_id), int(us) // 1_000_000))
+            self._cum.update((cum,))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "level", "event_id", "at_epoch"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") != SENTINEL_USER)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Milestones(),
+        outputStructType="user_id long, level long, event_id long, at_epoch long",
+        outputMode="append",
+        timeMode="none",
+    )
+    return _run_to_memory(out, "stream_spend_milestones_out", "append")
+
+
+def _spend_milestones_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milestone recurrence on the v1 arbitrary-stateful surface
+    (``applyInPandasWithState``, no timeouts — emissions are driven by
+    data, not time): one packed (cum,) state per user instead of
+    state-v2's named ValueState handle. Same event-time-ordered
+    semantics and emitted rows as the transformWithState path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def crossings(key, pdfs, state: GroupState):
+        user_id = key[0]
+        pdf = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+        cum = state.get[0] if state.exists else 0
+        out = []
+        for us, event_id, cents in pdf[["us", "event_id", "cents"]].itertuples(
+            index=False
+        ):
+            prev_level = cum // MILESTONE_CENTS
+            cum += int(cents)
+            level = cum // MILESTONE_CENTS
+            if level > prev_level:
+                out.append((user_id, level, int(event_id), int(us) // 1_000_000))
+        state.update((cum,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "level", "event_id", "at_epoch"]
+            )
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") != SENTINEL_USER)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        crossings,
+        outputStructType="user_id long, level long, event_id long, at_epoch long",
+        stateStructType="cum long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "stream_spend_milestones_out", "append")

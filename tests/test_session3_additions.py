@@ -294,3 +294,45 @@ def test_item_cosine_brute_force(spark, sf_dir):
         s_o, c_o, l_o = out[pair]
         s_e, c_e, l_e = expect[pair]
         assert s_o == s_e and abs(c_o - c_e) < 2e-6 and abs(l_o - l_e) < 2e-6, pair
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    """MLlib PCA's projected variance must equal numpy's eigenvalues of
+    the sample covariance, and explained ratios must be eig/trace."""
+    import numpy as np
+
+    rows = REGISTRY["q_ml_pca"].fn(spark, sf_dir).orderBy("component").collect()
+    emb = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[0] for r in emb], dtype=np.float64)
+    cov = np.cov(X, rowvar=False)  # sample covariance (n-1)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    trace = eig.sum()
+    for r in rows:
+        i = r["component"]
+        assert abs(r["proj_var"] - eig[i]) < 1e-4 * max(1.0, eig[i]), (i, r, eig[i])
+        assert abs(r["explained_var_ratio"] - eig[i] / trace) < 1e-4, i
+
+
+def test_chisq_matches_mi_contingency(spark, sf_dir):
+    """chi2 ≥ 0, dof = (r-1)(c-1) for the 5×3 fixture table, V in [0,1]."""
+    row = REGISTRY["q_agg_chisq"].fn(spark, sf_dir).collect()[0]
+    assert row["chi2"] >= 0
+    assert row["dof"] == 8
+    assert 0 <= row["cramers_v"] <= 1
+
+
+def test_stream_milestones_monotone_per_user(spark, sf_dir):
+    """Each user's emitted levels are strictly increasing in event time,
+    starting above 0."""
+    rows = REGISTRY["q_stream_milestones"].fn(spark, sf_dir).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r["user_id"]].append((r["at_epoch"], r["event_id"], r["level"]))
+    assert per_user, "fixture should produce at least one crossing"
+    for uid, evs in per_user.items():
+        evs.sort()
+        levels = [lv for _, _, lv in evs]
+        assert all(b > a for a, b in zip(levels, levels[1:])), uid
+        assert levels[0] >= 1
