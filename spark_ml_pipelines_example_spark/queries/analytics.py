@@ -2326,3 +2326,110 @@ def q_ts_autocorr(spark, sf_dir):
         F.count("prev_cnt").alias("n_pairs"),
         F.round(F.corr("cnt", "prev_cnt"), 4).alias("autocorr_lag1"),
     )
+
+
+@query(
+    "q_events_lifecycle",
+    oracle="""
+    WITH am AS (
+        SELECT DISTINCT user_id,
+               CAST(date_part('year', CAST(ts AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(ts AS TIMESTAMP)) - 1 AS BIGINT)
+                   AS month_idx
+        FROM events
+    ), flagged AS (
+        SELECT user_id, month_idx,
+               MIN(month_idx) OVER (PARTITION BY user_id) AS first_m,
+               LAG(month_idx) OVER (PARTITION BY user_id ORDER BY month_idx)
+                   AS prev_m,
+               LEAD(month_idx) OVER (PARTITION BY user_id ORDER BY month_idx)
+                   AS next_m
+        FROM am
+    ), maxm AS (SELECT MAX(month_idx) AS max_m FROM am),
+    active AS (
+        SELECT month_idx,
+               COUNT(CASE WHEN month_idx = first_m THEN 1 END) AS n_new,
+               COUNT(CASE WHEN prev_m = month_idx - 1 THEN 1 END) AS n_retained,
+               COUNT(CASE WHEN prev_m IS NOT NULL AND prev_m < month_idx - 1
+                          THEN 1 END) AS n_resurrected
+        FROM flagged GROUP BY 1
+    ), churn AS (
+        SELECT f.month_idx + 1 AS month_idx, COUNT(*) AS n_churned
+        FROM flagged f CROSS JOIN maxm
+        WHERE (f.next_m IS NULL OR f.next_m > f.month_idx + 1)
+          AND f.month_idx + 1 <= maxm.max_m
+        GROUP BY 1
+    )
+    SELECT COALESCE(a.month_idx, c.month_idx) AS month_idx,
+           COALESCE(n_new, 0) AS n_new,
+           COALESCE(n_retained, 0) AS n_retained,
+           COALESCE(n_resurrected, 0) AS n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+    FROM active a FULL OUTER JOIN churn c ON a.month_idx = c.month_idx
+    """,
+    tags=("events", "lifecycle", "growth-accounting", "retention"),
+)
+def q_events_lifecycle(spark, sf_dir):
+    """Monthly growth accounting (the new/retained/resurrected/churned
+    user ledger every subscription dashboard opens with): one distinct
+    (user, month) pass, per-user lag/lead windows classify each active
+    month — first-ever ⇒ new, consecutive ⇒ retained, gap ⇒ resurrected
+    — and a user churns INTO month m+1 when month m has no successor at
+    m+1 (capped at the corpus's last month so the open-ended future
+    doesn't count). Months are integer indexes (year·12+month) so the
+    calendar arithmetic is engine-exact. One user_id exchange carries
+    all three windows; the month-level aggregates are tiny."""
+    am = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (
+                F.year(F.col("ts").cast("timestamp")) * 12
+                + F.month(F.col("ts").cast("timestamp"))
+                - 1
+            )
+            .cast("long")
+            .alias("month_idx"),
+        )
+        .distinct()
+    )
+    w_u = W.partitionBy("user_id")
+    w_ord = w_u.orderBy("month_idx")
+    flagged = (
+        am.withColumn("first_m", F.min("month_idx").over(w_u))
+        .withColumn("prev_m", F.lag("month_idx").over(w_ord))
+        .withColumn("next_m", F.lead("month_idx").over(w_ord))
+    )
+    maxm = am.agg(F.max("month_idx").alias("max_m"))
+    active = flagged.groupBy("month_idx").agg(
+        F.count(F.when(F.col("month_idx") == F.col("first_m"), 1)).alias("n_new"),
+        F.count(F.when(F.col("prev_m") == F.col("month_idx") - 1, 1)).alias(
+            "n_retained"
+        ),
+        F.count(
+            F.when(
+                F.col("prev_m").isNotNull()
+                & (F.col("prev_m") < F.col("month_idx") - 1),
+                1,
+            )
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        flagged.crossJoin(F.broadcast(maxm))
+        .filter(
+            (F.col("next_m").isNull() | (F.col("next_m") > F.col("month_idx") + 1))
+            & (F.col("month_idx") + 1 <= F.col("max_m"))
+        )
+        .groupBy((F.col("month_idx") + 1).alias("month_idx"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "month_idx", "full")
+        .select(
+            "month_idx",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

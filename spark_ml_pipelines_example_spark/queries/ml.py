@@ -1200,3 +1200,122 @@ def q_ml_pca(spark, sf_dir):
         (i, round(evr[i], 6), round(float(row[f"v{i}"]), 6)) for i in range(K)
     ]
     return spark.createDataFrame(out, "component int, explained_var_ratio double, proj_var double")
+
+
+@query(
+    "q_ml_naive_bayes",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus AS label, o_orderpriority AS f1,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) % 7 AS BIGINT) AS f2
+        FROM orders
+    ), joint AS (
+        SELECT label, f1, f2, COUNT(*) AS n FROM base GROUP BY 1, 2, 3
+    ), nc AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_c FROM joint GROUP BY 1),
+    n1 AS (SELECT label, f1, CAST(SUM(n) AS BIGINT) AS n_1 FROM joint GROUP BY 1, 2),
+    n2 AS (SELECT label, f2, CAST(SUM(n) AS BIGINT) AS n_2 FROM joint GROUP BY 1, 2),
+    v AS (SELECT COUNT(DISTINCT f1) AS v1, COUNT(DISTINCT f2) AS v2 FROM base),
+    combos AS (SELECT DISTINCT f1, f2 FROM base),
+    scored AS (
+        SELECT c.f1, c.f2, nc.label,
+               CAST(nc.n_c AS HUGEINT) * (COALESCE(n1.n_1, 0) + 1)
+                   * (COALESCE(n2.n_2, 0) + 1) AS a,
+               CAST(nc.n_c + v.v1 AS HUGEINT) * (nc.n_c + v.v2) AS b
+        FROM combos c CROSS JOIN nc CROSS JOIN v
+        LEFT JOIN n1 ON n1.label = nc.label AND n1.f1 = c.f1
+        LEFT JOIN n2 ON n2.label = nc.label AND n2.f2 = c.f2
+    ), wins AS (
+        SELECT s1.f1, s1.f2, s1.label
+        FROM scored s1 JOIN scored s2
+          ON s1.f1 = s2.f1 AND s1.f2 = s2.f2 AND s1.label <> s2.label
+        WHERE s1.a * s2.b > s2.a * s1.b
+           OR (s1.a * s2.b = s2.a * s1.b AND s1.label < s2.label)
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM nc) - 1
+    )
+    SELECT b.label AS actual, w.label AS predicted, COUNT(*) AS n
+    FROM base b JOIN wins w ON b.f1 = w.f1 AND b.f2 = w.f2
+    GROUP BY 1, 2
+    """,
+    tags=("ml", "naive-bayes", "classifier", "exact-arithmetic"),
+)
+def q_ml_naive_bayes(spark, sf_dir):
+    """Categorical Naive Bayes as EXACT relational algebra: train
+    (Laplace-smoothed class-conditional counts for order priority and
+    day-of-week) and predict (argmax posterior) without ever comparing
+    floats — posteriors are rationals a/b of integer count products, and
+    the argmax is decided by cross-multiplied integer comparisons
+    (decimal/int128 exact in both engines; score magnitudes ≤ ~1e34 at
+    driver SFs), ties broken by label order. That is what makes a
+    classifier hash-checkable: a log-space argmax flips on last-ulp libm
+    differences; integers never do. Scoring happens on the tiny
+    (|f1|·|f2| combos × classes) table — the fact contributes two hash
+    aggregates (train counts, confusion matrix) and a broadcast
+    prediction join; day-of-week derives from epoch-day % 7 so the
+    calendar is engine-exact. Output: resubstitution confusion matrix."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("label"),
+        F.col("o_orderpriority").alias("f1"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")) % 7
+        )
+        .cast("long")
+        .alias("f2"),
+    )
+    joint = o.groupBy("label", "f1", "f2").agg(F.count("*").alias("n"))
+    nc = joint.groupBy("label").agg(F.sum("n").alias("n_c"))
+    n1 = joint.groupBy("label", "f1").agg(F.sum("n").alias("n_1"))
+    n2 = joint.groupBy("label", "f2").agg(F.sum("n").alias("n_2"))
+    v = o.agg(
+        F.count_distinct("f1").alias("v1"), F.count_distinct("f2").alias("v2")
+    )
+    combos = o.select("f1", "f2").distinct()
+    d6 = "decimal(6,0)"
+    scored = (
+        combos.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(v))
+        .join(F.broadcast(n1), ["label", "f1"], "left")
+        .join(F.broadcast(n2), ["label", "f2"], "left")
+        .select(
+            "f1",
+            "f2",
+            "label",
+            (
+                F.col("n_c").cast(d6)
+                * (F.coalesce("n_1", F.lit(0)) + 1).cast(d6)
+                * (F.coalesce("n_2", F.lit(0)) + 1).cast(d6)
+            ).alias("a"),
+            (
+                (F.col("n_c") + F.col("v1")).cast(d6)
+                * (F.col("n_c") + F.col("v2")).cast(d6)
+            ).alias("b"),
+        )
+    )
+    s1 = scored.select(
+        "f1", "f2", F.col("label").alias("l1"), F.col("a").alias("a1"), F.col("b").alias("b1")
+    )
+    s2 = scored.select(
+        "f1", "f2", F.col("label").alias("l2"), F.col("a").alias("a2"), F.col("b").alias("b2")
+    )
+    n_classes = nc.count()
+    wins = (
+        s1.join(s2, ["f1", "f2"])
+        .filter(F.col("l1") != F.col("l2"))
+        .filter(
+            (F.col("a1") * F.col("b2") > F.col("a2") * F.col("b1"))
+            | (
+                (F.col("a1") * F.col("b2") == F.col("a2") * F.col("b1"))
+                & (F.col("l1") < F.col("l2"))
+            )
+        )
+        .groupBy("f1", "f2", "l1")
+        .agg(F.count("*").alias("n_wins"))
+        .filter(F.col("n_wins") == n_classes - 1)
+        .select("f1", "f2", F.col("l1").alias("predicted"))
+    )
+    return (
+        o.join(F.broadcast(wins), ["f1", "f2"])
+        .groupBy(F.col("label").alias("actual"), "predicted")
+        .agg(F.count("*").alias("n"))
+    )

@@ -89,6 +89,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_chisq",
     "q_stream_milestones",
     "q_ml_pca",
+    "q_win_streak",
+    "q_events_lifecycle",
+    "q_ml_naive_bayes",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

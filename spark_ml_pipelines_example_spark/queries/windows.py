@@ -548,3 +548,68 @@ def q_win_concurrency(spark, sf_dir):
         .groupBy("event_type", "peak")
         .agg(F.min("at").alias("peak_at_us"))
     )
+
+
+@query(
+    "q_win_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ), grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                          AS INT) AS anchor
+        FROM days
+    ), streaks AS (
+        SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_len
+        FROM grp GROUP BY user_id, anchor
+    ), best AS (
+        SELECT user_id, streak_start, streak_len,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY streak_len DESC, streak_start) AS rk,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+        FROM streaks
+    )
+    SELECT user_id, streak_len AS best_streak_days, streak_start, n_streaks
+    FROM best WHERE rk = 1
+    """,
+    tags=("window", "streak", "gaps-islands", "engagement"),
+)
+def q_win_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user (the engagement
+    metric behind badge/retention features): distinct active days, the
+    date-minus-row-number trick turns each run of consecutive days into
+    a constant anchor (the day-granular cousin of gap sessionization —
+    islands defined by calendar adjacency, not a time gap), one
+    aggregate per island, and a deterministic top-1 (longest, earliest)
+    per user. Everything partitions by user_id: distinct, window,
+    island aggregate, and ranking ride one exchange. Ties beyond
+    (len, start) are impossible — a user can't have two islands with
+    the same start."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .distinct()
+    )
+    w_ord = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w_ord))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"), F.count("*").alias("streak_len")
+    )
+    w_best = W.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w_best))
+        .withColumn("n_streaks", F.count("*").over(W.partitionBy("user_id")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("best_streak_days"),
+            "streak_start",
+            "n_streaks",
+        )
+    )

@@ -336,3 +336,100 @@ def test_stream_milestones_monotone_per_user(spark, sf_dir):
         levels = [lv for _, _, lv in evs]
         assert all(b > a for a, b in zip(levels, levels[1:])), uid
         assert levels[0] >= 1
+
+
+def test_streak_brute_force(spark, sf_dir):
+    out = {
+        r["user_id"]: (r["best_streak_days"], r["streak_start"], r["n_streaks"])
+        for r in REGISTRY["q_win_streak"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM read_parquet('{sf_dir}/events.parquet') ORDER BY 1, 2
+        """
+    ).fetchall()
+    days = defaultdict(list)
+    for uid, day in rows:
+        days[uid].append(day)
+    from datetime import timedelta
+
+    for uid, ds in days.items():
+        streaks = []
+        start = prev = ds[0]
+        ln = 1
+        for d in ds[1:]:
+            if (d - prev).days == 1:
+                ln += 1
+            else:
+                streaks.append((ln, start))
+                start, ln = d, 1
+            prev = d
+        streaks.append((ln, start))
+        best = max(streaks, key=lambda s: (s[0], -s[1].toordinal()))
+        assert out[uid] == (best[0], best[1], len(streaks)), uid
+
+
+def test_lifecycle_ledger_balances(spark, sf_dir):
+    """new+retained+resurrected = active users of the month; churned(m) =
+    active(m-1) − retained(m) — checked against brute-force month sets."""
+    out = {
+        r["month_idx"]: (r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"])
+        for r in REGISTRY["q_events_lifecycle"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT DISTINCT user_id,
+               CAST(date_part('year', CAST(ts AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(ts AS TIMESTAMP)) - 1 AS BIGINT) AS m
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    months = defaultdict(set)
+    for uid, m in rows:
+        months[m].add(uid)
+    max_m = max(months)
+    for m, (new, ret, res, churn) in out.items():
+        active = months.get(m, set())
+        assert new + ret + res == len(active), m
+        prev = months.get(m - 1, set())
+        assert ret == len(active & prev), m
+        if m <= max_m:
+            assert churn == len(prev - active), m
+
+
+def test_naive_bayes_matches_fractions(spark, sf_dir):
+    """Confusion matrix must equal an exact-rational (fractions.Fraction)
+    NB recomputation."""
+    from fractions import Fraction
+
+    out = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in REGISTRY["q_ml_naive_bayes"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT o_orderstatus,  o_orderpriority,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) % 7 AS BIGINT)
+        FROM read_parquet('{sf_dir}/orders.parquet')
+        """
+    ).fetchall()
+    nc, n1, n2 = Counter(), Counter(), Counter()
+    for lbl, f1, f2 in rows:
+        nc[lbl] += 1
+        n1[(lbl, f1)] += 1
+        n2[(lbl, f2)] += 1
+    v1 = len({f1 for _, f1, _ in rows})
+    v2 = len({f2 for _, _, f2 in rows})
+    labels = sorted(nc)
+    expect = Counter()
+    for lbl, f1, f2 in rows:
+        scores = {
+            c: Fraction(nc[c] * (n1[(c, f1)] + 1) * (n2[(c, f2)] + 1),
+                        (nc[c] + v1) * (nc[c] + v2))
+            for c in labels
+        }
+        best = max(labels, key=lambda c: (scores[c], [-ord(ch) for ch in c]))
+        expect[(lbl, best)] += 1
+    assert out == dict(expect)
