@@ -2433,3 +2433,258 @@ def q_events_lifecycle(spark, sf_dir):
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+@query(
+    "q_ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.cnt > a.cnt THEN 1
+                    WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ), s AS (
+        SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+               COUNT(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    ), ties AS (
+        SELECT event_type,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, cnt, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY 1
+    ), n AS (
+        SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1
+    )
+    SELECT s.event_type, s.s_stat, n.n_days,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - ties.tie_term
+                AS BIGINT) AS var18
+    FROM s JOIN ties USING (event_type) JOIN n USING (event_type)
+    """,
+    tags=("timeseries", "mann-kendall", "trend", "nonparametric"),
+)
+def q_ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall non-parametric trend test on the daily count series
+    per event_type: S = Σ sign(x_j − x_i) over ordered day pairs, with
+    the tie-adjusted variance numerator 18·Var(S) = n(n−1)(2n+5) −
+    Σt(t−1)(2t+5) — all integers, so the statistic is engine-exact with
+    no distributional assumptions (the reason operations teams prefer it
+    over OLS slope, q_agg_ols_trend, for monotone-trend alarms). The
+    pair join runs on the DAILY table (n ≈ hundreds per type), so the
+    O(n²) is a few 10⁴ comparisons regardless of fact size; the fact
+    contributes exactly one hash aggregate."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("cnt").alias("ca"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("cnt").alias("cb"))
+    sgn = F.when(F.col("cb") > F.col("ca"), 1).when(
+        F.col("cb") < F.col("ca"), -1
+    ).otherwise(0)
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(F.sum(sgn).alias("s_stat"), F.count("*").alias("n_pairs"))
+        .drop("n_pairs")
+    )
+    ties = (
+        daily.groupBy("event_type", "cnt")
+        .agg(F.count("*").alias("tcnt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tcnt") * (F.col("tcnt") - 1) * (2 * F.col("tcnt") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        s.join(ties, "event_type")
+        .join(n, "event_type")
+        .select(
+            "event_type",
+            "s_stat",
+            "n_days",
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+
+
+@query(
+    "q_agg_welch_ttest",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'treat' ELSE 'ctrl' END AS grp,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), stats AS (
+        SELECT grp, COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s1,
+               CAST(SUM(cents * cents) AS BIGINT) AS s2
+        FROM g GROUP BY 1
+    ), wide AS (
+        SELECT MAX(CASE WHEN grp = 'treat' THEN n END) AS nt,
+               MAX(CASE WHEN grp = 'treat' THEN s1 END) AS s1t,
+               MAX(CASE WHEN grp = 'treat' THEN s2 END) AS s2t,
+               MAX(CASE WHEN grp = 'ctrl' THEN n END) AS nc,
+               MAX(CASE WHEN grp = 'ctrl' THEN s1 END) AS s1c,
+               MAX(CASE WHEN grp = 'ctrl' THEN s2 END) AS s2c
+        FROM stats
+    )
+    SELECT nt, nc,
+           ROUND((CAST(s1t AS DOUBLE) / nt - CAST(s1c AS DOUBLE) / nc) / 100, 4)
+               AS mean_diff,
+           ROUND((CAST(s1t AS DOUBLE) / nt - CAST(s1c AS DOUBLE) / nc)
+                 / SQRT((CAST(s2t AS DOUBLE) / nt - POW(CAST(s1t AS DOUBLE) / nt, 2))
+                          / (nt - 1)
+                        + (CAST(s2c AS DOUBLE) / nc - POW(CAST(s1c AS DOUBLE) / nc, 2))
+                          / (nc - 1)), 4) AS welch_t
+    FROM wide
+    """,
+    tags=("agg", "welch", "ttest", "experimentation"),
+)
+def q_agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t statistic between two event-type
+    populations (the default two-sample test when group variances
+    differ — completes the experimentation kit next to the two-
+    proportion z, q_events_abtest, and CUPED, q_events_cuped). Built
+    from EXACT integer sufficient statistics (n, Σcents, Σcents²; the
+    squared sums stay ≤ ~1e14 at driver SFs), then a single closed-form
+    float expression rounded at 4dp — the same discipline as
+    q_agg_moments. One shuffle for the two-group aggregate; the final
+    arithmetic happens on a 1-row frame."""
+    g = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.when(F.col("event_type") == "purchase", "treat")
+            .otherwise("ctrl")
+            .alias("grp"),
+            (dec("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    stats = g.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("grp") == grp, F.col(c))).alias(f"{c}{suffix}")
+            for grp, suffix in (("treat", "t"), ("ctrl", "c"))
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    mt = F.col("s1t").cast("double") / F.col("nt")
+    mc = F.col("s1c").cast("double") / F.col("nc")
+    vt = (F.col("s2t").cast("double") / F.col("nt") - F.pow(mt, 2)) / (F.col("nt") - 1)
+    vc = (F.col("s2c").cast("double") / F.col("nc") - F.pow(mc, 2)) / (F.col("nc") - 1)
+    return wide.select(
+        "nt",
+        "nc",
+        F.round((mt - mc) / 100, 4).alias("mean_diff"),
+        F.round((mt - mc) / F.sqrt(vt + vc), 4).alias("welch_t"),
+    )
+
+
+@query(
+    "q_ts_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(SUM(cents) AS BIGINT) AS total,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY 1
+    ), walk AS (
+        SELECT d.event_type, d.day, t.n_days,
+               t.n_days * SUM(d.cents) OVER (PARTITION BY d.event_type ORDER BY d.day
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+               - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                 * t.total AS dk
+        FROM daily d JOIN tot t USING (event_type)
+    ), cusum AS (
+        SELECT event_type, day, n_days,
+               dk - LEAST(0, MIN(dk) OVER (PARTITION BY event_type ORDER BY day
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)) AS c
+        FROM walk
+    ), mx AS (
+        SELECT event_type, day, n_days, c,
+               MAX(c) OVER (PARTITION BY event_type) AS max_c
+        FROM cusum
+    )
+    SELECT event_type,
+           CAST(MAX(c) AS BIGINT) AS max_cusum_scaled,
+           MAX(n_days) AS n_days,
+           MIN(CASE WHEN c = max_c THEN day END) AS alarm_day,
+           ROUND(CAST(MAX(c) AS DOUBLE) / (MAX(n_days) * 100), 2)
+               AS max_cusum_value
+    FROM mx
+    GROUP BY 1
+    """,
+    tags=("timeseries", "cusum", "change-detection", "drift"),
+)
+def q_ts_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point detection on the daily value series
+    per event_type — the classic 'has the level shifted up relative to
+    its own average pace' alarm behind drift monitors. The textbook
+    recurrence C_k = max(0, C_{k-1} + (x_k − target)) needs no stateful
+    loop: with target = overall daily mean, scaling by n turns it into
+    D_k = n·P_k − k·T (P = prefix sum, T = total — all integers) and
+    C_k = D_k − min(0, min_{j≤k} D_j) (D_0 = 0 anchors the min), a prefix sum and a prefix min — pure
+    windows, closed form, engine-exact (same trick family as
+    q_win_capped_cumsum, which genuinely needs the stateful stream
+    because its threshold RESETS the carry). Max exceedance and its
+    earliest alarm day come from an exact integer argmax; the /n·100
+    normalization back to value units is the only float, rounded 2dp.
+    One event_type exchange carries every window."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value") * 100).cast("long").alias("cents"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_days")
+    )
+    w_cum = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "dk",
+            F.col("n_days") * F.sum("cents").over(w_cum)
+            - F.row_number().over(W.partitionBy("event_type").orderBy("day"))
+            * F.col("total"),
+        )
+    )
+    prefix_min = F.least(F.lit(0), F.min("dk").over(w_cum))  # D_0 = 0 is in scope
+    cusum = walk.withColumn("c", F.col("dk") - prefix_min).withColumn(
+        "max_c", F.max(F.col("dk") - prefix_min).over(W.partitionBy("event_type"))
+    )
+    return cusum.groupBy("event_type").agg(
+        F.max("c").alias("max_cusum_scaled"),
+        F.max("n_days").alias("n_days"),
+        F.min(F.when(F.col("c") == F.col("max_c"), F.col("day"))).alias("alarm_day"),
+        F.round(
+            F.max("c").cast("double") / (F.max("n_days") * 100), 2
+        ).alias("max_cusum_value"),
+    )

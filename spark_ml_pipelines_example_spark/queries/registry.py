@@ -92,6 +92,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_streak",
     "q_events_lifecycle",
     "q_ml_naive_bayes",
+    "q_ts_mann_kendall",
+    "q_agg_welch_ttest",
+    "q_ts_cusum",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -433,3 +433,91 @@ def test_naive_bayes_matches_fractions(spark, sf_dir):
         best = max(labels, key=lambda c: (scores[c], [-ord(ch) for ch in c]))
         expect[(lbl, best)] += 1
     assert out == dict(expect)
+
+
+def test_mann_kendall_brute_force(spark, sf_dir):
+    out = {
+        r["event_type"]: (r["s_stat"], r["n_days"], r["var18"])
+        for r in REGISTRY["q_ts_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*)
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for et, _, cnt in rows:
+        series[et].append(cnt)
+    for et, xs in series.items():
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(xs)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values()
+        )
+        assert out[et] == (s, n, var18), et
+
+
+def test_cusum_matches_recurrence(spark, sf_dir):
+    """Closed-form prefix-min CUSUM must equal the textbook
+    max(0, C+(x-target)) recurrence run in Python."""
+    out = {
+        r["event_type"]: (r["max_cusum_scaled"], r["alarm_day"])
+        for r in REGISTRY["q_ts_cusum"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for et, day, cents in rows:
+        series[et].append((day, cents))
+    for et, days in series.items():
+        n = len(days)
+        total = sum(c for _, c in days)
+        # scaled recurrence: work in units of 1/n days against target=total/n
+        c = 0
+        best, best_day = 0, None
+        for day, cents in days:
+            c = max(0, c + (n * cents - total))
+            if c > best:
+                best, best_day = c, day
+        if best_day is None:
+            best_day = days[0][0] if best == 0 else best_day
+        got = out[et]
+        assert got[0] == best, (et, got, best)
+        if best > 0:
+            assert got[1] == best_day, et
+
+
+def test_welch_t_matches_scipy_free(spark, sf_dir):
+    """Welch t recomputed from raw values in Python (float) must agree
+    to ~1e-3 with the engine's exact-sufficient-stats version."""
+    row = REGISTRY["q_agg_welch_ttest"].fn(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, value FROM read_parquet('{sf_dir}/events.parquet')
+        WHERE event_type IN ('purchase', 'click')
+        """
+    ).fetchall()
+    treat = [v for et, v in rows if et == "purchase"]
+    ctrl = [v for et, v in rows if et == "click"]
+
+    def meanvar(xs):
+        m = sum(xs) / len(xs)
+        return m, sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    mt, vt = meanvar(treat)
+    mc, vc = meanvar(ctrl)
+    t_expect = (mt - mc) / (vt / len(treat) + vc / len(ctrl)) ** 0.5
+    assert row["nt"] == len(treat) and row["nc"] == len(ctrl)
+    assert abs(row["welch_t"] - t_expect) < 1e-3
+    assert abs(row["mean_diff"] - (mt - mc)) < 1e-3
