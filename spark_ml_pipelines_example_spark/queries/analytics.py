@@ -2688,3 +2688,123 @@ def q_ts_cusum(spark, sf_dir):
             F.max("c").cast("double") / (F.max("n_days") * 100), 2
         ).alias("max_cusum_value"),
     )
+
+
+@query(
+    "q_events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+           ROUND(quantile_cont(gap_us, 0.9), 6) AS p90_us,
+           ROUND(quantile_cont(gap_us, 0.99), 6) AS p99_us,
+           MAX(gap_us) AS max_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("events", "interarrival", "percentile", "timeseries"),
+)
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival time distribution per event_type (p50/p90/p99/max
+    gap in µs) — the burstiness profile behind capacity planning and
+    Poisson-ness checks, and the empirical basis for choosing session
+    gaps (q_win_gaps_islands' 30-min rule). One lag window over the
+    unique (ts, event_id) order and exact interpolated percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont` on integer µs gaps)
+    share one event_type exchange."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("p50_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_us"),
+        F.round(F.expr("percentile(gap_us, 0.99)"), 6).alias("p99_us"),
+        F.max("gap_us").alias("max_us"),
+    )
+
+
+@query(
+    "q_ts_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, quantile_cont(cnt, 0.5) AS m FROM daily GROUP BY 1
+    ), signed AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.cnt > med.m THEN 1 ELSE -1 END AS sgn
+        FROM daily d JOIN med USING (event_type)
+        WHERE d.cnt <> med.m
+    ), flagged AS (
+        SELECT event_type, sgn,
+               CASE WHEN LAG(sgn) OVER (PARTITION BY event_type ORDER BY day)
+                         IS DISTINCT FROM sgn THEN 1 ELSE 0 END AS is_new_run
+        FROM signed
+    )
+    SELECT event_type,
+           CAST(SUM(is_new_run) AS BIGINT) AS n_runs,
+           COUNT(CASE WHEN sgn = 1 THEN 1 END) AS n_above,
+           COUNT(CASE WHEN sgn = -1 THEN 1 END) AS n_below
+    FROM flagged
+    GROUP BY 1
+    """,
+    tags=("timeseries", "runs-test", "nonparametric", "randomness"),
+)
+def q_ts_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz runs test inputs on the daily count series per
+    event_type: days sign against the exact median (ties dropped, the
+    textbook rule), runs = islands of constant sign counted by a lag
+    flag, plus the above/below counts the normal approximation needs —
+    the randomness screen that complements Mann-Kendall (trend) and
+    CUSUM (level shift): too FEW runs ⇒ clustering, too many ⇒
+    oscillation. All integers once the median comparison is made; the
+    median itself is the exact interpolated percentile both engines
+    share. Daily collapse first, windows on the collapsed frame."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("m")
+    )
+    signed = (
+        daily.join(F.broadcast(med), "event_type")
+        .filter(F.col("cnt") != F.col("m"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("cnt") > F.col("m"), 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    flagged = signed.withColumn(
+        "is_new_run",
+        F.when(
+            ~F.lag("sgn").over(w).eqNullSafe(F.col("sgn")), 1
+        ).otherwise(0),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("is_new_run").alias("n_runs"),
+        F.count(F.when(F.col("sgn") == 1, 1)).alias("n_above"),
+        F.count(F.when(F.col("sgn") == -1, 1)).alias("n_below"),
+    )

@@ -661,3 +661,78 @@ def q_dq_benford(spark, sf_dir):
             ).alias("chi2_term"),
         )
     )
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+                   AS n_sentences,
+               CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                    AS BIGINT) AS n_syllables
+        FROM documents
+        WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+           -- exact half-up 2dp rounding in integer arithmetic: the float
+           -- formula lands exactly on .005 midpoints for some (w,s,syl)
+           -- and engines round those differently
+           CAST(FLOOR((200 * (206835 * n_sentences * n_words
+                              - 1015 * n_words * n_words
+                              - 84600 * n_syllables * n_sentences)
+                       + 1000 * n_sentences * n_words)
+                      / (2000 * n_sentences * n_words)) AS BIGINT) / 100.0
+               AS flesch
+    FROM feats
+    """,
+    tags=("text", "readability", "flesch", "quality"),
+)
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document with a vowel-cluster syllable
+    approximation ([aeiouy]+ runs — the standard dictionary-free
+    heuristic) and [.!?]+ sentence boundaries, both floored at 1 so the
+    formula is total: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), rounded 2dp (two integer-ratio IEEE
+    divisions — deterministic). Readability joins the quality-score
+    family (q_text_quality_score) as a complexity axis the
+    length/punctuation ratios don't capture. Map-only: three codegen
+    regexp passes per row, zero shuffles."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syl = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    feats = d.filter(n_words > 0).select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syl.cast("long").alias("n_syllables"),
+    )
+    # N = milli-flesch × (s·w); exact integer half-up rounding to 2dp —
+    # the float formula hits exact .005 midpoints (e.g. w=18, s=1,
+    # syl=22 → 85.165) that Spark and DuckDB round in opposite
+    # directions
+    n_int = (
+        206835 * F.col("n_sentences") * F.col("n_words")
+        - 1015 * F.col("n_words") * F.col("n_words")
+        - 84600 * F.col("n_syllables") * F.col("n_sentences")
+    )
+    denom = 1000 * F.col("n_sentences") * F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.floor((200 * n_int + denom) / (2 * denom)).cast("bigint") / 100.0
+        ).alias("flesch"),
+    )

@@ -95,6 +95,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_mann_kendall",
     "q_agg_welch_ttest",
     "q_ts_cusum",
+    "q_events_interarrival",
+    "q_ts_runs_test",
+    "q_text_readability",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -521,3 +521,57 @@ def test_welch_t_matches_scipy_free(spark, sf_dir):
     assert row["nt"] == len(treat) and row["nc"] == len(ctrl)
     assert abs(row["welch_t"] - t_expect) < 1e-3
     assert abs(row["mean_diff"] - (mt - mc)) < 1e-3
+
+
+def test_interarrival_gaps_positive(spark, sf_dir):
+    for r in REGISTRY["q_events_interarrival"].fn(spark, sf_dir).collect():
+        assert 0 <= r["p50_us"] <= r["p90_us"] <= r["p99_us"] <= r["max_us"]
+        assert r["n_gaps"] > 0
+
+
+def test_runs_test_brute_force(spark, sf_dir):
+    out = {
+        r["event_type"]: (r["n_runs"], r["n_above"], r["n_below"])
+        for r in REGISTRY["q_ts_runs_test"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*)
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    import statistics
+
+    series = defaultdict(list)
+    for et, _, cnt in rows:
+        series[et].append(cnt)
+    for et, xs in series.items():
+        m = statistics.median(xs)
+        signs = [1 if x > m else -1 for x in xs if x != m]
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b) if signs else 0
+        assert out[et] == (
+            runs,
+            sum(1 for s in signs if s == 1),
+            sum(1 for s in signs if s == -1),
+        ), et
+
+
+def test_readability_formula(spark, sf_dir):
+    """flesch must match the float formula within the 1-cent rounding
+    convention, and the count features must match Python recounts."""
+    import re
+
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_sentences"], r["n_syllables"], r["flesch"])
+        for r in REGISTRY["q_text_readability"].fn(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    for doc_id, text in docs:
+        w = len(text.split(" "))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        syl = max(len(re.findall(r"[aeiouy]+", text.lower())), 1)
+        assert out[doc_id][:3] == (w, s, syl), doc_id
+        expect = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+        assert abs(out[doc_id][3] - expect) < 0.006, (doc_id, out[doc_id][3], expect)
