@@ -1080,3 +1080,44 @@ def q_agg_chisq(spark, sf_dir):
             4,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "bitmap", "distinct", "spark4"),
+)
+def q_agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting through Spark's bitmap aggregate family
+    (bitmap_bit_position / bitmap_bucket_number / bitmap_construct_agg /
+    bitmap_count, Spark 3.5+): keys hash-partition into 32k-bit bucket
+    bitmaps, per-bucket bitmaps OR-combine map-side (tiny, mergeable —
+    the same reaggregation property sketches have, but exact), and the
+    final count is a sum of per-bucket popcounts. This is the
+    materialized-view / incremental-rollup shape for COUNT(DISTINCT):
+    store bucket bitmaps per grouping key, merge across partitions or
+    days without rescanning raw data. The oracle is the plain
+    COUNT(DISTINCT) the bitmaps must equal exactly."""
+    o = t(spark, sf_dir, "orders")
+    buckets = (
+        o.groupBy(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+            ).alias("bm"),
+            F.count("*").alias("n"),
+        )
+    )
+    return buckets.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_customers"),
+        F.sum("n").alias("n_orders"),
+    )

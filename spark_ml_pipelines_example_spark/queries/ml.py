@@ -1319,3 +1319,115 @@ def q_ml_naive_bayes(spark, sf_dir):
         .groupBy(F.col("label").alias("actual"), "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q_ml_linreg_normal",
+    oracle="""
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               CAST(MAX(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS DOUBLE) AS y,
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,0))) AS BIGINT)
+                    AS DOUBLE) AS x1,
+               CAST(COUNT(*) AS DOUBLE) AS x2
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ), s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1 * x1) AS sx11, SUM(x2 * x2) AS sx22,
+               SUM(x1 * x2) AS sx12,
+               SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+        FROM per_order
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND((sy * (sx11 * sx22 - sx12 * sx12)
+                  - sx1 * (sx1y * sx22 - sx12 * sx2y)
+                  + sx2 * (sx1y * sx12 - sx11 * sx2y))
+                 / (n * (sx11 * sx22 - sx12 * sx12)
+                    - sx1 * (sx1 * sx22 - sx12 * sx2)
+                    + sx2 * (sx1 * sx12 - sx11 * sx2)), 4) AS beta0,
+           ROUND((n * (sx1y * sx22 - sx12 * sx2y)
+                  - sy * (sx1 * sx22 - sx12 * sx2)
+                  + sx2 * (sx1 * sx2y - sx1y * sx2))
+                 / (n * (sx11 * sx22 - sx12 * sx12)
+                    - sx1 * (sx1 * sx22 - sx12 * sx2)
+                    + sx2 * (sx1 * sx12 - sx11 * sx2)), 4) AS beta1,
+           ROUND((n * (sx11 * sx2y - sx1y * sx12)
+                  - sx1 * (sx1 * sx2y - sx1y * sx2)
+                  + sy * (sx1 * sx12 - sx11 * sx2))
+                 / (n * (sx11 * sx22 - sx12 * sx12)
+                    - sx1 * (sx1 * sx22 - sx12 * sx2)
+                    + sx2 * (sx1 * sx12 - sx11 * sx2)), 4) AS beta2
+    FROM s
+    """,
+    tags=("ml", "linear-regression", "normal-equations", "closed-form"),
+)
+def q_ml_linreg_normal(spark, sf_dir):
+    """Multivariate linear regression (order total regressed on total
+    quantity and line count) solved in CLOSED FORM via the normal
+    equations and Cramer's rule — the distributed-OLS shape for small
+    feature counts: ONE aggregate pass collects the 10 sufficient
+    statistics (n, Σx, ΣxxT, Σxy, Σy²), and the 3×3 solve happens on a
+    1-row frame. No gradient iterations, no MLlib fit — the exact same
+    number MLlib's 'normal' solver would produce. Sufficient statistics
+    are sums of integer-valued doubles (exact), and the determinant
+    expressions are written with IDENTICAL structure in Spark and the
+    oracle so the IEEE evaluation is bit-identical before the 4dp
+    round. The per-order collapse is one orderkey shuffle; everything
+    after is driver-scale."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", (dec("o_totalprice") * 100).cast("long").alias("y_cents")
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("y_cents").cast("double").alias("y"),
+            F.sum(dec("l_quantity", 18, 0)).cast("long").cast("double").alias("x1"),
+            F.count("*").cast("double").alias("x2"),
+        )
+    )
+    s = per_order.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx1, sx2, sy = F.col("n"), F.col("sx1"), F.col("sx2"), F.col("sy")
+    sx11, sx22, sx12 = F.col("sx11"), F.col("sx22"), F.col("sx12")
+    sx1y, sx2y = F.col("sx1y"), F.col("sx2y")
+    det = (
+        n * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx12 - sx11 * sx2)
+    )
+    d0 = (
+        sy * (sx11 * sx22 - sx12 * sx12)
+        - sx1 * (sx1y * sx22 - sx12 * sx2y)
+        + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    )
+    d1 = (
+        n * (sx1y * sx22 - sx12 * sx2y)
+        - sy * (sx1 * sx22 - sx12 * sx2)
+        + sx2 * (sx1 * sx2y - sx1y * sx2)
+    )
+    d2 = (
+        n * (sx11 * sx2y - sx1y * sx12)
+        - sx1 * (sx1 * sx2y - sx1y * sx2)
+        + sy * (sx1 * sx12 - sx11 * sx2)
+    )
+    return s.select(
+        n.cast("long").alias("n_orders"),
+        F.round(d0 / det, 4).alias("beta0"),
+        F.round(d1 / det, 4).alias("beta1"),
+        F.round(d2 / det, 4).alias("beta2"),
+    )

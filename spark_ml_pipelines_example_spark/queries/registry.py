@@ -98,6 +98,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_interarrival",
     "q_ts_runs_test",
     "q_text_readability",
+    "q_agg_bitmap_distinct",
+    "q_ml_linreg_normal",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

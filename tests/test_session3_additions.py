@@ -575,3 +575,45 @@ def test_readability_formula(spark, sf_dir):
         assert out[doc_id][:3] == (w, s, syl), doc_id
         expect = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
         assert abs(out[doc_id][3] - expect) < 0.006, (doc_id, out[doc_id][3], expect)
+
+
+def test_bitmap_distinct_exact(spark, sf_dir):
+    out = {
+        r["o_orderpriority"]: (r["n_customers"], r["n_orders"])
+        for r in REGISTRY["q_agg_bitmap_distinct"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey), COUNT(*)
+            FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert out == expect
+
+
+def test_linreg_normal_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    row = REGISTRY["q_ml_linreg_normal"].fn(spark, sf_dir).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(MAX(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS DOUBLE),
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,0))) AS BIGINT) AS DOUBLE),
+               CAST(COUNT(*) AS DOUBLE)
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN read_parquet('{sf_dir}/orders.parquet') o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey
+        """
+    ).fetchall()
+    y = np.array([r[0] for r in rows])
+    X = np.column_stack(
+        [np.ones(len(rows)), [r[1] for r in rows], [r[2] for r in rows]]
+    )
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    assert row["n_orders"] == len(rows)
+    for got, exp in zip((row["beta0"], row["beta1"], row["beta2"]), beta):
+        assert abs(got - exp) < max(1e-3, 1e-6 * abs(exp)), (got, exp)
