@@ -111,6 +111,15 @@ HEADLINE = [
     "q_win_drawdown",
     "q_agg_mutual_info",
     "q_stream_milestones",
+    # later continuation batches: engagement accounting, exact-integer
+    # NB, trend/change statistics, bag ops, packing
+    "q_win_streak",
+    "q_events_lifecycle",
+    "q_ml_naive_bayes",
+    "q_ts_mann_kendall",
+    "q_ts_cusum",
+    "q_set_bag_ops",
+    "q_pack_ffd",
 ]
 
 

@@ -2808,3 +2808,71 @@ def q_ts_runs_test(spark, sf_dir):
         F.count(F.when(F.col("sgn") == 1, 1)).alias("n_above"),
         F.count(F.when(F.col("sgn") == -1, 1)).alias("n_below"),
     )
+
+
+@query(
+    "q_ts_peaks",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ), smooth AS (
+        SELECT event_type, day, cnt,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS win_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), neighbors AS (
+        SELECT event_type, day, cnt, win_sum, win_n,
+               LAG(win_sum * 1000 // win_n) OVER wo AS prev_s,
+               win_sum * 1000 // win_n AS s,
+               LEAD(win_sum * 1000 // win_n) OVER wo AS next_s
+        FROM smooth
+        WINDOW wo AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, cnt,
+           CAST(s AS BIGINT) AS smoothed_x1000
+    FROM neighbors
+    WHERE prev_s IS NOT NULL AND next_s IS NOT NULL
+      AND s > prev_s AND s >= next_s
+    """,
+    tags=("timeseries", "peaks", "local-maxima", "signal"),
+)
+def q_ts_peaks(spark, sf_dir):
+    """Local-maximum (peak) detection on the ±3-day-smoothed daily count
+    series per event_type — the campaign-spike / load-peak finder:
+    smooth with a centered 7-day mean, then a day is a peak when its
+    smoothed value strictly exceeds the previous and is ≥ the next
+    (the left-strict/right-slack rule picks exactly one day per
+    plateau, deterministically). The smoothed mean is kept as the
+    exact floored integer (win_sum·1000) div win_n — identical in both
+    engines — so the peak comparisons happen on scaled integers with no
+    float-tie ambiguity. Daily collapse first;
+    all three windows ride one event_type exchange."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    smooth = daily.withColumn("win_sum", F.sum("cnt").over(w)).withColumn(
+        "win_n", F.count("*").over(w)
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    s = F.expr("win_sum * 1000 div win_n")
+    nb = smooth.withColumn("s", s).withColumn(
+        "prev_s", F.lag(s).over(wo)
+    ).withColumn("next_s", F.lead(s).over(wo))
+    return (
+        nb.filter(
+            F.col("prev_s").isNotNull()
+            & F.col("next_s").isNotNull()
+            & (F.col("s") > F.col("prev_s"))
+            & (F.col("s") >= F.col("next_s"))
+        )
+        .select("event_type", "day", "cnt", F.col("s").alias("smoothed_x1000"))
+    )

@@ -77,3 +77,53 @@ def q_pack_shards(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query("q_pack_ffd", oracle=None, tags=("text", "packing", "ffd", "training-data"))
+def q_pack_ffd(spark, sf_dir):
+    """First-fit-decreasing bin packing within each source block — the
+    quality upgrade over q_pack_shards' order-preserving next-fit: FFD
+    sorts docs by token count descending and drops each into the first
+    bin with room, provably within 11/9·OPT+1 bins (vs next-fit's 2·OPT)
+    — fewer padded tokens per training shard. The fit loop is inherently
+    sequential, so it runs as an Arrow-batched ``applyInPandas`` per
+    block (the declared Python-boundary pattern, like
+    q_win_capped_cumsum): blocks pack in parallel, each block's loop is
+    O(docs·bins) over an in-memory frame. Deterministic: sort key
+    (tokens DESC, doc_id), bins scanned in creation order. Rows-only —
+    the greedy loop is not SQL-expressible — with conservation,
+    capacity, and bins ≤ next-fit invariants in tests."""
+    import pandas as pd
+
+    budget = SHARD_TOKEN_BUDGET
+    d = t(spark, sf_dir, "documents")
+    sized = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tokens"))
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        out_bin = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            for i, rem in enumerate(bins):
+                if rem >= n:
+                    bins[i] = rem - n
+                    out_bin.append(i)
+                    break
+            else:
+                bins.append(max(budget - n, 0))  # oversize doc → own bin
+                out_bin.append(len(bins) - 1)
+        pdf = pdf.assign(bin_id=out_bin)
+        return (
+            pdf.groupby(["source", "bin_id"], as_index=False)
+            .agg(
+                n_docs=("doc_id", "size"),
+                sum_tokens=("n_tokens", "sum"),
+                max_doc_tokens=("n_tokens", "max"),
+            )
+        )
+
+    return sized.groupBy("source").applyInPandas(
+        ffd,
+        "source string, bin_id long, n_docs long, sum_tokens long, max_doc_tokens long",
+    )

@@ -100,6 +100,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_readability",
     "q_agg_bitmap_distinct",
     "q_ml_linreg_normal",
+    "q_set_bag_ops",
+    "q_win_rolling_corr",
+    "q_ts_peaks",
+    "q_pack_ffd",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -190,3 +190,55 @@ def q_set_unpivot(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
     )
+
+
+@query(
+    "q_set_bag_ops",
+    oracle="""
+    WITH a AS (
+        SELECT l_partkey, l_suppkey FROM lineitem WHERE l_linestatus = 'F'
+    ), b AS (
+        SELECT l_partkey, l_suppkey FROM lineitem WHERE l_linestatus = 'O'
+    ), ia AS (
+        SELECT l_partkey, l_suppkey FROM a INTERSECT ALL
+        SELECT l_partkey, l_suppkey FROM b
+    ), ea AS (
+        SELECT l_partkey, l_suppkey FROM a EXCEPT ALL
+        SELECT l_partkey, l_suppkey FROM b
+    )
+    SELECT 'intersect_all' AS op, COUNT(*) AS n,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           CAST(SUM(l_partkey) AS BIGINT) AS key_sum
+    FROM ia
+    UNION ALL
+    SELECT 'except_all', COUNT(*), COUNT(DISTINCT l_partkey),
+           CAST(SUM(l_partkey) AS BIGINT)
+    FROM ea
+    """,
+    tags=("setop", "bag-semantics", "intersect-all", "except-all"),
+)
+def q_set_bag_ops(spark, sf_dir):
+    """Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    MULTIPLICITY (a (part,supp) pair appearing 3× in 'F' lots and 2× in
+    'O' lots intersects 2× and excepts 1×), which is what reconciliation
+    jobs actually need: 'how many shipments lack a matching open order'
+    is a bag difference, not a set difference. Catalyst plans both as a
+    single count-and-replicate aggregate join (generate min/diff of the
+    two counts) — one shuffle per side, no row-by-row anti join. The
+    result projects checksums over both outputs so multiplicity is
+    value-visible to the hash check."""
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select("l_partkey", "l_suppkey")
+    b = li.filter(F.col("l_linestatus") == "O").select("l_partkey", "l_suppkey")
+
+    def summarize(df, op):
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count("*").alias("n"),
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.sum("l_partkey").alias("key_sum"),
+        ).select("op", "n", "n_parts", "key_sum")
+
+    return summarize(a.intersectAll(b), "intersect_all").unionAll(
+        summarize(a.exceptAll(b), "except_all")
+    )

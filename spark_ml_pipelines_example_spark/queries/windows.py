@@ -613,3 +613,48 @@ def q_win_streak(spark, sf_dir):
             "n_streaks",
         )
     )
+
+
+@query(
+    "q_win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS p,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c
+        FROM events GROUP BY 1
+    )
+    SELECT day, p, c,
+           COUNT(*) OVER w AS n_window,
+           ROUND(CORR(p, c) OVER w, 4) AS corr30
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "rolling-correlation", "timeseries", "stats"),
+)
+def q_win_rolling_corr(spark, sf_dir):
+    """30-day rolling Pearson correlation between the purchase and click
+    daily-count series — the co-movement monitor that flags when two
+    metrics decouple (instrumentation breaks, funnel shifts). The pivot
+    to (day, purchases, clicks) collapses the fact FIRST (one hash
+    aggregate to ~hundreds of rows), then CORR runs as a windowed
+    aggregate over a 30-row frame on the collapsed series — windows over
+    raw facts would sort event volume for no reason. The global
+    date-ordered window is fine precisely BECAUSE the frame is
+    calendar-sized; rounded 4dp like every moment statistic here."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(-29, 0)
+    return daily.select(
+        "day",
+        "p",
+        "c",
+        F.count("*").over(w).alias("n_window"),
+        F.round(F.corr("p", "c").over(w), 4).alias("corr30"),
+    )

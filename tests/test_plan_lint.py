@@ -24,6 +24,7 @@ PYTHON_OK = {
     "q_udtf_chunk_table",  # declared Python UDTF surface (LATERAL call path)
     "q_multimodal_framesample",  # rides attach_payload; slicing itself is Catalyst
     "q_win_capped_cumsum",  # threshold-reset recurrence (applyInPandas; RECURSIVE CTE oracle)
+    "q_pack_ffd",  # first-fit-decreasing loop (applyInPandas per block)
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.

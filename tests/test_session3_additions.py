@@ -617,3 +617,115 @@ def test_linreg_normal_matches_numpy(spark, sf_dir):
     assert row["n_orders"] == len(rows)
     for got, exp in zip((row["beta0"], row["beta1"], row["beta2"]), beta):
         assert abs(got - exp) < max(1e-3, 1e-6 * abs(exp)), (got, exp)
+
+
+def test_bag_ops_multiplicity(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL counts must match bag arithmetic on
+    Python Counters: |A∩B| = Σ min(a,b), |A∖B| = Σ max(0, a−b)."""
+    out = {
+        r["op"]: (r["n"], r["n_parts"], r["key_sum"])
+        for r in REGISTRY["q_set_bag_ops"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT l_linestatus, l_partkey, l_suppkey
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        WHERE l_linestatus IN ('F', 'O')
+        """
+    ).fetchall()
+    a, b = Counter(), Counter()
+    for st, pk, sk in rows:
+        (a if st == "F" else b)[(pk, sk)] += 1
+    inter = {k: min(a[k], b[k]) for k in a if k in b and min(a[k], b[k]) > 0}
+    exc = {k: a[k] - b.get(k, 0) for k in a if a[k] > b.get(k, 0)}
+
+    def stats(bag):
+        n = sum(bag.values())
+        parts = len({pk for pk, _ in bag})
+        ksum = sum(pk * m for (pk, _), m in bag.items())
+        return (n, parts, ksum)
+
+    assert out["intersect_all"] == stats(inter)
+    assert out["except_all"] == stats(exc)
+
+
+def test_rolling_corr_bounds(spark, sf_dir):
+    rows = REGISTRY["q_win_rolling_corr"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["corr30"] is not None:
+            assert -1.0001 <= r["corr30"] <= 1.0001
+        assert 1 <= r["n_window"] <= 30
+
+
+def test_ffd_packing_invariants(spark, sf_dir):
+    """FFD bins: capacity respected (except oversize singletons), tokens
+    conserved, count ≥ the ceil(total/budget) lower bound and ≤ a true
+    capacity-respecting next-fit simulation (q_pack_shards' cumsum
+    shards deliberately allow boundary overflow, so they are NOT a
+    valid upper bound)."""
+    import math
+
+    from spark_ml_pipelines_example_spark.queries.packing import SHARD_TOKEN_BUDGET
+
+    ffd = REGISTRY["q_pack_ffd"].fn(spark, sf_dir).collect()
+    by_src_tokens = Counter()
+    bins_per_src = Counter()
+    for r in ffd:
+        if r["n_docs"] > 1:
+            assert r["sum_tokens"] <= SHARD_TOKEN_BUDGET, r
+        by_src_tokens[r["source"]] += r["sum_tokens"]
+        bins_per_src[r["source"]] += 1
+    docs = duckdb.sql(
+        f"""
+        SELECT source, len(string_split(text, ' ')) AS n
+        FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY source
+        """
+    ).fetchall()
+    sizes = defaultdict(list)
+    for src, n in docs:
+        sizes[src].append(n)
+    for src, ns in sizes.items():
+        assert by_src_tokens[src] == sum(ns), src  # conservation
+        lower = math.ceil(sum(ns) / SHARD_TOKEN_BUDGET)
+        # capacity-respecting next-fit in doc order
+        nf_bins, rem = 0, 0
+        for n in ns:
+            if n > rem:
+                nf_bins += 1
+                rem = max(SHARD_TOKEN_BUDGET, n)
+            rem -= n
+        assert lower <= bins_per_src[src] <= nf_bins, (
+            src, lower, bins_per_src[src], nf_bins,
+        )
+
+
+def test_peaks_are_local_maxima(spark, sf_dir):
+    """Every reported peak must beat its smoothed neighbors in a
+    brute-force recomputation, and plateaus yield exactly one peak."""
+    out = {
+        (r["event_type"], r["day"]): r["smoothed_x1000"]
+        for r in REGISTRY["q_ts_peaks"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*)
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = defaultdict(list)
+    for et, day, cnt in rows:
+        series[et].append((day, cnt))
+    expect = {}
+    for et, days in series.items():
+        cnts = [c for _, c in days]
+        n = len(cnts)
+        sm = [
+            sum(cnts[max(0, i - 3) : min(n, i + 4)]) * 1000
+            // len(cnts[max(0, i - 3) : min(n, i + 4)])
+            for i in range(n)
+        ]
+        for i in range(1, n - 1):
+            if sm[i] > sm[i - 1] and sm[i] >= sm[i + 1]:
+                expect[(et, days[i][0])] = sm[i]
+    assert out == expect

@@ -87,6 +87,11 @@ SHOWCASE = [
     ("q_join_fifo_match", "FIFO as cumulative-interval overlap: two windows + partkey equi-join"),
     ("q_join_nearest_event", "banded nearest join: 3-cell replication equi-join + per-probe top-1"),
     ("q_ts_ohlc", "OHLC bars: two rankings + aggregate on one (type,hour) exchange"),
+    ("q_ml_naive_bayes", "NB classifier: tiny combo-table scoring joins, broadcast predict, int128 argmax"),
+    ("q_ts_cusum", "CUSUM closed form: prefix sum + anchored prefix min on one exchange"),
+    ("q_events_lifecycle", "growth accounting: one user_id exchange for three windows + tiny month aggs"),
+    ("q_agg_bitmap_distinct", "bitmap distinct: bucketed bitmap construct + popcount reaggregate"),
+    ("q_win_streak", "streak islands: date-minus-row-number anchor, one user_id exchange"),
 ]
 
 
