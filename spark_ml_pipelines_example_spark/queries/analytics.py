@@ -2876,3 +2876,143 @@ def q_ts_peaks(spark, sf_dir):
         )
         .select("event_type", "day", "cnt", F.col("s").alias("smoothed_x1000"))
     )
+
+
+@query(
+    "q_ts_rsi",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), deltas AS (
+        SELECT event_type, day,
+               cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY day)
+                   AS chg
+        FROM daily
+    ), gains AS (
+        SELECT event_type, day,
+               CAST(SUM(CASE WHEN chg > 0 THEN chg ELSE 0 END)
+                    OVER w AS BIGINT) AS gain14,
+               CAST(SUM(CASE WHEN chg < 0 THEN -chg ELSE 0 END)
+                    OVER w AS BIGINT) AS loss14,
+               CAST(COUNT(chg) OVER w AS BIGINT) AS n14
+        FROM deltas
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, gain14, loss14,
+           ROUND(CASE WHEN gain14 + loss14 = 0 THEN 50.0
+                      ELSE 100.0 * gain14 / (gain14 + loss14) END, 4) AS rsi14
+    FROM gains WHERE n14 = 14
+    """,
+    tags=("timeseries", "rsi", "momentum", "indicator"),
+)
+def q_ts_rsi(spark, sf_dir):
+    """14-day RSI (relative strength index, simple-average Cutler form)
+    of the daily value series per event_type — the momentum indicator
+    completing the time-series kit (EWMA smoothing, drawdown, CUSUM):
+    RSI = 100·gains/(gains+losses) over the trailing 14 deltas, 50 on a
+    flat window by convention. Daily collapse → lag delta → two
+    conditional rolling sums, all integer cents on one event_type
+    exchange; the single division is an integer-ratio IEEE op rounded
+    4dp. Emitted only where the window holds 14 full deltas, so every
+    row's statistic is over the same support in both engines."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.sum(dec("value") * 100).cast("long").alias("cents"))
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    deltas = daily.withColumn("chg", F.col("cents") - F.lag("cents").over(wo))
+    w14 = wo.rowsBetween(-13, 0)
+    gains = (
+        deltas.withColumn(
+            "gain14",
+            F.sum(F.when(F.col("chg") > 0, F.col("chg")).otherwise(0)).over(w14),
+        )
+        .withColumn(
+            "loss14",
+            F.sum(F.when(F.col("chg") < 0, -F.col("chg")).otherwise(0)).over(w14),
+        )
+        .withColumn("n14", F.count("chg").over(w14))
+    )
+    return gains.filter(F.col("n14") == 14).select(
+        "event_type",
+        "day",
+        "gain14",
+        "loss14",
+        F.round(
+            F.when(F.col("gain14") + F.col("loss14") == 0, F.lit(50.0)).otherwise(
+                100.0 * F.col("gain14") / (F.col("gain14") + F.col("loss14"))
+            ),
+            4,
+        ).alias("rsi14"),
+    )
+
+
+@query(
+    "q_agg_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+                      COUNT(*) AS n_supps FROM rev),
+    ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, l_suppkey) AS rk
+        FROM rev
+    )
+    SELECT MAX(n_supps) AS n_suppliers,
+           ROUND(SUM(POW(CAST(cents AS DOUBLE) / total, 2)) * 10000, 4) AS hhi,
+           ROUND(100.0 * SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) / MAX(total),
+                 4) AS cr4,
+           ROUND(100.0 * SUM(CASE WHEN rk <= 8 THEN cents ELSE 0 END) / MAX(total),
+                 4) AS cr8
+    FROM ranked CROSS JOIN tot
+    """,
+    tags=("agg", "hhi", "concentration", "merchandising"),
+)
+def q_agg_concentration(spark, sf_dir):
+    """Market-concentration readout over supplier revenue: HHI (sum of
+    squared shares × 10,000 — the antitrust scale) plus CR4/CR8
+    concentration ratios — the competition metrics that pair with the
+    inequality view (q_agg_gini) and the merchandising view
+    (q_agg_pareto) over the same collapsed revenue frame. One supplier
+    aggregate; the share squares and top-k sums run over the
+    catalog-sized frame with exact integer cents, deterministic rank
+    tiebreak on supplier id, single-rounding at 4dp."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    tot = rev.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_supps")
+    )
+    ranked = rev.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("cents"), "l_suppkey"))
+    )
+    joined = ranked.crossJoin(F.broadcast(tot))
+    return joined.agg(
+        F.max("n_supps").alias("n_suppliers"),
+        F.round(
+            F.sum(F.pow(F.col("cents").cast("double") / F.col("total"), 2)) * 10000,
+            4,
+        ).alias("hhi"),
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0))
+            / F.max("total"),
+            4,
+        ).alias("cr4"),
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("rk") <= 8, F.col("cents")).otherwise(0))
+            / F.max("total"),
+            4,
+        ).alias("cr8"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import ngrams, tokens
+from ..functions.text import bigrams, ngrams, tokens
 from ._util import epoch_s, t
 from .registry import query
 
@@ -735,4 +735,58 @@ def q_text_readability(spark, sf_dir):
         (
             F.floor((200 * n_int + denom) / (2 * denom)).cast("bigint") / 100.0
         ).alias("flesch"),
+    )
+
+
+@query(
+    "q_text_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk)),
+                                         i -> tk[i] || ' ' || tk[i+1])) AS g
+            FROM toks)
+    ), firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_distinct_bigrams,
+           COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) AS n_novel,
+           ROUND(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM sh JOIN firsts f USING (g)
+    GROUP BY 1
+    """,
+    tags=("text", "novelty", "curation", "training-data"),
+)
+def q_text_novelty(spark, sf_dir):
+    """Corpus novelty curve: for each document (doc_id = ingest order),
+    the fraction of its distinct word-bigrams never seen in any
+    earlier document — the diminishing-returns diagnostic a crawl
+    pipeline watches to decide when another dump of the same source
+    stops adding information (novelty → 0 ⇒ the source is mined out).
+    First-occurrence is a single min-aggregate over the shingle table
+    (no ordered scan over the corpus), joined back on the shingle —
+    two shuffles on the shingle key regardless of corpus size, same
+    hot-key profile as the dedup shingle joins (DF-cap note there
+    applies here if stopword bigrams dominate)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 2)
+    )
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(bigrams(F.col("tk")))).alias("g")
+    )
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firsts, "g")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_bigrams"),
+        F.count(novel).alias("n_novel"),
+        F.round(F.count(novel) / F.count("*"), 4).alias("novelty"),
     )

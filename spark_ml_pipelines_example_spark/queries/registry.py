@@ -104,6 +104,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_rolling_corr",
     "q_ts_peaks",
     "q_pack_ffd",
+    "q_ts_rsi",
+    "q_agg_concentration",
+    "q_text_novelty",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

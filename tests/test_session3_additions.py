@@ -729,3 +729,31 @@ def test_peaks_are_local_maxima(spark, sf_dir):
             if sm[i] > sm[i - 1] and sm[i] >= sm[i + 1]:
                 expect[(et, days[i][0])] = sm[i]
     assert out == expect
+
+
+def test_rsi_bounds_and_flat_convention(spark, sf_dir):
+    rows = REGISTRY["q_ts_rsi"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["rsi14"] <= 100
+        if r["gain14"] + r["loss14"] == 0:
+            assert r["rsi14"] == 50.0
+
+
+def test_concentration_identities(spark, sf_dir):
+    row = REGISTRY["q_agg_concentration"].fn(spark, sf_dir).collect()[0]
+    n = row["n_suppliers"]
+    # HHI bounds: 10000/n (equal shares) ≤ HHI ≤ 10000 (monopoly)
+    assert 10000 / n - 1e-6 <= row["hhi"] <= 10000 + 1e-6
+    assert 0 < row["cr4"] <= row["cr8"] <= 100
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = {
+        r["doc_id"]: (r["n_distinct_bigrams"], r["n_novel"], r["novelty"])
+        for r in REGISTRY["q_text_novelty"].fn(spark, sf_dir).collect()
+    }
+    first = min(rows)
+    assert rows[first][2] == 1.0  # earliest doc: every bigram first-seen
+    for n_d, n_n, nov in rows.values():
+        assert 0 <= n_n <= n_d
