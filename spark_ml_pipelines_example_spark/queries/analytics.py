@@ -3016,3 +3016,143 @@ def q_agg_concentration(spark, sf_dir):
             4,
         ).alias("cr8"),
     )
+
+
+@query(
+    "q_graph_link_prediction",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    ), sym AS (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst, src FROM edges
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM sym GROUP BY 1
+    ), cand AS (
+        SELECT e1.u AS a, e2.v AS c, COUNT(DISTINCT e1.v) AS cn
+        FROM sym e1 JOIN sym e2 ON e1.v = e2.u AND e1.u < e2.v
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.src = e1.u AND e.dst = e2.v)
+        GROUP BY 1, 2
+    )
+    SELECT a, c, cn,
+           ROUND(cn * 1.0 / (da.d + dc.d - cn), 6) AS jaccard
+    FROM cand JOIN deg da ON da.u = a JOIN deg dc ON dc.u = c
+    ORDER BY cn DESC, jaccard DESC, a, c
+    LIMIT 20
+    """,
+    tags=("graph", "link-prediction", "common-neighbors", "recommendation"),
+)
+def q_graph_link_prediction(spark, sf_dir):
+    """Link prediction on the co-purchase graph by common-neighbor and
+    neighborhood-Jaccard scores: for every NON-edge (a,c) reachable
+    through a wedge, count the distinct shared neighbors and normalize
+    by the neighborhood union — the classic unsupervised
+    'you-may-also-like' candidate generator evaluated before any
+    learned model. The wedge self-join is Σdeg² bounded (same profile
+    as triangle counting); existing edges drop via an anti join;
+    deterministic top-20 with full tiebreaks. Degrees come from the
+    symmetrized edge list (one aggregate the size of the node set)."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("src", "dst")
+    )
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = sym.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    e2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("c"))
+    cand = (
+        e1.join(e2, "mid")
+        .filter(F.col("a") < F.col("c"))
+        .join(
+            edges,
+            (edges.src == F.col("a")) & (edges.dst == F.col("c")),
+            "left_anti",
+        )
+        .groupBy("a", "c")
+        .agg(F.count_distinct("mid").alias("cn"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    dc = deg.select(F.col("u").alias("c"), F.col("d").alias("dc"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .select(
+            "a",
+            "c",
+            "cn",
+            F.round(F.col("cn") / (F.col("da") + F.col("dc") - F.col("cn")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("cn"), F.desc("jaccard"), "a", "c")
+        .limit(20)
+    )
+
+
+@query(
+    "q_graph_degrees",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    ), sym AS (
+        SELECT src AS u FROM edges UNION ALL SELECT dst FROM edges
+    ), deg AS (
+        SELECT u, COUNT(*) AS d FROM sym GROUP BY 1
+    )
+    SELECT d AS degree, COUNT(*) AS n_nodes,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY d DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS n_nodes_at_least
+    FROM deg GROUP BY d
+    """,
+    tags=("graph", "degree-distribution", "profile"),
+)
+def q_graph_degrees(spark, sf_dir):
+    """Degree distribution of the co-purchase graph with the
+    complementary-cumulative count (nodes with degree ≥ d) — the
+    first thing you plot to see whether a graph is heavy-tailed before
+    choosing partitioning (power-law hubs ⇒ the skew-join/salting
+    path; see q_join_salted_skew). Node degrees are one aggregate over
+    the symmetrized edge endpoints; the CCDF window runs over the tiny
+    (distinct-degree)-sized frame."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+    )
+    sym = edges.select(F.col("src").alias("u")).unionAll(
+        edges.select(F.col("dst").alias("u"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    dist = deg.groupBy(F.col("d").alias("degree")).agg(F.count("*").alias("n_nodes"))
+    w = W.orderBy(F.desc("degree")).rowsBetween(W.unboundedPreceding, 0)
+    return dist.withColumn("n_nodes_at_least", F.sum("n_nodes").over(w))

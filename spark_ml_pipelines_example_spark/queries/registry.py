@@ -107,6 +107,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_rsi",
     "q_agg_concentration",
     "q_text_novelty",
+    "q_graph_link_prediction",
+    "q_graph_degrees",
+    "q_embed_drift",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -195,3 +195,79 @@ def q_embed_quantize(spark, sf_dir):
             F.aggregate(dq, F.lit(0.0), lambda a, x: a + x) / 64, 6
         ).alias("mae"),
     )
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id % 2 AS half, i - 1 AS dim,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qi
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), sums AS (
+        SELECT dim,
+               CAST(SUM(CASE WHEN half = 0 THEN qi END) AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN half = 1 THEN qi END) AS BIGINT) AS sb,
+               COUNT(CASE WHEN half = 0 THEN 1 END) AS na,
+               COUNT(CASE WHEN half = 1 THEN 1 END) AS nb
+        FROM q GROUP BY 1
+    )
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(sa * sb) AS DOUBLE)
+                 / SQRT(CAST(SUM(sa * sa) AS DOUBLE)
+                        * CAST(SUM(sb * sb) AS DOUBLE)), 6) AS centroid_cosine,
+           ROUND(SQRT(SUM(POW(CAST(sa AS DOUBLE) / na
+                              - CAST(sb AS DOUBLE) / nb, 2))) / 1000, 6)
+               AS centroid_l2_shift_units
+    FROM sums
+    """,
+    tags=("similarity", "embedding", "drift", "monitoring"),
+)
+def q_embed_drift(spark, sf_dir):
+    """Embedding-distribution drift between two corpus halves (vec_id
+    parity standing in for before/after periods): cosine between the
+    half centroids and the L2 shift between them — the cheap vector-
+    space drift monitor run before anything expensive (a retrain, an
+    index rebuild). Determinism trick: elements are FLOOR-quantized to
+    integer milli-units first (floor has no rounding-tie ambiguity,
+    unlike round/cast), so the per-dimension sums are exact integers,
+    cosine derives from integer Σsa·sb (scale-invariance makes sums ≡
+    means), and the only floats are two final expressions over the
+    64-dim frame. One posexplode + one (dim)-keyed aggregate — n·d map
+    work, d-row reduce, same shape MLlib uses for covariance."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    ).select("half", "dim", F.floor(F.col("val") * 1000).cast("long").alias("qi"))
+    sums = q.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("qi"))).alias("sa"),
+        F.sum(F.when(F.col("half") == 1, F.col("qi"))).alias("sb"),
+        F.count(F.when(F.col("half") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("nb"),
+    )
+    return sums.agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.round(
+            F.sum(F.col("sa") * F.col("sb")).cast("double")
+            / F.sqrt(
+                F.sum(F.col("sa") * F.col("sa")).cast("double")
+                * F.sum(F.col("sb") * F.col("sb")).cast("double")
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.pow(
+                        F.col("sa").cast("double") / F.col("na")
+                        - F.col("sb").cast("double") / F.col("nb"),
+                        2,
+                    )
+                )
+            )
+            / 1000,
+            6,
+        ).alias("centroid_l2_shift_units"),
+    )

@@ -757,3 +757,64 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     assert rows[first][2] == 1.0  # earliest doc: every bigram first-seen
     for n_d, n_n, nov in rows.values():
         assert 0 <= n_n <= n_d
+
+
+def test_link_prediction_no_existing_edges(spark, sf_dir):
+    """Predicted links must not be existing edges, and common-neighbor
+    counts must match a brute-force adjacency recount."""
+    from spark_ml_pipelines_example_spark.queries.analytics import (
+        TRIANGLE_MIN_SUPPORT,
+    )
+
+    preds = REGISTRY["q_graph_link_prediction"].fn(spark, sf_dir).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT DISTINCT l_orderkey, l_partkey
+        FROM read_parquet('{sf_dir}/lineitem.parquet')
+        """
+    ).fetchall()
+    baskets = defaultdict(set)
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+    support = Counter()
+    for bset in baskets.values():
+        for x in bset:
+            for y in bset:
+                if x < y:
+                    support[(x, y)] += 1
+    edges = {p for p, s in support.items() if s >= TRIANGLE_MIN_SUPPORT}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    for r in preds:
+        pair = (r["a"], r["c"])
+        assert pair not in edges, pair
+        cn = len(adj[r["a"]] & adj[r["c"]])
+        assert cn == r["cn"], (pair, cn, r["cn"])
+        jac = cn / len(adj[r["a"]] | adj[r["c"]])
+        assert abs(r["jaccard"] - jac) < 2e-6, pair
+
+
+def test_degree_ccdf_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_graph_degrees"].fn(spark, sf_dir).collect(),
+        key=lambda r: -r["degree"],
+    )
+    prev = 0
+    for r in rows:
+        assert r["n_nodes_at_least"] == prev + r["n_nodes"]
+        prev = r["n_nodes_at_least"]
+
+
+def test_embed_drift_sane(spark, sf_dir):
+    row = REGISTRY["q_embed_drift"].fn(spark, sf_dir).collect()[0]
+    assert -1 <= row["centroid_cosine"] <= 1
+    assert row["centroid_l2_shift_units"] >= 0
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    # the synthetic embeddings are ~zero-mean noise, so the half
+    # centroids are small random vectors: the cosine is near zero (it
+    # would be near 1 for a corpus with a real mean direction) and the
+    # shift stays a small fraction of a unit
+    assert abs(row["centroid_cosine"]) < 0.5
+    assert row["centroid_l2_shift_units"] < 0.1
