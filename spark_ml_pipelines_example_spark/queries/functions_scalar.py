@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import dec, t
 from .registry import query
 
 
@@ -510,4 +510,101 @@ def q_fn_collation(spark, sf_dir):
         )
         .filter(F.col("n_variants") >= 2)
         .select(F.col("name_key").cast("string").alias("name_key"), "n_variants", "first_key")
+    )
+
+
+@query(
+    "q_fn_xml",
+    # Like q_scan_json_corrupt: the XML payload is a pure function of the
+    # base table, so the oracle derives expected values straight from
+    # orders without needing an XML parser in DuckDB.
+    oracle="""
+    SELECT o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("fn", "xml", "from_xml", "semi-structured"),
+)
+def q_fn_xml(spark, sf_dir):
+    """XML ingest surface (``from_xml``, Spark 4): orders are rendered to
+    XML documents (the shape B2B/EDI feeds arrive in), parsed back
+    against an explicit schema, and aggregated from the PARSED struct —
+    proving the round trip end-to-end. The parse is a codegen
+    expression, so at 100 TB this is a map-only stage like any scalar
+    projection; schema-on-read with an explicit schema (never inference)
+    is the production contract, exactly as with the JSON/CSV scans. The
+    oracle recomputes the aggregates from the base columns the XML was
+    rendered from."""
+    o = t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><id>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</id><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        F.format_number(dec("o_totalprice"), 2),
+        F.lit("</price></order>"),
+    )
+    rendered = o.select(xml.alias("payload"))
+    parsed = rendered.select(
+        F.expr(
+            "from_xml(payload, 'id BIGINT, status STRING, price STRING')"
+        ).alias("x")
+    )
+    return parsed.groupBy(F.col("x.status").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.sum("x.id").alias("key_sum"),
+        F.sum(
+            (F.regexp_replace("x.price", ",", "").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+        ).alias("price_cents"),
+    )
+
+
+@query(
+    "q_fn_url",
+    # URLs are constructed from documents columns, so the oracle derives
+    # the parsed parts from the same construction without a URL parser.
+    oracle="""
+    SELECT source || '.example.com' AS host,
+           lang,
+           COUNT(*) AS n_urls,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("fn", "url", "parse_url", "web"),
+)
+def q_fn_url(spark, sf_dir):
+    """URL decomposition via the codegen ``parse_url`` expression
+    (HOST / PATH / QUERY with a key) — the crawl-frontier primitive that
+    q_text_url_canonical's regex pipeline builds on. URLs are rendered
+    from document metadata (host from source, path from doc_id, lang as
+    a query parameter), parsed back, and aggregated BY THE PARSED PARTS
+    — the oracle recomputes from the source columns, so any parser
+    disagreement (encoding, query extraction) breaks the hash. Pure
+    map-side projection + one aggregate."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&ref=crawler"),
+    )
+    parsed = d.select(
+        F.col("doc_id"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang"),
+    )
+    return parsed.groupBy("host", "lang").agg(
+        F.count("*").alias("n_urls"), F.sum("doc_id").alias("id_sum")
     )

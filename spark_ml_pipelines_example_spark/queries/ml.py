@@ -1431,3 +1431,108 @@ def q_ml_linreg_normal(spark, sf_dir):
         F.round(d1 / det, 4).alias("beta1"),
         F.round(d2 / det, 4).alias("beta2"),
     )
+
+
+@query(
+    "q_ml_info_gain",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus AS label,
+               o_orderpriority AS priority,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) % 7 AS VARCHAR) AS dow,
+               CAST(date_part('month', CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)
+                   AS month,
+               CAST(o_custkey % 10 AS VARCHAR) AS custbucket
+        FROM orders
+    ), long AS (
+        SELECT label, 'priority' AS feature, priority AS val FROM base
+        UNION ALL SELECT label, 'dow', dow FROM base
+        UNION ALL SELECT label, 'month', month FROM base
+        UNION ALL SELECT label, 'custbucket', custbucket FROM base
+    ), joint AS (
+        SELECT feature, val, label, COUNT(*) AS n FROM long GROUP BY 1, 2, 3
+    ), vtot AS (
+        SELECT feature, val, CAST(SUM(n) AS DOUBLE) AS nv FROM joint GROUP BY 1, 2
+    ), ftot AS (
+        SELECT feature, CAST(SUM(n) AS DOUBLE) AS nf FROM joint GROUP BY 1
+    ), ltot AS (
+        SELECT feature, label, CAST(SUM(n) AS DOUBLE) AS nl FROM joint GROUP BY 1, 2
+    ), hlabel AS (
+        SELECT l.feature, -SUM((nl / nf) * LN(nl / nf)) AS h
+        FROM ltot l JOIN ftot USING (feature) GROUP BY 1
+    ), hcond AS (
+        SELECT j.feature,
+               -SUM((j.n / nf) * LN(j.n / nv)) AS hc,
+               COUNT(DISTINCT j.val) AS n_values
+        FROM joint j JOIN vtot USING (feature, val) JOIN ftot USING (feature)
+        GROUP BY 1
+    )
+    SELECT h.feature,
+           CAST(n_values AS BIGINT) AS n_values,
+           ROUND(h.h - c.hc, 6) AS info_gain_nats,
+           ROUND((h.h - c.hc) / h.h, 6) AS ig_ratio
+    FROM hlabel h JOIN hcond c USING (feature)
+    """,
+    tags=("ml", "information-gain", "feature-selection"),
+)
+def q_ml_info_gain(spark, sf_dir):
+    """Information-gain feature ranking — IG(label; f) = H(label) −
+    H(label|f) for four candidate features in ONE pass: the base frame
+    unpivots to (feature, value, label) so a single hash aggregate
+    builds every contingency table at once (the same unpivot fan-out
+    discipline as q_dq_drift_features), and the entropy algebra runs on
+    the tiny (feature × value × label) frame. This is the screen a
+    decision-tree/feature-store pipeline runs to drop dead features
+    before any training; IG ratio (gain / label entropy) normalizes
+    across features. All terms are integer-ratio logs over ≤ ~40 cells
+    per feature, rounded 6dp."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderstatus").alias("label"),
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            % 7
+        )
+        .cast("string")
+        .alias("dow"),
+        F.month(F.col("o_orderdate").cast("timestamp")).cast("string").alias("month"),
+        (F.col("o_custkey") % 10).cast("string").alias("custbucket"),
+    )
+    long = base.unpivot(
+        ids=["label"],
+        values=["priority", "dow", "month", "custbucket"],
+        variableColumnName="feature",
+        valueColumnName="val",
+    )
+    joint = long.groupBy("feature", "val", "label").agg(F.count("*").alias("n"))
+    vtot = joint.groupBy("feature", "val").agg(
+        F.sum("n").cast("double").alias("nv")
+    )
+    ftot = joint.groupBy("feature").agg(F.sum("n").cast("double").alias("nf"))
+    ltot = joint.groupBy("feature", "label").agg(
+        F.sum("n").cast("double").alias("nl")
+    )
+    hlabel = (
+        ltot.join(ftot, "feature")
+        .groupBy("feature")
+        .agg((-F.sum((F.col("nl") / F.col("nf")) * F.log(F.col("nl") / F.col("nf")))).alias("h"))
+    )
+    hcond = (
+        joint.join(vtot, ["feature", "val"])
+        .join(ftot, "feature")
+        .groupBy("feature")
+        .agg(
+            (-F.sum((F.col("n") / F.col("nf")) * F.log(F.col("n") / F.col("nv")))).alias("hc"),
+            F.count_distinct("val").alias("n_values"),
+        )
+    )
+    return hlabel.join(hcond, "feature").select(
+        "feature",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.round(F.col("h") - F.col("hc"), 6).alias("info_gain_nats"),
+        F.round((F.col("h") - F.col("hc")) / F.col("h"), 6).alias("ig_ratio"),
+    )

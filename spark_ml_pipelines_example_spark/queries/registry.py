@@ -110,6 +110,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_graph_link_prediction",
     "q_graph_degrees",
     "q_embed_drift",
+    "q_fn_xml",
+    "q_fn_url",
+    "q_ml_info_gain",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -818,3 +818,29 @@ def test_embed_drift_sane(spark, sf_dir):
     # shift stays a small fraction of a unit
     assert abs(row["centroid_cosine"]) < 0.5
     assert row["centroid_l2_shift_units"] < 0.1
+
+
+def test_info_gain_nonnegative_and_bounded(spark, sf_dir):
+    rows = REGISTRY["q_ml_info_gain"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert -1e-6 <= r["info_gain_nats"]
+        assert -1e-6 <= r["ig_ratio"] <= 1 + 1e-6
+
+
+def test_xml_url_roundtrip_totals(spark, sf_dir):
+    xml = REGISTRY["q_fn_xml"].fn(spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"""SELECT COUNT(*),
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT)
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchone()
+    assert sum(r["n"] for r in xml) == total[0]
+    assert sum(r["price_cents"] for r in xml) == total[1]
+    url = REGISTRY["q_fn_url"].fn(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_urls"] for r in url) == n_docs
+    assert all(r["host"].endswith(".example.com") for r in url)
