@@ -3156,3 +3156,174 @@ def q_graph_degrees(spark, sf_dir):
     dist = deg.groupBy(F.col("d").alias("degree")).agg(F.count("*").alias("n_nodes"))
     w = W.orderBy(F.desc("degree")).rowsBetween(W.unboundedPreceding, 0)
     return dist.withColumn("n_nodes_at_least", F.sum("n_nodes").over(w))
+
+
+@query(
+    "q_events_shapley",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+                    + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+                    AS BIGINT) AS umask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ), mcounts AS (
+        SELECT umask, CAST(SUM(conv) AS BIGINT) AS n_conv FROM per_user GROUP BY 1
+    ), masks AS (
+        SELECT CAST(s AS BIGINT) AS s FROM UNNEST(range(0, 8)) AS u(s)
+    ), v AS (
+        SELECT m.s, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS val
+        FROM masks m LEFT JOIN mcounts c ON (c.umask | m.s) = m.s
+        GROUP BY 1
+    ), channels AS (
+        SELECT 'view' AS channel, CAST(1 AS BIGINT) AS bit
+        UNION ALL SELECT 'click', 2 UNION ALL SELECT 'signup', 4
+    ), terms AS (
+        SELECT ch.channel,
+               CASE bit_count(s.s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+                 * (vi.val - vs.val) AS term
+        FROM channels ch
+        JOIN v vs ON (vs.s & ch.bit) = 0
+        JOIN v vi ON vi.s = (vs.s | ch.bit)
+        JOIN v s ON s.s = vs.s
+    )
+    SELECT channel, CAST(SUM(term) AS BIGINT) AS shapley_x6
+    FROM terms GROUP BY 1
+    """,
+    tags=("events", "shapley", "attribution", "game-theory"),
+)
+def q_events_shapley(spark, sf_dir):
+    """Data-driven (Shapley-value) channel attribution over the
+    view/click/signup contact channels with purchase as conversion —
+    the game-theoretic upgrade over last-touch (q_events_attribution):
+    the coalition value v(S) = converters whose touched-channel set ⊆ S,
+    and each channel's credit is the classic weighted marginal-
+    contribution sum. EVERYTHING stays integer: with 3 channels the
+    subset weights |S|!(2−|S|)! are {2,1,2}, so 6·φ is an exact integer
+    — no factorial floats, hash-exact attribution. Scale shape: ONE
+    user_id aggregate collapses any event volume to ≤8 (mask, count)
+    rows; the coalition lattice, marginal joins, and Shapley sum all
+    run on 8-row frames. Efficiency (Σφ = v(C) − v(∅)) is asserted in
+    tests."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "click", 2).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0))
+        )
+        .cast("long")
+        .alias("umask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    mcounts = per_user.groupBy("umask").agg(F.sum("conv").alias("n_conv"))
+    masks = spark.range(8).select(F.col("id").alias("s"))
+    v = (
+        masks.join(
+            F.broadcast(mcounts),
+            (mcounts.umask.bitwiseOR(masks.s)) == masks.s,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("val"))
+    )
+    channels = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4)], "channel string, bit long"
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("val").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("val").alias("v1"))
+    weight = (
+        F.when(F.bit_count("s0") == 0, 2)
+        .when(F.bit_count("s0") == 1, 1)
+        .otherwise(2)
+    )
+    terms = (
+        channels.join(vs, vs.s0.bitwiseAND(channels.bit) == 0)
+        .join(vi, F.col("s1") == vs.s0.bitwiseOR(channels.bit))
+        .select("channel", (weight * (F.col("v1") - F.col("v0"))).alias("term"))
+    )
+    return terms.groupBy("channel").agg(F.sum("term").alias("shapley_x6"))
+
+
+@query(
+    "q_ts_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               COUNT(*) AS cnt,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS BIGINT)
+                   AS dow
+        FROM events GROUP BY 1, 2
+    ), trended AS (
+        SELECT event_type, day, cnt, dow,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS t7,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detrended AS (
+        SELECT *, n7 * cnt - t7 AS d_scaled
+        FROM trended WHERE n7 = 7
+    ), seasonal AS (
+        SELECT event_type, dow,
+               CAST(SUM(d_scaled) AS DOUBLE) / COUNT(*) / 7 AS s
+        FROM detrended GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.cnt,
+           ROUND(CAST(t7 AS DOUBLE) / 7, 4) AS trend,
+           ROUND(s, 4) AS seasonal,
+           ROUND(CAST(d_scaled AS DOUBLE) / 7 - s, 4) AS remainder
+    FROM detrended d JOIN seasonal USING (event_type, dow)
+    """,
+    tags=("timeseries", "decomposition", "stl", "seasonality"),
+)
+def q_ts_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (STL-lite) of the daily count
+    series per event_type: trend = centered 7-day mean, seasonal =
+    per-day-of-week mean of the detrended series, remainder = what's
+    left — the decomposition an anomaly pipeline subtracts before
+    thresholding (q_events_anomaly's z-score gets its baseline here).
+    Determinism: the trend stays the exact integer 7-day sum as long as
+    possible (detrended values are the integers 7·x − Σ7), seasonal
+    means are exact-integer sums with ONE division, and each output
+    component is a single rounded float expression. Interior days only
+    (full 7-day window), the textbook STL edge rule. One event_type
+    exchange for the window; the dow aggregate is 7 rows per type."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "dow",
+            (
+                F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+            ).cast("long"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn("t7", F.sum("cnt").over(w)).withColumn(
+        "n7", F.count("*").over(w)
+    )
+    detrended = trended.filter(F.col("n7") == 7).withColumn(
+        "d_scaled", F.col("n7") * F.col("cnt") - F.col("t7")
+    )
+    seasonal = detrended.groupBy("event_type", "dow").agg(
+        (F.sum("d_scaled").cast("double") / F.count("*") / 7).alias("s")
+    )
+    return detrended.join(seasonal, ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "cnt",
+        F.round(F.col("t7").cast("double") / 7, 4).alias("trend"),
+        F.round("s", 4).alias("seasonal"),
+        F.round(F.col("d_scaled").cast("double") / 7 - F.col("s"), 4).alias(
+            "remainder"
+        ),
+    )

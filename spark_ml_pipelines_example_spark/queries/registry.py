@@ -113,6 +113,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_xml",
     "q_fn_url",
     "q_ml_info_gain",
+    "q_events_shapley",
+    "q_ts_decompose",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

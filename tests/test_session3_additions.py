@@ -844,3 +844,57 @@ def test_xml_url_roundtrip_totals(spark, sf_dir):
     ).fetchone()[0]
     assert sum(r["n_urls"] for r in url) == n_docs
     assert all(r["host"].endswith(".example.com") for r in url)
+
+
+def test_shapley_efficiency_and_brute_force(spark, sf_dir):
+    """Σφ·6 must equal 6·(v(full) − v(∅)), and each channel's value must
+    match a brute-force Shapley over the 8-subset lattice."""
+    from itertools import combinations
+
+    out = {
+        r["channel"]: r["shapley_x6"]
+        for r in REGISTRY["q_events_shapley"].fn(spark, sf_dir).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+               + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END),
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1
+        """
+    ).fetchall()
+    conv_by_mask = Counter()
+    for _, umask, conv in rows:
+        conv_by_mask[umask] += conv
+
+    def v(S):
+        return sum(c for m, c in conv_by_mask.items() if (m | S) == S)
+
+    import math
+
+    bits = {"view": 1, "click": 2, "signup": 4}
+    for ch, bit in bits.items():
+        others = [b for b in bits.values() if b != bit]
+        phi6 = 0
+        for k in range(len(others) + 1):
+            for combo in combinations(others, k):
+                S = sum(combo)
+                w = math.factorial(k) * math.factorial(2 - k)
+                phi6 += w * (v(S | bit) - v(S))
+        assert out[ch] == phi6, (ch, out[ch], phi6)
+    assert sum(out.values()) == 6 * (v(7) - v(0))
+
+
+def test_decompose_reconstructs_series(spark, sf_dir):
+    """trend + seasonal + remainder must reconstruct the observed count
+    within rounding, and per-type seasonal components must sum ≈ 0."""
+    rows = REGISTRY["q_ts_decompose"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        recon = r["trend"] + r["seasonal"] + r["remainder"]
+        assert abs(recon - r["cnt"]) < 5e-3, r
+    by_type_dow = defaultdict(set)
+    for r in rows:
+        by_type_dow[r["event_type"]].add(r["seasonal"])
