@@ -3327,3 +3327,122 @@ def q_ts_decompose(spark, sf_dir):
             "remainder"
         ),
     )
+
+
+@query(
+    "q_events_survival",
+    oracle="""
+    WITH oe AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS obs_end FROM events
+    ), firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t0,
+               MAX(oe.obs_end) AS obs_end
+        FROM events CROSS JOIN oe GROUP BY user_id
+    ), conv AS (
+        SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t1
+        FROM events e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= f.t0
+        GROUP BY 1
+    ), spells AS (
+        SELECT f.user_id,
+               CASE WHEN c.t1 IS NOT NULL
+                    THEN (c.t1 - f.t0) // 86400000000
+                    ELSE (f.obs_end - f.t0) // 86400000000 END AS days,
+               CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM firsts f LEFT JOIN conv c USING (user_id)
+        WHERE f.t0 IS NOT NULL
+    ), byday AS (
+        SELECT days, CAST(COUNT(*) AS BIGINT) AS ends,
+               CAST(SUM(event) AS BIGINT) AS d
+        FROM spells GROUP BY 1
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spells),
+    risk AS (
+        SELECT days, d, ends,
+               n - CAST(COALESCE(SUM(ends) OVER (ORDER BY days
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM byday CROSS JOIN tot
+    )
+    SELECT days AS day, n_risk, d,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                     OVER (ORDER BY days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS km_survival
+    FROM risk WHERE d > 0 AND d < n_risk
+    """,
+    tags=("events", "survival", "kaplan-meier", "time-to-convert"),
+)
+def q_events_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve for time-to-convert (first view →
+    first purchase, day granularity, right-censored at the corpus's
+    last timestamp): S(t) = Π(1 − dᵢ/nᵢ) over conversion days — THE
+    estimator for 'what fraction of users still haven't converted by
+    day t' under censoring, where a naive conversion-rate-by-day
+    silently drops censored users. Risk sets come from one ordered
+    prefix sum over the per-day endpoint table (≤ days rows); the KM
+    product runs as exp(ordered running sum of logs) — ordered window
+    accumulation is sequential in both engines, so the float sum order
+    is pinned, unlike a groupBy sum. Rows are emitted at conversion
+    days with d < n (the curve's support); integer day spells from µs
+    arithmetic."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    obs_end = ev.agg(F.max("us").alias("obs_end"))
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t0")
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("us") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    spells = (
+        firsts.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.expr("(t1 - t0) div 86400000000"),
+            )
+            .otherwise(F.expr("(obs_end - t0) div 86400000000"))
+            .alias("days"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    byday = spells.groupBy("days").agg(
+        F.count("*").alias("ends"), F.sum("event").alias("d")
+    )
+    tot = spells.agg(F.count("*").alias("n"))
+    w_prev = W.orderBy("days").rowsBetween(W.unboundedPreceding, -1)
+    risk = byday.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n") - F.coalesce(F.sum("ends").over(w_prev), F.lit(0)),
+    )
+    w_cum = W.orderBy("days").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .withColumn(
+            "km_survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+                    ).over(w_cum)
+                ),
+                6,
+            ),
+        )
+        .select(F.col("days").alias("day"), "n_risk", "d", "km_survival")
+    )

@@ -790,3 +790,57 @@ def q_text_novelty(spark, sf_dir):
         F.count(novel).alias("n_novel"),
         F.round(F.count(novel) / F.count("*"), 4).alias("novelty"),
     )
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+    WITH oe AS (
+        SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS corpus_max FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us,
+           CAST((MAX(oe.corpus_max) - MAX(epoch_us(CAST(ts AS TIMESTAMP))))
+                // 3600000000 AS BIGINT) AS lag_hours,
+           COUNT(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                           >= oe.corpus_max - 7 * 86400000000
+                      THEN 1 END) AS n_last_7d,
+           CASE WHEN (MAX(oe.corpus_max) - MAX(epoch_us(CAST(ts AS TIMESTAMP))))
+                     // 3600000000 > 24 THEN 1 ELSE 0 END AS stale
+    FROM events CROSS JOIN oe
+    GROUP BY event_type, oe.corpus_max
+    """,
+    tags=("dq", "freshness", "staleness", "monitoring"),
+)
+def q_dq_freshness(spark, sf_dir):
+    """Per-source freshness/staleness audit — the first page of every
+    data-quality dashboard: last event time per source (event_type
+    standing in for the feed), hours of lag behind the freshest feed,
+    trailing-7-day volume, and a stale flag at the 24h SLO. The
+    reference clock is the corpus max (not wall clock), so the audit is
+    deterministic and replayable. One broadcast scalar + one hash
+    aggregate; at 100 TB the per-feed max rides partition-pruned footer
+    stats when the table is date-partitioned."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    oe = ev.agg(F.max("us").alias("corpus_max"))
+    joined = ev.crossJoin(F.broadcast(oe))
+    agg = joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("us").alias("last_us"),
+        F.max("corpus_max").alias("cm"),
+        F.count(
+            F.when(F.col("us") >= F.col("corpus_max") - 7 * 86400000000, 1)
+        ).alias("n_last_7d"),
+    )
+    lag_h = F.expr("(cm - last_us) div 3600000000")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "last_us",
+        lag_h.alias("lag_hours"),
+        "n_last_7d",
+        F.when(lag_h > 24, 1).otherwise(0).alias("stale"),
+    )

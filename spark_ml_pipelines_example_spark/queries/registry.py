@@ -115,6 +115,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_info_gain",
     "q_events_shapley",
     "q_ts_decompose",
+    "q_events_survival",
+    "q_dq_freshness",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

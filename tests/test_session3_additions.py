@@ -898,3 +898,29 @@ def test_decompose_reconstructs_series(spark, sf_dir):
     by_type_dow = defaultdict(set)
     for r in rows:
         by_type_dow[r["event_type"]].add(r["seasonal"])
+
+
+def test_survival_curve_monotone(spark, sf_dir):
+    """KM survival must be nonincreasing in day, in (0,1), with risk
+    sets nonincreasing and d ≤ n_risk."""
+    rows = sorted(
+        REGISTRY["q_events_survival"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0 < r["km_survival"] <= prev_s + 1e-9
+        assert 0 < r["d"] < r["n_risk"]
+        if prev_risk is not None:
+            assert r["n_risk"] <= prev_risk
+        prev_s, prev_risk = r["km_survival"], r["n_risk"]
+
+
+def test_freshness_reference_clock(spark, sf_dir):
+    rows = REGISTRY["q_dq_freshness"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert min(r["lag_hours"] for r in rows) == 0  # freshest feed defines the clock
+    for r in rows:
+        assert r["stale"] == (1 if r["lag_hours"] > 24 else 0)
+        assert 0 < r["n_last_7d"] <= r["n_events"]
