@@ -3446,3 +3446,96 @@ def q_events_survival(spark, sf_dir):
         )
         .select(F.col("days").alias("day"), "n_risk", "d", "km_survival")
     )
+
+
+@query(
+    "q_agg_abc_xyz",
+    oracle="""
+    WITH weekly AS (
+        SELECT l_partkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) // 7 AS BIGINT) AS wk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2
+    ), stats AS (
+        SELECT l_partkey, COUNT(*) AS n,
+               CAST(SUM(q) AS BIGINT) AS s1,
+               CAST(SUM(q * q) AS BIGINT) AS s2
+        FROM weekly GROUP BY 1
+    ), rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY 1
+    ), ranked AS (
+        SELECT r.l_partkey, r.cents,
+               SUM(r.cents) OVER (ORDER BY r.cents DESC, r.l_partkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+               SUM(r.cents) OVER () AS tot
+        FROM rev r
+    ), classed AS (
+        SELECT s.l_partkey,
+               CASE WHEN rk.cum * 100 <= rk.tot * 80 THEN 'A'
+                    WHEN rk.cum * 100 <= rk.tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN 4 * (s.n * s.s2 - s.s1 * s.s1) < s.s1 * s.s1 THEN 'X'
+                    WHEN (s.n * s.s2 - s.s1 * s.s1) < s.s1 * s.s1 THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rk.cents
+        FROM stats s JOIN ranked rk USING (l_partkey)
+    )
+    SELECT abc, xyz, COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY 1, 2
+    """,
+    tags=("agg", "abc-xyz", "inventory", "merchandising"),
+)
+def q_agg_abc_xyz(spark, sf_dir):
+    """ABC-XYZ inventory classification matrix — revenue importance
+    (A/B/C from the cumulative-share Pareto rank, same discipline as
+    q_agg_pareto) crossed with demand variability (X/Y/Z from the
+    coefficient of variation of weekly demand). The CV thresholds
+    (0.5, 1.0) are decided WITHOUT floats: cv² ≷ t² becomes the integer
+    cross-multiplication 4(nΣq²−(Σq)²) ≷ (Σq)², so class boundaries
+    can't flip on last-ulp division differences. Two part-keyed
+    aggregates (weekly demand stats, revenue), one cumulative window
+    over the collapsed revenue frame, and a 9-cell output — the
+    planning matrix every supply-chain team draws."""
+    li = t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "datediff(cast(l_shipdate as date), date '1970-01-01') div 7"
+        ).alias("wk"),
+    ).agg(F.sum(dec("l_quantity", 18, 0)).cast("long").alias("q"))
+    stats = weekly.groupBy("l_partkey").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    w_cum = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = rev.withColumn("cum", F.sum("cents").over(w_cum)).withColumn(
+        "tot", F.sum("cents").over(W.partitionBy())
+    )
+    var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    classed = stats.join(ranked, "l_partkey").select(
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+        F.when(4 * var_n < F.col("s1") * F.col("s1"), "X")
+        .when(var_n < F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+        "cents",
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").alias("revenue_cents"),
+    )

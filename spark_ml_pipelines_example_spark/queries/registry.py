@@ -117,6 +117,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_decompose",
     "q_events_survival",
     "q_dq_freshness",
+    "q_agg_abc_xyz",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -924,3 +924,18 @@ def test_freshness_reference_clock(spark, sf_dir):
     for r in rows:
         assert r["stale"] == (1 if r["lag_hours"] > 24 else 0)
         assert 0 < r["n_last_7d"] <= r["n_events"]
+
+
+def test_abc_xyz_partition_covers_catalog(spark, sf_dir):
+    rows = REGISTRY["q_agg_abc_xyz"].fn(spark, sf_dir).collect()
+    n_parts = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    total_cents = duckdb.sql(
+        f"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+            FROM read_parquet('{sf_dir}/lineitem.parquet')"""
+    ).fetchone()[0]
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["revenue_cents"] for r in rows) == total_cents
+    assert {r["abc"] for r in rows} <= {"A", "B", "C"}
+    assert {r["xyz"] for r in rows} <= {"X", "Y", "Z"}
