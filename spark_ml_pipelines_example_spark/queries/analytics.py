@@ -3539,3 +3539,115 @@ def q_agg_abc_xyz(spark, sf_dir):
         F.count("*").alias("n_parts"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+@query(
+    "q_events_stickiness",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(date_part('year', CAST(ts AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(ts AS TIMESTAMP)) - 1 AS BIGINT)
+                   AS month_idx
+        FROM events
+    ), dau AS (
+        SELECT month_idx, day, COUNT(*) AS dau FROM days GROUP BY 1, 2
+    ), mau AS (
+        SELECT month_idx, COUNT(DISTINCT user_id) AS mau FROM days GROUP BY 1
+    )
+    SELECT d.month_idx,
+           COUNT(*) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_days,
+           MAX(m.mau) AS mau,
+           ROUND(CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / MAX(m.mau), 6)
+               AS stickiness
+    FROM dau d JOIN mau m USING (month_idx)
+    GROUP BY 1
+    """,
+    tags=("events", "stickiness", "dau-mau", "engagement"),
+)
+def q_events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month — the engagement-frequency ratio
+    (avg daily actives over monthly actives; 1.0 ⇒ every monthly user
+    shows up every day) product teams track alongside the lifecycle
+    ledger (q_events_lifecycle). One distinct (user, day) collapse
+    feeds both the per-day counts and the per-month distincts; the
+    ratio is integer-ratio arithmetic with a single rounded division.
+    Month indexes are integer year·12+month, same convention as the
+    lifecycle query."""
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("date").alias("day"),
+            (
+                F.year(F.col("ts").cast("timestamp")) * 12
+                + F.month(F.col("ts").cast("timestamp"))
+                - 1
+            )
+            .cast("long")
+            .alias("month_idx"),
+        )
+        .distinct()
+    )
+    dau = days.groupBy("month_idx", "day").agg(F.count("*").alias("dau"))
+    mau = days.groupBy("month_idx").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month_idx")
+        .groupBy("month_idx")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("dau").alias("dau_days"),
+            F.max("mau").alias("mau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count("*") / F.max("mau"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "q_events_heatmap",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS BIGINT)
+                   AS dow,
+               CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cells)
+    SELECT dow, hour, n,
+           ROUND(n * 10000.0 / total, 4) AS share_bp
+    FROM cells CROSS JOIN tot
+    """,
+    tags=("events", "heatmap", "hour-of-week", "profile"),
+)
+def q_events_heatmap(spark, sf_dir):
+    """Hour-of-week activity heatmap (≤168 cells with basis-point
+    shares) — the load-shape profile behind capacity planning, send-time
+    optimization, and the seasonality index (q_events_seasonality)
+    refined to hourly granularity. Day-of-week derives from epoch-day
+    % 7 (engine-exact, same convention as the NB day feature); one hash
+    aggregate collapses any event volume to the 168-cell frame and the
+    share is a single rounded integer-ratio division."""
+    ev = t(spark, sf_dir, "events").select(
+        (
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hour"),
+    )
+    cells = ev.groupBy("dow", "hour").agg(F.count("*").alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n") * 10000.0 / F.col("total"), 4).alias("share_bp"),
+    )

@@ -118,6 +118,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_survival",
     "q_dq_freshness",
     "q_agg_abc_xyz",
+    "q_events_stickiness",
+    "q_events_heatmap",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

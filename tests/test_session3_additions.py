@@ -939,3 +939,21 @@ def test_abc_xyz_partition_covers_catalog(spark, sf_dir):
     assert sum(r["revenue_cents"] for r in rows) == total_cents
     assert {r["abc"] for r in rows} <= {"A", "B", "C"}
     assert {r["xyz"] for r in rows} <= {"X", "Y", "Z"}
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    rows = REGISTRY["q_events_stickiness"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["stickiness"] <= 1 + 1e-9
+        assert r["mau"] > 0 and 1 <= r["n_days"] <= 31
+
+
+def test_heatmap_shares_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["q_events_heatmap"].fn(spark, sf_dir).collect()
+    assert len(rows) <= 168
+    assert abs(sum(r["share_bp"] for r in rows) - 10000) < 1
+    n_events = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n"] for r in rows) == n_events
