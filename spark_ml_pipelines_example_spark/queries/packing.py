@@ -127,3 +127,89 @@ def q_pack_ffd(spark, sf_dir):
         ffd,
         "source string, bin_id long, n_docs long, sum_tokens long, max_doc_tokens long",
     )
+
+
+BATCH_SIZE = 32
+
+
+@query(
+    "q_pack_padding_waste",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), arrival AS (
+        SELECT source, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                   // {BATCH_SIZE} AS batch
+        FROM sized
+    ), bucketed AS (
+        SELECT source, n_tokens,
+               (ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY n_tokens, doc_id) - 1)
+                   // {BATCH_SIZE} AS batch
+        FROM sized
+    ), w AS (
+        SELECT 'arrival' AS strategy, source, batch,
+               COUNT(*) AS n, CAST(MAX(n_tokens) AS BIGINT) AS mx,
+               CAST(SUM(n_tokens) AS BIGINT) AS s
+        FROM arrival GROUP BY 2, 3
+        UNION ALL
+        SELECT 'length_bucketed', source, batch,
+               COUNT(*), CAST(MAX(n_tokens) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT)
+        FROM bucketed GROUP BY 2, 3
+    )
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(s) AS BIGINT) AS real_tokens,
+           CAST(SUM(n * mx - s) AS BIGINT) AS padded_tokens,
+           ROUND(SUM(n * mx - s) * 100.0 / SUM(n * mx), 4) AS waste_pct
+    FROM w GROUP BY 1
+    """,
+    tags=("text", "packing", "padding", "training-data"),
+)
+def q_pack_padding_waste(spark, sf_dir):
+    """Padding-waste accounting for trainer batch formation — the number
+    that justifies length bucketing: batches of {BATCH_SIZE} pad every
+    sequence to the batch max, so waste = Σ(batch_max − len); forming
+    batches in arrival order vs sorted-by-length order (within each
+    source block, the same block discipline as q_pack_shards) shows the
+    length-bucketed strategy cutting the padded-token bill. Everything
+    is integer (row-number batching, max/sum per batch); the waste
+    percentage is one rounded division. Two windows + two aggregates,
+    each partitioned by source."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+
+    def batches(order_cols, label):
+        w = W.partitionBy("source").orderBy(*order_cols)
+        return (
+            d.withColumn(
+                "batch", F.expr(f"(row_number() over (partition by source order by {', '.join(order_cols)}) - 1) div {BATCH_SIZE}")
+            )
+            .groupBy("source", "batch")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("n_tokens").alias("mx"),
+                F.sum("n_tokens").alias("s"),
+            )
+            .withColumn("strategy", F.lit(label))
+        )
+
+    both = batches(["doc_id"], "arrival").unionByName(
+        batches(["n_tokens", "doc_id"], "length_bucketed")
+    )
+    return both.groupBy("strategy").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("s").alias("real_tokens"),
+        F.sum(F.col("n") * F.col("mx") - F.col("s")).alias("padded_tokens"),
+        F.round(
+            F.sum(F.col("n") * F.col("mx") - F.col("s"))
+            * 100.0
+            / F.sum(F.col("n") * F.col("mx")),
+            4,
+        ).alias("waste_pct"),
+    )

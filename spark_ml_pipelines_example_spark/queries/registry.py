@@ -120,6 +120,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_abc_xyz",
     "q_events_stickiness",
     "q_events_heatmap",
+    "q_pack_padding_waste",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -957,3 +957,15 @@ def test_heatmap_shares_sum_to_one(spark, sf_dir):
         f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/events.parquet')"
     ).fetchone()[0]
     assert sum(r["n"] for r in rows) == n_events
+
+
+def test_padding_waste_bucketing_helps(spark, sf_dir):
+    rows = {
+        r["strategy"]: r
+        for r in REGISTRY["q_pack_padding_waste"].fn(spark, sf_dir).collect()
+    }
+    a, b = rows["arrival"], rows["length_bucketed"]
+    assert a["real_tokens"] == b["real_tokens"]  # same corpus
+    assert a["n_batches"] == b["n_batches"]  # same batch count
+    assert b["padded_tokens"] <= a["padded_tokens"]  # bucketing never worse
+    assert 0 <= b["waste_pct"] <= a["waste_pct"] <= 100
