@@ -11,6 +11,7 @@ the engine's SQL entry point alongside the DataFrame API.
 from __future__ import annotations
 
 from ..sources.io import load_table
+from ._util import t
 from .registry import query
 
 _TABLES = ("orders", "lineitem", "customer", "part", "nation")
@@ -127,5 +128,53 @@ def q_join_lateral_topk(spark, sf_dir):
             WHERE c_nationkey = n.n_nationkey
             ORDER BY c_acctbal DESC, c_custkey LIMIT 2
         ) c
+        """
+    )
+
+
+@query(
+    "q_sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT s_suppkey AS node, s_suppkey AS anc, 0 AS dist
+        FROM supplier
+        UNION ALL
+        SELECT node, (anc - 1) // 2, dist + 1 FROM anc WHERE anc > 0
+    )
+    SELECT dist,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(node) AS BIGINT) AS node_sum,
+           CAST(SUM(anc) AS BIGINT) AS anc_sum
+    FROM anc GROUP BY 1
+    """,
+    tags=("sql", "recursive-cte", "hierarchy", "spark4"),
+)
+def q_sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE surface (WITH RECURSIVE, new in Spark 4): the
+    ancestor closure of a heap-shaped supplier hierarchy (parent(k) =
+    (k−1) div 2) — every (node, ancestor, distance) pair down to the
+    root, aggregated per distance. This is the declarative twin of the
+    pointer-doubling operator (operators/hierarchy.py, q_graph_treepath):
+    recursion executes O(depth) joins where pointer doubling does
+    O(log n) — fine when depth is logarithmic (it is here: a balanced
+    hierarchy), the iterative operator is the deep-chain fallback. The
+    recursion step is a self-join per level that Catalyst plans like
+    any equi-join; identical SQL runs on DuckDB (integer-division
+    spelling aside)."""
+    for tbl in ("supplier",):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT s_suppkey AS node, s_suppkey AS anc, 0 AS dist
+            FROM supplier
+            UNION ALL
+            SELECT node, (anc - 1) div 2, dist + 1 FROM anc WHERE anc > 0
+        )
+        SELECT dist,
+               COUNT(*) AS n_pairs,
+               SUM(node) AS node_sum,
+               SUM(anc) AS anc_sum
+        FROM anc GROUP BY dist
         """
     )

@@ -969,3 +969,31 @@ def test_padding_waste_bucketing_helps(spark, sf_dir):
     assert a["n_batches"] == b["n_batches"]  # same batch count
     assert b["padded_tokens"] <= a["padded_tokens"]  # bucketing never worse
     assert 0 <= b["waste_pct"] <= a["waste_pct"] <= 100
+
+
+def test_recursive_cte_closure_size(spark, sf_dir):
+    """Ancestor-closure pair counts must match a Python walk of the
+    heap hierarchy, and distance-0 pairs must equal the node count."""
+    out = {
+        r["dist"]: (r["n_pairs"], r["node_sum"], r["anc_sum"])
+        for r in REGISTRY["q_sql_recursive_cte"].fn(spark, sf_dir).collect()
+    }
+    keys = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT s_suppkey FROM read_parquet('{sf_dir}/supplier.parquet')"
+        ).fetchall()
+    ]
+    expect = defaultdict(lambda: [0, 0, 0])
+    for k in keys:
+        node, anc, dist = k, k, 0
+        while True:
+            e = expect[dist]
+            e[0] += 1
+            e[1] += node
+            e[2] += anc
+            if anc <= 0:
+                break
+            anc = (anc - 1) // 2
+            dist += 1
+    assert out == {d: tuple(v) for d, v in expect.items()}
