@@ -1121,3 +1121,75 @@ def q_agg_bitmap_distinct(spark, sf_dir):
         F.sum(F.expr("bitmap_count(bm)")).alias("n_customers"),
         F.sum("n").alias("n_orders"),
     )
+
+
+@query(
+    "q_agg_incremental_maintenance",
+    # The oracle is the FULL recompute: the engine's base+delta merge
+    # must be indistinguishable from aggregating all the data at once —
+    # that equivalence is the entire point of mergeable aggregates.
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+               AS last_order_us
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "incremental", "materialized-view", "mergeable"),
+)
+def q_agg_incremental_maintenance(spark, sf_dir):
+    """Incremental aggregate maintenance — the materialized-view update
+    pattern: the standing per-customer rollup (orders older than the
+    60-day delta horizon) is MERGED with the delta batch's rollup via a
+    full-outer combine of sufficient statistics (counts add, exact
+    decimal cents add, last-order maxes max) instead of rescanning
+    history. The driver-checked oracle is the full recompute, so the
+    hash match IS the proof that merge(base_agg, delta_agg) ≡
+    agg(base ∪ delta) — the mergeability property every warehouse
+    rollup job depends on (and the reason the engine keeps aggregates
+    in sums/counts, never averages). Scale shape: the delta scan is
+    date-bounded (partition-pruned in a date-partitioned deployment);
+    the merge is one custkey-keyed outer join between two pre-collapsed
+    frames."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (dec("o_totalprice") * 100).cast("long").alias("cents_raw"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+    )
+    cutoff = o.agg(
+        (F.max("us") - 60 * 86400 * 1_000_000).alias("cutoff_us")
+    )
+    with_cut = o.crossJoin(F.broadcast(cutoff))
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents_raw").alias("cents"),
+            F.max("us").alias("last_order_us"),
+        )
+
+    base = rollup(with_cut.filter(F.col("us") < F.col("cutoff_us")))
+    delta = rollup(with_cut.filter(F.col("us") >= F.col("cutoff_us")))
+    b = base.select(
+        "o_custkey",
+        F.col("n_orders").alias("bn"),
+        F.col("cents").alias("bc"),
+        F.col("last_order_us").alias("bl"),
+    )
+    d = delta.select(
+        "o_custkey",
+        F.col("n_orders").alias("dn"),
+        F.col("cents").alias("dc"),
+        F.col("last_order_us").alias("dl"),
+    )
+    return b.join(d, "o_custkey", "full").select(
+        "o_custkey",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+        (F.coalesce("bc", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("cents"),
+        F.greatest(
+            F.coalesce("bl", F.lit(-(1 << 62))), F.coalesce("dl", F.lit(-(1 << 62)))
+        ).alias("last_order_us"),
+    )

@@ -122,6 +122,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_heatmap",
     "q_pack_padding_waste",
     "q_sql_recursive_cte",
+    "q_agg_incremental_maintenance",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -997,3 +997,21 @@ def test_recursive_cte_closure_size(spark, sf_dir):
             anc = (anc - 1) // 2
             dist += 1
     assert out == {d: tuple(v) for d, v in expect.items()}
+
+
+def test_incremental_maintenance_delta_nonempty(spark, sf_dir):
+    """The merge must actually exercise both sides: some customers only
+    in base, and the delta horizon must hold a nonzero share of rows."""
+    out = REGISTRY["q_agg_incremental_maintenance"].fn(spark, sf_dir).collect()
+    n_rows = duckdb.sql(
+        f"""SELECT COUNT(*),
+                   CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT)
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchone()
+    cutoff = n_rows[1] - 60 * 86400 * 1_000_000
+    n_delta = duckdb.sql(
+        f"""SELECT COUNT(*) FROM read_parquet('{sf_dir}/orders.parquet')
+            WHERE epoch_us(CAST(o_orderdate AS TIMESTAMP)) >= {cutoff}"""
+    ).fetchone()[0]
+    assert 0 < n_delta < n_rows[0]
+    assert sum(r["n_orders"] for r in out) == n_rows[0]
