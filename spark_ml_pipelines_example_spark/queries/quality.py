@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import bigrams, ngrams, tokens
-from ._util import epoch_s, t
+from ._util import dec, epoch_s, t
 from .registry import query
 
 # Repetition flags (Gopher-style): a doc is repetitive when its most
@@ -843,4 +843,121 @@ def q_dq_freshness(spark, sf_dir):
         lag_h.alias("lag_hours"),
         "n_last_7d",
         F.when(lag_h > 24, 1).otherwise(0).alias("stale"),
+    )
+
+
+@query(
+    "q_dq_table_fingerprint",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM orders
+    ), l AS (
+        SELECT CAST(('0x' || substr(md5(
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_partkey AS VARCHAR) || '|' ||
+                   CAST(l_suppkey AS VARCHAR) || '|' ||
+                   CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM lineitem
+    )
+    SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+               AS fingerprint FROM o
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+           CAST(SUM(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) FROM l
+    """,
+    tags=("dq", "fingerprint", "checksum", "reconciliation"),
+)
+def q_dq_table_fingerprint(spark, sf_dir):
+    """Order-independent table fingerprints — the O(1)-output
+    reconciliation primitive behind 'did replication/migration change
+    anything': each row canonicalizes to a pipe-joined string of its
+    business key and cent-exact money (never raw doubles — their string
+    forms differ across engines), hashes to a 60-bit integer (15 hex
+    chars of md5 — identical under Spark's conv and DuckDB's 0x cast),
+    and the table fingerprint is the plain SUM — commutative, so
+    partition/shuffle order can't change it, and MERGEABLE, so shard
+    fingerprints roll up to table fingerprints for free. Pairs with
+    q_diff_tables: fingerprints say WHETHER tables diverged for
+    pennies; the diff says WHERE."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    h_o = F.expr(
+        "conv(substring(md5(concat(cast(o_orderkey as string), '|', "
+        "cast(o_custkey as string), '|', o_orderstatus, '|', "
+        "cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string))), "
+        "1, 15), 16, 10)"
+    ).cast("long")
+    h_l = F.expr(
+        "conv(substring(md5(concat(cast(l_orderkey as string), '|', "
+        "cast(l_partkey as string), '|', cast(l_suppkey as string), '|', "
+        "cast(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint) as string))), "
+        "1, 15), 16, 10)"
+    ).cast("long")
+    MERSENNE61 = 2305843009213693951  # sums exceed int64; reduce the exact
+    # decimal accumulation mod 2^61-1 so the fingerprint ships as a BIGINT
+    fo = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        (F.sum(h_o.cast("decimal(25,0)")) % MERSENNE61)
+        .cast("long")
+        .alias("fingerprint"),
+    ).select("tbl", "n_rows", "fingerprint")
+    fl = l.agg(
+        F.lit("lineitem").alias("tbl"),
+        F.count("*").alias("n_rows"),
+        (F.sum(h_l.cast("decimal(25,0)")) % MERSENNE61)
+        .cast("long")
+        .alias("fingerprint"),
+    ).select("tbl", "n_rows", "fingerprint")
+    return fo.unionAll(fl)
+
+
+@query(
+    "q_curate_pseudonymize",
+    oracle="""
+    WITH p AS (
+        SELECT substr(sha256('tenant-salt-42|' || CAST(user_id AS VARCHAR)), 1, 16)
+                   AS pid,
+               user_id, value
+        FROM events
+    )
+    SELECT substr(pid, 1, 1) AS bucket,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT pid) AS n_pseudonyms,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM p GROUP BY 1
+    """,
+    tags=("curation", "pseudonymization", "privacy", "compliance"),
+)
+def q_curate_pseudonymize(spark, sf_dir):
+    """Deterministic pseudonymization (keyed-hash tokenization): user
+    ids map to salted-SHA256 pseudonyms so analytics keep referential
+    integrity without raw identifiers — the GDPR-friendly sibling of
+    hard erasure (q_curate_erasure). The declared result groups by
+    pseudonym prefix bucket and asserts, value-visibly, that pseudonyms
+    stay 1:1 with users per bucket (n_pseudonyms = n_users — a salt
+    collision or truncation bug would split or merge identities and
+    break the hash match). Map-only hashing (codegen sha2) + one
+    aggregate; in production the salt lives in a KMS, never in code."""
+    ev = t(spark, sf_dir, "events")
+    pid = F.substring(
+        F.sha2(F.concat(F.lit("tenant-salt-42|"), F.col("user_id").cast("string")), 256),
+        1,
+        16,
+    )
+    p = ev.select(pid.alias("pid"), "user_id", "value")
+    return p.groupBy(F.substring("pid", 1, 1).alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("pid").alias("n_pseudonyms"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum((dec("value") * 100).cast("long")).alias("cents"),
     )

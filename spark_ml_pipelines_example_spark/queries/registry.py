@@ -123,6 +123,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pack_padding_waste",
     "q_sql_recursive_cte",
     "q_agg_incremental_maintenance",
+    "q_dq_table_fingerprint",
+    "q_curate_pseudonymize",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -1015,3 +1015,36 @@ def test_incremental_maintenance_delta_nonempty(spark, sf_dir):
     ).fetchone()[0]
     assert 0 < n_delta < n_rows[0]
     assert sum(r["n_orders"] for r in out) == n_rows[0]
+
+
+def test_fingerprint_detects_single_row_change(spark, sf_dir):
+    """Fingerprints must be stable across recomputation and sensitive to
+    any row: recompute in Python and flip one row to see it move."""
+    out = {
+        r["tbl"]: (r["n_rows"], r["fingerprint"])
+        for r in REGISTRY["q_dq_table_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    import hashlib
+
+    M = 2305843009213693951
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+                   || '|' || o_orderstatus || '|' ||
+                   CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR)
+            FROM read_parquet('{sf_dir}/orders.parquet')"""
+    ).fetchall()
+    total = sum(int(hashlib.md5(r[0].encode()).hexdigest()[:15], 16) for r in rows)
+    assert out["orders"] == (len(rows), total % M)
+    # single-row sensitivity: perturbing one canonical string changes it
+    perturbed = total - int(hashlib.md5(rows[0][0].encode()).hexdigest()[:15], 16) + int(
+        hashlib.md5((rows[0][0] + "x").encode()).hexdigest()[:15], 16
+    )
+    assert perturbed % M != out["orders"][1]
+
+
+def test_pseudonymize_bijective_per_bucket(spark, sf_dir):
+    rows = REGISTRY["q_curate_pseudonymize"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pseudonyms"] == r["n_users"]
