@@ -3651,3 +3651,83 @@ def q_events_heatmap(spark, sf_dir):
         "n",
         F.round(F.col("n") * 10000.0 / F.col("total"), 4).alias("share_bp"),
     )
+
+
+@query(
+    "q_agg_price_index",
+    oracle="""
+    WITH pm AS (
+        SELECT l_partkey,
+               CAST(date_part('year', CAST(l_shipdate AS TIMESTAMP)) * 12
+                    + date_part('month', CAST(l_shipdate AS TIMESTAMP)) - 1
+                    AS BIGINT) AS m,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2
+    ), base AS (
+        SELECT l_partkey, cents AS c0, qty AS q0
+        FROM pm WHERE m = (SELECT MIN(m) FROM pm)
+    ), terms AS (
+        SELECT pm.m,
+               CAST(CAST(pm.cents AS DOUBLE) * base.q0 / pm.qty
+                    AS DECIMAL(18,4)) AS cur_term,
+               CAST(CAST(base.c0 AS DOUBLE) AS DECIMAL(18,4)) AS base_term
+        FROM pm JOIN base USING (l_partkey)
+    )
+    SELECT m AS month_idx,
+           COUNT(*) AS n_parts,
+           ROUND(CAST(SUM(cur_term) AS DOUBLE)
+                 / CAST(SUM(base_term) AS DOUBLE) * 100, 4) AS laspeyres
+    FROM terms GROUP BY 1
+    """,
+    tags=("agg", "price-index", "laspeyres", "econometrics"),
+)
+def q_agg_price_index(spark, sf_dir):
+    """Laspeyres price index per month (base = earliest month, index
+    100): Σ p_m·q₀ / Σ p₀·q₀ over parts traded in both periods, with
+    p = the period's average unit price — the inflation-tracking shape
+    every pricing/finance team materializes. Hash discipline: the
+    per-part term p_m·q₀ = cents_m·q₀/qty_m is ONE IEEE division per
+    part, immediately cast to decimal(18,4) so the cross-part summation
+    is exact and order-independent (a raw double Σ over the catalog
+    would be shuffle-order-dependent); p₀·q₀ simplifies to the exact
+    base cents. Two part-month aggregates + a broadcast base join."""
+    li = t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (
+            F.year(F.col("l_shipdate").cast("timestamp")) * 12
+            + F.month(F.col("l_shipdate").cast("timestamp"))
+            - 1
+        )
+        .cast("long")
+        .alias("m"),
+    ).agg(
+        F.sum(dec("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.sum(dec("l_quantity", 18, 0)).cast("long").alias("qty"),
+    )
+    min_m = pm.agg(F.min("m").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(min_m))
+        .filter(F.col("m") == F.col("m0"))
+        .select(
+            "l_partkey", F.col("cents").alias("c0"), F.col("qty").alias("q0")
+        )
+    )
+    terms = pm.join(F.broadcast(base), "l_partkey").select(
+        "m",
+        (F.col("cents").cast("double") * F.col("q0") / F.col("qty"))
+        .cast("decimal(18,4)")
+        .alias("cur_term"),
+        F.col("c0").cast("double").cast("decimal(18,4)").alias("base_term"),
+    )
+    return terms.groupBy(F.col("m").alias("month_idx")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(
+            F.sum("cur_term").cast("double")
+            / F.sum("base_term").cast("double")
+            * 100,
+            4,
+        ).alias("laspeyres"),
+    )

@@ -1536,3 +1536,122 @@ def q_ml_info_gain(spark, sf_dir):
         F.round(F.col("h") - F.col("hc"), 6).alias("info_gain_nats"),
         F.round((F.col("h") - F.col("hc")) / F.col("h"), 6).alias("ig_ratio"),
     )
+
+
+@query(
+    "q_ml_class_metrics",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderstatus AS label, o_orderpriority AS f1,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) % 7 AS BIGINT) AS f2
+        FROM orders
+    ), joint AS (
+        SELECT label, f1, f2, COUNT(*) AS n FROM base GROUP BY 1, 2, 3
+    ), nc AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_c FROM joint GROUP BY 1),
+    n1 AS (SELECT label, f1, CAST(SUM(n) AS BIGINT) AS n_1 FROM joint GROUP BY 1, 2),
+    n2 AS (SELECT label, f2, CAST(SUM(n) AS BIGINT) AS n_2 FROM joint GROUP BY 1, 2),
+    v AS (SELECT COUNT(DISTINCT f1) AS v1, COUNT(DISTINCT f2) AS v2 FROM base),
+    combos AS (SELECT DISTINCT f1, f2 FROM base),
+    scored AS (
+        SELECT c.f1, c.f2, nc.label,
+               CAST(nc.n_c AS HUGEINT) * (COALESCE(n1.n_1, 0) + 1)
+                   * (COALESCE(n2.n_2, 0) + 1) AS a,
+               CAST(nc.n_c + v.v1 AS HUGEINT) * (nc.n_c + v.v2) AS b
+        FROM combos c CROSS JOIN nc CROSS JOIN v
+        LEFT JOIN n1 ON n1.label = nc.label AND n1.f1 = c.f1
+        LEFT JOIN n2 ON n2.label = nc.label AND n2.f2 = c.f2
+    ), wins AS (
+        SELECT s1.f1, s1.f2, s1.label AS predicted
+        FROM scored s1 JOIN scored s2
+          ON s1.f1 = s2.f1 AND s1.f2 = s2.f2 AND s1.label <> s2.label
+        WHERE s1.a * s2.b > s2.a * s1.b
+           OR (s1.a * s2.b = s2.a * s1.b AND s1.label < s2.label)
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM nc) - 1
+    ), confusion AS (
+        SELECT b.label AS actual, w.predicted, COUNT(*) AS n
+        FROM base b JOIN wins w ON b.f1 = w.f1 AND b.f2 = w.f2
+        GROUP BY 1, 2
+    ), per_class AS (
+        SELECT cls.label,
+               COALESCE((SELECT SUM(n) FROM confusion
+                         WHERE actual = cls.label AND predicted = cls.label), 0)
+                   AS tp,
+               COALESCE((SELECT SUM(n) FROM confusion
+                         WHERE predicted = cls.label), 0) AS pred_n,
+               COALESCE((SELECT SUM(n) FROM confusion
+                         WHERE actual = cls.label), 0) AS actual_n
+        FROM nc cls
+    )
+    SELECT label,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(pred_n AS BIGINT) AS pred_n,
+           CAST(actual_n AS BIGINT) AS actual_n,
+           ROUND(CASE WHEN pred_n = 0 THEN 0.0 ELSE tp * 1.0 / pred_n END, 6)
+               AS precision,
+           ROUND(CASE WHEN actual_n = 0 THEN 0.0 ELSE tp * 1.0 / actual_n END, 6)
+               AS recall,
+           ROUND(CASE WHEN tp = 0 THEN 0.0
+                      ELSE 2.0 * tp / (pred_n + actual_n) END, 6) AS f1
+    FROM per_class
+    """,
+    tags=("ml", "precision-recall", "f1", "evaluation"),
+)
+def q_ml_class_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 derived from the exact-integer
+    Naive Bayes confusion matrix (q_ml_naive_bayes) — the evaluation
+    readout the single-accuracy evaluator (reference R13/R14,
+    q_ml_evaluator) doesn't give: class-imbalanced deployments are
+    judged on per-class F1, not accuracy. TP / predicted / actual
+    totals are integer margins of the tiny confusion frame; the three
+    ratios are single integer-ratio divisions (F1 in the 2TP/(P+A)
+    form — one division, no precision·recall float chaining)."""
+    from .registry import REGISTRY as _REG
+
+    confusion = _REG["q_ml_naive_bayes"].fn(spark, sf_dir)
+    classes = confusion.select(F.col("actual").alias("label")).distinct()
+    tp = confusion.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("label"), F.col("n").alias("tp")
+    )
+    pred_n = confusion.groupBy(F.col("predicted").alias("label")).agg(
+        F.sum("n").alias("pred_n")
+    )
+    actual_n = confusion.groupBy(F.col("actual").alias("label")).agg(
+        F.sum("n").alias("actual_n")
+    )
+    j = (
+        classes.join(tp, "label", "left")
+        .join(pred_n, "label", "left")
+        .join(actual_n, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+            F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
+        )
+    )
+    return j.select(
+        "label",
+        "tp",
+        "pred_n",
+        "actual_n",
+        F.round(
+            F.when(F.col("pred_n") == 0, 0.0).otherwise(
+                F.col("tp") / F.col("pred_n")
+            ),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("actual_n") == 0, 0.0).otherwise(
+                F.col("tp") / F.col("actual_n")
+            ),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("tp") == 0, 0.0).otherwise(
+                2.0 * F.col("tp") / (F.col("pred_n") + F.col("actual_n"))
+            ),
+            6,
+        ).alias("f1"),
+    )

@@ -125,6 +125,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_incremental_maintenance",
     "q_dq_table_fingerprint",
     "q_curate_pseudonymize",
+    "q_agg_price_index",
+    "q_ml_class_metrics",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

@@ -1048,3 +1048,29 @@ def test_pseudonymize_bijective_per_bucket(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["n_pseudonyms"] == r["n_users"]
+
+
+def test_price_index_base_month_is_100(spark, sf_dir):
+    rows = {
+        r["month_idx"]: (r["n_parts"], r["laspeyres"])
+        for r in REGISTRY["q_agg_price_index"].fn(spark, sf_dir).collect()
+    }
+    base = min(rows)
+    assert abs(rows[base][1] - 100.0) < 1e-6
+    for n, idx in rows.values():
+        assert n > 0 and 10 < idx < 1000  # sane index band
+
+
+def test_class_metrics_consistent_with_confusion(spark, sf_dir):
+    conf = REGISTRY["q_ml_naive_bayes"].fn(spark, sf_dir).collect()
+    met = {r["label"]: r for r in REGISTRY["q_ml_class_metrics"].fn(spark, sf_dir).collect()}
+    total = sum(r["n"] for r in conf)
+    assert sum(m["actual_n"] for m in met.values()) == total
+    assert sum(m["pred_n"] for m in met.values()) == total
+    for lbl, m in met.items():
+        tp = sum(r["n"] for r in conf if r["actual"] == lbl and r["predicted"] == lbl)
+        assert m["tp"] == tp
+        if m["pred_n"]:
+            assert abs(m["precision"] - tp / m["pred_n"]) < 1e-6
+        if m["actual_n"]:
+            assert abs(m["recall"] - tp / m["actual_n"]) < 1e-6
