@@ -925,3 +925,65 @@ def q_dedup_substring_spans(spark, sf_dir):
         F.count("is_dup").alias("n_dup_spans"),
         F.round(F.count("is_dup") / F.count("*"), 4).alias("dup_ratio"),
     )
+
+
+@query(
+    "q_dedup_storage_impact",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source,
+               CAST(strlen(text) AS BIGINT) AS nbytes,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+        FROM documents
+    ), clusters AS (
+        SELECT source, f, COUNT(*) AS n,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+               CAST(MIN(nbytes) AS BIGINT) AS keep_bytes
+        FROM fp GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_removable,
+           CAST(SUM(total_bytes) AS BIGINT) AS bytes_total,
+           CAST(SUM(total_bytes - keep_bytes) AS BIGINT) AS bytes_saved,
+           ROUND(SUM(total_bytes - keep_bytes) * 100.0 / SUM(total_bytes), 4)
+               AS saved_pct
+    FROM clusters GROUP BY 1
+    """,
+    tags=("dedup", "storage-impact", "capacity", "training-data"),
+)
+def q_dedup_storage_impact(spark, sf_dir):
+    """Storage/compute impact of exact dedup, per source — the number
+    that justifies running the dedup pipeline at all: cluster documents
+    by the same normalized fingerprint q_dedup_exact uses, keep one
+    representative per cluster (min bytes — the canonical keep-smallest
+    rule), and report removable docs, reclaimable bytes, and the saved
+    percentage. Curation teams read this per source to decide which
+    feeds deserve the more expensive near-dup passes (MinHash/SimHash
+    families). One fingerprint hash-aggregate + one source rollup."""
+    d = t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        F.octet_length("text").cast("long").alias("nbytes"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("f"),
+    )
+    clusters = fp.groupBy("source", "f").agg(
+        F.count("*").alias("n"),
+        F.sum("nbytes").alias("total_bytes"),
+        F.min("nbytes").alias("keep_bytes"),
+    )
+    return clusters.groupBy("source").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n").alias("n_docs"),
+        (F.sum("n") - F.count("*")).alias("n_removable"),
+        F.sum("total_bytes").alias("bytes_total"),
+        F.sum(F.col("total_bytes") - F.col("keep_bytes")).alias("bytes_saved"),
+        F.round(
+            F.sum(F.col("total_bytes") - F.col("keep_bytes"))
+            * 100.0
+            / F.sum("total_bytes"),
+            4,
+        ).alias("saved_pct"),
+    )

@@ -961,3 +961,66 @@ def q_curate_pseudonymize(spark, sf_dir):
         F.count_distinct("user_id").alias("n_users"),
         F.sum((dec("value") * 100).cast("long")).alias("cents"),
     )
+
+
+@query(
+    "q_dq_error_budget",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+                   AS hr,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errs
+        FROM events GROUP BY 1
+    ), rolling AS (
+        SELECT hr, n, errs,
+               CAST(SUM(n) OVER w AS BIGINT) AS n24,
+               CAST(SUM(errs) OVER w AS BIGINT) AS e24,
+               CAST(COUNT(*) OVER w AS BIGINT) AS hrs
+        FROM hourly
+        WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr, n24, e24,
+           ROUND(e24 * 10000.0 / n24, 4) AS err_bp,
+           CASE WHEN e24 * 100 > n24 * 25 THEN 1 ELSE 0 END AS burn_alarm
+    FROM rolling WHERE hrs = 24
+    """,
+    tags=("dq", "slo", "error-budget", "observability"),
+)
+def q_dq_error_budget(spark, sf_dir):
+    """Rolling 24h error-budget burn — the SRE view of the event stream:
+    hourly totals collapse the volume first, a trailing-24h window sums
+    requests and errors, and the alarm fires when the rolling error
+    rate exceeds 25% of a 1%-error SLO's budget... precisely: when
+    e24/n24 > 0.25% — evaluated as the integer cross-multiplication
+    e24·100 > n24·25, so the alarm can't flip on a float boundary.
+    Rows are emitted only at full 24h support (same rule as RSI). The
+    consecutive-hour assumption holds for this dense fixture; sparse
+    feeds would first gap-fill the hourly spine (q_ts_interpolate)."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.unix_timestamp(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            ).alias("hr")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("errs"),
+        )
+    )
+    w = W.orderBy("hr").rowsBetween(-23, 0)
+    rolling = (
+        hourly.withColumn("n24", F.sum("n").over(w))
+        .withColumn("e24", F.sum("errs").over(w))
+        .withColumn("hrs", F.count("*").over(w))
+    )
+    return rolling.filter(F.col("hrs") == 24).select(
+        "hr",
+        "n24",
+        "e24",
+        F.round(F.col("e24") * 10000.0 / F.col("n24"), 4).alias("err_bp"),
+        F.when(F.col("e24") * 100 > F.col("n24") * 25, 1)
+        .otherwise(0)
+        .alias("burn_alarm"),
+    )

@@ -127,6 +127,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_curate_pseudonymize",
     "q_agg_price_index",
     "q_ml_class_metrics",
+    "q_dedup_storage_impact",
+    "q_dq_error_budget",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

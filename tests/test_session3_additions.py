@@ -1074,3 +1074,23 @@ def test_class_metrics_consistent_with_confusion(spark, sf_dir):
             assert abs(m["precision"] - tp / m["pred_n"]) < 1e-6
         if m["actual_n"]:
             assert abs(m["recall"] - tp / m["actual_n"]) < 1e-6
+
+
+def test_storage_impact_consistent_with_exact_dedup(spark, sf_dir):
+    rows = REGISTRY["q_dedup_storage_impact"].fn(spark, sf_dir).collect()
+    n_docs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["bytes_saved"] <= r["bytes_total"]
+        assert r["n_removable"] == r["n_docs"] - r["n_clusters"]
+
+
+def test_error_budget_alarm_threshold(spark, sf_dir):
+    rows = REGISTRY["q_dq_error_budget"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expected = 1 if r["e24"] * 100 > r["n24"] * 25 else 0
+        assert r["burn_alarm"] == expected
+        assert 0 <= r["err_bp"] <= 10000
