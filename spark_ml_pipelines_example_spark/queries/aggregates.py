@@ -1193,3 +1193,37 @@ def q_agg_incremental_maintenance(spark, sf_dir):
             F.coalesce("bl", F.lit(-(1 << 62))), F.coalesce("dl", F.lit(-(1 << 62)))
         ).alias("last_order_us"),
     )
+
+
+@query(
+    "q_agg_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS p50_disc,
+           quantile_disc(l_quantity, 0.9) AS p90_disc,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_cont,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("agg", "percentile-disc", "order-statistics"),
+)
+def q_agg_percentile_disc(spark, sf_dir):
+    """Discrete vs continuous percentiles side by side: percentile_disc
+    returns an ELEMENT of the data (the SQL-standard PERCENTILE_DISC —
+    what you want for 'the median order', since an interpolated value
+    may not exist in the domain) while percentile interpolates
+    (q_agg_percentile). Spark's `percentile_disc`/`median` family ≡
+    DuckDB's `quantile_disc`; both are exact order statistics, so no
+    rounding is needed on the discrete columns. Same one-shuffle
+    aggregate shape as every percentile here."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "p50_disc"
+        ),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias(
+            "p90_disc"
+        ),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_cont"),
+        F.count("*").alias("n"),
+    )

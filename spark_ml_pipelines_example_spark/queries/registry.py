@@ -129,6 +129,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ml_class_metrics",
     "q_dedup_storage_impact",
     "q_dq_error_budget",
+    "q_win_value_functions",
+    "q_agg_percentile_disc",
     "q_join_bucketed_colocated",
     "q_join_dpp_prune",
     "q_text_chunk",

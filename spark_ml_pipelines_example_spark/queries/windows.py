@@ -658,3 +658,42 @@ def q_win_rolling_corr(spark, sf_dir):
         F.count("*").over(w).alias("n_window"),
         F.round(F.corr("p", "c").over(w), 4).alias("corr30"),
     )
+
+
+@query(
+    "q_win_value_functions",
+    oracle="""
+    SELECT o_orderkey,
+           NTH_VALUE(o_totalprice, 3) OVER w AS third_price,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+           LAG(o_totalprice, 2, -1.0) OVER w AS lag2_default
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "nth-value", "value-functions"),
+)
+def q_win_value_functions(spark, sf_dir):
+    """Window value functions beyond first/last/lag/lead
+    (q_win_analytic): NTH_VALUE over a running frame (null until the
+    frame holds n rows — the semantics that trip people up) and LAG
+    with an explicit default instead of null. The running frame makes
+    nth_value deterministic under the unique (date, key) order; one
+    status-partitioned exchange carries all three."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_orderdate").cast("date"), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.lag("o_totalprice", 2, -1.0).over(
+            W.partitionBy("o_orderstatus").orderBy(
+                F.col("o_orderdate").cast("date"), "o_orderkey"
+            )
+        ).alias("lag2_default"),
+    )
