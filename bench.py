@@ -120,6 +120,16 @@ HEADLINE = [
     "q_ts_cusum",
     "q_set_bag_ops",
     "q_pack_ffd",
+    # final continuation batches: game-theoretic attribution, survival,
+    # decomposition, classification matrices, reconciliation, recursion
+    "q_events_shapley",
+    "q_events_survival",
+    "q_ts_decompose",
+    "q_agg_abc_xyz",
+    "q_dq_table_fingerprint",
+    "q_agg_price_index",
+    "q_sql_recursive_cte",
+    "q_agg_incremental_maintenance",
 ]
 
 

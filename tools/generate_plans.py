@@ -92,6 +92,11 @@ SHOWCASE = [
     ("q_events_lifecycle", "growth accounting: one user_id exchange for three windows + tiny month aggs"),
     ("q_agg_bitmap_distinct", "bitmap distinct: bucketed bitmap construct + popcount reaggregate"),
     ("q_win_streak", "streak islands: date-minus-row-number anchor, one user_id exchange"),
+    ("q_events_shapley", "Shapley: user-mask agg to 8 rows, broadcast coalition lattice joins"),
+    ("q_events_survival", "KM: per-day endpoints + ordered prefix sums, broadcast scalars"),
+    ("q_agg_incremental_maintenance", "MV maintenance: two pre-collapsed rollups + one outer merge join"),
+    ("q_dq_table_fingerprint", "table fingerprint: map-side row hashes, decimal mod-sum reaggregate"),
+    ("q_sql_recursive_cte", "recursive CTE: per-level self-join closure, then one hash aggregate"),
 ]
 
 
