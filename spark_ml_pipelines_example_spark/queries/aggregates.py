@@ -1227,3 +1227,49 @@ def q_agg_percentile_disc(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_cont"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q_agg_hll_merge",
+    # Estimates come from Spark's Apache DataSketches HLL — deterministic
+    # for fixed input sets (hash-based, no RNG) but engine-specific, so no
+    # SQL oracle; tests/test_sketches.py pins the ±3% envelope vs exact
+    # countDistinct and the sketch-merge ≡ union-of-inputs invariant.
+    oracle=None,
+    tags=("agg", "sketch", "hll", "mergeable", "approx"),
+)
+def q_agg_hll_merge(spark, sf_dir):
+    """Mergeable HLL distinct-user sketches: one DataSketches HLL per
+    event type, then a sketch-level union to the global estimate —
+    the pattern that makes 100 TB distinct counting incremental. Unlike
+    `q_agg_approx_distinct` (a one-shot estimate), the sketch here is a
+    reusable BINARY value: per-partition/per-day sketches can be stored
+    and re-unioned later without touching raw data, which is how
+    incremental-MV distinct counts (see q_agg_incremental_maintenance)
+    extend to COUNT(DISTINCT). The exact twin of this merge shape is
+    q_agg_bitmap_distinct; HLL trades exactness for O(KB) fixed size.
+
+    Scale shape: partial sketches build map-side (hll_sketch_agg is an
+    ImperativeAggregate with partial merge), one |types|-row shuffle,
+    then a |types|→1 union — no second scan of the data for the global
+    row.
+    """
+    ev = t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_type = sk.select(
+        "event_type", "n_events", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = (
+        sk.agg(
+            F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_events",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+    )
+    return per_type.unionByName(merged)

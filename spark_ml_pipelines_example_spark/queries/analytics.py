@@ -3731,3 +3731,162 @@ def q_agg_price_index(spark, sf_dir):
             4,
         ).alias("laspeyres"),
     )
+
+
+# Truncated SES window: 10 taps of geometric weights (1-α)^lag with α=0.3,
+# expressed as EXACT integer weights 7^lag · 10^(9-lag) (= 0.7^lag scaled by
+# 10^9) so both engines accumulate identical integers — no cross-engine pow()
+# in the sum, no float accumulation order anywhere.
+SES_TAPS = 10
+
+
+@query(
+    "q_ts_ses",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(20,0)) AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.d AS epoch_day,
+           COUNT(*) AS n_taps,
+           CAST(a.cents AS DOUBLE) / 100 AS x,
+           ROUND(
+             CAST(SUM(CAST(CAST(ROUND(POWER(7.0, a.d - b.d)) AS BIGINT)
+                            * CAST(ROUND(POWER(10.0, {SES_TAPS - 1} - (a.d - b.d))) AS BIGINT)
+                           AS DECIMAL(16,0)) * b.cents) AS DOUBLE)
+             / CAST(SUM(CAST(CAST(ROUND(POWER(7.0, a.d - b.d)) AS BIGINT)
+                              * CAST(ROUND(POWER(10.0, {SES_TAPS - 1} - (a.d - b.d))) AS BIGINT)
+                             AS DECIMAL(16,0))) AS DOUBLE) / 100,
+             4) AS ses
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.d BETWEEN a.d - {SES_TAPS - 1} AND a.d
+    GROUP BY a.event_type, a.d, a.cents
+    """,
+    tags=("timeseries", "smoothing", "ses", "feature-engineering"),
+)
+def q_ts_ses(spark, sf_dir):
+    """Simple exponential smoothing (truncated to 10 taps) of the daily
+    value series per event type — the classic trailing-decay signal
+    behind anomaly baselines and demand forecasts.
+
+    Determinism design: the geometric weights (1-α)^lag, α=0.3, are the
+    exact integers 7^lag·10^(9-lag) (0.7^lag scaled by 10⁹) and the
+    series values are exact cents, so numerator and denominator are
+    exact decimal sums in BOTH engines — order-independent under any
+    shuffle — with one double division + round(4) at the end. POWER()
+    only ever produces integers < 2^53 that ROUND pins exactly.
+
+    Scale shape: the daily rollup collapses event volume to |types|×|days|
+    rows in one shuffle; the 10-tap banded self-join is an equi-join on
+    event_type with a range predicate — each row joins ≤10 partners, so
+    the join output is 10× a driver-size series, never event-scale. A
+    100 TB deployment would partition the daily table by event_type and
+    the band join stays node-local.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg((F.sum(dec("value")) * 100).cast("decimal(20,0)").alias("cents"))
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    lag = F.col("da") - F.col("db")
+    w = (
+        F.round(F.pow(F.lit(7.0), lag)).cast("long")
+        * F.round(F.pow(F.lit(10.0), F.lit(SES_TAPS - 1) - lag)).cast("long")
+    ).cast("decimal(16,0)")
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & F.col("db").between(F.col("da") - (SES_TAPS - 1), F.col("da")),
+    )
+    return (
+        joined.groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("da").alias("epoch_day"),
+            F.col("ca").alias("_ca"),
+        )
+        .agg(
+            F.count("*").alias("n_taps"),
+            F.sum(w * F.col("cb")).cast("double").alias("_num"),
+            F.sum(w).cast("double").alias("_den"),
+        )
+        .select(
+            "event_type",
+            "epoch_day",
+            "n_taps",
+            (F.col("_ca").cast("double") / 100).alias("x"),
+            F.round(F.col("_num") / F.col("_den") / 100, 4).alias("ses"),
+        )
+    )
+
+
+@query(
+    "q_ts_forecast_naive",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(18,2))) AS x
+        FROM events GROUP BY 1, 2
+    ), j AS (
+        SELECT a.event_type, a.x AS actual, b.x AS fc
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day = a.day - INTERVAL 7 DAY
+    )
+    SELECT event_type, COUNT(*) AS n_days,
+           ROUND(CAST(SUM(ABS(actual - fc)) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(ABS(actual - fc)) AS DOUBLE)
+                 / CAST(SUM(actual) AS DOUBLE), 6) AS wape,
+           ROUND(CAST(SUM(actual - fc) AS DOUBLE)
+                 / CAST(SUM(actual) AS DOUBLE), 6) AS bias
+    FROM j GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "backtest", "accuracy"),
+)
+def q_ts_forecast_naive(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's total value
+    per event type as the value seven days earlier, then score MAE /
+    WAPE / bias per type — the baseline every forecasting deployment
+    must beat, and the accuracy harness that scores it.
+
+    WAPE (Σ|err|/Σactual) and bias are chosen over sMAPE/MAPE because
+    they are ratios of two EXACT decimal sums — one double division at
+    the end — where per-row double ratios would accumulate in
+    shuffle-dependent order. Scale shape: one shuffle to the daily
+    rollup, a self-equi-join on (event_type, day) between driver-size
+    series, and a |types|-row result.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(dec("value")).alias("x")
+    )
+    a = daily.select("event_type", "day", F.col("x").alias("actual"))
+    b = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("x").alias("fc")
+    )
+    err = F.col("actual") - F.col("fc")
+    return (
+        a.join(b, ["event_type", "day"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(
+                F.sum(F.abs(err)).cast("double") / F.count("*"), 6
+            ).alias("mae"),
+            F.round(
+                F.sum(F.abs(err)).cast("double")
+                / F.sum("actual").cast("double"),
+                6,
+            ).alias("wape"),
+            F.round(
+                F.sum(err).cast("double") / F.sum("actual").cast("double"), 6
+            ).alias("bias"),
+        )
+    )

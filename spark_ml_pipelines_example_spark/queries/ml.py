@@ -1655,3 +1655,75 @@ def q_ml_class_metrics(spark, sf_dir):
             6,
         ).alias("f1"),
     )
+
+
+@query(
+    "q_ml_fpgrowth",
+    # FPGrowth support counts are exact (the algorithm is an exact
+    # frequent-itemset miner — only its *enumeration* beats brute force),
+    # so filtering the result to itemsets of size <= 2 makes the closed-form
+    # singleton/pair SQL below a complete oracle. The (freq DESC, set_size,
+    # itemset) sort is a total order: itemset strings are unique per size.
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), singles AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS set_size,
+               COUNT(*) AS freq
+        FROM items GROUP BY l_partkey HAVING COUNT(*) >= 2
+    ), pairs AS (
+        SELECT CAST(a.l_partkey AS VARCHAR) || '|' || CAST(b.l_partkey AS VARCHAR)
+                 AS itemset,
+               2 AS set_size, COUNT(*) AS freq
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2
+    )
+    SELECT itemset, set_size, freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    ORDER BY freq DESC, set_size, itemset LIMIT 100
+    """,
+    tags=("ml", "fpgrowth", "market-basket", "frequent-itemsets"),
+)
+def q_ml_fpgrowth(spark, sf_dir):
+    """MLlib FPGrowth frequent-itemset mining over order→parts baskets
+    (absolute support floor 2), hash-checked against the closed-form
+    singleton + pair counting SQL — the A-priori join q_agg_copurchase
+    implements by hand, here run through the ACTUAL distributed FP-tree
+    miner. The declared result filters to itemsets of size ≤ 2 so the
+    oracle stays closed-form; size-3+ sets exist in the model output and
+    are exercised (count only) in tests.
+
+    Scale shape: FPGrowth is parallel per conditional tree (PFP,
+    Li et al. 2008 — MLlib's implementation); baskets arrive via one
+    collect_set shuffle on the order key. Support floors prune the
+    enumeration exactly like the hand-written A-priori support floor. The
+    sorted-int itemset string makes the result engine-comparable.
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    n = baskets.count()
+    # minCount = ceil(minSupport * n); 1.5/n pins the absolute floor at 2
+    # without float-boundary risk (2.0/n * n could round to 2 + ulp).
+    fp = FPGrowth(itemsCol="items", minSupport=1.5 / n, minConfidence=0.5)
+    model = fp.fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(
+                F.transform(F.array_sort("items"), lambda x: x.cast("string")),
+                "|",
+            ).alias("itemset"),
+            F.size("items").alias("set_size"),
+            "freq",
+        )
+        .orderBy(F.col("freq").desc(), "set_size", "itemset")
+        .limit(100)
+    )

@@ -292,6 +292,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_events_new_vs_repeat",
     "q_ml_knn_classifier",
     "q_events_purchase_paths",
+    # (f) round-2 final batch — smoothing/forecast-backtest/itemset-mining/
+    # mergeable sketches; selfcheck-evidenced, rotation fodder.
+    "q_ts_ses",
+    "q_ts_forecast_naive",
+    "q_ml_fpgrowth",
+    "q_agg_hll_merge",
 )
 
 

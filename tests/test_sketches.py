@@ -1,0 +1,82 @@
+"""Invariant tests for the rows-only sketch/mining queries added in the
+round-2 final batch: HLL mergeable sketches (q_agg_hll_merge) and the
+FPGrowth miner's full (unfiltered) output.
+
+q_ml_fpgrowth / q_ts_ses / q_ts_forecast_naive are SQL-oracled and covered
+by test_oracle_differential.py; only the claims their oracles can't see are
+pinned here (size-3+ itemsets, sketch accuracy, merge semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_hll_estimates_within_envelope(spark, sf_dir):
+    """Each per-type HLL estimate (lgConfigK=14 → ~0.8% relative std err)
+    lands within 3% of the exact distinct-user count, and so does the
+    sketch-union global row."""
+    res = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["q_agg_hll_merge"].fn(spark, sf_dir).collect()
+    }
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(res) == set(exact)
+    for k, est in res.items():
+        assert abs(est - exact[k]) <= max(3, 0.03 * exact[k]), (k, est, exact[k])
+
+
+def test_hll_union_is_sketch_level_not_sum(spark, sf_dir):
+    """The merged row estimates |union of users|, not Σ per-type counts —
+    the whole point of a mergeable sketch (users overlap across types)."""
+    rows = REGISTRY["q_agg_hll_merge"].fn(spark, sf_dir).collect()
+    per_type_sum = sum(r["approx_users"] for r in rows if r["event_type"] != "ALL")
+    merged = next(r["approx_users"] for r in rows if r["event_type"] == "ALL")
+    assert merged < per_type_sum  # heavy cross-type overlap in the fixture
+
+
+def test_fpgrowth_mines_beyond_pairs(spark, sf_dir):
+    """The declared result filters to size<=2 for the closed-form oracle;
+    the model itself must mine larger itemsets too, every one respecting
+    the absolute support floor of 2 and downward closure vs its items."""
+    from pyspark.ml.fpm import FPGrowth
+
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    n = baskets.count()
+    model = FPGrowth(itemsCol="items", minSupport=1.5 / n).fit(baskets)
+    freq = model.freqItemsets.cache()
+    try:
+        assert freq.filter(F.size("items") >= 2).count() > 0
+        assert freq.filter(F.col("freq") < 2).count() == 0
+        # downward closure: a frequent pair's singletons are frequent with
+        # at-least-as-large support
+        singles = {
+            r["items"][0]: r["freq"]
+            for r in freq.filter(F.size("items") == 1).collect()
+        }
+        for r in freq.filter(F.size("items") == 2).limit(50).collect():
+            for item in r["items"]:
+                assert singles.get(item, 0) >= r["freq"]
+    finally:
+        freq.unpersist()
