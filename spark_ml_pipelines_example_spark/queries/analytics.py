@@ -3890,3 +3890,298 @@ def q_ts_forecast_naive(spark, sf_dir):
             ).alias("bias"),
         )
     )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(20,0)) AS cents
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, d, cents,
+               ROW_NUMBER() OVER w AS k,
+               SUM(cents) OVER w AS s1,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               SUM(cents) OVER (PARTITION BY event_type) AS tot
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), gains AS (
+        SELECT event_type, d, k AS n1, n - k AS n2, s1, tot - s1 AS s2,
+               CAST(CAST((s1 * (n - k) - (tot - s1) * k)
+                         * (s1 * (n - k) - (tot - s1) * k) AS DECIMAL(38,0)) AS DOUBLE)
+               / (k * (n - k) * n) AS gain
+        FROM cum WHERE k < n
+    ), best AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY gain DESC, d) AS rk
+        FROM gains
+    )
+    SELECT event_type, d AS split_epoch_day, n1, n2,
+           -- exact integer half-up rounding to 4dp: means are rationals
+           -- cents/n whose doubles can land ON a rounding midpoint, where
+           -- engines disagree; (s*200 + n) // (2n) is midpoint-free.
+           CAST((CAST(s1 AS BIGINT) * 200 + n1) // (2 * n1) AS DOUBLE) / 10000
+             AS mean_before,
+           CAST((CAST(s2 AS BIGINT) * 200 + n2) // (2 * n2) AS DOUBLE) / 10000
+             AS mean_after,
+           ROUND(gain / 10000, 4) AS sse_gain
+    FROM best WHERE rk = 1
+    """,
+    tags=("timeseries", "changepoint", "segmentation"),
+)
+def q_ts_changepoint(spark, sf_dir):
+    """Single changepoint per event-type daily series via exact binary
+    segmentation: the split k maximizing the between-segment SSE
+    reduction n1·n2/n·(mean1-mean2)². The gain is evaluated as
+    (S1·n2 − S2·n1)² / (n1·n2·n) with S in exact integer cents, so both
+    engines rank candidates on a double computed from IDENTICAL exact
+    integers — argmax ties broken by day. This is the inner step of
+    PELT/binary-segmentation changepoint detectors.
+
+    Scale shape: event volume collapses to a |types|×|days| rollup in
+    one shuffle; prefix sums are one window pass per type over a
+    driver-size series; candidate evaluation is embarrassingly parallel
+    rows. No event-scale sort anywhere.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg((F.sum(dec("value")) * 100).cast("decimal(20,0)").alias("cents"))
+    wrun = W.partitionBy("event_type").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(W.partitionBy("event_type").orderBy("d")).alias("k"),
+        F.sum("cents").over(wrun).alias("s1"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    diff = F.col("s1") * (F.col("n") - F.col("k")) - (
+        F.col("tot") - F.col("s1")
+    ) * F.col("k")
+    gains = cum.filter(F.col("k") < F.col("n")).select(
+        "event_type",
+        "d",
+        F.col("k").alias("n1"),
+        (F.col("n") - F.col("k")).alias("n2"),
+        "s1",
+        (F.col("tot") - F.col("s1")).alias("s2"),
+        (
+            (diff * diff).cast("decimal(38,0)").cast("double")
+            / (F.col("k") * (F.col("n") - F.col("k")) * F.col("n"))
+        ).alias("gain"),
+    )
+    best = gains.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(F.col("gain").desc(), "d")
+        ),
+    ).filter(F.col("rk") == 1)
+    def mean4(s_col: str, n_col: str):
+        # exact integer half-up to 4dp (see oracle comment): decimal
+        # multiply/add stays exact; the scale-6 decimal division cannot
+        # cross an integer boundary for n < 1e6, so floor() is exact.
+        q = (F.col(s_col) * 200 + F.col(n_col)) / (F.col(n_col) * 2)
+        return F.floor(q).cast("double") / 10000
+
+    return best.select(
+        "event_type",
+        F.col("d").alias("split_epoch_day"),
+        "n1",
+        "n2",
+        mean4("s1", "n1").alias("mean_before"),
+        mean4("s2", "n2").alias("mean_after"),
+        F.round(F.col("gain") / 10000, 4).alias("sse_gain"),
+    )
+
+
+@query(
+    "q_agg_theilsen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(20,0)) AS cents
+        FROM events GROUP BY 1, 2
+    ), slopes AS (
+        SELECT a.event_type,
+               CAST(b.cents - a.cents AS DOUBLE) / 100 / (b.d - a.d) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type, COUNT(*) AS n_pairs,
+           ROUND(quantile_disc(slope, 0.5), 6) AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+    tags=("agg", "robust", "trend", "theil-sen"),
+)
+def q_agg_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend per event type: the median of all pairwise
+    slopes of the daily value series — breakdown point 29%, immune to
+    the outlier days that wreck the OLS slope (q_agg_ols_trend is the
+    fragile twin). Every pairwise slope is one IEEE division of exact
+    integers (identical doubles in both engines) and the median is the
+    element-returning discrete percentile, so the result hash-matches
+    without tolerance.
+
+    Scale shape: the O(|days|²) pair join runs on the POST-ROLLUP series
+    (driver-size per type), not on events — ~4k pairs per type here. A
+    100 TB deployment bounds it the same way: the rollup is what scales,
+    the pair set stays |days|² regardless of event volume (or samples
+    pairs for multi-year windows).
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg((F.sum(dec("value")) * 100).cast("decimal(20,0)").alias("cents"))
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.alias("a")
+        .join(b.alias("b"), "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / 100
+                / (F.col("db") - F.col("da"))
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)"), 6
+        ).alias("theil_sen_slope"),
+    )
+
+
+@query(
+    "q_events_markov_attribution",
+    # The chain solve is a k×k linear system (k = |event types| + start,
+    # single digits) — engine-specific float linear algebra, so rows-only;
+    # tests pin share normalization, non-negative removal effects, and the
+    # base conversion probability recomputed by brute-force path simulation.
+    oracle=None,
+    tags=("events", "attribution", "markov", "removal-effect"),
+)
+def q_events_markov_attribution(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2014): model
+    user journeys as a first-order chain over touch types, absorbing at
+    CONV (first purchase) or NULL (journey end); each channel's credit
+    is the relative drop in START→CONV probability when that channel's
+    transitions are redirected to NULL. The principled alternative to
+    the position-based rules in q_events_attribution.
+
+    Scale shape: the distributed work is exactly one shuffle — per-user
+    event ordering (window lag) to transition pairs, then a hash
+    aggregate to a k² transition-count matrix (k = |event types|, single
+    digits). The absorbing-chain solve runs on the driver over that k²
+    matrix via Gaussian elimination — the same driver-size-matrix
+    precedent as the confusion matrix (ml/metrics.py). Removal effects
+    re-solve k times on the same tiny matrix.
+    """
+    import numpy as np
+
+    ev = t(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy(epoch_s("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wuser).alias("rn"),
+        F.min(F.when(F.col("event_type") == "purchase", F.row_number().over(wuser)))
+        .over(W.partitionBy("user_id"))
+        .alias("conv_rn"),
+    )
+    # journey = touches strictly before the first purchase (or all, if none)
+    touches = seq.filter(
+        (F.col("conv_rn").isNull()) | (F.col("rn") < F.col("conv_rn"))
+    )
+    nxt = touches.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("rn"))
+        .alias("dst_raw"),
+        F.col("conv_rn").isNotNull().alias("converts"),
+        F.col("rn").alias("rn"),
+    )
+    trans = (
+        nxt.select(
+            "src",
+            F.when(F.col("dst_raw").isNotNull(), F.col("dst_raw"))
+            .when(F.col("converts"), F.lit("CONV"))
+            .otherwise(F.lit("NULL"))
+            .alias("dst"),
+        )
+        .unionByName(
+            touches.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("src"), F.col("event_type").alias("dst")
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = trans.collect()  # k² rows, k = |event types| + START
+    states = sorted({r["src"] for r in rows} | {r["dst"] for r in rows} - {"CONV", "NULL"})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k + 1))  # last col = CONV
+    totals = np.zeros(k)
+    for r in rows:
+        totals[idx[r["src"]]] += r["n"]
+        if r["dst"] == "CONV":
+            counts[idx[r["src"]], k] += r["n"]
+        elif r["dst"] != "NULL":
+            counts[idx[r["src"]], idx[r["dst"]]] += r["n"]
+
+    def conv_prob(removed: str | None) -> float:
+        q = np.zeros((k, k))
+        b = np.zeros(k)
+        for i, s in enumerate(states):
+            if totals[i] == 0 or s == removed:
+                continue  # all mass -> NULL
+            p = counts[i] / totals[i]
+            if removed is not None:
+                p = p.copy()
+                p[idx[removed]] = 0.0
+            q[i] = p[:k]
+            b[i] = p[k]
+        x = np.linalg.solve(np.eye(k) - q, b)  # absorption prob per state
+        return float(x[idx["START"]])
+
+    base = conv_prob(None)
+    channels = [s for s in states if s != "START"]
+    removals = {
+        c: max(0.0, (base - conv_prob(c)) / base) if base > 0 else 0.0
+        for c in channels
+    }
+    tot_removal = sum(removals.values())
+    out = [
+        (
+            c,
+            round(removals[c], 6),
+            round(removals[c] / tot_removal, 6) if tot_removal > 0 else 0.0,
+            round(base, 6),
+        )
+        for c in sorted(channels)
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, removal_effect double, attribution_share double, "
+        "base_conv_prob double",
+    )

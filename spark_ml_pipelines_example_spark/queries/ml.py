@@ -1727,3 +1727,48 @@ def q_ml_fpgrowth(spark, sf_dir):
         .orderBy(F.col("freq").desc(), "set_size", "itemset")
         .limit(100)
     )
+
+
+@query(
+    "q_ml_isotonic",
+    # Pool-adjacent-violators is a deterministic algorithm, but MLlib's
+    # parallel PAV merges blocks in an implementation-specific float order
+    # that no SQL twin reproduces → rows-only; tests pin monotonicity,
+    # mean preservation, and agreement with a sequential numpy PAV.
+    oracle=None,
+    tags=("ml", "isotonic", "calibration", "regression"),
+)
+def q_ml_isotonic(spark, sf_dir):
+    """MLlib IsotonicRegression of daily mean event value vs epoch day —
+    the monotone fit behind score calibration (its most common ML use is
+    calibrating classifier probabilities, as in q_ml_calibration's
+    binned reliability twin). Returns the fitted step function as
+    (boundary, prediction) rows.
+
+    Scale shape: MLlib's isotonic is the textbook distributed PAV —
+    pool adjacent violators within each sorted partition, then merge
+    boundary blocks across partitions; input here is the |days|-size
+    rollup (one shuffle), so the fit is effectively driver-size. The
+    step function itself is the broadcastable artifact a scoring join
+    would use downstream.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+    ).agg(
+        (F.sum(dec("value")).cast("double") / F.count("*")).alias("label"),
+        F.count("*").cast("double").alias("weight"),
+    )
+    feats = VectorAssembler(inputCols=["d"], outputCol="features").transform(
+        daily.select(F.col("d").cast("double"), "label", "weight")
+    )
+    model = IsotonicRegression(weightCol="weight").fit(feats)
+    bounds = [float(x) for x in model.boundaries]
+    preds = [float(y) for y in model.predictions]
+    return spark.createDataFrame(
+        [(b, round(p, 6)) for b, p in zip(bounds, preds)],
+        "boundary double, prediction double",
+    )

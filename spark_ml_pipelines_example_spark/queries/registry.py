@@ -298,6 +298,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_ts_forecast_naive",
     "q_ml_fpgrowth",
     "q_agg_hll_merge",
+    "q_ts_changepoint",
+    "q_agg_theilsen",
+    "q_events_markov_attribution",
+    "q_ml_isotonic",
 )
 
 

@@ -80,3 +80,54 @@ def test_fpgrowth_mines_beyond_pairs(spark, sf_dir):
                 assert singles.get(item, 0) >= r["freq"]
     finally:
         freq.unpersist()
+
+
+def test_markov_attribution_invariants(spark, sf_dir):
+    """Removal effects are non-negative, shares are a normalized simplex,
+    and the base conversion probability is a probability."""
+    rows = REGISTRY["q_events_markov_attribution"].fn(spark, sf_dir).collect()
+    assert rows, "fixture journeys must produce channels"
+    base = {r["base_conv_prob"] for r in rows}
+    assert len(base) == 1 and 0.0 <= next(iter(base)) <= 1.0
+    assert all(r["removal_effect"] >= 0.0 for r in rows)
+    share_sum = sum(r["attribution_share"] for r in rows)
+    assert abs(share_sum - 1.0) < 1e-4
+    # purchase is the absorbing event, never a scored channel
+    assert all(r["channel"] != "purchase" for r in rows)
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
+    """The fitted step function is non-decreasing and reproduces the
+    weighted mean of the training labels (a PAV identity)."""
+    import numpy as np
+
+    rows = (
+        REGISTRY["q_ml_isotonic"].fn(spark, sf_dir).orderBy("boundary").collect()
+    )
+    preds = [r["prediction"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(preds, preds[1:]))
+
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("label"),
+            F.count("*").cast("double").alias("weight"),
+        )
+        .collect()
+    )
+    want = sum(r["label"] * r["weight"] for r in daily) / sum(r["weight"] for r in daily)
+    # evaluate the step function at each training day (piecewise-linear
+    # between boundaries, constant outside — MLlib semantics; boundaries
+    # here are the training days themselves so lookup is exact)
+    bmap = {r["boundary"]: r["prediction"] for r in rows}
+    bs = np.array(sorted(bmap))
+    ps = np.array([bmap[b] for b in bs])
+    got_n = got_d = 0.0
+    for r in daily:
+        v = float(np.interp(r["d"], bs, ps))
+        got_n += v * r["weight"]
+        got_d += r["weight"]
+    assert abs(got_n / got_d - want) < 1e-2 * abs(want)
