@@ -4185,3 +4185,265 @@ def q_events_markov_attribution(spark, sf_dir):
         "channel string, removal_effect double, attribution_share double, "
         "base_conv_prob double",
     )
+
+
+@query(
+    "q_win_hampel",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(20,0))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT a.event_type, a.d, a.cents,
+               quantile_disc(b.cents, 0.5) AS med_cents,
+               COUNT(*) AS n_band
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.d BETWEEN a.d - 3 AND a.d + 3
+        GROUP BY a.event_type, a.d, a.cents
+    ), mad AS (
+        SELECT m.event_type, m.d, m.cents, m.med_cents, m.n_band,
+               quantile_disc(ABS(b.cents - m.med_cents), 0.5) AS mad_cents
+        FROM med m JOIN daily b
+          ON m.event_type = b.event_type AND b.d BETWEEN m.d - 3 AND m.d + 3
+        GROUP BY m.event_type, m.d, m.cents, m.med_cents, m.n_band
+    )
+    SELECT event_type, d AS epoch_day, n_band,
+           CAST(cents AS DOUBLE) / 100 AS x,
+           CAST(med_cents AS DOUBLE) / 100 AS rolling_median,
+           CAST(mad_cents AS DOUBLE) / 100 AS rolling_mad,
+           CAST(ABS(cents - med_cents) AS DOUBLE) > 3 * 1.4826 * mad_cents
+             AS is_outlier
+    FROM mad
+    """,
+    tags=("window", "outlier", "hampel", "robust", "timeseries"),
+)
+def q_win_hampel(spark, sf_dir):
+    """Hampel filter: flag daily values more than 3 scaled rolling MADs
+    from the rolling median (±3-day band) — the robust outlier detector
+    that survives the exact spikes that poison mean/stddev z-scores
+    (q_events_anomaly's fragile twin). Medians are element-returning
+    order statistics over exact integer cents, so every column is
+    bit-identical across engines; the only float op is the final
+    3·1.4826·MAD threshold compare, computed from identical exact
+    integers on both sides.
+
+    The rolling MAD needs the median *of deviations from each center's
+    own median* — a nested per-frame statistic no single window pass
+    expresses — so the frame is materialized as a ±3-day banded
+    self-join (≤7 partners/row), grouped per center, twice. Scale
+    shape: both band joins are equi-joins on event_type over the
+    POST-ROLLUP |types|×|days| series, so join volume is 7× a
+    driver-size table regardless of event volume.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(
+        (F.sum(dec("value")) * 100)
+        .cast("decimal(20,0)")
+        .cast("long")
+        .alias("cents")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    med = (
+        daily.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & F.col("db").between(F.col("d") - 3, F.col("d") + 3),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "d", "cents")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cb)").alias(
+                "med_cents"
+            ),
+            F.count("*").alias("n_band"),
+        )
+    )
+    mad = (
+        med.alias("m")
+        .join(
+            b.alias("b"),
+            (F.col("m.event_type") == F.col("b.event_type"))
+            & F.col("db").between(F.col("d") - 3, F.col("d") + 3),
+        )
+        .groupBy(
+            F.col("m.event_type").alias("event_type"),
+            "d",
+            "cents",
+            "med_cents",
+            "n_band",
+        )
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(cb - med_cents))"
+            ).alias("mad_cents")
+        )
+    )
+    return mad.select(
+        "event_type",
+        F.col("d").alias("epoch_day"),
+        "n_band",
+        (F.col("cents").cast("double") / 100).alias("x"),
+        (F.col("med_cents").cast("double") / 100).alias("rolling_median"),
+        (F.col("mad_cents").cast("double") / 100).alias("rolling_mad"),
+        (
+            F.abs(F.col("cents") - F.col("med_cents")).cast("double")
+            > 3 * 1.4826 * F.col("mad_cents")
+        ).alias("is_outlier"),
+    )
+
+
+NEYMAN_SAMPLE_N = 1000
+
+
+@query(
+    "q_agg_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT event_type, COUNT(*) AS n_h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    ), wts AS (
+        SELECT event_type, n_h,
+               SQRT((sxx - sx * sx / n_h) / n_h) AS s_h,
+               n_h * SQRT((sxx - sx * sx / n_h) / n_h) AS w_h
+        FROM strata
+    ), ideal AS (
+        SELECT event_type, n_h, s_h,
+               {NEYMAN_SAMPLE_N} * w_h / SUM(w_h) OVER () AS exact_n
+        FROM wts
+    ), alloc AS (
+        SELECT event_type, n_h, s_h,
+               FLOOR(exact_n) AS base, exact_n - FLOOR(exact_n) AS frac
+        FROM ideal
+    ), lo AS (
+        SELECT *, {NEYMAN_SAMPLE_N} - SUM(base) OVER () AS leftover FROM alloc
+    )
+    SELECT event_type, n_h, ROUND(s_h, 6) AS s_h,
+           CAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC, event_type)
+                              <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM lo
+    """,
+    tags=("agg", "sampling-design", "neyman", "stratified"),
+)
+def q_agg_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation: split a budget of
+    1000 samples across event-type strata proportionally to N_h·S_h
+    (stratum size × stratum spread), integerized by largest-remainder so
+    the allocations sum EXACTLY to the budget — the design table
+    q_sample_stratified would consume upstream, and the same
+    penny-exact apportionment shape as q_agg_proration.
+
+    Determinism: stratum variance comes from exact decimal Σx/Σx² (one
+    sqrt on identical doubles), and the largest-remainder ranking sorts
+    identical doubles with an event_type tie-break. Scale shape: one
+    map-side-combined shuffle to |strata| rows; the allocation window
+    runs over single-digit rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    v4 = dec("value", 18, 4)
+    strata = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.sum(v4).cast("double").alias("sx"),
+        F.sum(v4 * v4).cast("double").alias("sxx"),
+    )
+    s_h = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_h")) / F.col("n_h")
+    )
+    wts = strata.select("event_type", "n_h", s_h.alias("s_h"), (F.col("n_h") * s_h).alias("w_h"))
+    wall = W.partitionBy()
+    ideal = NEYMAN_SAMPLE_N * F.col("w_h") / F.sum("w_h").over(wall)
+    alloc = wts.select(
+        "event_type",
+        "n_h",
+        "s_h",
+        F.floor(ideal).alias("base"),
+        (ideal - F.floor(ideal)).alias("frac"),
+        (NEYMAN_SAMPLE_N - F.sum(F.floor(ideal)).over(wall)).alias("leftover"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy().orderBy(F.col("frac").desc(), "event_type")
+    )
+    return alloc.select(
+        "event_type",
+        "n_h",
+        F.round("s_h", 6).alias("s_h"),
+        (
+            F.col("base") + F.when(rk <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("alloc"),
+    )
+
+
+# Two-sided alpha=5% / power=80% normal quantiles, fixed as literals so both
+# engines compute the identical closed form (no cross-engine erf).
+POWER_Z_ALPHA = 1.959963985
+POWER_Z_BETA = 0.8416212336
+POWER_MDE_REL = 0.05  # detect a 5% lift of the stratum mean
+
+
+@query(
+    "q_events_power_analysis",
+    oracle=f"""
+    WITH strata AS (
+        SELECT event_type, COUNT(*) AS n_users_obs,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_users_obs,
+           ROUND(sx / n_users_obs, 6) AS mean_value,
+           ROUND((sxx - sx * sx / n_users_obs) / n_users_obs, 6) AS var_value,
+           CAST(CEIL(
+             2 * ({POWER_Z_ALPHA} + {POWER_Z_BETA}) * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+               * ((sxx - sx * sx / n_users_obs) / n_users_obs)
+               / (({POWER_MDE_REL} * sx / n_users_obs)
+                  * ({POWER_MDE_REL} * sx / n_users_obs))
+           ) AS BIGINT) AS required_n_per_arm
+    FROM strata
+    """,
+    tags=("events", "abtest", "power-analysis", "experiment-design"),
+)
+def q_events_power_analysis(spark, sf_dir):
+    """A/B test power analysis: per event type, the sample size each arm
+    needs to detect a 5% lift of the mean value at α=5% (two-sided) with
+    80% power — n = 2(z_α/2+z_β)²σ²/δ². The design-stage complement to
+    q_events_abtest (the readout) and q_events_cuped (the variance
+    reducer whose benefit is exactly a smaller σ² in this formula).
+
+    Normal quantiles are fixed literals (no cross-engine erf); σ² and
+    the mean come from exact decimal Σx/Σx², so the ceil() argument is
+    the identical double in both engines. One map-side-combined shuffle
+    to |types| rows.
+    """
+    ev = t(spark, sf_dir, "events")
+    v4 = dec("value", 18, 4)
+    strata = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_users_obs"),
+        F.sum(v4).cast("double").alias("sx"),
+        F.sum(v4 * v4).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n_users_obs")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_users_obs")) / F.col(
+        "n_users_obs"
+    )
+    z2 = (POWER_Z_ALPHA + POWER_Z_BETA) * (POWER_Z_ALPHA + POWER_Z_BETA)
+    delta = POWER_MDE_REL * mean
+    return strata.select(
+        "event_type",
+        "n_users_obs",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.ceil(2 * z2 * var / (delta * delta)).cast("long").alias(
+            "required_n_per_arm"
+        ),
+    )

@@ -302,6 +302,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_agg_theilsen",
     "q_events_markov_attribution",
     "q_ml_isotonic",
+    "q_win_hampel",
+    "q_agg_neyman_allocation",
+    "q_events_power_analysis",
 )
 
 
