@@ -130,6 +130,14 @@ HEADLINE = [
     "q_agg_price_index",
     "q_sql_recursive_cte",
     "q_agg_incremental_maintenance",
+    # final-batch wave: smoothing/changepoint/robust trend, itemset mining,
+    # Markov attribution, Hampel outliers
+    "q_ts_ses",
+    "q_ts_changepoint",
+    "q_agg_theilsen",
+    "q_ml_fpgrowth",
+    "q_events_markov_attribution",
+    "q_win_hampel",
 ]
 
 

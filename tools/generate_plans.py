@@ -97,6 +97,10 @@ SHOWCASE = [
     ("q_agg_incremental_maintenance", "MV maintenance: two pre-collapsed rollups + one outer merge join"),
     ("q_dq_table_fingerprint", "table fingerprint: map-side row hashes, decimal mod-sum reaggregate"),
     ("q_sql_recursive_cte", "recursive CTE: per-level self-join closure, then one hash aggregate"),
+    ("q_ts_ses", "SES: 10-tap banded self-join on the daily rollup, exact integer weights"),
+    ("q_ts_changepoint", "changepoint: prefix-sum windows per type, argmax over candidate rows"),
+    ("q_win_hampel", "Hampel: two banded equi-self-joins for nested rolling median/MAD"),
+    ("q_ml_fpgrowth", "FPGrowth: one collect_set shuffle into the parallel FP-tree miner"),
 ]
 
 
