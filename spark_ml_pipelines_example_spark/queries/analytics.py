@@ -4447,3 +4447,83 @@ def q_events_power_analysis(spark, sf_dir):
             "required_n_per_arm"
         ),
     )
+
+
+BFS_MAX_HOPS = 3
+
+
+@query(
+    "q_graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), half AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), edges AS (
+        SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half
+    ), seed AS (
+        SELECT MIN(u) AS s FROM edges
+    ), reach(node, hops) AS (
+        SELECT s, 0 FROM seed
+        UNION
+        SELECT e.v, r.hops + 1
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node AS part, MIN(hops) AS hops FROM reach GROUP BY node
+    """,
+    tags=("graph", "bfs", "traversal", "iterative"),
+)
+def q_graph_bfs_hops(spark, sf_dir):
+    """Bounded BFS: minimum hop distance (≤3) from a deterministic seed
+    part through the support≥2 co-purchase graph — the traversal
+    primitive under "related products within N hops" and blast-radius
+    queries, and the level-synchronous sibling of the connected-
+    components operator (operators/clusters.py). Oracle: the same
+    frontier expansion as a WITH RECURSIVE closure (the declarative twin
+    q_sql_recursive_cte pins for hierarchies).
+
+    Scale shape: each of the ≤3 rounds is one frontier⋈edges hash join
+    keyed on the node id plus an anti-join against the settled set, with
+    localCheckpoint between rounds to cut the exponential plan (the
+    clusters.py lesson). Frontiers are node-scale, never edge-scale;
+    the edge build is the one Σbasket² self-join, shared shape with
+    q_agg_copurchase.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    half = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seed = edges.agg(F.min("u").alias("part")).select(
+        "part", F.lit(0).alias("hops")
+    )
+    settled = seed.localCheckpoint(eager=True)
+    frontier = settled
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["part"] == edges["u"])
+            .select(F.col("v").alias("part"))
+            .distinct()
+            .join(settled.select("part"), "part", "left_anti")
+            .select("part", F.lit(hop).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled

@@ -305,6 +305,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_hampel",
     "q_agg_neyman_allocation",
     "q_events_power_analysis",
+    "q_graph_bfs_hops",
+    "q_sink_csv_roundtrip",
 )
 
 

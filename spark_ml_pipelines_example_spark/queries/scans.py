@@ -460,3 +460,31 @@ def q_scan_file_provenance(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("id_sum"),
         )
     )
+
+
+@query(
+    "q_sink_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("scan", "sink", "csv"),
+)
+def q_sink_csv_roundtrip(spark, sf_dir):
+    """CSV sink (header, explicit quoting) then schema'd read-back —
+    completes the sink matrix (parquet/json/orc/partitioned/csv). Like
+    the JSON sink, CSV is typeless so the read declares the schema
+    explicitly; all-integer/string columns make the round trip lossless.
+    String columns may contain commas, so the writer's default quoting is
+    load-bearing and the reader parses quotes, not naive splits."""
+    path = scratch_dir("q_sink_csv_roundtrip", sf_dir)
+    src = (
+        t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name", "n_regionkey", "r_name")
+    )
+    src.write.mode("overwrite").option("header", "true").csv(path)
+    return spark.read.schema(src.schema).option("header", "true").csv(path)
