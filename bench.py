@@ -176,8 +176,27 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "n_queries": len(times),
     }
-    print(json.dumps(result))
+
+    # Full per-query detail always goes to a file next to bench.py — the
+    # driver's stdout-tail capture is bounded, and the round-2 artifact
+    # failed to parse because the 91-query inline dict pushed the line past
+    # the capture window (VERDICT r2 "What's wrong" #3). Keep the stdout
+    # line compact (trim the inline dict to the slowest queries if needed)
+    # and print it LAST so the tail capture always contains one complete,
+    # parseable JSON object.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 2800:
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:40])
+        result["queries"] = {k: times[k] for k in times if k in slowest}
+        result["queries_detail"] = "BENCH_detail.json"
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

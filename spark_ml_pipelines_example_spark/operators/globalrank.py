@@ -1,0 +1,114 @@
+"""Two-phase (binned) global running aggregates.
+
+An unpartitioned ``Window.orderBy(...)`` funnels the WHOLE frame through
+one task — fine for a collapsed day/hour/bin frame (≤ a few thousand
+rows), fatal for a catalog-keyed frame (parts/suppliers GROW with the
+corpus; at 100 TB they are tens of millions of rows serialized through a
+single sorted partition). Yet cumulative-share classification (Pareto /
+ABC), Gini ranks, and top-share ratios genuinely need a *global* running
+sum / row number over the catalog order.
+
+This module computes those EXACTLY in two phases, the same decomposition
+the repo uses for the deterministic global shuffle (queries/curation.py
+q_shuffle_global):
+
+  1. bin every row by a monotone function of the order value (``n_bins``
+     value-range buckets from one min/max scalar aggregate);
+  2. aggregate per bin (count + sum) and run the cumulative window over
+     the ≤ ``n_bins``-row bin frame — the ONLY unpartitioned window, and
+     its input is bounded by construction;
+  3. broadcast the per-bin prefix totals back and finish with a window
+     PARTITIONED BY bin (parallel, one task per bin) for the within-bin
+     offsets.
+
+Because the bin function is monotone in the order value and every tie
+(equal order values) lands in the same bin, phase-3's
+``prefix_before_bin + within_bin_running`` equals the single global
+window's result row-for-row — exactly, when the value is integral
+(decimal/long), and to the same float ULPs as any distributed sum when it
+is a double. The caller's ORDER is (value [asc|desc], *tiebreaks), the
+same total-order discipline every oracle-checked query here uses.
+
+Cost: one extra scalar aggregate (min/max) + one extra bin-keyed shuffle,
+in exchange for removing the single-task sort — the trade that wins from
+~10⁶ rows up. Skew note: bins inherit the value distribution (a
+pathological all-equal-values frame collapses to one bin = one task,
+i.e. never WORSE than the single global window it replaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+N_BINS = 1024
+
+
+def with_global_running(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    *,
+    descending: bool = False,
+    cumsum_col: str | None = None,
+    rank_col: str | None = None,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Add an exact global running sum (``cumsum_col``, inclusive, of
+    ``value_col``) and/or global row number (``rank_col``) over the total
+    order (value_col [desc], *tiebreak_cols) — without any unpartitioned
+    window over ``df`` itself.
+    """
+    if cumsum_col is None and rank_col is None:
+        raise ValueError("request at least one of cumsum_col / rank_col")
+
+    rng = df.agg(
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+    )
+    # Monotone non-decreasing value→bin map; double arithmetic is fine
+    # even for longs because long→double rounding is itself monotone and
+    # equal values always share a bin (bin boundaries never split ties).
+    v = F.col(value_col).cast("double")
+    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    bin_raw = F.floor((v - F.col("_mn").cast("double")) / (span + 1.0) * n_bins)
+    binned = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn("_bin", F.least(bin_raw, F.lit(n_bins - 1)).cast("int"))
+        .drop("_mn", "_mx")
+    )
+
+    # Phase 2: the only unpartitioned window, over ≤ n_bins rows.
+    per_bin = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum(value_col).alias("_bs"),
+    )
+    _bin_ord = F.col("_bin").desc() if descending else F.col("_bin").asc()
+    w_prev = (
+        W.orderBy(_bin_ord)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prefix = per_bin.select(
+        "_bin",
+        F.coalesce(F.sum("_bn").over(w_prev), F.lit(0)).alias("_n_prev"),
+        F.coalesce(F.sum("_bs").over(w_prev), F.lit(0)).alias("_s_prev"),
+    )
+
+    # Phase 3: partitioned within-bin window (parallel across bins).
+    def _ord(c: str) -> Column:
+        return F.col(c).desc() if descending else F.col(c).asc()
+
+    w_in = W.partitionBy("_bin").orderBy(
+        _ord(value_col), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    out = binned.join(F.broadcast(prefix), "_bin")
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("_n_prev") + F.row_number().over(w_in))
+    if cumsum_col is not None:
+        out = out.withColumn(
+            cumsum_col,
+            F.col("_s_prev")
+            + F.sum(value_col).over(w_in.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    return out.drop("_bin", "_bn", "_n_prev", "_s_prev")

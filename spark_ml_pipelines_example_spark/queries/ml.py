@@ -1254,6 +1254,23 @@ def q_ml_naive_bayes(spark, sf_dir):
     aggregates (train counts, confusion matrix) and a broadcast
     prediction join; day-of-week derives from epoch-day % 7 so the
     calendar is engine-exact. Output: resubstitution confusion matrix."""
+    return _nb_confusion(spark, sf_dir)
+
+
+def _nb_confusion(spark, sf_dir):
+    """Exact-integer Naive Bayes confusion matrix, shared by
+    q_ml_naive_bayes and q_ml_class_metrics (ADVICE r2: class_metrics
+    previously re-invoked the registry entry, running NB twice per pass).
+
+    Exactness bound: every posterior comparison is a product of five
+    decimal(6,0) factors (≤ 34 digits, inside Spark's decimal(38) — the
+    max exact width for a 5-factor product, since 5·p + 4 ≤ 38 forces
+    p ≤ 6). With ANSI off a factor ≥ 1e6 would overflow to NULL
+    *silently*, dropping predictions (ADVICE r2) — so the scale cliff is
+    made LOUD: we assert max(n_c) + max(v1, v2) < 1e6 (holds through
+    ~sf5; beyond that use a log-space argmax variant, which trades
+    hash-exactness for scale) via the same small-aggregate collect that
+    the scoring stage already needs for nothing extra at runtime."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("label"),
         F.col("o_orderpriority").alias("f1"),
@@ -1298,7 +1315,21 @@ def q_ml_naive_bayes(spark, sf_dir):
     s2 = scored.select(
         "f1", "f2", F.col("label").alias("l2"), F.col("a").alias("a2"), F.col("b").alias("b2")
     )
-    n_classes = nc.count()
+    # ONE tiny-aggregate collect replaces the former bare nc.count(): it
+    # yields n_classes AND the exactness-guard inputs in the same action.
+    stats = (
+        nc.agg(F.count("*").alias("k"), F.max("n_c").alias("max_nc"))
+        .crossJoin(v)
+        .collect()[0]
+    )
+    bound = int(stats["max_nc"]) + max(int(stats["v1"]), int(stats["v2"]))
+    if bound >= 1_000_000:
+        raise ValueError(
+            "q_ml_naive_bayes exact-decimal argmax overflows decimal(38) "
+            f"when max class count + vocabulary >= 1e6 (got {bound}); "
+            "use a log-space argmax variant at this scale"
+        )
+    n_classes = int(stats["k"])
     wins = (
         s1.join(s2, ["f1", "f2"])
         .filter(F.col("l1") != F.col("l2"))
@@ -1607,9 +1638,7 @@ def q_ml_class_metrics(spark, sf_dir):
     totals are integer margins of the tiny confusion frame; the three
     ratios are single integer-ratio divisions (F1 in the 2TP/(P+A)
     form — one division, no precision·recall float chaining)."""
-    from .registry import REGISTRY as _REG
-
-    confusion = _REG["q_ml_naive_bayes"].fn(spark, sf_dir)
+    confusion = _nb_confusion(spark, sf_dir)
     classes = confusion.select(F.col("actual").alias("label")).distinct()
     tp = confusion.filter(F.col("actual") == F.col("predicted")).select(
         F.col("actual").alias("label"), F.col("n").alias("tp")

@@ -188,7 +188,8 @@ def q_pack_padding_waste(spark, sf_dir):
         w = W.partitionBy("source").orderBy(*order_cols)
         return (
             d.withColumn(
-                "batch", F.expr(f"(row_number() over (partition by source order by {', '.join(order_cols)}) - 1) div {BATCH_SIZE}")
+                "batch",
+                ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("long"),
             )
             .groupBy("source", "batch")
             .agg(

@@ -52,261 +52,331 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The external driver hash-checks at most ~50 registry entries per round, in
-# dict order. Round 1 consumed exactly the first 50 (aggregates → … → joins);
-# those 42 green + 4 rows-ran entries keep full regression cover in
-# tests/test_oracle_differential.py. Round 2 front-loads (a) the four r1
-# failures whose fixes need a fresh driver row, then (b) every query that has
-# never had a driver row — SQL-oracled ones first (hash signal beats
-# rows-only signal), events-dependent ones early to prove the nanos-parquet
-# loader fix. Already-verified queries go last.
+# dict order. Cumulative driver coverage after rounds 1+2: 96 of 311 queries
+# (90 pass + 6 rows-only, 0 failures). Round 3 rotates the window onto 58
+# never-driver-checked SQL-oracled queries, family-prioritized (all 21
+# TPC-H shapes first, then the events/dq/curation/window analytics
+# families), so the driver's budget lands entirely on queries with no hard
+# row yet. Remaining never-checked SQL queries follow (rounds 4+ rotation
+# fodder), then the never-checked rows-only ops, then every
+# already-driver-verified query (regression tail). Rotate again each round
+# until all 311 have a hard driver row.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # (a) r1 hard failures, now fixed
-    "q_fn_timestamp",
-    "q_fn_json",
-    "q_join_asof_event",
-    "q_agg_collect",
-    # (b) never driver-checked, SQL-oracled — events-dependent first
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_late_dedup",
-    "q_stream_gapfill",
-    "q_win_analytic",
-    "q_scd2_history",
-    # flagship scale ops added this session — a driver row for these beats
-    # one for the simpler roundtrips below
-    "q_agg_proration",
-    "q_agg_skyline",
-    "q_win_concurrency",
-    "q_dedup_substring_spans",
-    "q_join_fifo_match",
-    "q_join_nearest_event",
-    "q_agg_mutual_info",
-    "q_ts_ohlc",
-    "q_win_drawdown",
-    "q_ts_autocorr",
-    "q_agg_item_cosine",
-    "q_agg_chisq",
-    "q_stream_milestones",
-    "q_ml_pca",
-    "q_win_streak",
-    "q_events_lifecycle",
-    "q_ml_naive_bayes",
-    "q_ts_mann_kendall",
-    "q_agg_welch_ttest",
-    "q_ts_cusum",
-    "q_events_interarrival",
-    "q_ts_runs_test",
-    "q_text_readability",
-    "q_agg_bitmap_distinct",
-    "q_ml_linreg_normal",
-    "q_set_bag_ops",
-    "q_win_rolling_corr",
-    "q_ts_peaks",
-    "q_pack_ffd",
-    "q_ts_rsi",
-    "q_agg_concentration",
-    "q_text_novelty",
-    "q_graph_link_prediction",
-    "q_graph_degrees",
-    "q_embed_drift",
-    "q_fn_xml",
-    "q_fn_url",
-    "q_ml_info_gain",
-    "q_events_shapley",
-    "q_ts_decompose",
-    "q_events_survival",
-    "q_dq_freshness",
-    "q_agg_abc_xyz",
-    "q_events_stickiness",
-    "q_events_heatmap",
-    "q_pack_padding_waste",
-    "q_sql_recursive_cte",
-    "q_agg_incremental_maintenance",
-    "q_dq_table_fingerprint",
-    "q_curate_pseudonymize",
-    "q_agg_price_index",
-    "q_ml_class_metrics",
-    "q_dedup_storage_impact",
-    "q_dq_error_budget",
-    "q_win_value_functions",
-    "q_agg_percentile_disc",
-    "q_join_bucketed_colocated",
-    "q_join_dpp_prune",
-    "q_text_chunk",
-    "q_dedup_incremental_neardup",
-    "q_fn_variant",
-    "q_text_domain_cap",
-    "q_fn_winsorize",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    "q_win_gaps_islands",
-    "q_set_unpivot",
-    "q_win_ranking",
-    "q_win_frame_rows",
-    "q_win_frame_range",
-    "q_win_topk_per_group",
-    "q_win_distribution",
-    "q_sort_multikey",
-    "q_limit_topk",
-    "q_set_union_all",
-    "q_set_intersect_except",
-    "q_scan_parquet",
-    "q_scan_csv_schema",
-    "q_sink_parquet_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_sink_partitioned_prune",
-    "q_scan_column_prune",
-    "q_subquery_scalar",
-    "q_subquery_exists",
-    "q_subquery_not_in",
-    "q_text_tokenize_stats",
-    "q_text_tfidf_topterms",
-    "q_text_quality_score",
-    "q_text_fingerprint",
-    "q_text_tfidf_weighted",
-    "q_sim_cosine_topk",
-    "q_sim_pairwise_sample",
-    "q_multimodal_manifest",
-    "q_udaf_second_largest",
-    "q_merge_upsert",
-    "q_profile_orders",
-    "q_join_range_bucketed",
-    "q_pack_shards",
-    # (c) slots 44-50 — now-hash-checkable upgrades (clusters/langid/
-    # stratified/indexer/assembler gained oracles this round) plus the
-    # IVF ANN flagship; every operator family lands at least one row in
-    # the ~50-entry window this round.
-    "q_dedup_clusters",
-    "q_dedup_paragraph",
-    "q_sample_stratified",
-    "q_text_langid",
-    "q_ml_string_indexer",
-    "q_ml_vector_assembler",
-    "q_sim_ann_ivf",
-    "q_sim_ann_ivf_index",
-    # (d) deliberate spill-over past the ~50 budget — round-3 rotation
-    # fodder (rows-only ops whose semantics are already evidenced by
-    # in-window twins: mm_manifest, q_agg_label_encode, udaf tests).
-    "q_multimodal_decode",
-    "q_group_normalize",
-    "q_ml_rf_pipeline",
-    "q_ml_train_test_split",
-    "q_ml_evaluator",
-    "q_ml_cross_validation",
-    # (e) round-2 late additions (analytics + projection family) — past
-    # this round's window; selfcheck-evidenced, round-3 rotation fodder.
-    "q_events_retention",
-    "q_win_rolling_time",
-    "q_agg_mode_median",
-    "q_join_interval_overlap",
-    "q_sample_reservoir_group",
-    "q_sim_random_projection",
-    "q_tpch_q4",
-    "q_tpch_q19",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_graph_pagerank",
-    "q_text_bigram_lm",
-    "q_ml_feature_hashing",
-    "q_ml_quantile_discretizer",
-    "q_layout_zorder",
-    "q_embed_quantize",
-    "q_text_vocab_coverage",
-    "q_text_pmi_collocations",
-    "q_dedup_snm",
-    "q_events_transitions",
-    "q_dq_checks",
-    "q_tpch_q2",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_graph_treepath",
-    "q_agg_mad_outliers",
-    "q_scd2_lookup",
-    "q_events_rolling_dau",
-    "q_diff_tables",
-    "q_ts_interpolate",
-    "q_sample_weighted",
-    "q_agg_ols_trend",
-    "q_dedup_prefix_filter",
-    "q_ml_onehot",
-    "q_agg_copurchase",
-    "q_stream_session_dynamic",
-    "q_events_funnel",
-    "q_dq_drift_psi",
-    "q_dq_drift_ks",
+    # (a) round-3 window: never-driver-checked, SQL-oracled, family-ranked
+    "q_tpch_q10",
     "q_tpch_q11",
     "q_tpch_q12",
     "q_tpch_q13",
+    "q_tpch_q14",
     "q_tpch_q15",
     "q_tpch_q16",
     "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q2",
     "q_tpch_q20",
-    "q_ml_scaler",
-    "q_graph_triangles",
-    "q_scan_text_log",
-    "q_dedup_containment",
-    "q_ml_lift_table",
-    "q_agg_corr_matrix",
-    "q_ml_auc",
-    "q_ml_target_encode",
-    "q_events_anomaly",
-    "q_multimodal_phash",
-    "q_agg_pareto",
-    "q_text_url_canonical",
-    "q_join_nullsafe",
-    "q_agg_moments",
-    "q_win_ntile",
-    "q_ml_pit_features",
-    "q_text_entropy",
-    "q_fn_try_safe",
-    "q_curate_mix_temperature",
-    "q_win_period_growth",
-    "q_layout_compact",
-    "q_events_attribution",
-    "q_events_funnel_windowed",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_tpch_q3",
+    "q_tpch_q4",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
     "q_events_abtest",
-    "q_dedup_survivorship",
-    "q_agg_gini",
-    "q_scan_schema_evolution",
-    "q_udtf_chunk_table",
-    "q_curate_erasure",
-    "q_dq_drift_features",
-    "q_events_session_metrics",
-    "q_ml_ndcg",
-    "q_ml_kmeans",
-    "q_events_funnel_lag",
-    "q_events_rfm",
-    "q_stream_stateful_session",
-    "q_stream_drift_monitor",
-    "q_fn_collation",
-    "q_scan_file_provenance",
-    "q_events_cohort_ltv",
-    "q_win_moving_median",
+    "q_events_anomaly",
+    "q_events_attribution",
     "q_events_churn",
-    "q_win_ewma",
-    "q_events_seasonality",
-    "q_events_user_growth",
+    "q_events_cohort_ltv",
+    "q_events_cuped",
+    "q_events_funnel",
+    "q_events_funnel_lag",
+    "q_events_funnel_windowed",
+    "q_events_heatmap",
     "q_events_new_vs_repeat",
-    "q_ml_knn_classifier",
-    "q_events_purchase_paths",
-    # (f) round-2 final batch — smoothing/forecast-backtest/itemset-mining/
-    # mergeable sketches; selfcheck-evidenced, rotation fodder.
-    "q_ts_ses",
-    "q_ts_forecast_naive",
-    "q_ml_fpgrowth",
-    "q_agg_hll_merge",
-    "q_ts_changepoint",
-    "q_agg_theilsen",
-    "q_events_markov_attribution",
-    "q_ml_isotonic",
-    "q_win_hampel",
-    "q_agg_neyman_allocation",
     "q_events_power_analysis",
-    "q_graph_bfs_hops",
+    "q_events_purchase_paths",
+    "q_events_retention",
+    "q_events_rfm",
+    "q_events_rolling_dau",
+    "q_events_seasonality",
+    "q_events_session_metrics",
+    "q_events_stickiness",
+    "q_events_survival",
+    "q_events_transitions",
+    "q_events_user_growth",
+    "q_dq_benford",
+    "q_dq_checks",
+    "q_dq_drift_features",
+    "q_dq_drift_ks",
+    "q_dq_drift_psi",
+    "q_dq_error_budget",
+    "q_dq_freshness",
+    "q_dq_table_fingerprint",
+    "q_curate_erasure",
+    "q_curate_mix_temperature",
+    "q_curate_pseudonymize",
+    "q_win_capped_cumsum",
+    "q_win_distribution",
+    "q_win_ewma",
+    "q_win_frame_range",
+    # (b) rounds-4+ rotation fodder: remaining never-checked SQL-oracled
+    "q_win_frame_rows",
+    "q_win_funnel",
+    "q_win_gaps_islands",
+    "q_win_hampel",
+    "q_win_moving_median",
+    "q_win_ntile",
+    "q_win_period_growth",
+    "q_win_ranking",
+    "q_win_rolling_time",
+    "q_win_topk_per_group",
+    "q_win_value_functions",
+    "q_text_bigram_lm",
+    "q_text_chunk",
+    "q_text_contamination",
+    "q_text_domain_cap",
+    "q_text_entropy",
+    "q_text_filter_cascade",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_pii_scrub",
+    "q_text_pmi_collocations",
+    "q_text_quality_score",
+    "q_text_repetition",
+    "q_text_tfidf_topterms",
+    "q_text_tfidf_weighted",
+    "q_text_tokenize_stats",
+    "q_text_unigram_logprob",
+    "q_text_url_canonical",
+    "q_text_vocab_coverage",
+    "q_dedup_clusters",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_incremental_neardup",
+    "q_dedup_paragraph",
+    "q_dedup_prefix_filter",
+    "q_dedup_snm",
+    "q_dedup_storage_impact",
+    "q_dedup_survivorship",
+    "q_ml_auc",
+    "q_ml_calibration",
+    "q_ml_class_metrics",
+    "q_ml_evaluator",
+    "q_ml_feature_hashing",
+    "q_ml_fpgrowth",
+    "q_ml_knn_classifier",
+    "q_ml_lift_table",
+    "q_ml_ndcg",
+    "q_ml_onehot",
+    "q_ml_pit_features",
+    "q_ml_pr_auc",
+    "q_ml_quantile_discretizer",
+    "q_ml_scaler",
+    "q_ml_string_indexer",
+    "q_ml_target_encode",
+    "q_ml_vector_assembler",
+    "q_agg_abc_xyz",
+    "q_agg_copurchase",
+    "q_agg_corr_matrix",
+    "q_agg_gini",
+    "q_agg_incremental_maintenance",
+    "q_agg_mad_outliers",
+    "q_agg_mode_median",
+    "q_agg_moments",
+    "q_agg_neyman_allocation",
+    "q_agg_ols_trend",
+    "q_agg_pareto",
+    "q_agg_percentile_disc",
+    "q_agg_price_index",
+    "q_agg_theilsen",
+    "q_agg_weighted_median",
+    "q_join_bloom_runtime",
+    "q_join_bucketed_colocated",
+    "q_join_dpp_prune",
+    "q_join_interval_overlap",
+    "q_join_lateral_topk",
+    "q_join_nullsafe",
+    "q_join_range_bucketed",
+    "q_join_salted_skew",
+    "q_join_spatial_grid",
+    "q_scan_column_prune",
+    "q_scan_csv_schema",
+    "q_scan_file_provenance",
+    "q_scan_json_corrupt",
+    "q_scan_parquet",
+    "q_scan_schema_evolution",
+    "q_scan_text_lines",
+    "q_scan_text_log",
     "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_parquet_roundtrip",
+    "q_sink_partitioned_prune",
+    "q_set_intersect_except",
+    "q_set_union_all",
+    "q_set_unpivot",
+    "q_subquery_exists",
+    "q_subquery_not_in",
+    "q_subquery_scalar",
+    "q_sim_cosine_topk",
+    "q_sim_knn_all",
+    "q_sim_pairwise_sample",
+    "q_sim_random_projection",
+    "q_ts_changepoint",
+    "q_ts_decompose",
+    "q_ts_forecast_naive",
+    "q_ts_interpolate",
+    "q_ts_ses",
+    "q_graph_bfs_hops",
+    "q_graph_pagerank",
+    "q_graph_treepath",
+    "q_graph_triangles",
+    "q_stream_interval_join",
+    "q_stream_session_dynamic",
+    "q_stream_stateful_session",
+    "q_stream_static_join",
+    "q_diff_tables",
+    "q_embed_quantize",
+    "q_fn_collation",
+    "q_fn_try_safe",
+    "q_fn_variant",
+    "q_fn_winsorize",
+    "q_group_normalize",
+    "q_layout_compact",
+    "q_layout_zorder",
+    "q_limit_topk",
+    "q_merge_upsert",
+    "q_mix_sources",
+    "q_multimodal_framesample",
+    "q_multimodal_manifest",
+    "q_pack_padding_waste",
+    "q_pack_shards",
+    "q_profile_orders",
+    "q_sample_reservoir_group",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2_lookup",
+    "q_seq_pattern_match",
+    "q_shuffle_global",
+    "q_sort_multikey",
+    "q_split_hash",
+    "q_sql_recursive_cte",
+    "q_udaf_second_largest",
+    "q_udtf_chunk_table",
+    # (c) never-checked rows-only ops (driver records weaker rows-only check)
+    "q_agg_hll_merge",
+    "q_agg_sketch_rollup",
+    "q_dedup_embedding_cells",
+    "q_events_markov_attribution",
+    "q_ml_cross_validation",
+    "q_ml_isotonic",
+    "q_ml_kmeans",
+    "q_ml_rf_pipeline",
+    "q_ml_train_test_split",
+    "q_multimodal_decode",
+    "q_multimodal_phash",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivf_index",
+    "q_stream_drift_monitor",
+    # (d) regression tail: every query with a green driver row from r1/r2
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    "q_agg_argmax",
+    "q_agg_bitmap_distinct",
+    "q_agg_bool",
+    "q_agg_chisq",
+    "q_agg_collect",
+    "q_agg_concentration",
+    "q_agg_confusion_accuracy",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_groupby",
+    "q_agg_grouping_sets",
+    "q_agg_having",
+    "q_agg_histogram",
+    "q_agg_item_cosine",
+    "q_agg_label_encode",
+    "q_agg_mutual_info",
+    "q_agg_percentile",
+    "q_agg_pivot",
+    "q_agg_proration",
+    "q_agg_rollup",
+    "q_agg_skyline",
+    "q_agg_stats",
+    "q_agg_welch_ttest",
+    "q_dedup_editdistance",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_dedup_substring_spans",
+    "q_embed_drift",
+    "q_events_interarrival",
+    "q_events_lifecycle",
+    "q_events_shapley",
+    "q_filter_boolean",
+    "q_filter_comparison",
+    "q_filter_conditional",
+    "q_filter_in_between_like",
+    "q_fn_array",
+    "q_fn_bitwise",
+    "q_fn_cast_decimal",
+    "q_fn_date",
+    "q_fn_hash",
+    "q_fn_json",
+    "q_fn_map_struct",
+    "q_fn_math",
+    "q_fn_null_semantics",
+    "q_fn_string",
+    "q_fn_timestamp",
+    "q_fn_trig",
+    "q_fn_url",
+    "q_fn_xml",
+    "q_graph_degrees",
+    "q_graph_link_prediction",
+    "q_join_asof_event",
+    "q_join_broadcast",
+    "q_join_cross",
+    "q_join_fifo_match",
+    "q_join_inner_equi",
+    "q_join_left_right_full",
+    "q_join_multiway",
+    "q_join_nearest_event",
+    "q_join_semi_anti",
+    "q_join_theta_range",
+    "q_ml_info_gain",
+    "q_ml_linreg_normal",
+    "q_ml_naive_bayes",
+    "q_ml_pca",
+    "q_pack_ffd",
+    "q_project_rename",
+    "q_scd2_history",
+    "q_self_join_dedup_pairs",
+    "q_set_bag_ops",
+    "q_stream_gapfill",
+    "q_stream_late_dedup",
+    "q_stream_milestones",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_novelty",
+    "q_text_readability",
+    "q_ts_autocorr",
+    "q_ts_cusum",
+    "q_ts_mann_kendall",
+    "q_ts_ohlc",
+    "q_ts_peaks",
+    "q_ts_rsi",
+    "q_ts_runs_test",
+    "q_win_analytic",
+    "q_win_concurrency",
+    "q_win_drawdown",
+    "q_win_rolling_corr",
+    "q_win_streak",
 )
 
 
