@@ -6,19 +6,23 @@ keeps one canonical document. This is the engine's iterative-algorithm
 surface (SURVEY §2.2 'non-SQL-expressible ops'): a driver-side loop of
 DataFrame steps, converging in O(log n) rounds.
 
-Algorithm — min-label propagation with pointer doubling: each round
-(a) propagates labels one hop through the edge list (join on neighbor,
-min), then (b) jumps each node's label to its label's OWN label
-(labels⋈labels self-join). Step (a) alone converges in O(diameter)
-rounds; the doubling step compresses label paths geometrically, giving
-the O(log n) round bound of pointer-jumping connectivity algorithms.
-Each round is two shuffle joins + an aggregation keyed on node — at
-100 TB every round is embarrassingly parallel, nothing driver-side but
-the convergence counter. The loop localCheckpoints every round to
-truncate lineage that Catalyst would otherwise re-analyze (iterative
-plans grow exponentially without it). Exhausting max_rounds without
-convergence RAISES — a silently-unconverged labeling would merge or
-split clusters wrongly downstream.
+Algorithm — alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14; also the
+algorithm behind GraphFrames' connectedComponents): each round rewires
+the edge set itself rather than propagating labels hop-by-hop.
+Large-star connects every neighbor LARGER than u to u's minimum
+neighborhood label m(u); small-star connects every neighbor ≤ u (and u)
+to m(u). Alternating the two contracts components onto their minimum
+node in O(log n) rounds REGARDLESS of graph diameter — the property
+min-label propagation (the previous implementation here) lacks: a
+k-node chain cost it Θ(log k)–Θ(k) rounds, each a full edge shuffle.
+Every round is two neighborhood aggregations + broadcast-or-shuffle
+joins keyed on node — embarrassingly parallel at 100 TB, nothing
+driver-side but the convergence counter. The loop localCheckpoints
+every round to truncate lineage that Catalyst would otherwise
+re-analyze (iterative plans grow exponentially without it). Exhausting
+max_rounds without convergence RAISES — a silently-unconverged labeling
+would merge or split clusters wrongly downstream.
 """
 
 from __future__ import annotations
@@ -32,56 +36,86 @@ from ..queries.registry import REGISTRY, query
 MAX_ROUNDS = 20
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ {u}).
+    `edges` is the symmetric neighbor list (a, b); returns canonical
+    (hi, lo) directed edges."""
+    mins = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    return (
+        edges.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(star: DataFrame) -> DataFrame:
+    """Input (hi, lo) edges; for each hi, connect lo-neighbors ∪ {hi} to
+    the minimum of that set. Returns canonical (hi, lo) edges."""
+    mins = star.groupBy("hi").agg(F.min("lo").alias("m"))
+    rewired = (
+        star.join(mins, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .union(mins.select(F.col("hi"), F.col("m").alias("lo")))
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+    return rewired
+
+
 def connected_components(
-    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = MAX_ROUNDS
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = MAX_ROUNDS,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Return (node, comp) where comp = min node id reachable through the
     pair graph. Nodes appearing in no pair are absent (callers union
-    isolated nodes back if needed)."""
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    isolated nodes back if needed). With ``return_rounds`` returns
+    (labels, rounds_used) so tests can pin the O(log n) round bound."""
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .union(pairs.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.groupBy("a")
-        .agg(F.min("b").alias("min_nb"))
-        .select(F.col("a").alias("node"), F.least("a", "min_nb").alias("comp"))
+    star = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        # (a) propagate: my new label = min(my label, labels of my neighbors)
-        neighbor_labels = edges.join(
-            labels.withColumnRenamed("node", "b"), "b"
-        ).select(F.col("a").alias("node"), "comp")
-        propagated = (
-            labels.union(neighbor_labels).groupBy("node").agg(F.min("comp").alias("comp"))
+    for rnd in range(1, max_rounds + 1):
+        sym = star.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
+            star.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         )
-        # (b) pointer-double: follow my label to ITS label (path halving).
-        # comp is itself a node id, so its row always exists; the left join
-        # guards the root (comp == node) case degenerating on missing rows.
-        jump_target = propagated.select(
-            F.col("node").alias("comp"), F.col("comp").alias("comp2")
+        new_star = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        # Converged when the edge set is a fixed point (all stars point at
+        # their component minimum): same cardinality and no novel edges.
+        same = (
+            new_star.count() == star.count()
+            and new_star.exceptAll(star).limit(1).count() == 0
         )
-        new_labels = (
-            propagated.join(jump_target, "comp", "left")
-            .select("node", F.least("comp", "comp2").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "node")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
+        star = new_star
+        if same:
+            labels = nodes.join(
+                star.select(F.col("hi").alias("node"), F.col("lo").alias("comp")),
+                "node",
+                "left",
+            ).select("node", F.coalesce("comp", "node").alias("comp"))
+            return (labels, rnd) if return_rounds else labels
     raise RuntimeError(
         f"connected_components did not converge within {max_rounds} rounds; "
-        "raise max_rounds (labels would be silently wrong for chains longer "
-        "than the round budget)"
+        "raise max_rounds (labels would be silently wrong otherwise)"
     )
 
 

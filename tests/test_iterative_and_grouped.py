@@ -40,15 +40,21 @@ def test_connected_components_matches_union_find(spark, sf_dir):
 
 
 def test_connected_components_chain_converges(spark):
-    """A 200-node path graph: one-hop propagation alone would need 200
-    rounds (> max_rounds=20); the pointer-doubling step must converge it
-    within the round budget, every node in component 0."""
+    """A 1000-node path graph with PERMUTED ids (the minimum sits mid-
+    chain, so one-hop min propagation would need ~1000 rounds — far past
+    max_rounds=20): large-star/small-star must contract it within an
+    O(log n) round budget, every node labeled with the global min."""
+    n = 1000
+    perm = [(i * 389) % n for i in range(n)]  # 389 coprime with 1000
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+        [(perm[i], perm[i + 1]) for i in range(n - 1)],
+        "doc_a long, doc_b long",
     )
-    got = {r.node: r.comp for r in connected_components(chain).collect()}
+    labels, rounds = connected_components(chain, return_rounds=True)
+    got = {r.node: r.comp for r in labels.collect()}
     assert set(got.values()) == {0}
-    assert len(got) == 201
+    assert len(got) == n
+    assert rounds <= 12, f"chain took {rounds} rounds; O(log n) bound broken"
 
 
 def test_connected_components_raises_on_round_exhaustion(spark):
