@@ -266,6 +266,79 @@ def q_stream_interval_join(spark, sf_dir):
 
 
 @query(
+    "q_stream_interval_join_outer",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click')
+    SELECT p_id, c_id, p.user_id AS user_id,
+           CAST(epoch(date_trunc('second', p_ts)) AS BIGINT) AS p_epoch,
+           CAST(epoch(date_trunc('second', c_ts)) AS BIGINT) AS c_epoch
+    FROM p LEFT JOIN c ON p.user_id = c.user_id
+     AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+    """,
+    tags=("stream", "interval-join", "outer"),
+)
+def q_stream_interval_join_outer(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream interval join, batch form:
+    every purchase appears, null-extended when no same-user click landed
+    in the preceding hour — the unmatched-row surface the inner variant
+    (q_stream_interval_join) can't express. The streaming twin
+    (``streaming/jobs.py streaming_interval_join_outer``) emits the
+    null-extended rows only once the watermark passes the join bound;
+    tests assert batch ≡ streaming row-for-row INCLUDING the null rows,
+    and ``streaming_state_metrics`` exposes the state-store eviction
+    counters that prove the interval bound keeps join state finite. In
+    batch this is a plain left hash join on user_id with the interval
+    predicate evaluated inside it."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "p_id",
+        "c_id",
+        "user_id",
+        F.unix_timestamp("p_ts").alias("p_epoch"),
+        F.unix_timestamp("c_ts").alias("c_epoch"),
+    )
+
+
+@query(
+    "q_stream_state_metrics",
+    # rows-only: state-store progress counters are a streaming-runtime
+    # surface with no SQL equivalent; invariants (eviction observed,
+    # state bounded) are pinned in tests/test_streaming.py.
+    tags=("stream", "state-metrics", "observability"),
+)
+def q_stream_state_metrics(spark, sf_dir):
+    """Per-batch state-store health of the watermarked outer interval
+    join (``streaming/jobs.py streaming_state_metrics``): rows kept /
+    updated / removed per stateful operator plus the batch watermark.
+    `state_rows_removed > 0` is the eviction evidence — the interval
+    bound lets the join drop aged click state instead of growing
+    forever. This is the readout a production operator alerts on
+    (state size trending up ⇒ watermark stalled or bound missing)."""
+    from ..streaming.jobs import streaming_state_metrics
+
+    return streaming_state_metrics(spark, sf_dir)
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     WITH dim AS (

@@ -125,6 +125,38 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     assert batch.count() > 0
 
 
+def test_stream_stream_outer_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream interval join must produce
+    exactly the batch left join's rows — including the null-extended
+    purchases with no click in the preceding hour, which streaming may
+    only emit after the watermark passes the join bound."""
+    stream = sjobs.streaming_interval_join_outer(spark, sf_dir)
+    batch = sjobs.batch_interval_join_outer(spark, sf_dir)
+    cols = sorted(batch.columns)
+    assert sorted(stream.columns) == cols
+
+    def rows_nullsafe(df):  # null c_id/c_epoch on unmatched rows
+        return sorted(
+            (tuple(-(2**62) if v is None else v for v in r) for r in df.collect())
+        )
+
+    assert rows_nullsafe(stream.select(*cols)) == rows_nullsafe(batch.select(*cols))
+    # the outer join must actually exercise null extension
+    assert batch.filter(batch.c_id.isNull()).count() > 0
+
+
+def test_streaming_state_metrics_show_eviction(spark, sf_dir):
+    """State-store progress for the outer interval join: state must be
+    populated AND evicted (numRowsRemoved > 0 proves the interval bound
+    let the join drop aged state), and the watermark must end beyond the
+    epoch start."""
+    m = sjobs.streaming_state_metrics(spark, sf_dir).collect()
+    assert m, "no state operator progress captured"
+    assert sum(r.state_rows_updated for r in m) > 0
+    assert sum(r.state_rows_removed for r in m) > 0
+    assert any(r.watermark > "2000-" for r in m)
+
+
 def test_foreach_batch_upsert_partitions(spark, sf_dir):
     """foreachBatch overwrite-by-partition sink: final parquet equals the
     batch aggregate, laid out one directory per event_type."""
