@@ -7,13 +7,16 @@ extraction, resize, frame sampling) runs as Arrow-batched Python over
 whole partition, and the output schema is declared up front (Catalyst
 plans around the UDF as a black box with known shape).
 
-The container has no image/audio codecs, so the real decoders are
-explicit `NotImplementedError` stubs (`decode_image`, `decode_audio`)
-and the pipeline runs a **deterministic fake decoder** — byte-histogram
-moments over the payload — keeping every Spark-side piece real and
-testable: schema, metadata struct, batch iteration, partitioning, and
-the declared `q_multimodal_decode` query. Swapping in PIL/ffmpeg later
-changes only the per-batch function body.
+The container has no codec libraries, so the engine carries its OWN
+real codecs for the two containers expressible in pure struct/numpy:
+uncompressed 24-bit BMP (`encode_bmp`/`decode_image`) and 16-bit PCM
+WAV (`encode_wav`/`decode_audio`). `render_media_payloads` renders the
+fixture payloads into those containers so `q_multimodal_decode`
+exercises a genuine decode end-to-end; compressed formats (JPEG/MP3/
+video) still raise `NotImplementedError` — a wrong silent decode is
+worse than an explicit gap — and raw payloads fall back to the
+deterministic byte-histogram featurizer (`_fake_decode`). Swapping in
+PIL/ffmpeg later widens only the magic-dispatch in `_decode_any`.
 
 Scale posture: payloads shuffle at most once (they are attached 1:1 to
 rows and processed map-side); feature extraction is embarrassingly
@@ -48,15 +51,92 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB, 4-byte-aligned bottom-up rows) — the one
+    image container expressible with zero codec dependencies, used to
+    render REAL image payloads for the decode pipeline."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (row_len - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += pixels[y, :, ::-1].tobytes() + pad  # BGR order
+    return header + info + bytes(rows)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode (PIL/turbojpeg) — not available in this
-    container; the pipeline substitutes `_fake_decode`."""
-    raise NotImplementedError("image codecs not installed; use the fake decoder")
+    """REAL image decode for uncompressed 24-bit BMP (pure struct/numpy,
+    no external codec): returns an (h, w, 3) uint8 RGB array. Other
+    containers (JPEG/PNG/...) would need PIL/turbojpeg, absent in this
+    environment — those magics raise so a silent wrong-decode can't
+    slip through."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only BMP is decodable without external codecs (PIL/turbojpeg "
+            "not installed); got magic %r" % payload[:2]
+        )
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_len * abs(h), offset=data_off
+    ).reshape(abs(h), row_len)[:, : w * 3].reshape(abs(h), w, 3)
+    rgb = rows[:, :, ::-1]  # BGR → RGB
+    return rgb[::-1] if h > 0 else rgb  # bottom-up unless h negative
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a RIFF/WAVE PCM file (pure struct)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """Real audio decode (soundfile/ffmpeg) — not available here."""
-    raise NotImplementedError("audio codecs not installed; use the fake decoder")
+    """REAL audio decode for 16-bit PCM mono RIFF/WAVE (pure
+    struct/numpy): returns the int16 sample array. Compressed audio
+    (MP3/OGG/...) would need ffmpeg/soundfile — absent here, so
+    non-WAV magics raise instead of mis-decoding."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only WAV/PCM is decodable without external codecs "
+            "(ffmpeg/soundfile not installed); got magic %r" % payload[:4]
+        )
+    # walk RIFF chunks to the data chunk (fmt may not be first in general)
+    off, n = 12, len(payload)
+    fmt_code = n_channels = bits = None
+    while off + 8 <= n:
+        cid, sz = struct.unpack_from("<4sI", payload, off)
+        if cid == b"fmt ":
+            fmt_code, n_channels, _rate = struct.unpack_from("<HHI", payload, off + 8)
+            bits = struct.unpack_from("<H", payload, off + 22)[0]
+        elif cid == b"data":
+            if fmt_code != 1 or n_channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only 16-bit PCM mono supported (fmt={fmt_code}, "
+                    f"ch={n_channels}, bits={bits})"
+                )
+            return np.frombuffer(payload, dtype="<i2", count=sz // 2, offset=off + 8)
+        off += 8 + sz + (sz & 1)
+    raise ValueError("WAV payload has no data chunk")
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
@@ -68,6 +148,84 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     counts = np.bincount(np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=16)
     hist = counts / counts.sum()
     return (hist[:FEATURE_DIM] + hist[FEATURE_DIM:]).astype(np.float64)
+
+
+def render_media_payloads(with_payload: DataFrame) -> DataFrame:
+    """Render REAL media containers for the decode pipeline: image-
+    modality payloads become genuine 24-bit BMPs, audio payloads genuine
+    16-bit PCM WAVs (both deterministic pure functions of the original
+    bytes — pixels/samples are the tiled source bytes), video payloads
+    stay raw (a real container there means ffmpeg). Runs as Arrow-batched
+    mapInPandas exactly like decode: map-side, no shuffle, schema
+    preserved. In production this stage doesn't exist — payloads arrive
+    as real media from ingest; it exists here so q_multimodal_decode
+    exercises the REAL codec path end-to-end."""
+    out_schema = with_payload.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rendered = []
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                src = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(src) == 0:
+                    src = np.zeros(1, dtype=np.uint8)
+                if meta["modality"] == "image":
+                    w = 8 + int(meta["width"]) % 24
+                    h = 8 + int(meta["height"]) % 16
+                    pix = np.resize(src, (h, w, 3)).astype(np.uint8)
+                    rendered.append(encode_bmp(pix))
+                elif meta["modality"] == "audio":
+                    samples = (
+                        np.resize(src, 2048).astype(np.int16) - 128
+                    ) * 256  # center + scale to int16 range
+                    rendered.append(encode_wav(samples))
+                else:  # video: raw bytes (real container would need ffmpeg)
+                    rendered.append(bytes(payload))
+            out = pdf.copy()
+            out["payload"] = rendered
+            yield out
+
+    return with_payload.mapInPandas(run, out_schema)
+
+
+def _decode_any(payload: bytes) -> np.ndarray:
+    """Per-payload decode dispatch on container magic: BMP → real image
+    decode → per-channel mean/std + dims feature; WAV → real audio
+    decode → level/dynamics feature; anything else (the raw video
+    stand-ins) → byte-histogram fake. Always FEATURE_DIM floats, pure
+    function of the bytes."""
+    payload = bytes(payload)
+    if payload[:2] == b"BM":
+        img = decode_image(payload).astype(np.float64)
+        h, w = img.shape[0], img.shape[1]
+        return np.array(
+            [
+                h / 1024.0,
+                w / 1024.0,
+                img[:, :, 0].mean() / 255.0,
+                img[:, :, 1].mean() / 255.0,
+                img[:, :, 2].mean() / 255.0,
+                img.std() / 255.0,
+                img.min() / 255.0,
+                img.max() / 255.0,
+            ]
+        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        s = decode_audio(payload).astype(np.float64) / 32768.0
+        zcr = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0.0
+        return np.array(
+            [
+                len(s) / 1e6,
+                s.mean(),
+                s.std(),
+                float(np.sqrt(np.mean(s * s))),
+                zcr,
+                s.min(),
+                s.max(),
+                float(np.abs(s).mean()),
+            ]
+        )
+    return _fake_decode(payload)
 
 
 def attach_payload(docs: DataFrame) -> DataFrame:
@@ -91,12 +249,13 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_features(with_payload: DataFrame) -> DataFrame:
-    """mapInPandas decode: iterate Arrow batches, run the (stubbed)
-    decoder per payload, emit the declared fixed-shape feature schema."""
+    """mapInPandas decode: iterate Arrow batches, dispatch each payload
+    on its container magic (real BMP/WAV decode, histogram fallback for
+    raw bytes), emit the declared fixed-shape feature schema."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [_decode_any(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -159,11 +318,14 @@ def q_multimodal_framesample(spark, sf_dir):
 @query("q_multimodal_decode", oracle=None, tags=("multimodal", "udf"))
 def q_multimodal_decode(spark, sf_dir):
     """Decode-and-featurize over the multimodal column pattern: binary
-    payload + metadata struct → mapInPandas (stub) decoder → per-modality
-    feature stats. Deterministic (fake decoder is a pure function of the
+    payload + metadata struct → render to REAL containers (24-bit BMP
+    for image rows, 16-bit PCM WAV for audio rows) → mapInPandas decode
+    through the REAL codecs (struct/numpy BMP + WAV parsers; raw video
+    bytes take the histogram fallback) → per-modality feature stats.
+    Deterministic (codecs and featurizers are pure functions of the
     bytes) but not SQL-expressible → rows-only."""
     docs = t(spark, sf_dir, "documents")
-    decoded = decode_features(attach_payload(docs))
+    decoded = decode_features(render_media_payloads(attach_payload(docs)))
     return (
         decoded.groupBy("modality")
         .agg(
@@ -193,7 +355,7 @@ def decode_features_arrow(with_payload: DataFrame) -> DataFrame:
         for batch in batches:
             payloads = batch.column("payload").to_pylist()
             metas = batch.column("media_meta")
-            feats = [np.round(_fake_decode(p), 6).tolist() for p in payloads]
+            feats = [np.round(_decode_any(p), 6).tolist() for p in payloads]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),

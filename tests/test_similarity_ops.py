@@ -144,3 +144,54 @@ def test_phash_clusters_cover_exact_payload_dups(spark, sf_dir):
     assert sorted((r.asDict() for r in clusters.collect()), key=lambda d: d["phash"]) == sorted(
         (r.asDict() for r in again.collect()), key=lambda d: d["phash"]
     )
+
+
+def test_bmp_codec_roundtrip():
+    """Real BMP encode→decode must reproduce pixels exactly, for both
+    4-byte-aligned and padded row widths."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for h, w in [(13, 21), (16, 16), (1, 1), (9, 3)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        got = mm.decode_image(mm.encode_bmp(img))
+        assert np.array_equal(got, img), f"BMP roundtrip failed at {h}x{w}"
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32767, 2048).astype(np.int16)
+    assert np.array_equal(mm.decode_audio(mm.encode_wav(s)), s)
+
+
+def test_unknown_containers_raise():
+    """Compressed formats must raise, not silently mis-decode."""
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with _pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04\x00......")
+
+
+def test_decode_features_uses_real_codecs(spark, sf_dir):
+    """The rendered pipeline must route image rows through the BMP
+    decoder and audio rows through the WAV decoder: feature semantics
+    differ per modality (dims/channel stats vs level/dynamics), and
+    results stay deterministic across partitionings."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    wp = mm.render_media_payloads(mm.attach_payload(docs))
+    out = mm.decode_features(wp).collect()
+    by_mod = {}
+    for r in out:
+        by_mod.setdefault(r.modality, []).append(r.feature)
+    # image f0/f1 are h/1024, w/1024 of the rendered thumbs: tiny, positive
+    assert all(0 < f[0] < 0.05 and 0 < f[1] < 0.05 for f in by_mod["image"])
+    # audio features include zero-crossing rate in [0, 1]
+    assert all(0.0 <= f[4] <= 1.0 for f in by_mod["audio"])
+    again = mm.decode_features(
+        mm.render_media_payloads(mm.attach_payload(docs.repartition(7, "doc_id")))
+    ).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
