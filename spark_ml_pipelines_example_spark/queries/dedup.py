@@ -288,24 +288,41 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def simhash_signatures(d):
-    """64-bit SimHash per document (Charikar/Manku): xxhash64 each distinct
-    token, majority-vote each of the 64 bits, assemble the signature as one
-    long. The per-bit vote is an unrolled 64-column hash aggregate — partial
-    (map-side) combine applies, so the shuffle carries one 64-int row per
-    doc, never token rows."""
+    """64-bit SimHash per document (Charikar/Manku): hash each distinct
+    token to 64 bits, majority-vote each of the 64 bits, assemble the
+    signature as one long. The per-bit vote is an unrolled 64-column hash
+    aggregate — partial (map-side) combine applies, so the shuffle
+    carries one 64-int row per doc, never token rows.
+
+    Token hash = the two 32-bit halves of MD5(token) — chosen over
+    xxhash64 NOT for speed (xxhash64 is ~2× faster JVM-side) but for
+    cross-engine verifiability: DuckDB computes the identical MD5 hex,
+    which upgrades q_dedup_simhash from rows-only to a full end-to-end
+    hash check of signatures, banding, and Hamming confirm. A deployment
+    that doesn't need an independent-oracle audit swaps `_tok_hash64`
+    back to xxhash64 without touching any other line."""
     # spread on doc_id BEFORE the explode: from a one-file input the
     # tokenize + 64-way vote otherwise runs in a single task (same
     # local-mode artifact as the minhash signature pass), and because the
     # vote groups by the same doc_id the pre-partitioning also lets
     # Catalyst elide the aggregate's own exchange.
+    md5hex = F.md5(F.encode("tok", "utf-8"))
     ex = d.repartition(32, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5hex, 1, 8), 16, 10).cast("long").alias("hhi"),
+        F.conv(F.substring(md5hex, 9, 8), 16, 10).cast("long").alias("hlo"),
     )
-    h = F.xxhash64("tok")
     bit_votes = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{b}"
-        )
+        F.sum(
+            F.when(
+                F.shiftright(F.col("hlo" if b < 32 else "hhi"), b % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{b}")
         for b in range(64)
     ]
     votes = ex.groupBy("doc_id").agg(*bit_votes)
@@ -322,12 +339,116 @@ def simhash_signatures(d):
     )
 
 
-@query("q_dedup_simhash", oracle=None, tags=("dedup", "simhash"))
+@query(
+    "q_dedup_simhash",
+    # FULL hash-check oracle (upgraded from rows-only): MD5-half token
+    # hashes are engine-identical, so DuckDB recomputes the entire
+    # pipeline — 64-bit majority-vote signatures (64 conditional sums),
+    # 4×16-bit banding as an OR of band equalities, Hamming via
+    # per-half bit_count(xor). The ORed-bands n² join is oracle-side
+    # only; the engine side keeps the banded equi-join shape.
+    oracle="""
+    WITH ex AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ), h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hlo
+        FROM ex
+    ), votes AS (
+        SELECT doc_id,
+           SUM(CASE WHEN (hlo >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b0,
+           SUM(CASE WHEN (hlo >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b1,
+           SUM(CASE WHEN (hlo >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b2,
+           SUM(CASE WHEN (hlo >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b3,
+           SUM(CASE WHEN (hlo >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b4,
+           SUM(CASE WHEN (hlo >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b5,
+           SUM(CASE WHEN (hlo >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b6,
+           SUM(CASE WHEN (hlo >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b7,
+           SUM(CASE WHEN (hlo >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b8,
+           SUM(CASE WHEN (hlo >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b9,
+           SUM(CASE WHEN (hlo >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b10,
+           SUM(CASE WHEN (hlo >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b11,
+           SUM(CASE WHEN (hlo >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b12,
+           SUM(CASE WHEN (hlo >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b13,
+           SUM(CASE WHEN (hlo >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b14,
+           SUM(CASE WHEN (hlo >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b15,
+           SUM(CASE WHEN (hlo >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b16,
+           SUM(CASE WHEN (hlo >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b17,
+           SUM(CASE WHEN (hlo >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b18,
+           SUM(CASE WHEN (hlo >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b19,
+           SUM(CASE WHEN (hlo >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b20,
+           SUM(CASE WHEN (hlo >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b21,
+           SUM(CASE WHEN (hlo >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b22,
+           SUM(CASE WHEN (hlo >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b23,
+           SUM(CASE WHEN (hlo >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b24,
+           SUM(CASE WHEN (hlo >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b25,
+           SUM(CASE WHEN (hlo >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b26,
+           SUM(CASE WHEN (hlo >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b27,
+           SUM(CASE WHEN (hlo >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b28,
+           SUM(CASE WHEN (hlo >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b29,
+           SUM(CASE WHEN (hlo >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b30,
+           SUM(CASE WHEN (hlo >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b31,
+           SUM(CASE WHEN (hhi >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS b32,
+           SUM(CASE WHEN (hhi >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS b33,
+           SUM(CASE WHEN (hhi >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS b34,
+           SUM(CASE WHEN (hhi >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS b35,
+           SUM(CASE WHEN (hhi >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS b36,
+           SUM(CASE WHEN (hhi >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS b37,
+           SUM(CASE WHEN (hhi >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS b38,
+           SUM(CASE WHEN (hhi >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS b39,
+           SUM(CASE WHEN (hhi >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS b40,
+           SUM(CASE WHEN (hhi >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS b41,
+           SUM(CASE WHEN (hhi >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS b42,
+           SUM(CASE WHEN (hhi >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS b43,
+           SUM(CASE WHEN (hhi >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS b44,
+           SUM(CASE WHEN (hhi >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS b45,
+           SUM(CASE WHEN (hhi >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS b46,
+           SUM(CASE WHEN (hhi >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS b47,
+           SUM(CASE WHEN (hhi >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS b48,
+           SUM(CASE WHEN (hhi >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS b49,
+           SUM(CASE WHEN (hhi >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS b50,
+           SUM(CASE WHEN (hhi >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS b51,
+           SUM(CASE WHEN (hhi >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS b52,
+           SUM(CASE WHEN (hhi >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS b53,
+           SUM(CASE WHEN (hhi >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS b54,
+           SUM(CASE WHEN (hhi >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS b55,
+           SUM(CASE WHEN (hhi >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS b56,
+           SUM(CASE WHEN (hhi >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS b57,
+           SUM(CASE WHEN (hhi >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS b58,
+           SUM(CASE WHEN (hhi >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS b59,
+           SUM(CASE WHEN (hhi >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS b60,
+           SUM(CASE WHEN (hhi >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS b61,
+           SUM(CASE WHEN (hhi >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS b62,
+           SUM(CASE WHEN (hhi >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS b63
+        FROM h GROUP BY 1
+    ), sig AS (
+        SELECT doc_id,
+               CAST((CASE WHEN b0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN b1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN b2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN b3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN b4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN b5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN b6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN b7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN b8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN b9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN b10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN b11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN b12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN b13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN b14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN b15 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN b16 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN b17 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN b18 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN b19 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN b20 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN b21 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN b22 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN b23 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN b24 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN b25 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN b26 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN b27 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN b28 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN b29 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN b30 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN b31 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS lo_sig,
+               CAST((CASE WHEN b32 > 0 THEN 1 ELSE 0 END) + (CASE WHEN b33 > 0 THEN 2 ELSE 0 END) + (CASE WHEN b34 > 0 THEN 4 ELSE 0 END) + (CASE WHEN b35 > 0 THEN 8 ELSE 0 END) + (CASE WHEN b36 > 0 THEN 16 ELSE 0 END) + (CASE WHEN b37 > 0 THEN 32 ELSE 0 END) + (CASE WHEN b38 > 0 THEN 64 ELSE 0 END) + (CASE WHEN b39 > 0 THEN 128 ELSE 0 END) + (CASE WHEN b40 > 0 THEN 256 ELSE 0 END) + (CASE WHEN b41 > 0 THEN 512 ELSE 0 END) + (CASE WHEN b42 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN b43 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN b44 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN b45 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN b46 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN b47 > 0 THEN 32768 ELSE 0 END) + (CASE WHEN b48 > 0 THEN 65536 ELSE 0 END) + (CASE WHEN b49 > 0 THEN 131072 ELSE 0 END) + (CASE WHEN b50 > 0 THEN 262144 ELSE 0 END) + (CASE WHEN b51 > 0 THEN 524288 ELSE 0 END) + (CASE WHEN b52 > 0 THEN 1048576 ELSE 0 END) + (CASE WHEN b53 > 0 THEN 2097152 ELSE 0 END) + (CASE WHEN b54 > 0 THEN 4194304 ELSE 0 END) + (CASE WHEN b55 > 0 THEN 8388608 ELSE 0 END) + (CASE WHEN b56 > 0 THEN 16777216 ELSE 0 END) + (CASE WHEN b57 > 0 THEN 33554432 ELSE 0 END) + (CASE WHEN b58 > 0 THEN 67108864 ELSE 0 END) + (CASE WHEN b59 > 0 THEN 134217728 ELSE 0 END) + (CASE WHEN b60 > 0 THEN 268435456 ELSE 0 END) + (CASE WHEN b61 > 0 THEN 536870912 ELSE 0 END) + (CASE WHEN b62 > 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN b63 > 0 THEN 2147483648 ELSE 0 END) AS BIGINT) AS hi_sig
+        FROM votes
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo_sig, b.lo_sig))
+                + bit_count(xor(a.hi_sig, b.hi_sig)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+     AND (   (a.lo_sig & 65535) = (b.lo_sig & 65535)
+          OR ((a.lo_sig >> 16) & 65535) = ((b.lo_sig >> 16) & 65535)
+          OR (a.hi_sig & 65535) = (b.hi_sig & 65535)
+          OR ((a.hi_sig >> 16) & 65535) = ((b.hi_sig >> 16) & 65535))
+    WHERE bit_count(xor(a.lo_sig, b.lo_sig)) + bit_count(xor(a.hi_sig, b.hi_sig)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit signature (see ``simhash_signatures``),
     banded into 4×16-bit keys, candidate pairs = same band value, confirm
-    with Hamming distance via bit_count(xor). Deterministic (xxhash64 is
-    seeded) but not DuckDB-reproducible → rows-only.
+    with Hamming distance via bit_count(xor). MD5-half token hashing
+    makes the whole pipeline hash-checkable against the DuckDB oracle
+    (signature bits, band keys, Hamming distances — all engine-exact
+    integers).
 
     Scale shape: 16-bit bands give 65,536 buckets per band, so candidate
     generation stays near the true-duplicate count instead of the 256-bucket

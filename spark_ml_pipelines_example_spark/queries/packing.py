@@ -79,7 +79,58 @@ def q_pack_shards(spark, sf_dir):
     )
 
 
-@query("q_pack_ffd", oracle=None, tags=("text", "packing", "ffd", "training-data"))
+@query(
+    "q_pack_ffd",
+    # The greedy first-fit loop IS SQL-expressible after all: a DuckDB
+    # recursive CTE advances one doc per iteration (in the same
+    # (tokens DESC, doc_id) order as the Spark-side loop) carrying the
+    # per-bin remaining capacities as a LIST column — first fitting bin
+    # via an indexed-lambda scan, bin update via list_transform. This
+    # upgrades the query from rows-only to a full hash check
+    # (precedent: q_win_capped_cumsum's running-recurrence oracle).
+    oracle=f"""
+    WITH RECURSIVE sized AS (
+        SELECT doc_id, source, CAST(len(string_split(text,' ')) AS INT)
+                   AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_tokens DESC, doc_id) AS r
+        FROM sized
+    ), fit(source, r, doc_id, n_tokens, chosen, bins) AS (
+        SELECT source, r, doc_id, n_tokens,
+               CAST(1 AS BIGINT) AS chosen,
+               [GREATEST({SHARD_TOKEN_BUDGET} - n_tokens, 0)] AS bins
+        FROM ranked WHERE r = 1
+        UNION ALL
+        SELECT d.source, d.r, d.doc_id, d.n_tokens,
+               COALESCE(
+                 CAST(list_filter(list_transform(f.bins,
+                        (x, i) -> CASE WHEN x >= d.n_tokens THEN i END),
+                        y -> y IS NOT NULL)[1] AS BIGINT),
+                 len(f.bins) + 1) AS chosen,
+               CASE WHEN list_filter(list_transform(f.bins,
+                        (x, i) -> CASE WHEN x >= d.n_tokens THEN i END),
+                        y -> y IS NOT NULL)[1] IS NULL
+                    THEN list_append(f.bins,
+                                     GREATEST({SHARD_TOKEN_BUDGET} - d.n_tokens, 0))
+                    ELSE list_transform(f.bins,
+                        (x, i) -> CASE WHEN i = list_filter(list_transform(f.bins,
+                                     (x2, i2) -> CASE WHEN x2 >= d.n_tokens
+                                                 THEN i2 END),
+                                     y -> y IS NOT NULL)[1]
+                                  THEN x - d.n_tokens ELSE x END)
+               END AS bins
+        FROM fit f JOIN ranked d ON d.source = f.source AND d.r = f.r + 1
+    )
+    SELECT source, CAST(chosen - 1 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM fit GROUP BY 1, 2
+    """,
+    tags=("text", "packing", "ffd", "training-data"),
+)
 def q_pack_ffd(spark, sf_dir):
     """First-fit-decreasing bin packing within each source block — the
     quality upgrade over q_pack_shards' order-preserving next-fit: FFD
@@ -90,9 +141,11 @@ def q_pack_ffd(spark, sf_dir):
     block (the declared Python-boundary pattern, like
     q_win_capped_cumsum): blocks pack in parallel, each block's loop is
     O(docs·bins) over an in-memory frame. Deterministic: sort key
-    (tokens DESC, doc_id), bins scanned in creation order. Rows-only —
-    the greedy loop is not SQL-expressible — with conservation,
-    capacity, and bins ≤ next-fit invariants in tests."""
+    (tokens DESC, doc_id), bins scanned in creation order — which makes
+    it HASH-CHECKABLE against the recursive-CTE oracle above (one
+    recursion step per doc, bin capacities carried as a LIST column);
+    conservation, capacity, and bins ≤ next-fit invariants additionally
+    pinned in tests."""
     import pandas as pd
 
     budget = SHARD_TOKEN_BUDGET
