@@ -11,11 +11,13 @@ Reference defects fixed (SURVEY §8):
 - §4.3.2 no ``repartition(1)``: output keeps natural parallelism, with an
   optional ``--target-files`` coalesce for small-file control.
 
-XGBoost substitution (SURVEY §2.1 R18): xgboost4j has no first-party
-PySpark equivalent in this environment; ``fit --classifier gbt`` provides
-the gradient-boosted-trees stand-in (binary tasks), ``rf`` (default) the
-multiclass path. The scopt option surface maps 1:1 to argparse flags
-(``TrainTestSplit.scala:17-40``).
+XGBoost (SURVEY §2.1 R18/R20): ``fit --classifier xgb`` is the true
+parity path — ``xgboost.spark.SparkXGBClassifier`` with the reference's
+params mapped 1:1 (XGB_PARAMS) plus the native-booster gain report with
+the reference's print defect fixed — behind an import guard, since this
+environment ships no xgboost package; ``gbt`` remains the documented
+substitute where it is absent. The scopt option surface maps 1:1 to
+argparse flags (``TrainTestSplit.scala:17-40``).
 
 Usage:
   python -m spark_ml_pipelines_example_spark.ml.jobs split \\
@@ -70,9 +72,41 @@ def train_test_split(
     return train.count(), test.count()
 
 
+# reference xgboost_pipeline/ModelFit.scala:39-49, mapped 1:1 onto
+# xgboost.spark.SparkXGBClassifier parameter names:
+#   setObjective("multi:softprob") → objective, setEta(0.3) → learning_rate,
+#   setNumClass(3) → num_class, setMaxDepth(3) → max_depth,
+#   setMaxBins(32) → max_bin, setNumRound(100) → n_estimators,
+#   setNumWorkers(1) → num_workers, setNthread(1) → nthread.
+XGB_PARAMS = dict(
+    objective="multi:softprob",
+    learning_rate=0.3,
+    num_class=3,
+    max_depth=3,
+    max_bin=32,
+    n_estimators=100,
+    num_workers=1,
+    nthread=1,
+)
+
+
+def xgboost_available() -> bool:
+    try:
+        import xgboost.spark  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def build_pipeline(train: DataFrame, predictors=None, target: str = IRIS_TARGET, classifier: str = "rf"):
     """StringIndexer → VectorAssembler → classifier → IndexToString, the
-    reference's 4-stage pipeline (``pipeline/ModelFit.scala:58-83``)."""
+    reference's 4-stage pipeline (``pipeline/ModelFit.scala:58-83``).
+    ``classifier='xgb'`` is the true-XGBoost parity path (reference R18,
+    xgboost_pipeline/ModelFit.scala) behind an import guard — the
+    distributed ``xgboost.spark.SparkXGBClassifier`` with the reference's
+    params mapped 1:1 (XGB_PARAMS); unavailable in environments without
+    the xgboost package, where 'gbt' remains the documented substitute."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
     from pyspark.ml.feature import IndexToString, StringIndexer, VectorAssembler
@@ -89,6 +123,18 @@ def build_pipeline(train: DataFrame, predictors=None, target: str = IRIS_TARGET,
         clf = GBTClassifier(
             labelCol=LABEL_COL, featuresCol=FEATURES_COL, maxIter=20, maxDepth=3, seed=42
         )
+    elif classifier == "xgb":
+        if not xgboost_available():
+            raise ImportError(
+                "classifier='xgb' needs the xgboost package "
+                "(pip install xgboost); use 'gbt' as the documented "
+                "substitute (SURVEY §2.1 R18)"
+            )
+        from xgboost.spark import SparkXGBClassifier
+
+        clf = SparkXGBClassifier(
+            label_col=LABEL_COL, features_col=FEATURES_COL, **XGB_PARAMS
+        )
     else:
         clf = RandomForestClassifier(
             labelCol=LABEL_COL, featuresCol=FEATURES_COL, **RF_PARAMS
@@ -99,6 +145,34 @@ def build_pipeline(train: DataFrame, predictors=None, target: str = IRIS_TARGET,
         labels=indexer_model.labels,
     )
     return Pipeline(stages=[indexer_model, assembler, clf, decoder])
+
+
+def xgboost_report(model, input_cols, importance_type: str = "gain") -> str:
+    """Reference R20 XGBoost metrics report (package.scala:118-146) with
+    its defect FIXED: the reference prints ``model.getObjective`` for all
+    six metadata lines (ETA/Alpha/NumClasses/MaxBins/MaxDepth all show
+    the objective string); here each line reports its own parameter. The
+    feature-importance block is the native booster's per-feature gain
+    (``get_booster().get_score(importance_type='gain')``), sorted
+    descending and padded like the reference's formatter."""
+    booster = model.get_booster()
+    lines = ["XGBoost Classification Model Metrics: "]
+    lines.append(f"Objective:         {model.getOrDefault('objective')}")
+    lines.append(f"ETA:               {model.getOrDefault('learning_rate')}")
+    lines.append(f"Number of Classes: {model.getOrDefault('num_class')}")
+    lines.append(f"Maximum Bins:      {model.getOrDefault('max_bin')}")
+    lines.append(f"Maximum Depth:     {model.getOrDefault('max_depth')}")
+    scores = booster.get_score(importance_type=importance_type)
+    # booster names features f0..fn in assembler order
+    named = {
+        input_cols[int(k[1:])] if k.startswith("f") else k: v
+        for k, v in scores.items()
+    }
+    width = max((len(c) for c in named), default=0)
+    lines.append("Feature Importances: ")
+    for k, v in sorted(named.items(), key=lambda kv: -kv[1]):
+        lines.append(f"\t{k}{' ' * (width - len(k))} -> {v}")
+    return "\n".join(lines)
 
 
 def fit(
@@ -121,6 +195,8 @@ def fit(
     clf_model = model.stages[2]
     if isinstance(clf_model, RandomForestClassificationModel):
         report += "\n" + random_forest_report(clf_model)
+    elif classifier == "xgb":
+        report += "\n" + xgboost_report(clf_model, IRIS_PREDICTORS)
     scored.unpersist()
     return report
 
@@ -252,11 +328,15 @@ def cross_validate(
     overwrite: bool = False,
     num_folds: int = 3,
     parallelism: int = 4,
+    full_grid: bool = False,
 ) -> str:
     """Reference ``cross_validation/ModelFit.scala:85-113``: param grid ×
     3 folds, accuracy metric, parallelism 4; saves the FITTED model
-    (fixing defect §8.5). Grid kept 2×2 (the reference's 4×3×3 grid is an
-    iris-scale extravagance, not a semantic)."""
+    (fixing defect §8.5). Default grid 2×2 (the reference's 36-combo
+    sweep is an iris-scale extravagance, not a semantic);
+    ``full_grid=True`` reproduces the reference's literal
+    maxDepth×maxBins×numTrees = 4×3×3 grid (ModelFit.scala:85-89) for
+    exact parity runs."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
@@ -264,12 +344,21 @@ def cross_validate(
     train = spark.read.parquet(train_path)
     pipeline = build_pipeline(train)
     clf: RandomForestClassifier = pipeline.getStages()[2]
-    grid = (
-        ParamGridBuilder()
-        .addGrid(clf.numTrees, [16, 64])
-        .addGrid(clf.maxDepth, [3, 4])
-        .build()
-    )
+    if full_grid:  # reference cross_validation/ModelFit.scala:85-89
+        grid = (
+            ParamGridBuilder()
+            .addGrid(clf.maxDepth, [3, 4, 5, 6])
+            .addGrid(clf.maxBins, [16, 32, 64])
+            .addGrid(clf.numTrees, [32, 64, 128])
+            .build()
+        )
+    else:
+        grid = (
+            ParamGridBuilder()
+            .addGrid(clf.numTrees, [16, 64])
+            .addGrid(clf.maxDepth, [3, 4])
+            .build()
+        )
     evaluator = MulticlassClassificationEvaluator(
         labelCol=LABEL_COL, predictionCol=PREDICTION_COL, metricName="accuracy"
     )
@@ -302,7 +391,7 @@ def main(argv: list[str] | None = None) -> None:
     p = sub.add_parser("fit")
     p.add_argument("--train", required=True)
     p.add_argument("--model-dir", required=True)
-    p.add_argument("--classifier", choices=["rf", "gbt"], default="rf")
+    p.add_argument("--classifier", choices=["rf", "gbt", "xgb"], default="rf")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument(
         "--per-stage",
@@ -326,6 +415,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--train", required=True)
     p.add_argument("--model-dir", required=True)
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument(
+        "--full-grid",
+        action="store_true",
+        help="reference-parity 4x3x3 maxDepth/maxBins/numTrees sweep "
+        "(cross_validation/ModelFit.scala:85-89) instead of the 2x2 default",
+    )
 
     args = ap.parse_args(argv)
     spark = get_spark(app_name=f"ml-{args.cmd}")
@@ -350,7 +445,15 @@ def main(argv: list[str] | None = None) -> None:
             )
         print(report or "scored (no labels present; metrics skipped)")
     elif args.cmd == "cross-validate":
-        print(cross_validate(spark, args.train, args.model_dir, args.overwrite))
+        print(
+            cross_validate(
+                spark,
+                args.train,
+                args.model_dir,
+                args.overwrite,
+                full_grid=args.full_grid,
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -134,6 +134,58 @@ def q_ml_rf_pipeline(spark, sf_dir):
     )
 
 
+@query("q_ml_xgb_pipeline", oracle=None, tags=("ml", "pipeline", "xgboost"))
+def q_ml_xgb_pipeline(spark, sf_dir):
+    """Reference R18 true-XGBoost pipeline (xgboost_pipeline/
+    ModelFit.scala:39-49) on embeddings: array→vector features, the
+    distributed ``xgboost.spark.SparkXGBClassifier`` with the
+    reference's params mapped 1:1 (ml/jobs.py XGB_PARAMS, num_class
+    adjusted to the corpus label count), fit → transform → confusion
+    counts. Import-guarded: where the xgboost package is absent (this
+    driver environment) the declared result falls back to the documented
+    GBT-over-one-vs-min substitute so the schema stays stable, and the
+    `backend` column records which engine trained — the driver row is
+    rows-only either way (seeded tree ensembles are not
+    SQL-reproducible)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from ..ml.jobs import XGB_PARAMS, xgboost_available
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    n_classes = e.agg(F.count_distinct("label")).collect()[0][0]
+    if xgboost_available():
+        from xgboost.spark import SparkXGBClassifier
+
+        params = dict(XGB_PARAMS, num_class=int(n_classes))
+        clf = SparkXGBClassifier(
+            label_col="label", features_col="features", **params
+        )
+        backend = "xgboost"
+    else:
+        from pyspark.ml.classification import RandomForestClassifier
+
+        # documented substitute (SURVEY §2.1 R18): multiclass RF with the
+        # reference RF config — GBT is binary-only in MLlib
+        clf = RandomForestClassifier(
+            labelCol="label", featuresCol="features",
+            numTrees=64, maxDepth=4, maxBins=64, minInfoGain=0.01, seed=42,
+        )
+        backend = "substitute"
+    scored = clf.fit(e).transform(e)
+    return (
+        scored.groupBy(
+            F.col("label").cast("int").alias("label"),
+            F.col("prediction").cast("int").alias("prediction"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("backend", F.lit(backend))
+    )
+
+
 @query(
     "q_ml_evaluator",
     # The derived prediction is a pure function of vec_id, so all four

@@ -204,3 +204,46 @@ def _load_or_record_golden(name: str, value: float) -> float:
     if not f.exists():
         f.write_text(repr(float(value)))
     return float(f.read_text())
+
+
+def test_cross_validate_full_grid_parity(spark, split_paths, tmp_path_factory):
+    """--full-grid reproduces the reference's literal 4x3x3
+    maxDepth/maxBins/numTrees sweep (cross_validation/ModelFit.scala:
+    85-89): 36 param maps, 3 folds, fitted model saved."""
+    train, *_ = split_paths
+    model_dir = str(tmp_path_factory.mktemp("cv_full") / "model")
+    report = jobs.cross_validate(spark, train, model_dir, overwrite=True, full_grid=True)
+    assert "numParamMaps : 36" in report
+    assert "numFolds : 3" in report
+    from pyspark.ml.tuning import CrossValidatorModel
+
+    loaded = CrossValidatorModel.load(model_dir)
+    assert len(loaded.avgMetrics) == 36
+    best = max(loaded.avgMetrics)
+    assert 0.8 <= best <= 1.0  # separable gaussian iris → near-perfect
+
+
+def test_xgb_guard_raises_without_xgboost(spark, split_paths):
+    """classifier='xgb' must raise a clear ImportError when the xgboost
+    package is absent, never silently substitute."""
+    if jobs.xgboost_available():
+        pytest.skip("xgboost installed; guard path not reachable")
+    train, *_ = split_paths
+    df = spark.read.parquet(train)
+    with pytest.raises(ImportError, match="xgboost"):
+        jobs.build_pipeline(df, classifier="xgb")
+
+
+@pytest.mark.skipif(
+    not jobs.xgboost_available(), reason="xgboost package not installed"
+)
+def test_xgb_pipeline_golden(spark, split_paths, tmp_path_factory):
+    """True-XGBoost parity path (reference R18/R20): fit the 4-stage
+    pipeline with the reference params, check the fixed-up booster gain
+    report lists every predictor."""
+    train, *_ = split_paths
+    model_dir = str(tmp_path_factory.mktemp("xgb") / "model")
+    report = jobs.fit(spark, train, model_dir, overwrite=True, classifier="xgb")
+    assert "XGBoost Classification Model Metrics" in report
+    assert "multi:softprob" in report
+    assert "Feature Importances" in report
