@@ -44,16 +44,35 @@ N_CELLS = 16
 # corpus; real embedding corpora cluster, shifting the curve sharply left.
 N_PROBE = 6
 TOP_K = 10
+# Adaptive-k target: soft-assigned rows per cell (SOFT_CELLS probes per
+# vector). Fixed k is the Σcell² trap — cells grow linearly with the
+# corpus, so within-cell pair work grows QUADRATICALLY (measured in the
+# sf1 probe, tools/scale_probe_sf1.py: 10× corpus → 102× pairs at fixed
+# k=16). Scaling k with the corpus bounds cell size, making per-cell
+# GEMMs constant-cost and total pair work linear (same probe: 10.4×).
+# At every driver/test SF (≤2000 vectors) adaptive k == N_CELLS, so
+# recall floors and cached indexes are unchanged there.
+TARGET_SOFT_ROWS_PER_CELL = 500
 
 
-def assign_ivf_cells(emb: DataFrame, k: int = N_CELLS) -> tuple[DataFrame, np.ndarray]:
+def adaptive_k(n_vectors: int, soft_cells: int = 4) -> int:
+    import math
+
+    return max(N_CELLS, math.ceil(soft_cells * n_vectors / TARGET_SOFT_ROWS_PER_CELL))
+
+
+def assign_ivf_cells(emb: DataFrame, k: int | None = None) -> tuple[DataFrame, np.ndarray]:
     """Fit seeded k-means over the embedding column and return
     (corpus + `cell` column, centroid matrix). In production the
     assigned corpus is persisted `partitionBy("cell")`; re-fitting is an
-    offline index build, not a per-query cost."""
+    offline index build, not a per-query cost. ``k=None`` → adaptive:
+    cells sized to a bounded row target (see TARGET_SOFT_ROWS_PER_CELL)
+    so pair work stays linear in the corpus."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if k is None:
+        k = adaptive_k(emb.count())
     vec = emb.withColumn("__fvec", array_to_vector("embedding"))
     km = KMeans(k=k, seed=42, featuresCol="__fvec", predictionCol="cell")
     model = km.fit(vec)

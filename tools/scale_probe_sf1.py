@@ -1,0 +1,148 @@
+"""sf1 scale probe for the pair-generating dedup operators (VERDICT r2
+"Next round" #10): confirm candidate counts and wall time grow ~linearly
+with the corpus, not n².
+
+No sf1 fixture exists, so the probe corpus is constructed from sf0.1 by
+10× replication with structure-preserving, similarity-destroying
+perturbation:
+
+- documents: replica r ≥ 1 suffixes EVERY token with ``_r{r}`` — within a
+  replica, token/shingle relationships (and therefore the near-dup pair
+  structure) are byte-for-byte isomorphic to the original; across
+  replicas, token sets are disjoint, so no cross-replica candidates are
+  semantically possible. A linear-scaling candidate generator must
+  therefore emit ~10× the sf0.1 pairs; any n²-floor bucketing (e.g. too
+  few bands/buckets for the corpus) shows up as cross-replica bucket
+  collisions and a super-linear pair count — which is exactly what this
+  probe exists to catch.
+- embeddings: replica r applies a seeded signed permutation of the 64
+  dimensions (permute + random ±1 per dim) — an isometry, so
+  within-replica pairwise cosines are EXACTLY the originals, while
+  cross-replica cosines fall to the random background level. (A
+  permutation WITHOUT sign flips was measured to leak cross-replica
+  correlation ~0.4+ on this fixture — the vectors are not centered, so
+  any permutation of v stays aligned with v's common component; the
+  sign flips kill it.)
+
+Usage: python tools/scale_probe_sf1.py   (writes .scratch/sf1_probe/*,
+prints the markdown table recorded in BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+
+SF01 = "/root/testdata/sf0.1"
+PROBE = "/root/repo/.scratch/sf1_probe"
+REPLICAS = 10
+QUERIES = [
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_prefix_filter",
+    "q_dedup_embedding_cells",
+]
+
+
+def build_probe() -> None:
+    os.makedirs(PROBE, exist_ok=True)
+    con = duckdb.connect()
+    if not os.path.exists(f"{PROBE}/documents.parquet"):
+        parts = []
+        for r in range(REPLICAS):
+            if r == 0:
+                parts.append(
+                    f"SELECT doc_id, text, lang, source, n_chars "
+                    f"FROM read_parquet('{SF01}/documents.parquet')"
+                )
+            else:
+                parts.append(
+                    f"SELECT doc_id + {r * 5000} AS doc_id, "
+                    f"array_to_string(list_transform(string_split(text, ' '), "
+                    f"x -> x || '_r{r}'), ' ') AS text, lang, source, "
+                    f"CAST(strlen(array_to_string(list_transform(string_split(text, ' '), "
+                    f"x -> x || '_r{r}'), ' ')) AS BIGINT) AS n_chars "
+                    f"FROM read_parquet('{SF01}/documents.parquet')"
+                )
+            # each replica keeps the original's pair structure; suffixed
+            # tokens make cross-replica shingle sets disjoint
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/documents.parquet' (FORMAT PARQUET)"
+        )
+    if not os.path.exists(f"{PROBE}/embeddings.parquet"):
+        emb = con.execute(
+            f"SELECT vec_id, label, embedding FROM read_parquet('{SF01}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vec_ids, labels, vecs = [], [], []
+        base = np.array([row[2] for row in emb], dtype=np.float32)
+        dim = base.shape[1]
+        for r in range(REPLICAS):
+            rng = np.random.RandomState(1000 + r)
+            perm = np.arange(dim) if r == 0 else rng.permutation(dim)
+            signs = (
+                np.ones(dim)
+                if r == 0
+                else rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+            )
+            for i, (vid, lab, _vec) in enumerate(emb):
+                vec_ids.append(vid + r * 2000)
+                labels.append(lab)
+                vecs.append(base[i, perm] * signs)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "label": pa.array(labels),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{PROBE}/embeddings.parquet")
+
+
+def main() -> None:
+    build_probe()
+    from pyspark.sql import SparkSession
+
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale_probe_sf1")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_all()
+    print("| query | sf0.1 pairs | sf0.1 sec | sf1-probe pairs | sf1-probe sec | pair ratio | time ratio |")
+    print("|---|---|---|---|---|---|---|")
+    for name in QUERIES:
+        fn = reg[name].fn
+        fn(spark, SF01).count()  # warm
+        t0 = time.perf_counter()
+        n_small = fn(spark, SF01).count()
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_big = fn(spark, PROBE).count()
+        t_big = time.perf_counter() - t0
+        print(
+            f"| {name} | {n_small} | {t_small:.2f} | {n_big} | {t_big:.2f} "
+            f"| {n_big / max(n_small, 1):.2f}x | {t_big / t_small:.2f}x |",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
