@@ -27,6 +27,63 @@ _Q3_DATE = "1996-03-15"
 
 
 @query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "composite", "flagship"),
+)
+def q_tpch_q1(spark, sf_dir):
+    """LITERAL TPC-H Q1 (pricing summary report): the full 10-column
+    measure set — including avg_disc, which the flagship q_agg_groupby
+    twin omits — at the spec's DATE '1998-12-01' − 90 days shipdate
+    cutoff, grouped by returnflag/linestatus. Completes the literal
+    22-of-22 TPC-H shape inventory (Q1 was previously declared only via
+    its q_agg_groupby shape twin). One filter → partial/final hash
+    aggregate; money sums cast to exact decimal at the per-row product's
+    exact scale (2dp·2dp·2dp → 6dp for charge) so results are
+    partition-order independent — the §2.4 hash-stability discipline."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc_price, 18, 4)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge, 18, 6)).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
     "q_tpch_q3",
     oracle=f"""
     SELECT l_orderkey,

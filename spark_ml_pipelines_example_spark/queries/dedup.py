@@ -147,26 +147,112 @@ def ngram_jaccard_pairs(d, df_cap: int = JACCARD_DF_CAP, threshold: float = 0.3)
     )
 
 
-@query("q_dedup_minhash", oracle=None, tags=("dedup", "minhash", "lsh"))
+# MinHash universal-hash family: ONE cross-engine 31-bit token hash (the
+# low MD5 half, masked) pushed through 48 affine maps h_i = (a_i·h + b_i)
+# mod P31 — exact 64-bit integer arithmetic in BOTH engines, so the whole
+# MinHash pipeline is DuckDB-checkable. Coefficients are fixed
+# pseudo-random constants derived from MD5 of the function index (baked
+# into the plan AND the oracle SQL from this one generator).
+P31 = 2147483647  # Mersenne prime 2^31 - 1
+
+
+def _mh_coeffs(n: int):
+    import hashlib
+
+    out = []
+    for i in range(n):
+        a = int(hashlib.md5(f"mh_a:{i}".encode()).hexdigest()[:8], 16) % (P31 - 1) + 1
+        b = int(hashlib.md5(f"mh_b:{i}".encode()).hexdigest()[:8], 16) % P31
+        out.append((a, b))
+    return out
+
+
+MH_N_BANDS, MH_ROWS_PER_BAND = 4, 12
+MH_COEFFS = _mh_coeffs(MH_N_BANDS * MH_ROWS_PER_BAND)
+
+
+def _mh_band_fold_sql(terms: list[str]) -> str:
+    """Polynomial fold of band minhashes mod P31 (exact in both engines);
+    fold collisions only ADD candidates, and every pair is exact-Jaccard
+    confirmed downstream, so precision is unaffected."""
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"(({expr}) * 31 + {t}) % {P31}"
+    return expr
+
+
+def _minhash_oracle_sql() -> str:
+    mins = ",\n               ".join(
+        f"list_min(list_transform(htoks, h -> ({a} * h + {b}) % {P31})) AS m{i}"
+        for i, (a, b) in enumerate(MH_COEFFS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + _mh_band_fold_sql(
+            [f"m{j * MH_ROWS_PER_BAND + r}" for r in range(MH_ROWS_PER_BAND)]
+        )
+        + " AS sig, toks FROM sigs"
+        for j in range(MH_N_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, toks,
+               list_transform(toks,
+                   t -> CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) & 2147483647)
+                   AS htoks
+        FROM docs
+    ), sigs AS (
+        SELECT doc_id, toks,
+               {mins}
+        FROM hashed
+    ), bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(1 - CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)
+               AS jaccard_dist
+    FROM cand
+    JOIN (SELECT doc_id, toks FROM docs) ta ON ta.doc_id = cand.doc_a
+    JOIN (SELECT doc_id, toks FROM docs) tb ON tb.doc_id = cand.doc_b
+    WHERE 20 * (len(list_distinct(list_concat(ta.toks, tb.toks)))
+                - len(list_intersect(ta.toks, tb.toks)))
+          <= len(list_distinct(list_concat(ta.toks, tb.toks)))
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle_sql(), tags=("dedup", "minhash", "lsh"))
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (SURVEY §4.4): token sets → 48 seeded
-    minhash functions computed entirely JVM-side — signature[i] =
-    ``array_min(transform(toks, t -> xxhash64(i, t)))`` via nested
-    higher-order functions, a single zero-shuffle projection — → classic
-    (b=4, r=12) banded candidate join → exact Jaccard confirm with
-    array_intersect/array_union (whole-stage codegen) at distance ≤ 0.05.
-    Deterministic, but xxhash64's seeded hash family is Spark-specific →
-    rows-only.
+    """MinHash+LSH near-dup pairs (SURVEY §4.4): token sets → ONE 31-bit
+    cross-engine token hash (low MD5 half) pushed through 48 affine
+    universal-hash maps (a_i·h + b_i mod 2³¹−1, exact 64-bit integer
+    arithmetic) entirely JVM-side via nested higher-order functions, a
+    single zero-shuffle projection — → classic (b=4, r=12) banded
+    candidate join on a polynomial-fold band key → exact Jaccard confirm
+    with array_intersect/array_union (whole-stage codegen) at the EXACT
+    integer threshold 20·(|union|−|intersect|) ≤ |union| (distance
+    ≤ 0.05 with no float boundary). Every stage is engine-exact integers
+    → FULL hash check against the DuckDB oracle (upgraded from the r2
+    xxhash64 rows-only design; one md5 per token replaces 48 xxhash64
+    string hashes, so the signature pass does LESS string hashing than
+    before — the Kirsch-Mitzenmacher measurement below concerned a
+    2-string-hash variant, not this 1-hash+affine family).
 
     Replaced the original MLlib HashingTF+MinHashLSH transform (Scala UDF
     over VectorUDT, not codegen-able): the HOF signature pass is 2× faster
     end-to-end at sf0.1 and finds a strict superset of the confirmed
-    pairs (186,421 of 186,430 shared + 4,495 additional true near-dups —
-    every emitted pair is exact-Jaccard-verified, so candidate recall is
-    the only thing the hash family changes). A Kirsch-Mitzenmacher
-    double-hash variant (h1 + i*h2, 2 string hashes per token) was
-    measured SLOWER (5.5s vs 2.5s warm) — xxhash64 on short tokens beats
-    the struct-array arithmetic it saves.
+    pairs — every emitted pair is exact-Jaccard-verified, so candidate
+    recall is the only thing the hash family changes. A Kirsch-
+    Mitzenmacher double-hash variant (h1 + i·h2, 2 string hashes per
+    token) was measured SLOWER (5.5s vs 2.5s warm) — string hashing on
+    short tokens dominates, which is why this design hashes each token
+    ONCE.
 
     Design notes, sized for a corpus where background pair similarity is
     extreme (the fixture's ~300-char docs share a small vocabulary, so
@@ -187,7 +273,7 @@ def q_dedup_minhash(spark, sf_dir):
       distinct (AQE picks broadcast at test scale; at 100 TB this is a
       shuffle join on doc_id) so the wide arrays never ride the n²-risk
       shuffle."""
-    n_bands, rows_per_band = 4, 12
+    n_bands, rows_per_band = MH_N_BANDS, MH_ROWS_PER_BAND
     d = t(spark, sf_dir, "documents")
     # spread the corpus before the 48-minhash projection: from a one-file
     # input the signature pass otherwise runs in a single task; at real
@@ -196,26 +282,41 @@ def q_dedup_minhash(spark, sf_dir):
     toks = d.repartition(32, "doc_id").select(
         "doc_id", F.array_distinct(tokens("text")).alias("toks")
     )
-    # 48 minhash values per doc in one JVM projection: no shuffle, no
-    # MLlib, no Python — each hash function is xxhash64 seeded by its
-    # index through the first argument.
-    sigs = toks.select(
+    # ONE md5 per token → 31-bit int; 48 minhash values per doc in one
+    # JVM projection of integer affines: no shuffle, no MLlib, no Python.
+    hashed = toks.select(
         "doc_id",
+        "toks",
         F.transform(
-            F.sequence(F.lit(0), F.lit(n_bands * rows_per_band - 1)),
-            lambda i: F.array_min(F.transform("toks", lambda tk: F.xxhash64(i, tk))),
+            "toks",
+            lambda tk: F.conv(F.substring(F.md5(F.encode(tk, "utf-8")), 9, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(2147483647)),
+        ).alias("htoks"),
+    )
+    sigs = hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("htoks", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31))
+                )
+                for (a, b) in MH_COEFFS
+            ]
         ).alias("mh"),
     )
+
+    def band_fold(j):
+        expr = F.col("mh")[j * rows_per_band]
+        for r in range(1, rows_per_band):
+            expr = (expr * 31 + F.col("mh")[j * rows_per_band + r]) % F.lit(P31)
+        return expr
+
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(F.slice("mh", i * rows_per_band + 1, rows_per_band))
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "sig"),
+        F.posexplode(F.array(*[band_fold(j) for j in range(n_bands)])).alias(
+            "band", "sig"
+        ),
     )
     a = bands.select("band", "sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "sig", F.col("doc_id").alias("doc_b"))
@@ -227,14 +328,17 @@ def q_dedup_minhash(spark, sf_dir):
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    jaccard_dist = 1 - F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    isz = F.size(F.array_intersect("toks_a", "toks_b"))
+    usz = F.size(F.array_union("toks_a", "toks_b"))
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jaccard_dist, 4).alias("jaccard_dist"))
-        .filter(F.col("jaccard_dist") <= 0.05)
+        .filter(20 * (usz - isz) <= usz)  # dist <= 0.05, exact integers
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(1 - isz / usz.cast("double"), 4).alias("jaccard_dist"),
+        )
     )
 
 
