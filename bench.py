@@ -138,6 +138,13 @@ HEADLINE = [
     "q_ml_fpgrowth",
     "q_events_markov_attribution",
     "q_win_hampel",
+    # round-3 additions: literal Q1, the two-phase binned catalog
+    # cumulatives (plan-shape showcase), the watermarked outer interval
+    # join (real streaming run), and the now-hash-checked FFD packing
+    "q_tpch_q1",
+    "q_agg_pareto",
+    "q_agg_gini",
+    "q_stream_interval_join_outer",
 ]
 
 
