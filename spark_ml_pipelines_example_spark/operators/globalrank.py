@@ -54,14 +54,20 @@ def with_global_running(
     cumsum_col: str | None = None,
     rank_col: str | None = None,
     n_bins: int = N_BINS,
+    group_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Add an exact global running sum (``cumsum_col``, inclusive, of
     ``value_col``) and/or global row number (``rank_col``) over the total
     order (value_col [desc], *tiebreak_cols) — without any unpartitioned
-    window over ``df`` itself.
+    window over ``df`` itself. With ``group_cols`` the running values
+    restart per group (a grouped rank whose groups may each be
+    catalog-sized — the case a plain ``partitionBy(group)`` window still
+    funnels through one task per group); the phase-2 window is then
+    partitioned by group over ≤ n_bins rows each.
     """
     if cumsum_col is None and rank_col is None:
         raise ValueError("request at least one of cumsum_col / rank_col")
+    gc = list(group_cols)
 
     rng = df.agg(
         F.min(value_col).alias("_mn"),
@@ -70,6 +76,8 @@ def with_global_running(
     # Monotone non-decreasing value→bin map; double arithmetic is fine
     # even for longs because long→double rounding is itself monotone and
     # equal values always share a bin (bin boundaries never split ties).
+    # Grouped mode reuses the GLOBAL value range — within-group
+    # monotonicity is all that correctness needs.
     v = F.col(value_col).cast("double")
     span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
     bin_raw = F.floor((v - F.col("_mn").cast("double")) / (span + 1.0) * n_bins)
@@ -79,30 +87,33 @@ def with_global_running(
         .drop("_mn", "_mx")
     )
 
-    # Phase 2: the only unpartitioned window, over ≤ n_bins rows.
-    per_bin = binned.groupBy("_bin").agg(
+    # Phase 2: the only non-bin-partitioned window — ≤ n_bins rows per
+    # group (unpartitioned over ≤ n_bins rows total when ungrouped).
+    per_bin = binned.groupBy(*gc, "_bin").agg(
         F.count(F.lit(1)).alias("_bn"),
         F.sum(value_col).alias("_bs"),
     )
     _bin_ord = F.col("_bin").desc() if descending else F.col("_bin").asc()
     w_prev = (
-        W.orderBy(_bin_ord)
+        (W.partitionBy(*gc) if gc else W).orderBy(_bin_ord)
         .rowsBetween(W.unboundedPreceding, -1)
     )
     prefix = per_bin.select(
+        *gc,
         "_bin",
         F.coalesce(F.sum("_bn").over(w_prev), F.lit(0)).alias("_n_prev"),
         F.coalesce(F.sum("_bs").over(w_prev), F.lit(0)).alias("_s_prev"),
     )
 
-    # Phase 3: partitioned within-bin window (parallel across bins).
+    # Phase 3: (group, bin)-partitioned window (parallel across bins).
     def _ord(c: str) -> Column:
         return F.col(c).desc() if descending else F.col(c).asc()
 
-    w_in = W.partitionBy("_bin").orderBy(
+    w_in = W.partitionBy(*gc, "_bin").orderBy(
         _ord(value_col), *[F.col(c).asc() for c in tiebreak_cols]
     )
-    out = binned.join(F.broadcast(prefix), "_bin")
+    join_keys = gc + ["_bin"]
+    out = binned.join(prefix if gc else F.broadcast(prefix), join_keys)
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("_n_prev") + F.row_number().over(w_in))
     if cumsum_col is not None:

@@ -32,7 +32,16 @@ from .registry import query
 def q_sort_multikey(spark, sf_dir):
     """Multi-key ORDER BY with DESC + NULLS FIRST, made hash-visible by
     embedding each row's position under that order (computed by the same
-    total ordering on both engines)."""
+    total ordering on both engines). The position is NOT a global
+    row_number window (that serializes the whole table through one
+    sorted task): the leading key has ≤3 values, so sort_pos decomposes
+    into per-status prefix counts (a 3-row cumulative) plus a per-status
+    rank from the two-phase binned decomposition on the numeric key
+    (operators/globalrank.py, grouped mode) — every window in the plan is
+    partitioned or ≤1024 rows. The displayed row order still comes from
+    the ordinary range-partitioned distributed sort."""
+    from ..operators.globalrank import with_global_running
+
     o = t(spark, sf_dir, "orders").withColumn(
         "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("P"))
     )
@@ -41,12 +50,36 @@ def q_sort_multikey(spark, sf_dir):
         F.col("o_totalprice").desc(),
         F.col("o_orderkey"),
     ]
-    return o.orderBy(*order).select(
-        "o_orderkey",
-        "o_orderstatus",
+    # null-safe group key (a join on the real column would drop NULLs)
+    grp = o.withColumn("_grp", F.coalesce("status_or_null", F.lit("(null)")))
+    ranked = with_global_running(
+        grp,
         "o_totalprice",
-        "status_or_null",
-        F.row_number().over(W.orderBy(*order)).alias("sort_pos"),
+        ["o_orderkey"],
+        descending=True,
+        rank_col="_i",
+        group_cols=["_grp"],
+    )
+    sizes = grp.groupBy("_grp").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("status_or_null").alias("_status"),  # null for the null group
+    )
+    w_groups = W.orderBy(F.col("_status").desc_nulls_first()).rowsBetween(
+        W.unboundedPreceding, -1
+    )  # ≤3 rows
+    prefix = sizes.select(
+        "_grp", F.coalesce(F.sum("_n").over(w_groups), F.lit(0)).alias("_pre")
+    )
+    return (
+        ranked.join(F.broadcast(prefix), "_grp")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "status_or_null",
+            (F.col("_pre") + F.col("_i")).alias("sort_pos"),
+        )
+        .orderBy(*order)
     )
 
 

@@ -63,3 +63,24 @@ def test_requires_an_output(spark):
     df = spark.range(3).withColumnRenamed("id", "v")
     with pytest.raises(ValueError):
         with_global_running(df, "v", [])
+
+
+def test_grouped_matches_naive_per_group_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 101) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, v long").repartition(8)
+    got = with_global_running(
+        df, "v", ["k"], descending=True, rank_col="i", cumsum_col="cum",
+        n_bins=16, group_cols=["g"],
+    )
+    w = W.partitionBy("g").orderBy(F.col("v").desc(), F.col("k").asc())
+    ref = df.withColumn("i_ref", F.row_number().over(w)).withColumn(
+        "cum_ref", F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = got.join(ref.select("k", "i_ref", "cum_ref"), "k")
+    bad = merged.filter(
+        (F.col("i") != F.col("i_ref")) | (F.col("cum") != F.col("cum_ref"))
+    ).count()
+    assert bad == 0
