@@ -55,6 +55,9 @@ def with_global_running(
     rank_col: str | None = None,
     n_bins: int = N_BINS,
     group_cols: tuple[str, ...] | list[str] = (),
+    total_sum_col: str | None = None,
+    total_count_col: str | None = None,
+    bins: str = "log2",
 ) -> DataFrame:
     """Add an exact global running sum (``cumsum_col``, inclusive, of
     ``value_col``) and/or global row number (``rank_col``) over the total
@@ -69,23 +72,36 @@ def with_global_running(
         raise ValueError("request at least one of cumsum_col / rank_col")
     gc = list(group_cols)
 
-    rng = df.agg(
-        F.min(value_col).alias("_mn"),
-        F.max(value_col).alias("_mx"),
-    )
-    # Monotone non-decreasing value→bin map; double arithmetic is fine
-    # even for longs because long→double rounding is itself monotone and
-    # equal values always share a bin (bin boundaries never split ties).
-    # Grouped mode reuses the GLOBAL value range — within-group
-    # monotonicity is all that correctness needs.
+    # Monotone non-decreasing value→bin map. Any deterministic monotone
+    # map is CORRECT (equal values always share a bin; bin boundaries
+    # never split ties) — the strategy only affects bin balance:
+    #  - "log2" (default, non-negative values): fixed boundaries at
+    #    1/16-octave steps, floor(16·log2(v+1)), capped at n_bins−1
+    #    (covers the full 64-bit range). ZERO extra passes over df —
+    #    measured: the min/max range pass re-aggregated the fact table
+    #    and cost q_agg_abc_xyz ~0.6 s at sf0.1. Values within a bin
+    #    differ by ≤ 2^(1/16) ≈ 4.4%, so smooth value distributions
+    #    spread well.
+    #  - "range": value-range buckets from one min/max scalar aggregate
+    #    (pays one extra pass; handles negative values).
     v = F.col(value_col).cast("double")
-    span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
-    bin_raw = F.floor((v - F.col("_mn").cast("double")) / (span + 1.0) * n_bins)
-    binned = (
-        df.crossJoin(F.broadcast(rng))
-        .withColumn("_bin", F.least(bin_raw, F.lit(n_bins - 1)).cast("int"))
-        .drop("_mn", "_mx")
-    )
+    if bins == "log2":
+        bin_raw = F.floor(F.log2(F.greatest(v, F.lit(0.0)) + 1.0) * 16.0)
+        binned = df.withColumn(
+            "_bin", F.least(bin_raw, F.lit(n_bins - 1)).cast("int")
+        )
+    else:
+        rng = df.agg(
+            F.min(value_col).alias("_mn"),
+            F.max(value_col).alias("_mx"),
+        )
+        span = F.col("_mx").cast("double") - F.col("_mn").cast("double")
+        bin_raw = F.floor((v - F.col("_mn").cast("double")) / (span + 1.0) * n_bins)
+        binned = (
+            df.crossJoin(F.broadcast(rng))
+            .withColumn("_bin", F.least(bin_raw, F.lit(n_bins - 1)).cast("int"))
+            .drop("_mn", "_mx")
+        )
 
     # Phase 2: the only non-bin-partitioned window — ≤ n_bins rows per
     # group (unpartitioned over ≤ n_bins rows total when ungrouped).
@@ -113,6 +129,22 @@ def with_global_running(
         _ord(value_col), *[F.col(c).asc() for c in tiebreak_cols]
     )
     join_keys = gc + ["_bin"]
+    if total_sum_col is not None or total_count_col is not None:
+        tot = per_bin.groupBy(*gc).agg(
+            F.sum("_bs").alias("_tsum"), F.sum("_bn").alias("_tcnt")
+        )
+        keep = [
+            c
+            for c, want in (("_tsum", total_sum_col), ("_tcnt", total_count_col))
+            if want is not None
+        ]
+        tot = tot.select(*gc, *keep)
+        for c, want in (("_tsum", total_sum_col), ("_tcnt", total_count_col)):
+            if want is not None:
+                tot = tot.withColumnRenamed(c, want)
+        prefix = prefix.join(F.broadcast(tot), gc) if gc else prefix.crossJoin(
+            F.broadcast(tot)
+        )
     out = binned.join(prefix if gc else F.broadcast(prefix), join_keys)
     if rank_col is not None:
         out = out.withColumn(rank_col, F.col("_n_prev") + F.row_number().over(w_in))

@@ -729,12 +729,14 @@ def q_agg_gini(spark, sf_dir):
         .cast("double")
         .alias("rev")
     )
-    tot = part_rev.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("rev").alias("tot")
-    )
     ranked = with_global_running(
-        part_rev, "rev", ["l_partkey"], rank_col="i"
-    ).crossJoin(F.broadcast(tot))
+        part_rev,
+        "rev",
+        ["l_partkey"],
+        rank_col="i",
+        total_sum_col="tot",
+        total_count_col="n",
+    )
     return ranked.agg(
         F.round(
             F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("rev"))

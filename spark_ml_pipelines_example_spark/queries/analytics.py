@@ -1081,10 +1081,14 @@ def q_agg_pareto(spark, sf_dir):
             ).cast("long")
         ).alias("dmils")
     )
-    tot = part_rev.agg(F.sum("dmils").alias("tot"))
     ranked = with_global_running(
-        part_rev, "dmils", ["l_partkey"], descending=True, cumsum_col="cum"
-    ).crossJoin(F.broadcast(tot))
+        part_rev,
+        "dmils",
+        ["l_partkey"],
+        descending=True,
+        cumsum_col="cum",
+        total_sum_col="tot",
+    )
     classed = ranked.select(
         "l_partkey",
         "dmils",
@@ -3542,10 +3546,14 @@ def q_agg_abc_xyz(spark, sf_dir):
     # the global window it replaces because cents are integral.
     from ..operators.globalrank import with_global_running
 
-    tot_df = rev.agg(F.sum("cents").alias("tot"))
     ranked = with_global_running(
-        rev, "cents", ["l_partkey"], descending=True, cumsum_col="cum"
-    ).crossJoin(F.broadcast(tot_df))
+        rev,
+        "cents",
+        ["l_partkey"],
+        descending=True,
+        cumsum_col="cum",
+        total_sum_col="tot",
+    )
     var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     classed = stats.join(ranked, "l_partkey").select(
         F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
