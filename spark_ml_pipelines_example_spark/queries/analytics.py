@@ -1285,6 +1285,103 @@ def q_events_funnel_windowed(spark, sf_dir):
 
 
 @query(
+    "q_events_uplift_qini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS treat,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+               CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id
+    ), scored AS (
+        SELECT treat, converted,
+               CAST(LEAST(FLOOR(10.0 / (1.0 + EXP(-(clicks - 10.0) / 5.0))), 9)
+                    AS INT) AS bin
+        FROM per_user
+    ), per_bin AS (
+        SELECT bin,
+               COUNT(CASE WHEN treat = 1 THEN 1 END) AS nt,
+               COUNT(CASE WHEN treat = 0 THEN 1 END) AS nc,
+               COUNT(CASE WHEN treat = 1 AND converted = 1 THEN 1 END) AS ct,
+               COUNT(CASE WHEN treat = 0 AND converted = 1 THEN 1 END) AS cc
+        FROM scored GROUP BY bin
+    )
+    SELECT bin,
+           CAST(SUM(nt) OVER w AS BIGINT) AS cum_nt,
+           CAST(SUM(nc) OVER w AS BIGINT) AS cum_nc,
+           CAST(SUM(ct) OVER w AS BIGINT) AS cum_conv_t,
+           CAST(SUM(cc) OVER w AS BIGINT) AS cum_conv_c,
+           ROUND(SUM(ct) OVER w
+                 - CAST(SUM(cc) OVER w AS DOUBLE) * (SUM(nt) OVER w)
+                   / NULLIF(SUM(nc) OVER w, 0), 4) AS qini
+    FROM per_bin
+    WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+    """,
+    tags=("events", "uplift", "qini", "experimentation"),
+)
+def q_events_uplift_qini(spark, sf_dir):
+    """Qini (cumulative uplift) curve — the evaluation readout for
+    uplift/targeting models, completing the experimentation suite
+    (q_events_abtest z-test, q_events_cuped variance reduction,
+    q_events_power_analysis design, q_events_shapley credit): users
+    ranked by a closed-form targeting score (logistic in click count —
+    deterministic, so both engines agree; a real uplift model only
+    changes this column), the deterministic user_id%2 treatment split
+    (the q_events_abtest convention), and per score-decile the running
+    Qini value Q = cumΣconv_T − cumΣconv_C · cum_N_T/cum_N_C. The
+    per-user pass is ONE hash aggregate over events; the curve is
+    integer arithmetic over the ≤10-row binned frame (the q_ml_auc
+    bounded-bin discipline — no per-user sort, no catalog window), with
+    the single float division rounded 4dp."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.when(
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    scored = per_user.select(
+        (F.col("user_id") % 2).alias("treat"),
+        "converted",
+        F.least(
+            F.floor(10.0 / (1.0 + F.exp(-(F.col("clicks") - 10.0) / 5.0))),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.count(F.when(F.col("treat") == 1, 1)).alias("nt"),
+        F.count(F.when(F.col("treat") == 0, 1)).alias("nc"),
+        F.count(F.when((F.col("treat") == 1) & (F.col("converted") == 1), 1)).alias(
+            "ct"
+        ),
+        F.count(F.when((F.col("treat") == 0) & (F.col("converted") == 1), 1)).alias(
+            "cc"
+        ),
+    )
+    w = W.orderBy(F.col("bin").desc()).rowsBetween(W.unboundedPreceding, 0)
+    cum_nt = F.sum("nt").over(w)
+    cum_nc = F.sum("nc").over(w)
+    cum_ct = F.sum("ct").over(w)
+    cum_cc = F.sum("cc").over(w)
+    return per_bin.select(
+        "bin",
+        cum_nt.cast("bigint").alias("cum_nt"),
+        cum_nc.cast("bigint").alias("cum_nc"),
+        cum_ct.cast("bigint").alias("cum_conv_t"),
+        cum_cc.cast("bigint").alias("cum_conv_c"),
+        F.round(
+            cum_ct
+            - cum_cc.cast("double") * cum_nt / F.nullif(cum_nc, F.lit(0)),
+            4,
+        ).alias("qini"),
+    )
+
+
+@query(
     "q_events_abtest",
     oracle="""
     WITH assigned AS (

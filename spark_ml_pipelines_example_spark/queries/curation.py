@@ -556,6 +556,94 @@ def q_text_bigram_lm(spark, sf_dir):
     )
 
 
+KN_DISCOUNT = 0.75  # the standard absolute-discount constant
+
+
+@query(
+    "q_text_kneser_ney",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk)),
+                          i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+            FROM toks)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    ugc AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1,
+                   CAST(COUNT(DISTINCT w2) AS DOUBLE) AS fan1
+            FROM bg GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS DOUBLE) AS cont2
+             FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types
+            FROM (SELECT DISTINCT w1, w2 FROM bg))
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(
+               GREATEST(c.c12 - {KN_DISCOUNT}, 0) / g.c1
+               + ({KN_DISCOUNT} * g.fan1 / g.c1) * (k.cont2 / tot.n_types)
+           )), 6) AS avg_kn_logprob
+    FROM bg b
+    JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+    JOIN ugc g ON b.w1 = g.w1
+    JOIN cont k ON b.w2 = k.w2
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "quality", "lm", "kneser-ney", "training-data"),
+)
+def q_text_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram language model — the standard
+    n-gram smoothing (Chen & Goodman 1999) and the quality upgrade over
+    q_text_bigram_lm's add-k: P(w2|w1) = max(c12−D,0)/c1 +
+    (D·N₁₊(w1·)/c1)·N₁₊(·w2)/N₁₊(··), i.e. absolute discounting plus a
+    CONTINUATION-count backoff ("how many contexts does w2 complete",
+    not "how often does w2 occur" — the distinction that makes KN score
+    'San Francisco'-style collocations correctly). Every term is a
+    ratio of exact integer counts with the fixed D=0.75, so both
+    engines agree to the rounded 6dp. Count model: three hash
+    aggregates over the bigram stream (bigram counts, prefix
+    counts+fan-out, continuation counts — fan-out and continuation are
+    count_distinct, planned as expand+two-phase aggregates); scoring
+    re-joins the bigram stream on (w1,w2) with the two word-keyed
+    tables broadcast when small, shuffled otherwise — identical scale
+    shape to the add-k variant."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ugc = bg.groupBy("w1").agg(
+        F.count("*").cast("double").alias("c1"),
+        F.count_distinct("w2").cast("double").alias("fan1"),
+    )
+    cont = bg.groupBy("w2").agg(
+        F.count_distinct("w1").cast("double").alias("cont2")
+    )
+    n_types = float(bg.select("w1", "w2").distinct().count())
+    D = KN_DISCOUNT
+    p_kn = (
+        F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("c1")
+        + (D * F.col("fan1") / F.col("c1")) * (F.col("cont2") / F.lit(n_types))
+    )
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(F.broadcast(ugc), "w1")
+        .join(F.broadcast(cont), "w2")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
+        )
+    )
+
+
 @query(
     "q_text_url_canonical",
     oracle="""
