@@ -1382,6 +1382,100 @@ def q_events_uplift_qini(spark, sf_dir):
 
 
 @query(
+    "q_events_ratio_metric",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, user_id % 2 AS variant,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT variant, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        FROM per_user GROUP BY 1
+    ), d AS (
+        SELECT variant, n, sx / sy AS r,
+               ((sxx - sx * sx / n) - 2 * (sx / sy) * (sxy - sx * sy / n)
+                + (sx / sy) * (sx / sy) * (syy - sy * sy / n))
+               / (n - 1) / n / ((sy / n) * (sy / n)) AS var_r
+        FROM stats
+    )
+    SELECT a.n AS n_control, b.n AS n_treat,
+           ROUND(a.r / 100.0, 6) AS ratio_control,
+           ROUND(b.r / 100.0, 6) AS ratio_treat,
+           ROUND((b.r - a.r) / 100.0, 6) AS diff,
+           ROUND((b.r - a.r) / SQRT(a.var_r + b.var_r), 4) AS z_score
+    FROM d a JOIN d b ON a.variant = 0 AND b.variant = 1
+    """,
+    tags=("events", "ratio-metric", "delta-method", "experimentation"),
+)
+def q_events_ratio_metric(spark, sf_dir):
+    """Ratio-metric A/B test via the delta method — the variance
+    machinery q_events_abtest's per-user binary conversion doesn't need
+    but every revenue-per-active-day / CTR-style metric does: the unit
+    of analysis (user) differs from the ratio's denominator (active
+    days), so Var(X̄/Ȳ) must account for the X–Y covariance:
+    Var(R) ≈ (σ²_x − 2Rσ_xy + R²σ²_y) / (n·Ȳ²). Numerator in exact
+    integer cents, denominator in exact day counts, all six sufficient
+    statistics exact until the final ratio/variance floats (rounded 6/4
+    dp) — one hash aggregate per user, one 2-row variant aggregate, a
+    2×2 self-join. The deterministic user_id%2 split matches
+    q_events_abtest."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (dec("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("x"),
+        F.count_distinct(F.to_date("ts")).alias("y"),
+    ).select((F.col("user_id") % 2).alias("variant"), "x", "y")
+    d38 = "decimal(38,0)"
+    stats = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast("double").alias("sxy"),
+    )
+    r = F.col("sx") / F.col("sy")
+    var_r = (
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            - 2 * r * (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            + r * r * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        )
+        / (F.col("n") - 1)
+        / F.col("n")
+        / ((F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n")))
+    )
+    d = stats.select("variant", "n", r.alias("r"), var_r.alias("var_r"))
+    a = d.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_control"), F.col("r").alias("ra"), F.col("var_r").alias("va")
+    )
+    b = d.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_treat"), F.col("r").alias("rb"), F.col("var_r").alias("vb")
+    )
+    return a.crossJoin(b).select(
+        "n_control",
+        "n_treat",
+        F.round(F.col("ra") / 100.0, 6).alias("ratio_control"),
+        F.round(F.col("rb") / 100.0, 6).alias("ratio_treat"),
+        F.round((F.col("rb") - F.col("ra")) / 100.0, 6).alias("diff"),
+        F.round(
+            (F.col("rb") - F.col("ra")) / F.sqrt(F.col("va") + F.col("vb")), 4
+        ).alias("z_score"),
+    )
+
+
+@query(
     "q_events_abtest",
     oracle="""
     WITH assigned AS (

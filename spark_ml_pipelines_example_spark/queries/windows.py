@@ -697,3 +697,57 @@ def q_win_value_functions(spark, sf_dir):
             )
         ).alias("lag2_default"),
     )
+
+
+@query(
+    "q_win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events
+    ), runs AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_d
+        FROM firsts
+    )
+    SELECT user_id, day, CAST(MAX(cum_d) AS BIGINT) AS distinct_types_so_far
+    FROM runs GROUP BY 1, 2
+    """,
+    tags=("window", "cumulative-distinct"),
+)
+def q_win_cumulative_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) OVER — the window op SQL cannot express
+    directly (distinct aggregates are unsupported in window frames in
+    both engines), computed exactly via the first-occurrence trick: flag
+    each (user, event_type)'s first event with a per-(user,type)
+    row_number, then the running count of distinct types is a plain
+    running SUM of flags over the user's timeline. Both windows are
+    partitioned by user (bounded per-user frames — never a global sort);
+    the day-level readout is one more hash aggregate. The same shape
+    answers "cumulative unique products per customer" on a fact table at
+    any scale."""
+    ev = t(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    firsts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    runs = firsts.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.sum("is_first").over(w_run).alias("cum_d"),
+    )
+    return runs.groupBy("user_id", "day").agg(
+        F.max("cum_d").cast("bigint").alias("distinct_types_so_far")
+    )
