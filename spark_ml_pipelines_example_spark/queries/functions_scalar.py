@@ -608,3 +608,46 @@ def q_fn_url(spark, sf_dir):
     return parsed.groupBy("host", "lang").agg(
         F.count("*").alias("n_urls"), F.sum("doc_id").alias("id_sum")
     )
+
+
+@query(
+    "q_fn_datetime_arith",
+    oracle="""
+    WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt FROM orders)
+    SELECT o_orderkey, dt,
+           CAST(dt + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(dt + INTERVAL '-1' MONTH AS DATE) AS minus_1m,
+           last_day(dt) AS month_end,
+           CAST(date_trunc('week', dt) AS DATE) AS week_start,
+           dt + CAST((1 - isodow(dt) + 7) % 7
+                     + CASE WHEN (1 - isodow(dt) + 7) % 7 = 0 THEN 7 ELSE 0 END
+                     AS INTEGER) AS next_monday,
+           CAST(quarter(dt) AS INT) AS qtr,
+           CAST(dayofyear(dt) AS INT) AS doy
+    FROM d
+    """,
+    tags=("functions", "datetime", "calendar"),
+)
+def q_fn_datetime_arith(spark, sf_dir):
+    """Calendar-arithmetic function family — the month-boundary semantics
+    that break naive date math: add_months CLAMPS to the last valid day
+    (Jan 31 + 1m = Feb 29; Feb 29 + 12m = next Feb 28 — verified
+    engine-identical against DuckDB's interval-month addition), last_day,
+    ISO week truncation (Monday start in both engines), strictly-after
+    next-Monday (expressed arithmetically in the oracle since DuckDB has
+    no next_day), quarter, and day-of-year. Pure per-row codegen
+    projection — completes the scalar datetime surface next to
+    q_fn_date/q_fn_timestamp's extraction/epoch families."""
+    o = t(spark, sf_dir, "orders")
+    d = o.select("o_orderkey", F.col("o_orderdate").cast("date").alias("dt"))
+    return d.select(
+        "o_orderkey",
+        "dt",
+        F.add_months("dt", 3).alias("plus_3m"),
+        F.add_months("dt", -1).alias("minus_1m"),
+        F.last_day("dt").alias("month_end"),
+        F.trunc("dt", "week").alias("week_start"),
+        F.next_day("dt", "Mon").alias("next_monday"),
+        F.quarter("dt").cast("int").alias("qtr"),
+        F.dayofyear("dt").cast("int").alias("doy"),
+    )

@@ -418,6 +418,68 @@ def load_all() -> dict[str, QuerySpec]:
     from ..operators import similarity as _op_similarity  # noqa: F401
     from ..operators import skew as _op_skew  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _DRIVER_PRIORITY if n in REGISTRY}
-    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return _rotate_for_driver(REGISTRY)
+
+
+# Family priority for the automatic rotation: composite/behavioral/DQ
+# shapes first within the never-checked block (hash signal on the most
+# load-bearing queries beats roundtrip smoke checks).
+_FAMILY_ORDER = (
+    "q_tpch_", "q_events_", "q_dq_", "q_curate_", "q_win_", "q_text_",
+    "q_dedup_", "q_ml_", "q_agg_", "q_join_", "q_scan_", "q_sink_",
+    "q_set_", "q_sub", "q_sim_", "q_ts_", "q_graph_", "q_stream_",
+)
+
+
+def _driver_checked_queries() -> set[str]:
+    """Names with a hard driver correctness row in ANY committed
+    CORRECTNESS_r*.json at the repo root. Resolved from __file__ so the
+    result is independent of the caller's working directory."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            with open(p) as fh:
+                seen |= set(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    """SELF-MAINTAINING driver-window rotation: the external driver
+    hash-checks roughly the first 50 entries per round, so order the
+    registry (a) never-driver-checked SQL-oracled queries first
+    (family-ranked), (b) never-checked rows-only queries, then (c) the
+    already-verified regression tail in _DRIVER_PRIORITY order. Because
+    (a) is recomputed from the committed CORRECTNESS_r*.json artifacts,
+    every future round's check budget lands on fresh queries — including
+    queries added in the current round — with no manual reordering.
+    Deterministic given the repo contents."""
+    checked = _driver_checked_queries()
+
+    def fam_rank(n: str) -> int:
+        for i, f in enumerate(_FAMILY_ORDER):
+            if n.startswith(f):
+                return i
+        return len(_FAMILY_ORDER)
+
+    never_sql = sorted(
+        (n for n, s in registry.items() if n not in checked and s.oracle is not None),
+        key=lambda n: (fam_rank(n), n),
+    )
+    never_rows = sorted(
+        n for n, s in registry.items() if n not in checked and s.oracle is None
+    )
+    tail = [n for n in _DRIVER_PRIORITY if n in registry and n in checked]
+    tail += [
+        n
+        for n in registry
+        if n in checked and n not in tail
+    ]
+    ordered = {n: registry[n] for n in never_sql + never_rows + tail}
+    ordered.update((n, s) for n, s in registry.items() if n not in ordered)
     return ordered
