@@ -421,6 +421,90 @@ def q_agg_percentile(spark, sf_dir):
     )
 
 
+QUANTILE_PROBES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q_agg_quantile_two_phase",
+    oracle="""
+    WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+               FROM lineitem),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    ranked AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rnk FROM v),
+    probes AS (SELECT p FROM (VALUES (0.5), (0.9), (0.99)) t(p))
+    SELECT p, CAST(CEIL(p * n.n) AS BIGINT) AS k, cents AS value_cents
+    FROM probes CROSS JOIN n
+    JOIN ranked ON ranked.rnk = CAST(CEIL(p * n.n) AS BIGINT)
+    """,
+    tags=("agg", "quantile", "order-statistics", "two-phase"),
+)
+def q_agg_quantile_two_phase(spark, sf_dir):
+    """EXACT global order statistics (P50/P90/P99 as the k-th smallest,
+    k = ⌈p·n⌉ — type-1 quantile, no interpolation) WITHOUT a global sort
+    and without the per-group value buffering of the `percentile`
+    aggregate (which holds a group's entire value list in one aggregation
+    buffer — the memory cliff at 100 TB): phase 1 is a hash aggregate
+    onto ≤1024 fixed log2 value bins plus a cumulative pass over that
+    bin frame to locate, for each probe p, the bin containing the k-th
+    value and the residual rank inside it; phase 2 touches ONLY the
+    identified bins (a pushed-down IN filter on the recomputed bin id)
+    and selects each residual rank with a per-bin sort bounded by the
+    bin's row count. Total cost: two scans + a ≤1024-row window —
+    this is how exact p99s are computed on petabyte columns.
+    Values are exact integer cents, so both engines agree bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem")
+    v = li.select((dec("l_extendedprice") * 100).cast("long").alias("cents"))
+    bin_expr = F.least(
+        F.floor(F.log2(F.col("cents").cast("double") + 1.0) * 16.0), F.lit(1023)
+    ).cast("int")
+    per_bin = (
+        v.withColumn("_bin", bin_expr)
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    w_cum = W.orderBy("_bin").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    cum = per_bin.select(
+        "_bin",
+        "bn",
+        F.sum("bn").over(w_cum).alias("cum"),
+        F.sum("bn").over(w_all).alias("n"),
+    )
+    # driver-side: 3 probes → (bin, residual-rank) targets; the cum frame
+    # is ≤1024 rows, so this collect is constant-size at any corpus scale
+    rows = sorted(cum.collect(), key=lambda r: r["_bin"])
+    targets = []  # (p, k, bin, offset_in_bin)
+    n = rows[0]["n"] if rows else 0
+    import math
+
+    for p in QUANTILE_PROBES:
+        k = math.ceil(p * n)
+        for r in rows:
+            if r["cum"] >= k:
+                targets.append((p, k, r["_bin"], k - (r["cum"] - r["bn"])))
+                break
+    target_bins = sorted({t[2] for t in targets})
+    w_bin = W.partitionBy("_bin").orderBy("cents")
+    ranked = (
+        v.withColumn("_bin", bin_expr)
+        .filter(F.col("_bin").isin(target_bins))
+        .withColumn("rnk", F.row_number().over(w_bin))
+    )
+    conds = None
+    for p, k, b, off in targets:
+        c = (F.col("_bin") == b) & (F.col("rnk") == off)
+        conds = c if conds is None else (conds | c)
+    hits = ranked.filter(conds).select("_bin", "rnk", "cents")
+    probe_df = hits.sparkSession.createDataFrame(
+        [(p, k, b, off) for p, k, b, off in targets],
+        "p double, k long, _bin int, rnk long",
+    )
+    return probe_df.join(F.broadcast(hits), ["_bin", "rnk"]).select(
+        "p", "k", F.col("cents").alias("value_cents")
+    )
+
+
 @query("q_agg_approx_percentile", oracle=None, tags=("agg", "approx"))
 def q_agg_approx_percentile(spark, sf_dir):
     """approx_percentile sketch vs the exact interpolated percentile, with
