@@ -1213,6 +1213,87 @@ def q_agg_bitmap_distinct(spark, sf_dir):
 
 
 @query(
+    "q_agg_incremental_retract",
+    # Oracle = full recompute over the post-CDC state: merge(base, -old,
+    # +new) must be indistinguishable from re-aggregating the corrected
+    # table — the RETRACTION half of incremental view maintenance.
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents0,
+               CASE WHEN o_orderkey % 37 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         + CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               END AS cents
+        FROM orders
+    )
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(cents) * 100 // COUNT(*) AS BIGINT) AS avg_centicents
+    FROM c GROUP BY 1
+    """,
+    tags=("agg", "incremental", "cdc", "retraction", "materialized-view"),
+)
+def q_agg_incremental_retract(spark, sf_dir):
+    """CDC-style RETRACTABLE aggregate maintenance — the delete half of
+    incremental view maintenance that q_agg_incremental_maintenance's
+    insert-only merge doesn't exercise: a change batch arrives as
+    (delete old row, insert corrected row) pairs (every 37th order gets
+    a +10% price correction), and the standing per-customer MV updates
+    as MV' = Σ(base·+1, deleted·−1, inserted·+1) over the sufficient
+    statistics — counts and exact integer cents are FULLY retractable
+    (a signed union + one re-aggregate; no history rescan), which is
+    precisely why the MV keeps sums/counts and never averages or maxes:
+    MAX is NOT retractable (deleting the max forces a rescan), so the
+    derived mean is recomputed from the maintained sums at read time
+    (as exact integer hundredths of a cent — a rounded double mean
+    diverges between engines at decimal midpoints).
+    The driver-checked oracle is the full recompute over the corrected
+    table — the hash match proves merge ≡ recompute. Scale shape: the
+    signed union shuffles base + 2·|delta| pre-collapsed rows on the
+    MV key."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (dec("o_totalprice") * 100).cast("long").alias("cents_raw"),
+    )
+
+    def signed_rollup(df, sign):
+        return df.groupBy("o_custkey").agg(
+            (F.lit(sign) * F.count("*")).alias("n"),
+            (F.lit(sign) * F.sum("cents_raw")).alias("cents"),
+        )
+
+    base = signed_rollup(o, 1)
+    changed = o.filter(F.col("o_orderkey") % 37 == 0)
+    deletes = signed_rollup(changed, -1)
+    inserts = signed_rollup(
+        changed.withColumn(
+            "cents_raw",
+            F.col("cents_raw") + F.expr("cents_raw div 10"),  # exact +10%
+        ),
+        1,
+    )
+    merged = (
+        base.unionByName(deletes)
+        .unionByName(inserts)
+        .groupBy("o_custkey")
+        .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("cents"))
+        .filter(F.col("n_orders") > 0)
+    )
+    # derived mean kept EXACT (integer hundredths of a cent, truncated
+    # division) — a rounded double mean hits decimal-midpoint rounding
+    # divergence between engines (measured: 3 of 1500 rows)
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "cents",
+        F.expr("cents * 100 div n_orders").alias("avg_centicents"),
+    )
+
+
+@query(
     "q_agg_incremental_maintenance",
     # The oracle is the FULL recompute: the engine's base+delta merge
     # must be indistinguishable from aggregating all the data at once —

@@ -1024,3 +1024,81 @@ def q_dq_error_budget(spark, sf_dir):
         .otherwise(0)
         .alias("burn_alarm"),
     )
+
+
+# Candidate functional dependencies for the FD profiler: (name, table,
+# lhs column, rhs column). A mix of true FDs (key-determined) and
+# plausible-but-false ones — the profiler's job is telling them apart.
+FD_CANDIDATES = (
+    ("nation_key_region", "nation", "n_nationkey", "n_regionkey"),
+    ("cust_segment_nation", "customer", "c_mktsegment", "c_nationkey"),
+    ("order_cust_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("order_date_status", "orders", "o_orderdate", "o_orderstatus"),
+    ("line_part_supp", "lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+@query(
+    "q_dq_functional_deps",
+    oracle="""
+    WITH checks AS (
+        SELECT 'nation_key_region' AS fd, CAST(n_nationkey AS VARCHAR) AS lhs,
+               CAST(n_regionkey AS VARCHAR) AS rhs FROM nation
+        UNION ALL
+        SELECT 'cust_segment_nation', CAST(c_mktsegment AS VARCHAR),
+               CAST(c_nationkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'order_cust_priority', CAST(o_custkey AS VARCHAR),
+               CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'order_date_status', CAST(o_orderdate AS VARCHAR),
+               CAST(o_orderstatus AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'line_part_supp', CAST(l_partkey AS VARCHAR),
+               CAST(l_suppkey AS VARCHAR) FROM lineitem
+    ), per_lhs AS (
+        SELECT fd, lhs, COUNT(DISTINCT rhs) AS card FROM checks GROUP BY 1, 2
+    )
+    SELECT fd,
+           COUNT(*) AS n_lhs_groups,
+           COUNT(CASE WHEN card > 1 THEN 1 END) AS n_violating,
+           CAST(MAX(card) AS BIGINT) AS max_rhs_card,
+           COUNT(CASE WHEN card > 1 THEN 1 END) = 0 AS holds
+    FROM per_lhs GROUP BY 1
+    """,
+    tags=("dq", "functional-dependency", "profiling"),
+)
+def q_dq_functional_deps(spark, sf_dir):
+    """Functional-dependency profiler — the data-quality check behind
+    "is this column determined by that one?" (key discovery, schema
+    normalization, silent-denormalization-drift alarms): for each
+    candidate FD A→B, count the LHS groups whose distinct-RHS
+    cardinality exceeds 1. True FDs (nation key → region) report zero
+    violations; plausible-but-false ones (part → supplier: TPC-H gives
+    every part ~4 suppliers) report their violation profile. One long
+    unpivoted (fd, lhs, rhs) stream → per-LHS distinct aggregate →
+    per-FD rollup, two combinable shuffles regardless of how many
+    candidate FDs share the pass — the same fan-out discipline as
+    q_dq_drift_features. Violating-group counts use COUNT(CASE) so both
+    engines type them integral (§2.4)."""
+    parts = []
+    for fd, table, lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            t(spark, sf_dir, table).select(
+                F.lit(fd).alias("fd"),
+                F.col(lhs).cast("string").alias("lhs"),
+                F.col(rhs).cast("string").alias("rhs"),
+            )
+        )
+    checks = parts[0]
+    for p in parts[1:]:
+        checks = checks.unionByName(p)
+    per_lhs = checks.groupBy("fd", "lhs").agg(
+        F.count_distinct("rhs").alias("card")
+    )
+    return per_lhs.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_lhs_groups"),
+        F.count(F.when(F.col("card") > 1, 1)).alias("n_violating"),
+        F.max("card").cast("bigint").alias("max_rhs_card"),
+        (F.count(F.when(F.col("card") > 1, 1)) == 0).alias("holds"),
+    )
