@@ -145,6 +145,13 @@ HEADLINE = [
     "q_agg_pareto",
     "q_agg_gini",
     "q_stream_interval_join_outer",
+    # round-3 second wave: two-phase exact quantiles, KN bigram LM,
+    # running-distinct windows, FD profiling, retractable MV maintenance
+    "q_agg_quantile_two_phase",
+    "q_text_kneser_ney",
+    "q_win_cumulative_distinct",
+    "q_dq_functional_deps",
+    "q_agg_incremental_retract",
 ]
 
 
