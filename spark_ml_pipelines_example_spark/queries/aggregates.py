@@ -450,7 +450,11 @@ def q_agg_quantile_two_phase(spark, sf_dir):
     value and the residual rank inside it; phase 2 touches ONLY the
     identified bins (a pushed-down IN filter on the recomputed bin id)
     and selects each residual rank with a per-bin sort bounded by the
-    bin's row count. Total cost: two scans + a ≤1024-row window —
+    bin's row count; the target bins are additionally translated into
+    source-column price ranges so the second scan's predicate reaches
+    the parquet reader (PushedFilters → row-group pruning), with the
+    exact bin filter kept as the authoritative predicate above the
+    slop-margin range. Total cost: two scans + a ≤1024-row window —
     this is how exact p99s are computed on petabyte columns.
     Values are exact integer cents, so both engines agree bit-for-bit."""
     li = t(spark, sf_dir, "lineitem")
@@ -485,9 +489,25 @@ def q_agg_quantile_two_phase(spark, sf_dir):
                 targets.append((p, k, r["_bin"], k - (r["cum"] - r["bn"])))
                 break
     target_bins = sorted({t[2] for t in targets})
+    # Translate target bins into SOURCE-column ranges so phase 2's
+    # predicate reaches the parquet scan (PushedFilters on
+    # l_extendedprice — a filter on the derived bin column cannot push):
+    # bin b covers cents+1 ∈ [2^(b/16), 2^((b+1)/16)); a ±1-cent slop
+    # superset keeps float-boundary safety, and the exact _bin filter
+    # below remains the authoritative predicate.
+    range_pred = None
+    for b in target_bins:
+        lo = (2.0 ** (b / 16.0) - 2.0) / 100.0
+        hi = (2.0 ** ((b + 1) / 16.0) + 1.0) / 100.0
+        c = F.col("l_extendedprice").between(lo, hi)
+        range_pred = c if range_pred is None else (range_pred | c)
+    v2 = (
+        li.filter(range_pred)
+        .select((dec("l_extendedprice") * 100).cast("long").alias("cents"))
+    )
     w_bin = W.partitionBy("_bin").orderBy("cents")
     ranked = (
-        v.withColumn("_bin", bin_expr)
+        v2.withColumn("_bin", bin_expr)
         .filter(F.col("_bin").isin(target_bins))
         .withColumn("rnk", F.row_number().over(w_bin))
     )

@@ -390,3 +390,45 @@ def test_bloom_runtime_filter_injects(spark, sf_dir):
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     REGISTRY["q_join_bloom_runtime"].fn(spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_quantile_two_phase_has_no_global_sort(spark, sf_dir):
+    """Exact global quantiles must come from the binned two-phase plan:
+    no unpartitioned Sort over the value column (the global-sort plan it
+    replaces) — the only windows are the ≤1024-row bin cumulative and
+    the per-target-bin rank."""
+    plan = plan_of(spark, sf_dir, "q_agg_quantile_two_phase")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    for s in specs:
+        if re.match(r"\S+ (ASC|DESC) ", s):  # unpartitioned spec
+            assert s.startswith("_bin"), f"global window over values: {s}"
+    # phase-2 bin filter must be pushed into the second scan
+    assert "PushedFilters" in plan
+
+
+def test_incremental_retract_is_one_shuffle_merge(spark, sf_dir):
+    """The CDC merge must stay a signed-union + hash aggregate: no join
+    between base and delta (the naive formulation), no cartesian."""
+    plan = plan_of(spark, sf_dir, "q_agg_incremental_retract")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "signed union should not plan a join"
+
+
+def test_kneser_ney_broadcasts_word_tables(spark, sf_dir):
+    """The prefix/continuation tables are vocabulary-sized — broadcast
+    at fixture scale so the bigram stream never shuffles for them."""
+    plan = plan_of(spark, sf_dir, "q_text_kneser_ney")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sort_multikey_rank_is_decomposed(spark, sf_dir):
+    """sort_pos must come from the grouped two-phase decomposition: any
+    unpartitioned windowspec may only order the 3-row status-prefix
+    frame or bin frames, never the full orders table."""
+    plan = plan_of(spark, sf_dir, "q_sort_multikey")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    unpart = [s for s in specs if re.match(r"\S+ (ASC|DESC) ", s)]
+    for s in unpart:
+        assert s.startswith("_status") or s.startswith("_bin"), (
+            f"catalog-frame global window survived: {s}"
+        )
