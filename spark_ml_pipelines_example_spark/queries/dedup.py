@@ -1212,3 +1212,157 @@ def q_dedup_storage_impact(spark, sf_dir):
             4,
         ).alias("saved_pct"),
     )
+
+
+def _minhash_calibration_oracle_sql() -> str:
+    """Calibration twin: banded CANDIDATE pairs (pre-confirm, spanning
+    the similarity spectrum) scored by estimated Jaccard (fraction of
+    matching minhash components) vs exact Jaccard, grouped into exact
+    integer 5%-bands."""
+    mins = ",\n               ".join(
+        f"list_min(list_transform(htoks, h -> ({a} * h + {b}) % {P31})) AS m{i}"
+        for i, (a, b) in enumerate(MH_COEFFS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, "
+        + _mh_band_fold_sql(
+            [f"m{j * MH_ROWS_PER_BAND + r}" for r in range(MH_ROWS_PER_BAND)]
+        )
+        + " AS sig FROM sigs"
+        for j in range(MH_N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MH_N_BANDS * MH_ROWS_PER_BAND)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, toks,
+               list_transform(toks,
+                   t -> CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) & 2147483647)
+                   AS htoks
+        FROM docs
+    ), sigs AS (
+        SELECT doc_id, toks,
+               {mins}
+        FROM hashed
+    ), bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT ({matches}) AS n_match,
+               len(list_intersect(a.toks, b.toks)) AS isz,
+               len(list_distinct(list_concat(a.toks, b.toks))) AS usz
+        FROM cand
+        JOIN sigs a ON a.doc_id = cand.doc_a
+        JOIN sigs b ON b.doc_id = cand.doc_b
+    )
+    SELECT CAST((20 * isz) // usz AS BIGINT) AS sim_band,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(n_match / 48.0), 4) AS avg_est_jaccard,
+           ROUND(AVG(CAST(isz AS DOUBLE) / usz), 4) AS avg_exact_jaccard
+    FROM scored GROUP BY 1
+    """
+
+
+@query(
+    "q_dedup_minhash_calibration",
+    oracle=_minhash_calibration_oracle_sql(),
+    tags=("dedup", "minhash", "calibration", "observability"),
+)
+def q_dedup_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration — the sketch-quality readout a
+    production dedup pipeline monitors: over the banded CANDIDATE pairs
+    (pre-confirm, so the sample spans the similarity spectrum rather
+    than only near-dups), compare the estimated Jaccard (fraction of
+    the 48 minhash components that agree — an unbiased estimator with
+    sd ≈ √(s(1−s)/48) ≈ 0.07) against the exact Jaccard, grouped into
+    exact integer 5%-similarity bands ((20·|i|) div |u| — no float
+    banding). A drifting gap between the columns means the hash family
+    or shingle definition degraded (e.g. token distribution shifted) —
+    the signal to retune bands/rows before recall silently drops.
+    Shares the signature machinery (and its scale shape: map-side
+    signatures, bucketed candidate join) with q_dedup_minhash."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")
+        .select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    )
+    hashed = toks.select(
+        "doc_id",
+        "toks",
+        F.transform(
+            "toks",
+            lambda tk: F.conv(F.substring(F.md5(F.encode(tk, "utf-8")), 9, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(2147483647)),
+        ).alias("htoks"),
+    )
+    sigs = hashed.select(
+        "doc_id",
+        "toks",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("htoks", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31))
+                )
+                for (a, b) in MH_COEFFS
+            ]
+        ).alias("mh"),
+    )
+
+    def band_fold(j):
+        expr = F.col("mh")[j * MH_ROWS_PER_BAND]
+        for r in range(1, MH_ROWS_PER_BAND):
+            expr = (expr * 31 + F.col("mh")[j * MH_ROWS_PER_BAND + r]) % F.lit(P31)
+        return expr
+
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_fold(j) for j in range(MH_N_BANDS)])
+        ).alias("band", "sig"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"), F.col("mh").alias("ma")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"), F.col("mh").alias("mb")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("ma", "mb", lambda x, y: x == y), lambda v: v
+        )
+    )
+    isz = F.size(F.array_intersect("ta", "tb"))
+    usz = F.size(F.array_union("ta", "tb"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr(f"({(20)} * size(array_intersect(ta, tb))) div size(array_union(ta, tb))").alias("sim_band"),
+            n_match.alias("n_match"),
+            (isz.cast("double") / usz).alias("exact_j"),
+        )
+    )
+    return scored.groupBy(F.col("sim_band").cast("bigint").alias("sim_band")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("n_match") / 48.0), 4).alias("avg_est_jaccard"),
+        F.round(F.avg("exact_j"), 4).alias("avg_exact_jaccard"),
+    )
