@@ -2484,6 +2484,55 @@ def q_win_drawdown(spark, sf_dir):
 
 
 @query(
+    "q_ts_acf_multilag",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT a.d - b.d AS lag, a.cnt AS x, b.cnt AS y
+        FROM daily a JOIN daily b ON a.d - b.d BETWEEN 1 AND 14
+    )
+    SELECT lag, COUNT(*) AS n_pairs, ROUND(CORR(x, y), 4) AS acf
+    FROM pairs GROUP BY 1
+    """,
+    tags=("timeseries", "acf", "seasonality", "stats"),
+)
+def q_ts_acf_multilag(spark, sf_dir):
+    """The full autocorrelation function, lags 1–14, of the daily total
+    event-count series — the seasonality fingerprint q_ts_autocorr's
+    single lag can't draw (a weekly cycle shows as the lag-7 peak; its
+    harmonics at 14): one daily hash aggregate collapses the event log
+    to a calendar-bounded frame, then a ±14-day banded self-join emits
+    each (t, t−L) pair exactly once per lag and a per-lag Pearson corr
+    finishes it. The banded join's volume is 14·|days| — calendar-
+    bounded at any event scale (the same discipline as q_ts_ses's
+    banded taps); corr is the single-pass co-moment form in both
+    engines, rounded 4dp per the repo's moment-statistics tolerance."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).alias("d")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cnt").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("cnt").alias("y"))
+    pairs = a.join(
+        b, (F.col("da") - F.col("db") >= 1) & (F.col("da") - F.col("db") <= 14)
+    ).select((F.col("da") - F.col("db")).alias("lag"), "x", "y")
+    return pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("x", "y"), 4).alias("acf"),
+    )
+
+
+@query(
     "q_ts_autocorr",
     oracle="""
     WITH daily AS (

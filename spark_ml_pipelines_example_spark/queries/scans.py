@@ -488,3 +488,67 @@ def q_sink_csv_roundtrip(spark, sf_dir):
     )
     src.write.mode("overwrite").option("header", "true").csv(path)
     return spark.read.schema(src.schema).option("header", "true").csv(path)
+
+
+@query(
+    "q_scan_csv_corrupt",
+    # Corruption is a pure function of doc_id (every 11th line gets too
+    # few columns), so the oracle derives the expected split from the
+    # documents table without reading the staged file.
+    oracle="""
+    SELECT COUNT(CASE WHEN doc_id % 11 <> 0 THEN 1 END) AS n_good,
+           COUNT(CASE WHEN doc_id % 11 = 0 THEN 1 END) AS n_malformed,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN doc_id END) AS BIGINT)
+               AS id_sum_good,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN n_chars END) AS BIGINT)
+               AS chars_good
+    FROM documents
+    """,
+    tags=("scan", "csv", "corrupt-record"),
+)
+def q_scan_csv_corrupt(spark, sf_dir):
+    """Malformed-record handling for CSV ingest — the delimited-file
+    twin of q_scan_json_corrupt's contract: every 11th line is staged
+    with a missing column, the read-back runs PERMISSIVE with an
+    explicit ``_corrupt_record`` column (bad line quarantined with its
+    raw text retained for replay — never FAILFAST's job kill or
+    DROPMALFORMED's silent vanish), schema declared up front (no
+    inference pass over the data). CSV's failure mode differs from
+    JSON's: arity mismatch rather than parse error, which PERMISSIVE
+    signals by nulling the missing trailing columns AND populating the
+    corrupt column only when the row is unparseable — so the malformed
+    check is a null in a declared non-trailing-safe column. Reported as
+    the good/quarantined split plus checksums over parsed rows."""
+    from ._util import scratch_dir
+
+    path = scratch_dir("q_scan_csv_corrupt", sf_dir)
+    d = t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.col("doc_id").cast("string"),  # arity-1 line: lang+chars missing
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    parsed = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # arity-short rows surface as nulls in the declared trailing columns
+    good = F.col("lang").isNotNull() & F.col("n_chars").isNotNull()
+    return parsed.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_malformed"),
+        F.sum(F.when(good, F.col("doc_id"))).cast("long").alias("id_sum_good"),
+        F.sum(F.when(good, F.col("n_chars"))).cast("long").alias("chars_good"),
+    )
