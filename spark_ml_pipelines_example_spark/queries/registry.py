@@ -431,22 +431,83 @@ _FAMILY_ORDER = (
 )
 
 
+def oracle_fingerprint(spec: QuerySpec) -> str:
+    """Stable identity of the CHECK a driver row certifies: md5 of the
+    oracle SQL for SQL-oracled queries, the literal class marker for
+    rows-only ones. If a query's oracle is later rewritten, its recorded
+    fingerprint no longer matches and the rotation re-fronts it for a
+    fresh driver row (ADVICE r3: stale-verified queries must not hide in
+    the regression tail)."""
+    import hashlib
+
+    if spec.oracle is None:
+        return "rows-only"
+    return hashlib.md5(spec.oracle.encode()).hexdigest()
+
+
+def _checked_fingerprints() -> dict[str, str]:
+    """Committed snapshot mapping query name -> fingerprint AS OF the
+    round whose driver row certified it (tools/checked_fingerprints.json,
+    refreshed at round close by tools/record_fingerprints.py)."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parents[2] / "tools" / "checked_fingerprints.json"
+    try:
+        with open(p) as fh:
+            return dict(json.load(fh))
+    except (OSError, ValueError):
+        return {}
+
+
 def _driver_checked_queries() -> set[str]:
-    """Names with a hard driver correctness row in ANY committed
-    CORRECTNESS_r*.json at the repo root. Resolved from __file__ so the
-    result is independent of the caller's working directory."""
+    """Names with a still-valid hard driver row in ANY committed
+    CORRECTNESS_r*.json at the repo root (resolved from __file__, so
+    independent of the caller's cwd).
+
+    A row certifies a query only if it actually verified something
+    (ADVICE r3 fix — previously every artifact KEY counted):
+    - SQL-class row: ``hash_match is True`` and no error, AND the oracle
+      the driver ran is the oracle the registry declares today (recorded
+      fingerprint == current fingerprint). A rewritten oracle re-fronts
+      the query into the driver window.
+    - rows-only row: ``err == 'no_oracle'`` with a row count recorded,
+      and the query is STILL rows-only. A rows-only query that has since
+      gained a SQL oracle (q_dedup_minhash/simhash, q_pack_ffd) needs a
+      fresh, stronger hash-check row, so it does not count as checked.
+    - errored rows (tracebacks) never count.
+    """
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[2]
-    seen: set[str] = set()
+    fps = _checked_fingerprints()
+    good_sql: set[str] = set()
+    good_rows: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             with open(p) as fh:
-                seen |= set(json.load(fh))
+                data = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True and row.get("err") is None:
+                good_sql.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                good_rows.add(name)
+
+    checked: set[str] = set()
+    for name, spec in REGISTRY.items():
+        fp = oracle_fingerprint(spec)
+        if spec.oracle is not None:
+            if name in good_sql and fps.get(name) == fp:
+                checked.add(name)
+        else:
+            if name in good_rows or name in good_sql:
+                checked.add(name)
+    return checked
 
 
 def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

@@ -36,5 +36,37 @@ def test_rotation_deterministic():
 
 def test_checked_set_reads_artifacts():
     checked = _driver_checked_queries()
-    # rounds 1+2 recorded 96 distinct rows; future rounds only add
-    assert len(checked) >= 96
+    # rounds 1+2 recorded 96 distinct rows; 3 of those were rows-only
+    # checks of queries that have since gained SQL oracles (they must
+    # re-front), and future rounds only add
+    assert len(checked) >= 93
+
+
+def test_checked_requires_valid_row_and_fresh_oracle():
+    """ADVICE r3 (medium): an artifact KEY alone must not count as
+    checked. Errored rows never certify; a rows-only row stops
+    certifying once the query gains a SQL oracle; a SQL row stops
+    certifying if the declared oracle no longer matches the recorded
+    fingerprint."""
+    load_all()
+    checked = _driver_checked_queries()
+    # q_dedup_minhash / q_dedup_simhash / q_pack_ffd: r1/r2 rows were
+    # 'no_oracle' class but the registry now declares SQL oracles →
+    # the weaker row must not satisfy the stronger contract.
+    for name in ("q_dedup_minhash", "q_dedup_simhash", "q_pack_ffd"):
+        assert REGISTRY[name].oracle is not None
+        assert name not in checked, f"{name} stale rows-only row counted as checked"
+
+
+def test_fingerprint_tracks_oracle_text():
+    from spark_ml_pipelines_example_spark.queries.registry import oracle_fingerprint
+
+    spec = REGISTRY["q_tpch_q1"]
+    fp = oracle_fingerprint(spec)
+    assert fp != "rows-only" and len(fp) == 32
+    # same oracle → same fingerprint; different oracle → different
+    import dataclasses
+
+    assert oracle_fingerprint(dataclasses.replace(spec)) == fp
+    assert oracle_fingerprint(dataclasses.replace(spec, oracle=spec.oracle + " ")) != fp
+    assert oracle_fingerprint(dataclasses.replace(spec, oracle=None)) == "rows-only"
