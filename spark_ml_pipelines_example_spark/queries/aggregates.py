@@ -840,6 +840,7 @@ def q_agg_gini(spark, sf_dir):
         rank_col="i",
         total_sum_col="tot",
         total_count_col="n",
+        materialize=True,
     )
     return ranked.agg(
         F.round(
