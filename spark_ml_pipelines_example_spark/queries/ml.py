@@ -1321,8 +1321,13 @@ def _nb_confusion(spark, sf_dir):
     *silently*, dropping predictions (ADVICE r2) — so the scale cliff is
     made LOUD: we assert max(n_c) + max(v1, v2) < 1e6 (holds through
     ~sf5; beyond that use a log-space argmax variant, which trades
-    hash-exactness for scale) via the same small-aggregate collect that
-    the scoring stage already needs for nothing extra at runtime."""
+    hash-exactness for scale). The guard rides ONE build-time action
+    whose every branch derives from the `joint` aggregate (shared
+    exchange under AQE — no second fact scan; the r3 version's separate
+    count_distinct-over-orders subtree cost +27% same-host, VERDICT r3
+    "What's wrong" #3), and the collected k/v1/v2 flow into the scoring
+    plan as LITERALS, which also removes the crossJoin(v) fact-scan
+    subtree from the main action."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("label"),
         F.col("o_orderpriority").alias("f1"),
@@ -1336,14 +1341,35 @@ def _nb_confusion(spark, sf_dir):
     nc = joint.groupBy("label").agg(F.sum("n").alias("n_c"))
     n1 = joint.groupBy("label", "f1").agg(F.sum("n").alias("n_1"))
     n2 = joint.groupBy("label", "f2").agg(F.sum("n").alias("n_2"))
-    v = o.agg(
-        F.count_distinct("f1").alias("v1"), F.count_distinct("f2").alias("v2")
+    # ONE tiny-aggregate collect (replaces the former bare nc.count()):
+    # every branch — class stats AND the vocabulary sizes — derives from
+    # the same `joint` aggregate, so the action runs one fact scan whose
+    # exchange the branches share; v1/v2 over joint equal v1/v2 over the
+    # base rows because grouping preserves the distinct f1/f2 sets.
+    stats = (
+        nc.agg(F.count("*").alias("k"), F.max("n_c").alias("max_nc"))
+        .crossJoin(
+            joint.agg(
+                F.count_distinct("f1").alias("v1"),
+                F.count_distinct("f2").alias("v2"),
+            )
+        )
+        .collect()[0]
     )
-    combos = o.select("f1", "f2").distinct()
+    bound = int(stats["max_nc"]) + max(int(stats["v1"]), int(stats["v2"]))
+    if bound >= 1_000_000:
+        raise ValueError(
+            "q_ml_naive_bayes exact-decimal argmax overflows decimal(38) "
+            f"when max class count + vocabulary >= 1e6 (got {bound}); "
+            "use a log-space argmax variant at this scale"
+        )
+    n_classes = int(stats["k"])
+    v1, v2 = int(stats["v1"]), int(stats["v2"])
+
+    combos = joint.select("f1", "f2").distinct()
     d6 = "decimal(6,0)"
     scored = (
         combos.crossJoin(F.broadcast(nc))
-        .crossJoin(F.broadcast(v))
         .join(F.broadcast(n1), ["label", "f1"], "left")
         .join(F.broadcast(n2), ["label", "f2"], "left")
         .select(
@@ -1356,8 +1382,8 @@ def _nb_confusion(spark, sf_dir):
                 * (F.coalesce("n_2", F.lit(0)) + 1).cast(d6)
             ).alias("a"),
             (
-                (F.col("n_c") + F.col("v1")).cast(d6)
-                * (F.col("n_c") + F.col("v2")).cast(d6)
+                (F.col("n_c") + F.lit(v1)).cast(d6)
+                * (F.col("n_c") + F.lit(v2)).cast(d6)
             ).alias("b"),
         )
     )
@@ -1367,21 +1393,6 @@ def _nb_confusion(spark, sf_dir):
     s2 = scored.select(
         "f1", "f2", F.col("label").alias("l2"), F.col("a").alias("a2"), F.col("b").alias("b2")
     )
-    # ONE tiny-aggregate collect replaces the former bare nc.count(): it
-    # yields n_classes AND the exactness-guard inputs in the same action.
-    stats = (
-        nc.agg(F.count("*").alias("k"), F.max("n_c").alias("max_nc"))
-        .crossJoin(v)
-        .collect()[0]
-    )
-    bound = int(stats["max_nc"]) + max(int(stats["v1"]), int(stats["v2"]))
-    if bound >= 1_000_000:
-        raise ValueError(
-            "q_ml_naive_bayes exact-decimal argmax overflows decimal(38) "
-            f"when max class count + vocabulary >= 1e6 (got {bound}); "
-            "use a log-space argmax variant at this scale"
-        )
-    n_classes = int(stats["k"])
     wins = (
         s1.join(s2, ["f1", "f2"])
         .filter(F.col("l1") != F.col("l2"))
