@@ -476,7 +476,10 @@ def q_agg_quantile_two_phase(spark, sf_dir):
         F.sum("bn").over(w_all).alias("n"),
     )
     # driver-side: 3 probes → (bin, residual-rank) targets; the cum frame
-    # is ≤1024 rows, so this collect is constant-size at any corpus scale
+    # is ≤1024 rows, so this collect is constant-size at any corpus scale.
+    # NOTE: the collect runs at DataFrame-BUILD time (phase 1 executes as
+    # a side effect of building/explaining this query — same documented
+    # trade as the other collect-at-build queries).
     rows = sorted(cum.collect(), key=lambda r: r["_bin"])
     targets = []  # (p, k, bin, offset_in_bin)
     n = rows[0]["n"] if rows else 0
@@ -488,6 +491,10 @@ def q_agg_quantile_two_phase(spark, sf_dir):
             if r["cum"] >= k:
                 targets.append((p, k, r["_bin"], k - (r["cum"] - r["bn"])))
                 break
+    if not targets:
+        # empty input: no k-th value exists for any probe (ADVICE r3 —
+        # previously rows[0] raised IndexError / filter(None) TypeError)
+        return spark.createDataFrame([], "p double, k long, value_cents long")
     target_bins = sorted({t[2] for t in targets})
     # Translate target bins into SOURCE-column ranges so phase 2's
     # predicate reaches the parquet scan (PushedFilters on

@@ -1296,8 +1296,15 @@ def q_events_funnel_windowed(spark, sf_dir):
         FROM events GROUP BY user_id
     ), scored AS (
         SELECT treat, converted,
-               CAST(LEAST(FLOOR(10.0 / (1.0 + EXP(-(clicks - 10.0) / 5.0))), 9)
-                    AS INT) AS bin
+               CAST((CASE WHEN clicks >= 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 4 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 6 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 8 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 10 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 13 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 15 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 17 THEN 1 ELSE 0 END)
+                  + (CASE WHEN clicks >= 21 THEN 1 ELSE 0 END) AS INT) AS bin
         FROM per_user
     ), per_bin AS (
         SELECT bin,
@@ -1325,9 +1332,13 @@ def q_events_uplift_qini(spark, sf_dir):
     uplift/targeting models, completing the experimentation suite
     (q_events_abtest z-test, q_events_cuped variance reduction,
     q_events_power_analysis design, q_events_shapley credit): users
-    ranked by a closed-form targeting score (logistic in click count —
-    deterministic, so both engines agree; a real uplift model only
-    changes this column), the deterministic user_id%2 treatment split
+    ranked by a closed-form targeting score (a logistic in click count,
+    DECIDED BY INTEGER THRESHOLDS: bin = |{j : clicks ≥ c_j}| with
+    c_j = ⌈10 + 5·ln(j/(10−j))⌉ = [0,4,6,8,10,13,15,17,21] precomputed
+    — identical to floor(10·σ((clicks−10)/5)) capped at 9, but no
+    engine evaluates exp() at a bin boundary, so a last-ulp libm
+    difference can never flip a decile (ADVICE r3); a real uplift model
+    only changes this column), the deterministic user_id%2 treatment split
     (the q_events_abtest convention), and per score-decile the running
     Qini value Q = cumΣconv_T − cumΣconv_C · cum_N_T/cum_N_C. The
     per-user pass is ONE hash aggregate over events; the curve is
@@ -1343,15 +1354,18 @@ def q_events_uplift_qini(spark, sf_dir):
         .otherwise(0)
         .alias("converted"),
     )
+    # bin thresholds c_j = ceil(10 + 5*ln(j/(10-j))), j=1..9 — exact
+    # integer decisions equal to floor(10*sigmoid((clicks-10)/5)) cap 9;
+    # boundaries are irrational except j=5 (clicks=10, inclusive), so
+    # the ceil computed once in double precision is unambiguous.
+    _QINI_THRESHOLDS = (0, 4, 6, 8, 10, 13, 15, 17, 21)
+    bin_col = sum(
+        (F.col("clicks") >= c).cast("int") for c in _QINI_THRESHOLDS
+    )
     scored = per_user.select(
         (F.col("user_id") % 2).alias("treat"),
         "converted",
-        F.least(
-            F.floor(10.0 / (1.0 + F.exp(-(F.col("clicks") - 10.0) / 5.0))),
-            F.lit(9),
-        )
-        .cast("int")
-        .alias("bin"),
+        bin_col.cast("int").alias("bin"),
     )
     per_bin = scored.groupBy("bin").agg(
         F.count(F.when(F.col("treat") == 1, 1)).alias("nt"),

@@ -143,7 +143,8 @@ def q_ml_xgb_pipeline(spark, sf_dir):
     adjusted to the corpus label count), fit → transform → confusion
     counts. Import-guarded: where the xgboost package is absent (this
     driver environment) the declared result falls back to the documented
-    GBT-over-one-vs-min substitute so the schema stays stable, and the
+    multiclass RandomForest substitute (MLlib GBT is binary-only, so RF
+    is the tree-ensemble stand-in — ADVICE r3) so the schema stays stable, and the
     `backend` column records which engine trained — the driver row is
     rows-only either way (seeded tree ensembles are not
     SQL-reproducible)."""

@@ -1,0 +1,40 @@
+"""Round-4 additions: ADVICE r3 fixes and new operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+
+load_all()
+
+
+def test_quantile_two_phase_empty_input(spark, tmp_path):
+    """ADVICE r3: empty lineitem must yield an empty 3-column frame, not
+    IndexError/TypeError from the build-time phase-1 collect."""
+    li = spark.createDataFrame(
+        [], "l_extendedprice decimal(18,2), l_partkey bigint"
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    df = REGISTRY["q_agg_quantile_two_phase"].fn(spark, str(tmp_path))
+    assert df.columns == ["p", "k", "value_cents"]
+    assert df.count() == 0
+
+
+def test_uplift_qini_thresholds_match_logistic():
+    """The integer click thresholds are exactly floor(10*sigmoid((c-10)/5))
+    capped at 9 (ADVICE r3: no engine may evaluate exp at a boundary)."""
+    import math
+
+    th = (0, 4, 6, 8, 10, 13, 15, 17, 21)
+    for c in range(0, 500):
+        logistic = min(math.floor(10.0 / (1.0 + math.exp(-(c - 10.0) / 5.0))), 9)
+        assert logistic == sum(1 for t in th if c >= t), c
+
+
+def test_uplift_qini_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_events_uplift_qini"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
