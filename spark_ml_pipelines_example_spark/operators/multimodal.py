@@ -315,15 +315,103 @@ def q_multimodal_framesample(spark, sf_dir):
     )
 
 
-@query("q_multimodal_decode", oracle=None, tags=("multimodal", "udf"))
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS L,
+               CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+               8 + CAST((doc_id % 480 + 16) % 16 AS INT) AS h,
+               8 + CAST((doc_id % 640 + 16) % 24 AS INT) AS w
+        FROM documents
+    ), img_elem AS (
+        SELECT d.doc_id, d.h, d.w, d.L,
+               CAST(ascii(substr(d.text, CAST(t.i % d.L AS INT) + 1, 1)) AS DOUBLE) AS b,
+               CAST(t.i % 3 AS INT) AS ch
+        FROM docs d, UNNEST(range(0, CAST(d.h * d.w * 3 AS BIGINT))) AS t(i)
+        WHERE d.modality = 'image'
+    ), img_doc AS (
+        SELECT doc_id, MAX(L) AS L,
+               round_even(MAX(h) / 1024.0, 6) AS f0,
+               round_even(MAX(h) / 1024.0, 6) + round_even(MAX(w) / 1024.0, 6)
+                 + round_even(AVG(CASE WHEN ch = 0 THEN b END) / 255.0, 6)
+                 + round_even(AVG(CASE WHEN ch = 1 THEN b END) / 255.0, 6)
+                 + round_even(AVG(CASE WHEN ch = 2 THEN b END) / 255.0, 6)
+                 + round_even(stddev_pop(b) / 255.0, 6)
+                 + round_even(MIN(b) / 255.0, 6)
+                 + round_even(MAX(b) / 255.0, 6) AS fsum
+        FROM img_elem GROUP BY doc_id
+    ), aud_elem AS (
+        SELECT d.doc_id, d.L, t.i,
+               (ascii(substr(d.text, CAST(t.i % d.L AS INT) + 1, 1)) - 128) / 128.0 AS s,
+               CASE WHEN t.i > 0 AND
+                    (ascii(substr(d.text, CAST(t.i % d.L AS INT) + 1, 1)) < 128)
+                    <> (ascii(substr(d.text, CAST((t.i - 1) % d.L AS INT) + 1, 1)) < 128)
+                    THEN 1.0 ELSE 0.0 END AS zc
+        FROM docs d, UNNEST(range(0, 2048)) AS t(i)
+        WHERE d.modality = 'audio'
+    ), aud_doc AS (
+        SELECT doc_id, MAX(L) AS L,
+               round_even(2048 / 1e6, 6) AS f0,
+               round_even(2048 / 1e6, 6)
+                 + round_even(AVG(s), 6)
+                 + round_even(stddev_pop(s), 6)
+                 + round_even(sqrt(AVG(s * s)), 6)
+                 + round_even(SUM(zc) / 2047.0, 6)
+                 + round_even(MIN(s), 6)
+                 + round_even(MAX(s), 6)
+                 + round_even(AVG(abs(s)), 6) AS fsum
+        FROM aud_elem GROUP BY doc_id
+    ), vid_elem AS (
+        SELECT d.doc_id, d.L,
+               CAST(ascii(substr(d.text, CAST(t.i AS INT) + 1, 1)) // 16 AS INT) AS nib
+        FROM docs d, UNNEST(range(0, CAST(d.L AS BIGINT))) AS t(i)
+        WHERE d.modality = 'video'
+    ), vid_doc AS (
+        SELECT doc_id, MAX(L) AS L,
+               round_even((SUM(CASE WHEN nib IN (0, 8) THEN 1 ELSE 0 END))
+                          / CAST(MAX(L) AS DOUBLE), 6) AS f0,
+               round_even(SUM(CASE WHEN nib IN (0, 8) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (1, 9) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (2, 10) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (3, 11) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (4, 12) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (5, 13) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (6, 14) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6)
+                 + round_even(SUM(CASE WHEN nib IN (7, 15) THEN 1 ELSE 0 END) / CAST(MAX(L) AS DOUBLE), 6) AS fsum
+        FROM vid_elem GROUP BY doc_id
+    ), per_doc AS (
+        SELECT 'image' AS modality, * FROM img_doc
+        UNION ALL SELECT 'audio', * FROM aud_doc
+        UNION ALL SELECT 'video', * FROM vid_doc
+    )
+    SELECT modality, COUNT(*) AS n_items, CAST(SUM(L) AS BIGINT) AS total_bytes,
+           ROUND(AVG(f0), 6) AS avg_f0, ROUND(AVG(fsum), 6) AS avg_fsum
+    FROM per_doc GROUP BY modality
+    """,
+    tags=("multimodal", "udf"),
+)
 def q_multimodal_decode(spark, sf_dir):
     """Decode-and-featurize over the multimodal column pattern: binary
     payload + metadata struct → render to REAL containers (24-bit BMP
     for image rows, 16-bit PCM WAV for audio rows) → mapInPandas decode
     through the REAL codecs (struct/numpy BMP + WAV parsers; raw video
     bytes take the histogram fallback) → per-modality feature stats.
-    Deterministic (codecs and featurizers are pure functions of the
-    bytes) but not SQL-expressible → rows-only."""
+
+    FULL hash check (upgraded from rows-only, VERDICT r3 task #3): the
+    codecs are deterministic pure functions of the fixture base bytes,
+    so DuckDB replays the whole render→decode→featurize pipeline from
+    `documents.text` — image pixels are the utf-8 bytes tiled cyclically
+    into (h,w,3) (h = 8+(doc_id%480+16)%16, w = 8+(doc_id%640+16)%24;
+    the BMP encode/decode roundtrip is exact, and channel c of pixel i
+    is tiled byte 3i+c), audio samples are (byte−128)·256 over 2048
+    tiled positions (zero-crossing sign = byte<128), video features are
+    the folded high-nibble histogram of the raw bytes. Per-feature
+    rounding uses round_even to mirror numpy's banker's rounding at
+    exactly-representable halves (e.g. 8/1024 → 0.007812). The fixture
+    is pure ascii (octet_length = length at every SF, asserted in
+    tests), so DuckDB's character indexing equals byte indexing."""
     docs = t(spark, sf_dir, "documents")
     decoded = decode_features(render_media_payloads(attach_payload(docs)))
     return (
