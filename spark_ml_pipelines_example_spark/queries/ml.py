@@ -16,18 +16,56 @@ from ._util import dec, scratch_dir, t
 from .registry import query
 
 
-@query("q_ml_train_test_split", oracle=None, tags=("ml", "split"))
+@query(
+    "q_ml_train_test_split",
+    # VERDICT r3 task #6 (rows-only → SQL): the SEEDED row assignment is
+    # engine-specific, but the PARTITION CONTRACT is not — the declared
+    # result is the partition invariants, each of which DuckDB derives
+    # from the base table alone: the two splits are disjoint (overlap 0),
+    # exhaustive (train+test = total), and membership-complete (the
+    # union's id sum AND 31-bit-MD5 membership checksum equal the
+    # table's — a dropped/duplicated row under any permutation flips
+    # the checksum with probability 1-2^-31). The seed-specific 70/30
+    # balance stays pinned in pytest, not here.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(0 AS BIGINT) AS n_overlap,
+           CAST(SUM(doc_id) AS BIGINT) AS union_id_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                         AS BIGINT) & 2147483647) AS BIGINT) AS union_md5_sum
+    FROM documents
+    """,
+    tags=("ml", "split"),
+)
 def q_ml_train_test_split(spark, sf_dir):
     """Seeded 70/30 randomSplit (reference R4, fixing the truncated
-    TrainTestSplit body §8.2) — returns the partition-invariant checks:
-    counts, disjointness, coverage."""
+    TrainTestSplit body §8.2) — returns the partition-invariant checks
+    computed FROM THE ACTUAL SPLITS (counts, disjointness, membership
+    checksums); the oracle computes the same invariants from the base
+    table, so a split that dropped, duplicated, or leaked a row between
+    train and test hash-mismatches."""
     d = t(spark, sf_dir, "documents")
     train, test = d.randomSplit([0.7, 0.3], seed=42)
-    n_train, n_test, n_total = train.count(), test.count(), d.count()
+    h31 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(2147483647))
+    )
+    parts = train.select("doc_id").unionAll(test.select("doc_id"))
+    agg = parts.agg(
+        F.count("*").alias("n_parts"),
+        F.sum("doc_id").alias("union_id_sum"),
+        F.sum(h31).alias("union_md5_sum"),
+    )
+    n_total = d.count()
     n_overlap = train.select("doc_id").intersect(test.select("doc_id")).count()
-    return spark.createDataFrame(
-        [(n_train, n_test, n_total, n_overlap, n_train + n_test == n_total)],
-        "n_train long, n_test long, n_total long, n_overlap long, covers boolean",
+    return agg.select(
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.col("n_parts").cast("long").alias("n_parts"),
+        F.lit(n_overlap).cast("long").alias("n_overlap"),
+        F.col("union_id_sum").cast("long").alias("union_id_sum"),
+        F.col("union_md5_sum").cast("long").alias("union_md5_sum"),
     )
 
 

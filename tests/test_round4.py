@@ -57,3 +57,19 @@ def test_documents_fixture_is_ascii(duck):
         "THEN 1 ELSE 0 END), MIN(length(text)) FROM documents"
     ).fetchone()
     assert n[0] == 0 and n[1] > 0
+
+
+def test_train_test_split_balance_and_hash(spark, duck, sf_dir):
+    """The declared frame is the partition contract (hash-checked); the
+    seed-specific 70/30 balance stays pinned here."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_ml_train_test_split"]
+    assert spec.oracle is not None
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+    from spark_ml_pipelines_example_spark.queries._util import t as _t
+
+    d = _t(spark, sf_dir, "documents")
+    train, test = d.randomSplit([0.7, 0.3], seed=42)
+    n_tr, n_total = train.count(), d.count()
+    assert 0.55 * n_total <= n_tr <= 0.85 * n_total
