@@ -319,6 +319,60 @@ def q_stream_interval_join_outer(spark, sf_dir):
 
 
 @query(
+    "q_stream_interval_join_full",
+    oracle="""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click')
+    SELECT p_id, c_id, COALESCE(p.user_id, c.user_id) AS user_id,
+           CAST(epoch(date_trunc('second', p_ts)) AS BIGINT) AS p_epoch,
+           CAST(epoch(date_trunc('second', c_ts)) AS BIGINT) AS c_epoch
+    FROM p FULL JOIN c ON p.user_id = c.user_id
+     AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts
+    """,
+    tags=("stream", "interval-join", "outer", "full"),
+)
+def q_stream_interval_join_full(spark, sf_dir):
+    """Watermarked FULL OUTER stream-stream interval join, batch form —
+    completes the Structured-Streaming join-mode matrix (inner →
+    q_stream_interval_join, left → q_stream_interval_join_outer):
+    null-extension on BOTH sides, so unmatched purchases AND unmatched
+    clicks each appear once. The streaming twin (``streaming/jobs.py
+    streaming_interval_join_full``) uses the same sentinel-advance +
+    sink-side-filter technique (outer rows on either side are emitted
+    only once both watermarks pass the join bound); tests assert batch
+    ≡ streaming row-for-row including both null-extended sides. In
+    batch: one hash join on user_id with the interval predicate inside
+    it; user_id is COALESCEd across sides so the key survives
+    null-extension."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "p_id",
+        "c_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("p_epoch"),
+        F.unix_timestamp("c_ts").alias("c_epoch"),
+    )
+
+
+@query(
     "q_stream_state_metrics",
     # rows-only: state-store progress counters are a streaming-runtime
     # surface with no SQL equivalent; invariants (eviction observed,

@@ -357,6 +357,89 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("user_id") != SENTINEL_USER)
 
 
+def streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked FULL OUTER stream-stream interval join — the last
+    Structured-Streaming join mode (VERDICT r3 "What's missing" #3):
+    null-extension on BOTH sides (purchases with no click in the
+    preceding hour AND clicks that preceded no purchase within an hour).
+    Same sentinel-advance + sink-side-filter technique as the left-outer
+    variant, with one addition: in a full join either side's key column
+    can be null on unmatched rows, so the output user_id is
+    COALESCE(p_user, c_user) and the sink filter tests that. The two
+    sentinel streams share SENTINEL_USER, so their rows match each other
+    in the join (not null-extended) and the single coalesced filter
+    removes them all."""
+    base = read_events_stream(spark, sf_dir, per_file_batches=True)
+    purchases = (
+        base.filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir, per_file_batches=True)
+        .filter(F.col("event_type").isin("click", "sentinel"))
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "p_id",
+        "c_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("p_epoch"),
+        F.unix_timestamp("c_ts").alias("c_epoch"),
+    )
+    # sink-side sentinel filter, same reasoning as the left-outer variant
+    # (a filter inside the query would push below the watermark nodes)
+    with _bounded_state_partitions(spark):
+        out = _run_to_memory(joined, "stream_interval_join_full_out", "append")
+    return out.filter(F.col("user_id") != SENTINEL_USER)
+
+
+def batch_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_interval_join_full (full join, same rows
+    incl. null-extension on both sides)."""
+    from ..sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        "p_id",
+        "c_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        F.unix_timestamp("p_ts").alias("p_epoch"),
+        F.unix_timestamp("c_ts").alias("c_epoch"),
+    )
+
+
 def batch_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming_interval_join_outer (left join, same rows
     incl. the null-extended unmatched purchases)."""

@@ -145,6 +145,26 @@ def test_stream_stream_outer_interval_join_equals_batch(spark, sf_dir):
     assert batch.filter(batch.c_id.isNull()).count() > 0
 
 
+def test_stream_stream_full_interval_join_equals_batch(spark, sf_dir):
+    """Watermarked FULL OUTER stream-stream interval join must produce
+    exactly the batch full join's rows — null-extension on BOTH sides
+    (purchases without a click AND clicks without a purchase)."""
+    stream = sjobs.streaming_interval_join_full(spark, sf_dir)
+    batch = sjobs.batch_interval_join_full(spark, sf_dir)
+    cols = sorted(batch.columns)
+    assert sorted(stream.columns) == cols
+
+    def rows_nullsafe(df):
+        return sorted(
+            (tuple(-(2**62) if v is None else v for v in r) for r in df.collect())
+        )
+
+    assert rows_nullsafe(stream.select(*cols)) == rows_nullsafe(batch.select(*cols))
+    # both null-extension directions must actually occur
+    assert batch.filter(batch.c_id.isNull()).count() > 0
+    assert batch.filter(batch.p_id.isNull()).count() > 0
+
+
 def test_streaming_state_metrics_show_eviction(spark, sf_dir):
     """State-store progress for the outer interval join: state must be
     populated AND evicted (numRowsRemoved > 0 proves the interval bound
