@@ -4125,6 +4125,242 @@ def q_ts_ses(spark, sf_dir):
 
 
 @query(
+    "q_ts_holt",
+    # Holt's recursion replayed EXACTLY by a DuckDB RECURSIVE CTE: both
+    # engines run the identical IEEE-double op sequence (alpha*y, then
+    # 0.7*(l+b), etc. — written with the same association in both), so
+    # the states match bit-for-bit before the final round_even(…,6)
+    # (round_even mirrors numpy/pandas banker's rounding).
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, d, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ), r AS (
+        SELECT event_type, rn, d, y, y AS level, CAST(0 AS DOUBLE) AS trend
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.d, s.y,
+               0.3 * s.y + 0.7 * (r.level + r.trend) AS level,
+               0.1 * ((0.3 * s.y + 0.7 * (r.level + r.trend)) - r.level)
+                 + 0.9 * r.trend AS trend
+        FROM r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, d AS epoch_day,
+           round_even(y, 6) AS x,
+           round_even(level, 6) AS level,
+           round_even(trend, 6) AS trend,
+           round_even(level + trend, 6) AS forecast_1
+    FROM r
+    """,
+    tags=("timeseries", "smoothing", "holt", "trend", "forecast"),
+)
+def q_ts_holt(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (α=0.3, β=0.1,
+    init l₁=y₁, b₁=0) of the daily value series per event type — the
+    trend-aware upgrade of q_ts_ses and the SURVEY §7 'second smoothing
+    constant' forward item. Unlike SES there is no order-independent
+    closed form with exact weights, so exactness comes from REPLAYING
+    the recursion: the per-series loop runs in applyInPandas (sequential
+    float64, sorted by day) and the oracle's RECURSIVE CTE steps the
+    identical expressions in the identical order — IEEE doubles agree
+    bit-for-bit, with banker's rounding to 6dp on output only.
+
+    Scale shape: the fact table collapses to |types|×|days| rows in one
+    hash-aggregate shuffle; the recursion runs per event_type on a
+    driver-bounded series (days, not events), one group per task —
+    the same grouped-pandas discipline as q_win_capped_cumsum. Output
+    adds the one-step forecast l+b, the value a demand planner reads."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(dec("value")).cast("double").alias("y"))
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        levels, trends = [], []
+        level, trend = float(y[0]), 0.0
+        levels.append(level)
+        trends.append(trend)
+        for i in range(1, len(y)):
+            new_level = 0.3 * float(y[i]) + 0.7 * (level + trend)
+            trend = 0.1 * (new_level - level) + 0.9 * trend
+            level = new_level
+            levels.append(level)
+            trends.append(trend)
+        out = pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "epoch_day": pdf["d"],
+                "x": pdf["y"],
+                "level": levels,
+                "trend": trends,
+            }
+        )
+        out["forecast_1"] = out["level"] + out["trend"]
+        for c in ("x", "level", "trend", "forecast_1"):
+            out[c] = out[c].round(6)
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, epoch_day long, x double, level double, "
+        "trend double, forecast_1 double",
+    )
+
+
+@query(
+    "q_ts_holt_winters",
+    # Full triple smoothing replayed exactly: the recursion state carries
+    # the 7 seasonal components as a LIST column in the RECURSIVE CTE
+    # (seas[1] is always s_{t-6..t}'s oldest = the s_{t+1-7} the next
+    # step consumes); the init phase accumulates the first week's sum
+    # SEQUENTIALLY in the recursion (never SUM()/AVG(), whose float
+    # accumulation order is engine-specific), so every IEEE-double op
+    # runs in the same order as the pandas loop.
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+    ), seq AS (
+        SELECT event_type, d, y,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM daily
+    ), r AS (
+        SELECT event_type, rn, d, y,
+               y AS acc, [y] AS ys,
+               CAST(NULL AS DOUBLE) AS level, CAST(NULL AS DOUBLE) AS trend,
+               CAST(NULL AS DOUBLE[]) AS seas, CAST(NULL AS DOUBLE) AS s_new
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.event_type, s.rn, s.d, s.y,
+               CASE WHEN s.rn <= 7 THEN r.acc + s.y END AS acc,
+               CASE WHEN s.rn <= 7 THEN list_append(r.ys, s.y) END AS ys,
+               CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE)
+                    WHEN s.rn = 7 THEN (r.acc + s.y) / 7.0
+                    ELSE 0.3 * (s.y - r.seas[1]) + 0.7 * (r.level + r.trend)
+               END AS level,
+               CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE)
+                    WHEN s.rn = 7 THEN 0.0
+                    ELSE 0.1 * ((0.3 * (s.y - r.seas[1])
+                                 + 0.7 * (r.level + r.trend)) - r.level)
+                         + 0.9 * r.trend
+               END AS trend,
+               CASE WHEN s.rn < 7 THEN CAST(NULL AS DOUBLE[])
+                    WHEN s.rn = 7 THEN list_transform(
+                        list_append(r.ys, s.y),
+                        x -> x - (r.acc + s.y) / 7.0)
+                    ELSE list_append(r.seas[2:],
+                        0.2 * (s.y - (0.3 * (s.y - r.seas[1])
+                                      + 0.7 * (r.level + r.trend)))
+                          + 0.8 * r.seas[1])
+               END AS seas,
+               CASE WHEN s.rn < 8 THEN CAST(NULL AS DOUBLE)
+                    ELSE 0.2 * (s.y - (0.3 * (s.y - r.seas[1])
+                                       + 0.7 * (r.level + r.trend)))
+                           + 0.8 * r.seas[1]
+               END AS s_new
+        FROM r JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+    )
+    SELECT event_type, d AS epoch_day,
+           round_even(y, 6) AS x,
+           round_even(level, 6) AS level,
+           round_even(trend, 6) AS trend,
+           round_even(s_new, 6) AS seasonal,
+           round_even(level + trend + seas[1], 6) AS forecast_1
+    FROM r WHERE rn >= 8
+    """,
+    tags=("timeseries", "smoothing", "holt-winters", "seasonal", "forecast"),
+)
+def q_ts_holt_winters(spark, sf_dir):
+    """Holt-Winters triple exponential smoothing (additive, period m=7,
+    α=0.3, β=0.1, γ=0.2) of the daily value series per event type — the
+    seasonal completion of the smoothing family (q_ts_ses → q_ts_holt →
+    here), the SURVEY §7 forward item delivered in full. Init from the
+    first week: l₇ = (Σ sequential y₁..y₇)/7, b₇ = 0, sᵢ = yᵢ − l₇;
+    then l_t = α(y_t − s_{t−7}) + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, s_t = γ(y_t−l_t) + (1−γ)s_{t−7}.
+    Exactness comes from REPLAYING the recursion (q_ts_holt's technique,
+    extended with list-typed seasonal state in the RECURSIVE CTE): both
+    engines run the identical IEEE-double op order, including the
+    sequential first-week accumulation, and agree bit-for-bit before
+    banker's rounding to 6dp. Output rows start at day 8 (the first
+    fully-stepped state); forecast_1 = l + b + s_{t+1−7}.
+
+    Scale shape: identical to q_ts_holt — one fact-table hash aggregate
+    to |types|×|days| rows, then a per-series driver-bounded loop in
+    applyInPandas, one group per task."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.sum(dec("value")).cast("double").alias("y"))
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["y"].to_numpy()
+        rows = []
+        if len(y) >= 8:
+            acc = float(y[0])
+            for i in range(1, 7):
+                acc = acc + float(y[i])
+            level = acc / 7.0
+            trend = 0.0
+            seas = [float(y[i]) - level for i in range(7)]
+            for i in range(7, len(y)):
+                s_old = seas[0]
+                new_level = 0.3 * (float(y[i]) - s_old) + 0.7 * (level + trend)
+                trend = 0.1 * (new_level - level) + 0.9 * trend
+                s_new = 0.2 * (float(y[i]) - new_level) + 0.8 * s_old
+                level = new_level
+                seas = seas[1:] + [s_new]
+                rows.append(
+                    (
+                        pdf["event_type"].iloc[i],
+                        int(pdf["d"].iloc[i]),
+                        float(y[i]),
+                        level,
+                        trend,
+                        s_new,
+                        level + trend + seas[0],
+                    )
+                )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "epoch_day", "x", "level", "trend",
+                "seasonal", "forecast_1",
+            ],
+        )
+        for c in ("x", "level", "trend", "seasonal", "forecast_1"):
+            out[c] = out[c].astype("float64").round(6)
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(
+        hw,
+        "event_type string, epoch_day long, x double, level double, "
+        "trend double, seasonal double, forecast_1 double",
+    )
+
+
+@query(
     "q_ts_forecast_naive",
     oracle="""
     WITH daily AS (

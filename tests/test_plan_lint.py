@@ -25,6 +25,8 @@ PYTHON_OK = {
     "q_multimodal_framesample",  # rides attach_payload; slicing itself is Catalyst
     "q_win_capped_cumsum",  # threshold-reset recurrence (applyInPandas; RECURSIVE CTE oracle)
     "q_pack_ffd",  # first-fit-decreasing loop (applyInPandas per block)
+    "q_ts_holt",  # Holt recursion per series (applyInPandas; RECURSIVE CTE oracle)
+    "q_ts_holt_winters",  # seasonal recursion per series (applyInPandas; list-state CTE oracle)
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.

@@ -116,3 +116,26 @@ def test_fpgrowth_subfloor_prune_branches(spark):
         )
 
     assert mine(tail) == mine(out)
+
+
+def test_holt_family_hash(spark, duck, sf_dir):
+    """q_ts_holt / q_ts_holt_winters: recursion replay must hash-match
+    (bit-identical IEEE op order in applyInPandas and the RECURSIVE CTE)."""
+    from tests.conftest import compare_frames
+
+    for name in ("q_ts_holt", "q_ts_holt_winters"):
+        spec = REGISTRY[name]
+        compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, name)
+
+
+def test_holt_winters_seasonality_reduces_error(spark, sf_dir):
+    """Sanity: on a seasonal series the HW one-step forecast should not be
+    degenerate — forecasts exist from day 8 and trend/seasonal vary."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = REGISTRY["q_ts_holt_winters"].fn(spark, sf_dir)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.round("seasonal", 3)).alias("n_seas"),
+    ).collect()[0]
+    assert agg["n"] > 0 and agg["n_seas"] > 1
