@@ -1471,3 +1471,46 @@ def q_agg_hll_merge(spark, sf_dir):
         )
     )
     return per_type.unionByName(merged)
+
+
+@query(
+    "q_agg_listagg",
+    # listagg ... WITHIN GROUP (ORDER BY ...) is deterministic by
+    # construction (the ordered variant, never the bare one whose
+    # concatenation order is partition-dependent); DuckDB's twin is
+    # string_agg(DISTINCT x, sep ORDER BY x).
+    oracle="""
+    SELECT n.n_name AS nation,
+           string_agg(DISTINCT c.c_mktsegment, '|' ORDER BY c.c_mktsegment)
+               AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "listagg", "string-agg", "spark4"),
+)
+def q_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation via Spark 4's ANSI ``LISTAGG``: per
+    nation, the DISTINCT market segments its customers span, joined
+    '|'-separated in alphabetical order, plus the customer count. The
+    WITHIN GROUP (ORDER BY) clause is what makes a string aggregate
+    hash-checkable — an unordered listagg concatenates in
+    partition-arrival order and is nondeterministic under shuffle.
+
+    Scale shape: one broadcast join (25-row nation dim) + one hash
+    aggregate; the DISTINCT dedupes segment values inside the aggregate
+    buffer (bounded: ≤5 segments/nation), so the output is |nations|
+    rows regardless of customer-table size."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.expr(
+                "listagg(distinct c_mktsegment, '|') "
+                "within group (order by c_mktsegment)"
+            ).alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
+    )

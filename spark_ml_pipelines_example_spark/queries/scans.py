@@ -552,3 +552,56 @@ def q_scan_csv_corrupt(spark, sf_dir):
         F.sum(F.when(good, F.col("doc_id"))).cast("long").alias("id_sum_good"),
         F.sum(F.when(good, F.col("n_chars"))).cast("long").alias("chars_good"),
     )
+
+
+@query(
+    "q_scan_python_datasource",
+    # The connector's rows are a closed form of the id, so DuckDB replays
+    # the whole source from range(): per = ceil(20000/8) = 2500.
+    oracle="""
+    WITH src AS (
+        SELECT i AS device_id, CAST(i // 2500 AS INT) AS part,
+               (i * i + 17 * i) % 9973 AS reading
+        FROM range(0, 20000) t(i)
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_readings,
+           CAST(SUM(reading) AS BIGINT) AS sum_reading,
+           CAST(MIN(device_id) AS BIGINT) AS min_device,
+           CAST(MAX(device_id) AS BIGINT) AS max_device,
+           CAST(COUNT(DISTINCT reading) AS BIGINT) AS n_distinct_readings
+    FROM src GROUP BY part
+    """,
+    tags=("scan", "python-datasource", "connector", "spark4"),
+)
+def q_scan_python_datasource(spark, sf_dir):
+    """Custom connector through Spark 4's Python DataSource API
+    (sources/pyds.py): ``spark.read.format("synthetic_telemetry")`` with
+    REAL partition planning — the reader's ``partitions()`` returns 8
+    contiguous id ranges and Spark schedules one task per range, so the
+    source scan is parallel exactly like a JDBC/warehouse connector
+    sharded by key range. Rows are a closed-form function of the id,
+    which is what makes a connector hash-checkable: DuckDB replays the
+    generator from range(). The aggregate checks per-partition counts,
+    sums, id bounds (proving the range planning delivered each row to
+    exactly one partition) and distinct readings.
+
+    Scale shape: connector parallelism = len(partitions()); a production
+    source maps each InputPartition to a shard/tablet of the external
+    system, and the groupBy is one combinable shuffle on the partition
+    id."""
+    from ..sources.pyds import register
+
+    register(spark)
+    src = (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 20000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return src.groupBy("part").agg(
+        F.count("*").alias("n_readings"),
+        F.sum("reading").alias("sum_reading"),
+        F.min("device_id").alias("min_device"),
+        F.max("device_id").alias("max_device"),
+        F.count_distinct("reading").alias("n_distinct_readings"),
+    )

@@ -139,3 +139,32 @@ def test_holt_winters_seasonality_reduces_error(spark, sf_dir):
         F.countDistinct(F.round("seasonal", 3)).alias("n_seas"),
     ).collect()[0]
     assert agg["n"] > 0 and agg["n_seas"] > 1
+
+
+def test_listagg_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_agg_listagg"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_python_datasource_partition_planning(spark, duck, sf_dir):
+    """The connector must plan one Spark partition per InputPartition and
+    deliver every id to exactly one of them; content hash-checked."""
+    from tests.conftest import compare_frames
+
+    from spark_ml_pipelines_example_spark.sources.pyds import register
+
+    register(spark)
+    src = (
+        spark.read.format("synthetic_telemetry")
+        .option("n_rows", 1000)
+        .option("n_parts", 4)
+        .load()
+    )
+    assert src.rdd.getNumPartitions() == 4
+    assert src.count() == 1000
+    assert src.select("device_id").distinct().count() == 1000
+
+    spec = REGISTRY["q_scan_python_datasource"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
