@@ -651,3 +651,55 @@ def q_fn_datetime_arith(spark, sf_dir):
         F.quarter("dt").cast("int").alias("qtr"),
         F.dayofyear("dt").cast("int").alias("doy"),
     )
+
+
+@query(
+    "q_fn_sql_udf",
+    # The SQL-language UDF bodies are pure SQL expressions, so the oracle
+    # simply inlines them (same decimal discipline as q_tpch_q1: the
+    # double product casts to DECIMAL(18,4) before summing).
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                         * 10000 AS BIGINT)) AS BIGINT) AS net_dmils,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("fn", "sql-udf", "create-function", "spark4"),
+)
+def q_fn_sql_udf(spark, sf_dir):
+    """SQL-language user-defined functions (``CREATE FUNCTION ... RETURN
+    <expr>``, the ANSI SQL-scalar-UDF surface Spark 4 ships): the user
+    extends the engine with reusable scalar logic WITHOUT leaving the
+    JVM — the function body is inlined into the plan by Catalyst at
+    analysis time, so whole-stage codegen sees plain expressions (zero
+    Python boundary, unlike a registered Python UDF). Exercised with two
+    temp functions (exact-decimal cents conversion; net-of-discount
+    tenth-mills following q_tpch_q1's decimal-cast discipline) applied
+    in an aggregate over lineitem; the oracle inlines the same bodies,
+    which is also what proves the engine really did inline rather than
+    evaluate out-of-band.
+
+    Scale shape: identical to writing the expressions by hand — one hash
+    aggregate, codegen arithmetic; SQL UDFs add no per-row overhead."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION as_cents(x DECIMAL(18,2)) "
+        "RETURNS BIGINT RETURN CAST(x * 100 AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_dmils(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(CAST(p * (1 - d) AS DECIMAL(18,4)) "
+        "* 10000 AS BIGINT)"
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sqludf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(as_cents(CAST(l_extendedprice AS DECIMAL(18,2)))) AS gross_cents,
+               SUM(net_dmils(l_extendedprice, l_discount)) AS net_dmils,
+               COUNT(*) AS n_items
+        FROM _sqludf_lineitem GROUP BY l_returnflag
+        """
+    )

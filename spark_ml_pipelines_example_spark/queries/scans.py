@@ -605,3 +605,58 @@ def q_scan_python_datasource(spark, sf_dir):
         F.max("device_id").alias("max_device"),
         F.count_distinct("reading").alias("n_distinct_readings"),
     )
+
+
+@query(
+    "q_sink_dynamic_partition_overwrite",
+    # Final table state is deterministic: urgent-priority rows were
+    # rewritten with doubled totals by the dynamic overwrite, every other
+    # partition keeps its original rows.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    * CASE WHEN o_orderpriority = '1-URGENT' THEN 2 ELSE 1 END)
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sink", "partitioned", "dynamic-overwrite", "writer"),
+)
+def q_sink_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the writer mode every incremental
+    batch pipeline depends on: ``INSERT OVERWRITE`` replaces ONLY the
+    partitions present in the incoming frame, leaving the rest of the
+    table untouched (static mode would truncate the whole table first).
+    Exercise: write orders partitioned by priority, then overwrite just
+    the '1-URGENT' partition with doubled totals via
+    ``option("partitionOverwriteMode", "dynamic")``, read the table
+    back, and aggregate — the other four partitions must still hold
+    their ORIGINAL rows, which is exactly what the oracle states.
+
+    Scale shape: the overwrite's write amplification is proportional to
+    the touched partitions only (the point of dynamic mode at 100 TB —
+    a daily restatement rewrites one day-partition, not the table);
+    reads after the swap prune on the partition column as usual."""
+    path = scratch_dir("q_sink_dynamic_partition_overwrite", sf_dir)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    urgent2 = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast(
+            o.schema["o_totalprice"].dataType
+        )
+    )
+    (
+        urgent2.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100))
+        .cast("long")
+        .alias("cents"),
+    )

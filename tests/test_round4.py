@@ -168,3 +168,33 @@ def test_python_datasource_partition_planning(spark, duck, sf_dir):
 
     spec = REGISTRY["q_scan_python_datasource"]
     compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_sql_udf_and_dynamic_overwrite_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    for name in ("q_fn_sql_udf", "q_sink_dynamic_partition_overwrite"):
+        spec = REGISTRY[name]
+        compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, name)
+
+
+def test_dynamic_overwrite_touches_only_target_partition(spark, sf_dir, tmp_path):
+    """Static overwrite would truncate the whole table; dynamic must keep
+    the untouched partitions byte-identical."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    path = str(tmp_path / "dynpart")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id long, p string, v double"
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    repl = spark.createDataFrame([(9, "b", 99.0)], "id long, p string, v double")
+    (
+        repl.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    rows = sorted(tuple(r) for r in back.select("id", "p", "v").collect())
+    assert rows == [(1, "a", 10.0), (3, "a", 30.0), (9, "b", 99.0)]
