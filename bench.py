@@ -152,6 +152,20 @@ HEADLINE = [
     "q_win_cumulative_distinct",
     "q_dq_functional_deps",
     "q_agg_incremental_retract",
+    # round-4 additions: the completed streaming join matrix (real full
+    # outer run is exercised in tests; here the batch twin), replayed-
+    # recursion smoothing, the Python DataSource connector, ordered
+    # LISTAGG, dynamic partition overwrite, SQL UDF inlining, and the
+    # now-hash-checked multimodal decode + partition-contract split
+    "q_stream_interval_join_full",
+    "q_ts_holt",
+    "q_ts_holt_winters",
+    "q_scan_python_datasource",
+    "q_agg_listagg",
+    "q_sink_dynamic_partition_overwrite",
+    "q_fn_sql_udf",
+    "q_ml_train_test_split",
+    "q_events_uplift_qini",
 ]
 
 
