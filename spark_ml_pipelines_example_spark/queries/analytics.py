@@ -5061,3 +5061,95 @@ def q_graph_bfs_hops(spark, sf_dir):
         settled = settled.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return settled
+
+
+@query(
+    "q_events_did",
+    # All four cells are exact integer (cents, user counts); the split
+    # day is integer arithmetic on the observed range, so both engines
+    # bin identically; the only floats are the four cell means and the
+    # final estimate, each rounded 6dp.
+    oracle="""
+    WITH bounds AS (
+        SELECT (MIN(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT))
+              + MAX(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT))
+              + 1) // 2 AS split_d
+        FROM events
+    ), purch AS (
+        SELECT user_id % 2 AS treat,
+               CASE WHEN CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+                         >= b.split_d THEN 1 ELSE 0 END AS post,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               user_id
+        FROM events, bounds b WHERE event_type = 'purchase'
+    ), cells AS (
+        SELECT treat, post,
+               CAST(SUM(cents) AS BIGINT) AS cents,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM purch GROUP BY 1, 2
+    ), wide AS (
+        SELECT
+          MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(cents AS DOUBLE) / n_users END) AS t_post,
+          MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(cents AS DOUBLE) / n_users END) AS t_pre,
+          MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(cents AS DOUBLE) / n_users END) AS c_post,
+          MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(cents AS DOUBLE) / n_users END) AS c_pre
+        FROM cells
+    )
+    SELECT ROUND(t_pre, 6) AS treat_pre, ROUND(t_post, 6) AS treat_post,
+           ROUND(c_pre, 6) AS control_pre, ROUND(c_post, 6) AS control_post,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_cents
+    FROM wide
+    """,
+    tags=("events", "did", "experimentation", "causal"),
+)
+def q_events_did(spark, sf_dir):
+    """Difference-in-differences estimator — the quasi-experimental
+    workhorse when randomization is impossible, completing the
+    experimentation suite (q_events_abtest z-test, q_events_cuped,
+    q_events_uplift_qini, q_events_power_analysis): per-user purchase
+    revenue, treatment = the deterministic user_id%2 split, periods =
+    pre/post the midpoint day of the observed range ((min+max+1)//2 —
+    integer arithmetic both engines bin identically), estimate =
+    (T_post − T_pre) − (C_post − C_pre) of per-active-user mean cents.
+    Parallel-trends inputs (the four cell means) ship alongside the
+    estimate, which is how an analyst actually validates a DiD readout.
+
+    Scale shape: ONE hash aggregate over the purchase slice into 4
+    cells (count-distinct users inside the cell aggregate), a scalar
+    min/max pass for the split day — no windows, no joins, no
+    user-level intermediate survives the shuffle."""
+    ev = t(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long")
+    bounds = ev.agg(
+        ((F.min(d) + F.max(d) + 1) / 2).cast("long").alias("split_d")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (F.col("user_id") % 2).alias("treat"),
+            F.when(d >= F.col("split_d"), 1).otherwise(0).alias("post"),
+            (dec("value") * 100).cast("long").alias("cents"),
+            "user_id",
+        )
+    )
+    cells = purch.groupBy("treat", "post").agg(
+        F.sum("cents").alias("cents"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    mean = F.col("cents").cast("double") / F.col("n_users")
+    wide = cells.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), mean)).alias("t_post"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), mean)).alias("t_pre"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), mean)).alias("c_post"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), mean)).alias("c_pre"),
+    )
+    return wide.select(
+        F.round("t_pre", 6).alias("treat_pre"),
+        F.round("t_post", 6).alias("treat_post"),
+        F.round("c_pre", 6).alias("control_pre"),
+        F.round("c_post", 6).alias("control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did_cents"),
+    )

@@ -198,3 +198,10 @@ def test_dynamic_overwrite_touches_only_target_partition(spark, sf_dir, tmp_path
     back = spark.read.parquet(path)
     rows = sorted(tuple(r) for r in back.select("id", "p", "v").collect())
     assert rows == [(1, "a", 10.0), (3, "a", 30.0), (9, "b", 99.0)]
+
+
+def test_events_did_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_events_did"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
