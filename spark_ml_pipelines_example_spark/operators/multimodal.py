@@ -560,3 +560,118 @@ def q_multimodal_phash(spark, sf_dir):
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+@query(
+    "q_multimodal_binary_files",
+    # The staged files are the deterministic BMP renders of the image-
+    # modality subset (doc_id % 30 == 0), so DuckDB recomputes the file
+    # inventory and decoded features from documents.text alone: the BMP
+    # container size is 54 + ((w*3+3)//4)*4 * h bytes, and the pixel
+    # features follow the q_multimodal_decode tiled-byte formulas.
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS L,
+               8 + CAST((doc_id % 480 + 16) % 16 AS INT) AS h,
+               8 + CAST((doc_id % 640 + 16) % 24 AS INT) AS w
+        FROM documents
+        WHERE doc_id % 3 = 0 AND doc_id % 30 = 0
+    ), img_elem AS (
+        SELECT d.doc_id, d.h, d.w,
+               CAST(ascii(substr(d.text, CAST(t.i % d.L AS INT) + 1, 1)) AS DOUBLE) AS b
+        FROM docs d, UNNEST(range(0, CAST(d.h * d.w * 3 AS BIGINT))) AS t(i)
+    ), img_doc AS (
+        SELECT doc_id,
+               54 + ((MAX(w) * 3 + 3) // 4) * 4 * MAX(h) AS bmp_bytes,
+               round_even(MAX(h) / 1024.0, 6) AS f0,
+               round_even(AVG(b) / 255.0, 6) AS fmean
+        FROM img_elem GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bmp_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(f0), 6) AS avg_f0,
+           ROUND(AVG(fmean), 6) AS avg_mean
+    FROM img_doc
+    """,
+    tags=("multimodal", "binary-file", "ingest", "scan"),
+)
+def q_multimodal_binary_files(spark, sf_dir):
+    """Media ingest from FILES — the production entry point for image
+    corpora (LAION-style: millions of image files on object storage)
+    exercised end-to-end: stage the image-modality subset (doc_id%30==0)
+    as real standalone .bmp files, read them back with Spark's
+    ``binaryFile`` source (path/length/content rows, pathGlobFilter
+    pruning at the listing level), recover the doc id from the file
+    PATH (regexp — metadata travels in the name, as it does on real
+    media lakes), decode through the same BMP codec as
+    q_multimodal_decode, and aggregate file inventory + pixel features.
+    The oracle recomputes everything from documents.text: container
+    size is closed-form (54-byte header + 4-byte-aligned BGR rows) and
+    features follow the tiled-byte formulas — so the whole
+    file-write → listing → binary-read → decode path is hash-checked.
+
+    Scale shape: binaryFile splits the listing across tasks;
+    spark.sql.files.maxPartitionBytes bounds per-task payload volume;
+    decode is map-side Arrow batches (no payload shuffle); the final
+    aggregate is a 4-cell combine."""
+    import os
+
+    from ..queries._util import scratch_dir
+
+    path = scratch_dir("q_multimodal_binary_files", sf_dir)
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 30 == 0)
+    )
+    staged = render_media_payloads(attach_payload(docs)).select("doc_id", "payload")
+    os.makedirs(path, exist_ok=True)
+
+    def write_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with open(os.path.join(path, f"img_{int(doc_id)}.bmp"), "wb") as fh:
+                    fh.write(bytes(payload))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"]})
+
+    staged.mapInPandas(write_files, "doc_id long").count()  # stage (idempotent)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.input_file_name(), r"img_(\d+)\.bmp", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, length, payload in zip(
+                pdf["doc_id"], pdf["length"], pdf["payload"]
+            ):
+                img = decode_image(bytes(payload)).astype(np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(length),
+                        round(img.shape[0] / 1024.0, 6),
+                        float(np.round(img.mean() / 255.0, 6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bmp_bytes", "f0", "fmean"]
+            )
+
+    decoded = files.mapInPandas(
+        decode, "doc_id long, bmp_bytes long, f0 double, fmean double"
+    )
+    return decoded.agg(
+        F.count("*").alias("n_files"),
+        F.sum("bmp_bytes").alias("total_bytes"),
+        F.round(F.avg("f0"), 6).alias("avg_f0"),
+        F.round(F.avg("fmean"), 6).alias("avg_mean"),
+    )

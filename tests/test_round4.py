@@ -205,3 +205,12 @@ def test_events_did_hash(spark, duck, sf_dir):
 
     spec = REGISTRY["q_events_did"]
     compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_multimodal_binary_files_hash(spark, duck, sf_dir):
+    """File-based media ingest: write BMPs, binaryFile read, decode,
+    aggregate — hash-checked against the closed-form replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_multimodal_binary_files"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
