@@ -254,6 +254,107 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(dedup, "stream_dedup_out", "append")
 
 
+def _stage_events_with_dupes(sf_dir: str, ts_unit: str) -> str:
+    """Staging dir for the within-watermark dedup job: the events file,
+    then a DUPLICATES file re-emitting every event_id % 10 == 0 event 30
+    seconds later (same key, later event time — the late-duplicate shape
+    retries/at-least-once delivery produces), then the two sentinels.
+    File mod-times are staged in that order so per-file triggers replay
+    the late duplicates in a LATER micro-batch than the originals."""
+    import shutil
+    import time as _time
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..queries._util import scratch_dir
+
+    dst = Path(scratch_dir("stream_events_dupes_src", sf_dir))
+    dst.mkdir(parents=True, exist_ok=True)
+    target = dst / "events.parquet"
+    dupes = dst / "y_dupes.parquet"
+    scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ts_unit]
+    if not target.exists():
+        shutil.copyfile(f"{sf_dir.rstrip('/')}/events.parquet", target)
+    if not dupes.exists():
+        tbl = pq.read_table(target)
+        ids = tbl["event_id"].combine_chunks()
+        mask = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10)), 0
+        )  # event_id % 10 == 0 (pyarrow ships no modulo kernel)
+        sel = tbl.filter(mask)
+        ts = sel["ts"]
+        if pa.types.is_timestamp(ts.type):
+            shifted = pc.add(ts.cast(pa.int64()), 30 * scale).cast(ts.type)
+        else:  # ns fixture stored as int64 epoch-nanos
+            shifted = pc.add(ts, 30 * scale)
+        sel = sel.set_column(sel.schema.get_field_index("ts"), "ts", shifted)
+        _time.sleep(0.01)  # strictly later mtime than events.parquet
+        pq.write_table(sel, dupes)
+    for name_, eid, off in (
+        ("zz_sentinel.parquet", -1, 0),
+        ("zzz_sentinel2.parquet", -2, 3600),
+    ):
+        sentinel = dst / name_
+        if not sentinel.exists():
+            _time.sleep(0.01)
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([eid], pa.int64()),
+                    "ts": pa.array(
+                        [(_SENTINEL_TS_S + off) * scale], pa.timestamp(ts_unit)
+                    )
+                    if ts_unit != "ns"
+                    else pa.array([(_SENTINEL_TS_S + off) * scale], pa.int64()),
+                    "user_id": pa.array([SENTINEL_USER], pa.int64()),
+                    "event_type": pa.array(["sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array(['{"k": 0}'], pa.string()),
+                }
+            )
+            pq.write_table(tbl, sentinel)
+    return str(dst)
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION dedup mode: ``dropDuplicatesWithinWatermark`` — unlike
+    plain dropDuplicates (whose seen-key set grows forever), the state
+    store evicts a key once the watermark passes its event time + delay,
+    so dedup state is bounded by the duplicate-arrival horizon, not the
+    stream's lifetime. Driven over a staged corpus where every 10th
+    event is re-emitted 30 s later (at-least-once retry shape) in a
+    LATER micro-batch: the duplicates land inside the 1 h watermark
+    delay, are suppressed (first arrival kept), and the output equals
+    the original corpus — asserted against the batch twin in tests."""
+    unit = _events_ts_unit(sf_dir)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = (
+        spark.readStream.schema(_events_schema(unit))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+    )
+    raw = reader.load(_stage_events_with_dupes(sf_dir, unit))
+    if unit == "ns":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    dedup = (
+        raw.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("first_epoch"),
+            "user_id",
+            "value",
+        )
+    )
+    with _bounded_state_partitions(spark):
+        out = _run_to_memory(dedup, "stream_dedup_wm_out", "append")
+    return out.filter(F.col("user_id") != SENTINEL_USER)
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases joined to the same user's
     clicks within the preceding hour. Both sides carry watermarks so the

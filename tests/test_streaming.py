@@ -360,3 +360,25 @@ def test_streaming_drift_monitor_scores_batches(spark, sf_dir, tmp_path):
     assert big["n_rows"] == total_events  # sentinel file carries 1 row, filtered
     assert big["psi"] < 1e-6
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dedup_within_watermark_suppresses_late_duplicates(spark, sf_dir):
+    """dropDuplicatesWithinWatermark must keep exactly the first arrival
+    of every key while late re-emissions (10% of events, +30 s, in a
+    later micro-batch) are suppressed — output equals the ORIGINAL
+    corpus, proving bounded-state dedup loses nothing and admits no
+    duplicate."""
+    from pyspark.sql import functions as F
+
+    stream = sjobs.streaming_dedup_within_watermark(spark, sf_dir)
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("first_epoch"),
+        "user_id",
+        "value",
+    )
+    cols = sorted(batch.columns)
+    assert sorted(stream.columns) == cols
+    assert _rows(stream.select(*cols)) == _rows(batch.select(*cols))
