@@ -101,6 +101,14 @@ SHOWCASE = [
     ("q_ts_changepoint", "changepoint: prefix-sum windows per type, argmax over candidate rows"),
     ("q_win_hampel", "Hampel: two banded equi-self-joins for nested rolling median/MAD"),
     ("q_ml_fpgrowth", "FPGrowth: one collect_set shuffle into the parallel FP-tree miner"),
+    # round-4 additions
+    ("q_agg_abc_xyz", "one fact scan: cents ride the weekly rollup; checkpointed globalrank fan-out"),
+    ("q_stream_interval_join_full", "full-outer interval join, batch twin: one hash join, coalesced key"),
+    ("q_ts_holt", "Holt recursion: one rollup shuffle into per-series applyInPandas"),
+    ("q_scan_python_datasource", "Python DataSource connector: BatchScan over 8 planned id-range partitions"),
+    ("q_fn_sql_udf", "SQL UDFs inlined by Catalyst: plain codegen expressions, no Python"),
+    ("q_agg_listagg", "ordered LISTAGG: broadcast dim join + single hash aggregate"),
+    ("q_events_did", "DiD: one 4-cell hash aggregate + scalar min/max pass, no windows"),
 ]
 
 
