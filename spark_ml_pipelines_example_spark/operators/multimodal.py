@@ -463,24 +463,27 @@ PHASH_GRID = 8
 def _fake_decode_grid(payload: bytes) -> np.ndarray:
     """Grid variant of the fake decoder for perceptual hashing: the
     payload splits into PHASH_GRID segments (standing in for pHash's
-    spatial blocks) and each contributes an 8-dim folded histogram —
-    a 64-dim positional feature, discriminative enough that sign
-    projections separate unrelated payloads (the global-histogram
-    8-dim feature is not: rank-8 projections gave ~n²/3 candidate
-    pairs on this corpus)."""
+    spatial blocks) and each contributes an 8-dim folded high-nibble
+    COUNT vector — a 64-dim positional feature, discriminative enough
+    that sign projections separate unrelated payloads (the global-
+    histogram 8-dim feature is not: rank-8 projections gave ~n²/3
+    candidate pairs on this corpus). Counts, not normalized fractions,
+    on purpose: sign(Σ ±count/L) = sign(Σ ±count) for L>0, so the
+    projection bits are identical, but the integer form is EXACT in
+    both engines (no float rounding can flip a bit whose true dot
+    product is 0), which is what makes the signature SQL-oracle-able."""
     if len(payload) == 0:
-        return np.zeros(PHASH_GRID * FEATURE_DIM)
+        return np.zeros(PHASH_GRID * FEATURE_DIM, dtype=np.int64)
     arr = np.frombuffer(payload, dtype=np.uint8)
     segs = np.array_split(arr, PHASH_GRID)
     feats = []
     for seg in segs:
         if len(seg) == 0:
-            feats.append(np.zeros(FEATURE_DIM))
+            feats.append(np.zeros(FEATURE_DIM, dtype=np.int64))
             continue
-        counts = np.bincount(seg >> 4, minlength=16)
-        hist = counts / counts.sum()
-        feats.append(hist[:FEATURE_DIM] + hist[FEATURE_DIM:])
-    return np.concatenate(feats).astype(np.float64)
+        counts = np.bincount(seg >> 4, minlength=16).astype(np.int64)
+        feats.append(counts[:FEATURE_DIM] + counts[FEATURE_DIM:])
+    return np.concatenate(feats)
 
 
 PHASH_SCHEMA = T.StructType(
@@ -499,12 +502,12 @@ def decode_phash(with_payload: DataFrame) -> DataFrame:
     embedding happens where the pixels are) and keeps the Spark plan
     free of a 64×64-term projection expression tree (which blew up plan
     compile + broadcast-thread memory when expressed in Catalyst)."""
-    w = np.array(_phash_weights(dim=PHASH_GRID * FEATURE_DIM))  # (64, 64)
+    w = np.array(_phash_weights(dim=PHASH_GRID * FEATURE_DIM), dtype=np.int64)  # (64, 64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = np.stack([_fake_decode_grid(p) for p in pdf["payload"]])
-            bits = (feats @ w.T) > 0  # (n, 64)
+            bits = (feats @ w.T) > 0  # (n, 64), exact int64 arithmetic
             sigs = np.packbits(bits, axis=1, bitorder="little").view(np.int64)[:, 0]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": sigs})
 
@@ -527,7 +530,58 @@ def _phash_weights(n_bits: int = 64, dim: int = FEATURE_DIM) -> list[list[float]
     ]
 
 
-@query("q_multimodal_phash", oracle=None, tags=("multimodal", "phash", "dedup"))
+def _phash_oracle() -> str:
+    """DuckDB replay of the whole pHash pipeline from `documents.text`
+    (rows-only → SQL upgrade, continuing VERDICT r3 task #3's pattern):
+    the payload is the ascii text bytes, the grid feature is integer
+    folded high-nibble counts per np.array_split segment (first L%8
+    segments get L//8+1 bytes), and the ±1 projection weights are baked
+    into the SQL as '+'/'-' code strings from the same md5 derivation
+    the engine uses — so both engines decide every sign bit with EXACT
+    integer arithmetic and the 64-bit signature matches bit-for-bit
+    (b=63 contributes -2^63: packbits little-endian + int64 view is
+    two's complement)."""
+    codes = [
+        "".join("+" if wj > 0 else "-" for wj in row)
+        for row in _phash_weights(dim=PHASH_GRID * FEATURE_DIM)
+    ]
+    vals = ",\n            ".join(
+        f"({b}, '{code}', {-(2**63) if b == 63 else 2**b})" for b, code in enumerate(codes)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, text, length(text) AS L FROM documents
+    ), pos AS (
+        SELECT d.doc_id,
+               (CASE WHEN t.i < (d.L % 8) * (d.L // 8 + 1)
+                     THEN t.i // (d.L // 8 + 1)
+                     ELSE (d.L % 8) + (t.i - (d.L % 8) * (d.L // 8 + 1)) // (d.L // 8)
+                END) * 8
+               + (ascii(substr(d.text, CAST(t.i AS INT) + 1, 1)) // 16) % 8 AS c
+        FROM docs d, UNNEST(range(0, d.L)) AS t(i)
+    ), cnts AS (
+        SELECT doc_id, c, COUNT(*) AS cnt FROM pos GROUP BY doc_id, c
+    ), wt AS (
+        SELECT v.b, v.pw, u.c,
+               CASE WHEN substr(v.code, CAST(u.c AS INT) + 1, 1) = '+' THEN 1 ELSE -1 END AS w
+        FROM (VALUES {vals}) AS v(b, code, pw),
+             UNNEST(range(0, 64)) AS u(c)
+    ), bits AS (
+        SELECT cnts.doc_id, wt.b, MAX(wt.pw) AS pw,
+               CASE WHEN SUM(cnts.cnt * wt.w) > 0 THEN 1 ELSE 0 END AS bit
+        FROM cnts JOIN wt ON wt.c = cnts.c
+        GROUP BY cnts.doc_id, wt.b
+    ), ph AS (
+        SELECT doc_id, CAST(SUM(bit * pw) AS BIGINT) AS phash
+        FROM bits GROUP BY doc_id
+    )
+    SELECT phash, MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM ph GROUP BY phash HAVING COUNT(*) >= 2
+    """
+
+
+@query("q_multimodal_phash", oracle=_phash_oracle(), tags=("multimodal", "phash", "dedup"))
 def q_multimodal_phash(spark, sf_dir):
     """Perceptual-hash dedup over media payloads — the image-dedup step
     of a multimodal training pipeline (LAION-style): decode → grid
@@ -546,8 +600,15 @@ def q_multimodal_phash(spark, sf_dir):
     Scale shape: payloads never shuffle (Arrow map-side decode+hash);
     the cluster aggregate is ONE combinable shuffle on the 8-byte
     signature — the same plan as exact text dedup, at any corpus size.
-    Rows-only: the signature depends on the byte-level fake decoder,
-    which DuckDB can't mirror.
+
+    FULL hash check (upgraded from rows-only in round 4): the grid
+    feature is integer folded nibble counts and the ±1 projection uses
+    exact int64 arithmetic, so DuckDB replays decode → grid counts →
+    sign projection → two's-complement bit packing → cluster rollup
+    from `documents.text` alone (see ``_phash_oracle``); no float
+    rounding exists anywhere that could flip a boundary bit between
+    engines. (Fixture texts are non-empty ascii, asserted in tests;
+    an empty payload would hash to 0 engine-side by construction.)
     """
     wp = attach_payload(t(spark, sf_dir, "documents"))
     sig = decode_phash(wp.repartition(32, "doc_id"))
