@@ -166,6 +166,11 @@ HEADLINE = [
     "q_fn_sql_udf",
     "q_ml_train_test_split",
     "q_events_uplift_qini",
+    # round-4 second wave: native XML file source round-trip and the
+    # statestore checkpoint read-back (a real streaming run + batch
+    # state scan), plus the now-hash-checked perceptual-hash dedup
+    "q_sink_xml_roundtrip",
+    "q_stream_state_reader",
 ]
 
 

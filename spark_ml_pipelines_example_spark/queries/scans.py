@@ -114,6 +114,44 @@ def q_sink_orc_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q_sink_xml_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+    tags=("scan", "sink", "xml"),
+)
+def q_sink_xml_roundtrip(spark, sf_dir):
+    """Native XML FILE source round-trip (Spark 4 built-in `xml` format
+    — previously the external spark-xml package): write a customer
+    segment as `<customers><customer>...</customer>...</customers>`
+    documents, read back with rowTag extraction and an explicit schema.
+    Complements q_fn_xml (the `from_xml` column function): this is the
+    file-level ingest path B2B/EDI feeds arrive on. Entity escaping
+    (&, <, >) round-trips symmetrically, so the oracle is the plain
+    base-table projection.
+
+    Scale shape: the writer emits one XML document per partition
+    (splittable on read by rowTag element boundaries); with an explicit
+    schema the reader skips schema inference — at 100 TB, inference
+    (a full extra pass) is the XML-specific trap this query pins off."""
+    path = scratch_dir("q_sink_xml_roundtrip", sf_dir)
+    src = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+    (
+        src.write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "customer")
+        .option("rootTag", "customers")
+        .save(path)
+    )
+    return spark.read.format("xml").option("rowTag", "customer").schema(src.schema).load(path)
+
+
+@query(
     "q_sink_partitioned_prune",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('de', 'fr')

@@ -373,6 +373,30 @@ def q_stream_interval_join_full(spark, sf_dir):
 
 
 @query(
+    "q_stream_state_reader",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("stream", "statestore", "observability"),
+)
+def q_stream_state_reader(spark, sf_dir):
+    """Offline state-store introspection (Spark 4 `statestore` batch
+    source): run the per-event-type streaming aggregation to a durable
+    checkpoint, then read the RAW state rows back from the checkpoint
+    and decode key/aggregation-buffer structs. For a completed
+    availableNow run the state IS the final group-by, so the whole
+    stream → state-store → batch-read-back loop is hash-checked against
+    the plain SQL aggregate. The `state-metadata` source (operator ids,
+    batch bounds, partition counts — no state payload scan) is asserted
+    in tests/test_streaming.py."""
+    from ..streaming.jobs import streaming_state_reader
+
+    return streaming_state_reader(spark, sf_dir)
+
+
+@query(
     "q_stream_state_metrics",
     # rows-only: state-store progress counters are a streaming-runtime
     # surface with no SQL equivalent; invariants (eviction observed,

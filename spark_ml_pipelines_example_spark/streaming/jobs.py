@@ -1134,3 +1134,49 @@ def _spend_milestones_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "stream_spend_milestones_out", "append")
+
+
+def streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a per-event-type streaming aggregation to a DURABLE checkpoint,
+    then read the state store back with Spark 4's `statestore` batch
+    source — the offline state-introspection path a production operator
+    uses to debug a stateful query without stopping it (and the
+    foundation of state repair / state migration tooling).
+
+    For a completed availableNow run the aggregation state IS the final
+    group-by result, so the read-back is exactly SQL-oracle-checkable:
+    key.event_type carries the group key and the value struct carries
+    the aggregation buffer (count, decimal sum). The job is idempotent
+    across invocations: a re-run against the existing checkpoint finds
+    no new files, commits no batch, and the state read repeats.
+
+    Scale shape: the state source plans one task per state-store
+    partition (the reader exposes partition_id), so a TB-scale state
+    checkpoint scans in parallel without replaying the stream; the
+    `state-metadata` source (asserted in tests) locates operator ids
+    and batch bounds without touching state payloads at all.
+    """
+    from ..queries._util import scratch_dir
+
+    ck = scratch_dir("stream_state_reader_ck", sf_dir)
+    with _bounded_state_partitions(spark):
+        ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") != SENTINEL_USER)
+        agg = ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_state_reader_out")
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").cast("double").alias("sum_value"),
+    )

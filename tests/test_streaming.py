@@ -382,3 +382,30 @@ def test_dedup_within_watermark_suppresses_late_duplicates(spark, sf_dir):
     cols = sorted(batch.columns)
     assert sorted(stream.columns) == cols
     assert _rows(stream.select(*cols)) == _rows(batch.select(*cols))
+
+
+def test_state_reader_matches_batch_and_metadata(spark, sf_dir):
+    """The statestore batch source must read back exactly the final
+    aggregation state (= the batch group-by), and the state-metadata
+    source must expose the operator layout: one stateStoreSave operator,
+    the pinned 32 state partitions, and committed batch bounds."""
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.queries._util import scratch_dir
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    out = sjobs.streaming_state_reader(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    cols = sorted(out.columns)
+    assert _rows(out.select(*cols)) == _rows(batch.select(*cols))
+
+    ck = scratch_dir("stream_state_reader_ck", sf_dir)
+    md = spark.read.format("state-metadata").load(ck).collect()
+    assert len(md) == 1
+    row = md[0].asDict()
+    assert row["operatorName"] == "stateStoreSave"
+    assert row["numPartitions"] == 32
+    assert row["minBatchId"] == 0 and row["maxBatchId"] >= row["minBatchId"]
