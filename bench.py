@@ -171,6 +171,8 @@ HEADLINE = [
     # state scan), plus the now-hash-checked perceptual-hash dedup
     "q_sink_xml_roundtrip",
     "q_stream_state_reader",
+    "q_cdc_apply",
+    "q_sql_pipe_syntax",
 ]
 
 

@@ -93,3 +93,75 @@ def q_merge_upsert(spark, sf_dir):
         )
     )
     return merge_upsert(target, priced_up.unionByName(fresh), key="o_orderkey")
+
+
+def cdc_apply(changelog: DataFrame, key: str, seq: str = "seq", op: str = "op") -> DataFrame:
+    """Collapse an insert/update/delete changelog into the final
+    snapshot: latest sequence number wins per key, and a key whose
+    winning row is a delete leaves the snapshot. This is the CDC-replay
+    core of every table-format MERGE/CDF pipeline (Debezium → Delta/
+    Iceberg), expressed engine-side for plain parquet.
+
+    Scale shape: ONE shuffle on the key (the per-key window); ties on
+    seq break by op so replays are deterministic. At 100 TB the window
+    is the same hash partitioning a MERGE join would need — no extra
+    exchange vs the transactional implementations."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(F.col(seq).desc(), F.col(op).desc())
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op) != "D"))
+        .drop("_rn", op, seq)
+    )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U',
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE),
+               2, 'U'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D'
+        FROM orders WHERE o_orderkey % 13 = 0
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        FROM log
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("cdc", "merge", "changelog", "upsert"),
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog replay to a snapshot: orders arrive as inserts
+    (seq 1), every 7th key is repriced by an update (seq 2, +5% in
+    exact decimal cents), every 13th key is deleted (seq 3); `cdc_apply`
+    collapses the log latest-wins and drops deleted keys. The oracle
+    replays the identical window ranking in DuckDB — the full
+    insert→update→delete lifecycle is hash-checked, including keys
+    that are both updated and later deleted (%91)."""
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.lit("1.05").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("o_totalprice"),
+    )
+    deletes = base.filter(F.col("o_orderkey") % 13 == 0)
+    log = (
+        base.withColumn("seq", F.lit(1)).withColumn("op", F.lit("I"))
+        .unionByName(updates.withColumn("seq", F.lit(2)).withColumn("op", F.lit("U")))
+        .unionByName(deletes.withColumn("seq", F.lit(3)).withColumn("op", F.lit("D")))
+    )
+    return cdc_apply(log, key="o_orderkey")

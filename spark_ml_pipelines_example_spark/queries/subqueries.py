@@ -178,3 +178,74 @@ def q_sql_recursive_cte(spark, sf_dir):
         FROM anc GROUP BY dist
         """
     )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    """,
+    tags=("sql", "pipe-syntax", "spark4"),
+)
+def q_sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (`|>`, new in Spark 4): the linear scan → filter
+    → aggregate → post-filter → order flow written in evaluation order
+    instead of inside-out SQL. Each pipe stage lowers to the same
+    logical operators as classic SQL — the oracle IS the classic
+    spelling, so the hash check pins that pipe lowering is semantically
+    identity. `|> WHERE` after `|> AGGREGATE` references aggregate
+    aliases (classic HAVING) without a subquery."""
+    for tbl in ("lineitem",):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 100
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q_sql_session_variables",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_above,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_above
+    FROM part
+    WHERE p_retailprice > (SELECT MAX(p_retailprice) FROM part) * 0.5
+    GROUP BY p_brand
+    """,
+    tags=("sql", "session-variables", "spark4"),
+)
+def q_sql_session_variables(spark, sf_dir):
+    """SQL session variables (DECLARE / SET VAR, new in Spark 4): a
+    scalar threshold is computed ONCE into a typed session variable and
+    referenced by a later statement — the multi-statement parameterized
+    script pattern (dbt/notebook pipelines) without string templating
+    or driver-side collect in user code. The variable is set from a
+    scalar subquery; the oracle inlines the same subquery, and the
+    threshold (MAX * 0.5) is an exact halving of a data value, so the
+    float comparison is bit-identical in both engines."""
+    for tbl in ("part",):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cut DOUBLE")
+    spark.sql("SET VAR price_cut = (SELECT MAX(p_retailprice) FROM part) * 0.5")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above,
+               CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_above
+        FROM part
+        WHERE p_retailprice > price_cut
+        GROUP BY p_brand
+        """
+    )

@@ -214,3 +214,30 @@ def test_multimodal_binary_files_hash(spark, duck, sf_dir):
 
     spec = REGISTRY["q_multimodal_binary_files"]
     compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_cdc_apply_lifecycle(spark, duck, sf_dir):
+    """CDC replay: updated keys carry the repriced row, deleted keys are
+    absent (including update-then-delete keys, %91), untouched keys
+    survive verbatim; hash-checked against the DuckDB replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_cdc_apply"]
+    snap = spec.fn(spark, sf_dir)
+    # %13 keys (deletes win at seq 3) must be gone even when also updated
+    assert snap.filter(F.col("o_orderkey") % 13 == 0).count() == 0
+    # surviving %7 keys all carry the update
+    upd = snap.filter(F.col("o_orderkey") % 7 == 0)
+    assert upd.count() > 0
+    assert upd.filter(F.col("o_orderstatus") != "U").count() == 0
+    compare_frames(snap, duck, spec.oracle, spec.name)
+
+
+def test_sql_pipe_and_variables_hash(spark, duck, sf_dir):
+    """Pipe-syntax lowering and session-variable threshold must equal
+    their classic-SQL oracles."""
+    from tests.conftest import compare_frames
+
+    for name in ("q_sql_pipe_syntax", "q_sql_session_variables"):
+        spec = REGISTRY[name]
+        compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
