@@ -173,6 +173,8 @@ HEADLINE = [
     "q_stream_state_reader",
     "q_cdc_apply",
     "q_sql_pipe_syntax",
+    "q_agg_countmin",
+    "q_graph_label_propagation",
 ]
 
 

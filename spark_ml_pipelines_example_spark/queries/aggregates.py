@@ -1514,3 +1514,129 @@ def q_agg_listagg(spark, sf_dir):
             F.count("*").alias("n_customers"),
         )
     )
+
+
+# Count-Min sketch: d=4 md5-affine hash rows x w=256 counters. The same
+# one-31-bit-hash-through-affine-maps family as MinHash (dedup.py), so
+# every counter and every estimate is an exact integer BOTH engines
+# reproduce — the rare sketch whose full pipeline is hash-checkable.
+CM_D, CM_W = 4, 256
+_CM_P31 = 2147483647
+
+
+def _cm_coeffs():
+    import hashlib
+
+    out = []
+    for i in range(CM_D):
+        a = int(hashlib.md5(f"cm_a:{i}".encode()).hexdigest()[:8], 16) % (_CM_P31 - 1) + 1
+        b = int(hashlib.md5(f"cm_b:{i}".encode()).hexdigest()[:8], 16) % _CM_P31
+        out.append((a, b))
+    return out
+
+
+_CM_COEFFS = _cm_coeffs()
+
+_CM_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 9, 8)) AS BIGINT) & 2147483647"
+)
+
+
+def _cm_oracle() -> str:
+    bucket_cols = ",\n               ".join(
+        f"(({a} * h + {b}) % {_CM_P31}) % {CM_W} AS bk{i}"
+        for i, (a, b) in enumerate(_CM_COEFFS)
+    )
+    counter_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row_i, bk{i} AS bucket, COUNT(*) AS c FROM buck GROUP BY bk{i}"
+        for i in range(CM_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT l_partkey, true_n, {i} AS row_i, bk{i} AS bucket FROM top"
+        for i in range(CM_D)
+    )
+    return f"""
+    WITH buck AS (
+        SELECT l_partkey,
+               {bucket_cols}
+        FROM (SELECT l_partkey, {_CM_HASH_SQL} AS h FROM lineitem)
+    ), counters AS ({counter_rows}),
+    top AS (
+        SELECT l_partkey, COUNT(*) AS true_n,
+               MIN(bk0) AS bk0, MIN(bk1) AS bk1, MIN(bk2) AS bk2, MIN(bk3) AS bk3
+        FROM buck GROUP BY l_partkey
+        ORDER BY true_n DESC, l_partkey LIMIT 20
+    ), probes AS ({probe_rows})
+    SELECT p.l_partkey, MIN(p.true_n) AS true_n,
+           CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+           CAST(MIN(c.c) - MIN(p.true_n) AS BIGINT) AS overcount
+    FROM probes p JOIN counters c ON c.row_i = p.row_i AND c.bucket = p.bucket
+    GROUP BY p.l_partkey
+    """
+
+
+@query(
+    "q_agg_countmin",
+    oracle=_cm_oracle(),
+    tags=("agg", "sketch", "countmin", "heavy-hitters"),
+)
+def q_agg_countmin(spark, sf_dir):
+    """Count-Min sketch heavy-hitter readout with an EXACT cross-engine
+    replay (unlike HLL/KLL, whose register layouts are engine-private):
+    d=4 md5-affine hash rows × w=256 counters over the lineitem part-key
+    stream, then the CM estimate min_i(counter[i][h_i(key)]) for the
+    true top-20 keys next to their exact counts — the overcount column
+    IS the sketch's collision error, non-negative by construction (CM
+    never undercounts). Same md5-affine universal-hash family as
+    MinHash (dedup.py), so every counter is an exact integer in both
+    engines and DuckDB replays the whole sketch.
+
+    Scale shape: the counter build is ONE map-side-combinable shuffle
+    of at most d·w = 1024 cells regardless of input size (the sketch
+    property); the exact top-k is a combinable count + TakeOrdered (no
+    global sort, no unpartitioned window); probes join the tiny counter
+    table broadcast. At 100 TB the counters merge associatively across
+    any partitioning — the streaming/mergeable path the rows-only HLL
+    queries document, here with a full hash check."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+            " & 2147483647"
+        ).alias("h"),
+    )
+    for i, (a, b) in enumerate(_CM_COEFFS):
+        li = li.withColumn("bk%d" % i, ((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % CM_W)
+    li = li.cache()  # one scan feeds counters and truth; tiny projected cols
+
+    counters = None
+    for i in range(CM_D):
+        part = li.groupBy(F.col("bk%d" % i).alias("bucket")).agg(F.count("*").alias("c"))
+        part = part.select(F.lit(i).alias("row_i"), "bucket", "c")
+        counters = part if counters is None else counters.unionByName(part)
+
+    top = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("true_n"),
+            *[F.min("bk%d" % i).alias("bk%d" % i) for i in range(CM_D)],
+        )
+        .orderBy(F.desc("true_n"), F.asc("l_partkey"))
+        .limit(20)
+    )
+    probes = None
+    for i in range(CM_D):
+        p = top.select(
+            "l_partkey", "true_n", F.lit(i).alias("row_i"), F.col("bk%d" % i).alias("bucket")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+
+    return (
+        probes.join(F.broadcast(counters), ["row_i", "bucket"])
+        .groupBy("l_partkey")
+        .agg(
+            F.min("true_n").alias("true_n"),
+            F.min("c").alias("cm_estimate"),
+            (F.min("c") - F.min("true_n")).alias("overcount"),
+        )
+    )

@@ -5153,3 +5153,91 @@ def q_events_did(spark, sf_dir):
             (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
         ).alias("did_cents"),
     )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""v{k} AS (
+        SELECT e.src AS node, l.label, COUNT(*) AS cnt
+        FROM edges e JOIN l{k - 1} l ON l.node = e.dst
+        GROUP BY e.src, l.label
+    ), l{k} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM v{k}
+        ) WHERE rn = 1
+    )"""
+        )
+    chain = ", ".join(steps)
+    return f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+        SELECT DISTINCT a.pk AS src, b.pk AS dst
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    ), edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ), l0 AS (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    ), {chain}
+    SELECT label AS community, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+           CAST(SUM(node) AS BIGINT) AS node_sum
+    FROM l{iters} GROUP BY label
+    """
+
+
+@query(
+    "q_graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "label-propagation"),
+)
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, the GraphX/GraphFrames `labelPropagation` semantics)
+    over the co-purchase graph: every node starts as its own label;
+    each round it adopts its neighbors' most frequent label, ties
+    broken by smallest label — fully deterministic, unlike the
+    asynchronous variant. Three fixed rounds (the standard
+    few-iteration regime: LPA either converges almost immediately or
+    oscillates), then community rollup. Completes the graph family
+    (degrees/triangles/pagerank/CC/BFS/link-prediction) with its
+    community-structure member.
+
+    Scale shape: each round is one edges⋈labels shuffle join + one
+    combinable (node,label) count + a node-partitioned argmax window —
+    all keyed by node, so AQE reuses the partitioning across rounds;
+    nothing is ever collected and no step exceeds O(|E|) rows. The
+    oracle unrolls the same three rounds as chained CTEs."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # 3 rounds reuse the edge list; cut the wedge lineage
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    win = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(3):
+        votes = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.sum("node").alias("node_sum"),
+    )

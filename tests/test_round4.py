@@ -241,3 +241,44 @@ def test_sql_pipe_and_variables_hash(spark, duck, sf_dir):
     for name in ("q_sql_pipe_syntax", "q_sql_session_variables"):
         spec = REGISTRY[name]
         compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_countmin_never_undercounts(spark, duck, sf_dir):
+    """CM sketch property: estimate >= true count for every probed key
+    (min over d rows of counters that each include the key's own hits);
+    full pipeline hash-checked against the DuckDB replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_agg_countmin"]
+    out = spec.fn(spark, sf_dir)
+    assert out.filter(F.col("overcount") < 0).count() == 0
+    assert out.count() == 20
+    compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_label_propagation_partitions_nodes(spark, duck, sf_dir):
+    """LPA communities must partition the node set exactly (every node
+    in one community), and the rollup hash-matches the unrolled CTE
+    replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_graph_label_propagation"]
+    out = spec.fn(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+    )
+    n_nodes = (
+        pairs.select(F.col("s").alias("n"))
+        .unionByName(pairs.select(F.col("d").alias("n")))
+        .distinct()
+        .count()
+    )
+    got = out.agg(F.sum("n_nodes")).collect()[0][0]
+    assert got == n_nodes
+    compare_frames(out, duck, spec.oracle, spec.name)
