@@ -175,6 +175,7 @@ HEADLINE = [
     "q_sql_pipe_syntax",
     "q_agg_countmin",
     "q_graph_label_propagation",
+    "q_dq_observe_metrics",
 ]
 
 

@@ -1102,3 +1102,66 @@ def q_dq_functional_deps(spark, sf_dir):
         F.max("card").cast("bigint").alias("max_rhs_card"),
         (F.count(F.when(F.col("card") > 1, 1)) == 0).alias("holds"),
     )
+
+
+@query(
+    "q_dq_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(epoch(MIN(o_orderdate)) AS BIGINT) AS first_epoch,
+           CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_epoch
+    FROM orders
+    """,
+    tags=("dq", "observe", "observability"),
+)
+def q_dq_observe_metrics(spark, sf_dir):
+    """Inline data-quality metrics via the Observation API
+    (`df.observe` + a `noop`-sink action): row count, status count,
+    exact decimal revenue, and the observed date range are collected
+    DURING the single pass the write action already makes — the
+    production pattern for DQ gates on ETL jobs (no second scan, no
+    cached intermediate; the metrics ride the task completion events).
+    The observed values surface as a one-row frame hash-checked against
+    recomputing the same aggregates in SQL — pinning that observe sees
+    EVERY row exactly once at any scale (speculative/retried tasks
+    don't double-count: Spark folds accumulators per-attempt).
+
+    Scale shape: zero extra distributed work by construction — the
+    noop sink is the full-scan action a real job's write provides."""
+    from pyspark.sql import Observation
+    from pyspark.sql import types as T
+
+    obs = Observation("dq_gate")
+    df = t(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        F.unix_timestamp(F.min(F.col("o_orderdate").cast("timestamp"))).alias("first_epoch"),
+        F.unix_timestamp(F.max(F.col("o_orderdate").cast("timestamp"))).alias("last_epoch"),
+    )
+    df.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    schema = T.StructType(
+        [
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_finished", T.LongType()),
+            T.StructField("total_price", T.DoubleType()),
+            T.StructField("first_epoch", T.LongType()),
+            T.StructField("last_epoch", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_finished"],
+                m["total_price"],
+                m["first_epoch"],
+                m["last_epoch"],
+            )
+        ],
+        schema,
+    )
