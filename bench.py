@@ -176,6 +176,7 @@ HEADLINE = [
     "q_agg_countmin",
     "q_graph_label_propagation",
     "q_dq_observe_metrics",
+    "q_curate_dsir",
 ]
 
 

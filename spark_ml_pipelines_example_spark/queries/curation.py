@@ -832,3 +832,99 @@ def q_curate_erasure(spark, sf_dir):
         F.count(F.when(F.col("user_id") % 97 == 0, 1)).alias("n_leaked"),
         F.sum("event_id").cast("bigint").alias("id_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+# Hashed-unigram bag-of-words LMs for the target and raw distributions;
+# docs ranked by estimated log importance weight log p_target/p_raw.
+
+DSIR_BUCKETS = 1024
+DSIR_KEEP = 100
+
+
+@query(
+    "q_curate_dsir",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               (CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) & 2147483647)
+                   % {DSIR_BUCKETS} AS b
+        FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    ), raw AS (SELECT b, COUNT(*) AS c_r FROM tok GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY b),
+    model AS (
+        SELECT g.b, COALESCE(c_r, 0) AS c_r, COALESCE(c_t, 0) AS c_t
+        FROM (SELECT UNNEST(range(0, {DSIR_BUCKETS})) AS b) g
+        LEFT JOIN raw ON raw.b = g.b
+        LEFT JOIN tgt ON tgt.b = g.b
+    ), tot AS (SELECT SUM(c_r) AS tr, SUM(c_t) AS tt FROM model),
+    lr AS (
+        SELECT b, ln(c_t + 1) - ln(c_r + 1)
+                  + ln((tr + {DSIR_BUCKETS}.0) / (tt + {DSIR_BUCKETS}.0)) AS lr
+        FROM model, tot
+    ), scored AS (
+        SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS n_tokens,
+               ROUND(SUM(lr.lr), 6) AS log_w
+        FROM tok JOIN lr ON lr.b = tok.b GROUP BY doc_id
+    )
+    SELECT * FROM scored ORDER BY log_w DESC, doc_id LIMIT {DSIR_KEEP}
+    """,
+    tags=("curate", "dsir", "importance-sampling", "training-data"),
+)
+def q_curate_dsir(spark, sf_dir):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, the data-recipe selector behind many LLM pretraining mixes):
+    fit hashed-unigram bag-of-words LMs (md5 buckets, add-1 smoothing)
+    on the TARGET distribution (here the English subset, standing in
+    for 'looks like Wikipedia') and on the RAW crawl, score every doc
+    by its estimated log importance weight Σ n_b·(log p_t[b] −
+    log p_r[b]), and keep the deterministic top-K by (rounded weight,
+    doc_id). The hashing trick caps both models at a FIXED 1024-bucket
+    table regardless of corpus vocabulary — the property that makes
+    DSIR train on one node while scoring petabytes.
+
+    Scale shape: two 1024-cell combinable count aggregates build the
+    models; the scoring join is a broadcast of the 1024-row log-ratio
+    table into the token stream (map-side), one doc_id combine, and a
+    TakeOrdered top-K — no global sort, no driver data path beyond the
+    two scalar totals (the same one-collect pattern as
+    q_text_unigram_logprob). Hash-check: counts are exact integers in
+    both engines; log terms are IEEE doubles rounded at 6dp with
+    doc_id tiebreaks (SURVEY §2.4 discipline)."""
+    import math
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    bucket = (
+        F.expr("CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)")
+        .bitwiseAND(F.lit(2147483647))
+        % DSIR_BUCKETS
+    )
+    tb = tok.select("doc_id", "lang", bucket.alias("b"))
+    raw = tb.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = tb.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("c_t"))
+    model = (
+        spark.range(DSIR_BUCKETS)
+        .withColumnRenamed("id", "b")
+        .join(raw, "b", "left")
+        .join(tgt, "b", "left")
+        .fillna(0, ["c_r", "c_t"])
+    )
+    totals = model.agg(F.sum("c_r").alias("tr"), F.sum("c_t").alias("tt")).collect()[0]
+    const = math.log(
+        (int(totals["tr"]) + DSIR_BUCKETS) / (int(totals["tt"]) + DSIR_BUCKETS)
+    )
+    lograt = (
+        F.log(F.col("c_t") + 1) - F.log(F.col("c_r") + 1) + F.lit(const)
+    ).alias("lr")
+    scored = (
+        tb.join(F.broadcast(model.select("b", lograt)), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_w"),
+        )
+    )
+    return scored.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(DSIR_KEEP)
