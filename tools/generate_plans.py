@@ -109,6 +109,14 @@ SHOWCASE = [
     ("q_fn_sql_udf", "SQL UDFs inlined by Catalyst: plain codegen expressions, no Python"),
     ("q_agg_listagg", "ordered LISTAGG: broadcast dim join + single hash aggregate"),
     ("q_events_did", "DiD: one 4-cell hash aggregate + scalar min/max pass, no windows"),
+    # round-4 second wave
+    ("q_cdc_apply", "CDC replay: one keyed window shuffle, latest-wins, deletes dropped"),
+    ("q_agg_countmin", "Count-Min: 1024-cell combinable counters + broadcast probe join"),
+    ("q_graph_label_propagation", "LPA: broadcast label joins + max_by argmax, no sort windows"),
+    ("q_curate_dsir", "DSIR: two fixed-size model aggs, broadcast log-ratio scoring, TakeOrdered"),
+    ("q_sql_pipe_syntax", "pipe syntax lowers to the same hash-agg plan as classic SQL"),
+    ("q_multimodal_phash", "pHash: map-side Arrow decode+sign GEMM, one signature shuffle"),
+    ("q_stream_state_reader", "statestore source: one task per state partition, no stream replay"),
 ]
 
 
