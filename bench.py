@@ -177,6 +177,8 @@ HEADLINE = [
     "q_graph_label_propagation",
     "q_dq_observe_metrics",
     "q_curate_dsir",
+    "q_agg_bloom_membership",
+    "q_agg_hll_replay",
 ]
 
 

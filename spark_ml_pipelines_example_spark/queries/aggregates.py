@@ -1640,3 +1640,247 @@ def q_agg_countmin(spark, sf_dir):
             (F.min("c") - F.min("true_n")).alias("overcount"),
         )
     )
+
+
+# Bloom filter: k=6 md5-affine bit positions in an m=8192-bit array.
+# Same exact-integer hash family as Count-Min above: the set-bit table,
+# every probe, and the measured false-positive rate replay in DuckDB.
+BLOOM_M, BLOOM_K = 131072, 6
+_BLOOM_COEFFS = [
+    (
+        int(__import__("hashlib").md5(f"bf_a:{i}".encode()).hexdigest()[:8], 16)
+        % (_CM_P31 - 1)
+        + 1,
+        int(__import__("hashlib").md5(f"bf_b:{i}".encode()).hexdigest()[:8], 16) % _CM_P31,
+    )
+    for i in range(BLOOM_K)
+]
+
+
+def _bloom_oracle() -> str:
+    member_bits = " UNION ALL ".join(
+        f"SELECT (({a} * h + {b}) % {_CM_P31}) % {BLOOM_M} AS bit FROM members"
+        for a, b in _BLOOM_COEFFS
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT c_custkey, (({a} * h + {b}) % {_CM_P31}) % {BLOOM_M} AS bit FROM nonmembers"
+        for a, b in _BLOOM_COEFFS
+    )
+    return f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 9, 8)) AS BIGINT)
+                   & 2147483647 AS h
+        FROM orders
+    ), bits AS (
+        SELECT DISTINCT bit FROM ({member_bits})
+    ), nonmembers AS (
+        -- synthetic guaranteed-absent probe keys (the fixture has no
+        -- order-less customers at small SFs): custkey shifted past the
+        -- key domain
+        SELECT c_custkey + 1000000 AS c_custkey,
+               CAST(('0x' || substr(md5(CAST(c_custkey + 1000000 AS VARCHAR)), 9, 8)) AS BIGINT)
+                   & 2147483647 AS h
+        FROM customer
+    ), probe AS (
+        SELECT c_custkey, COUNT(*) AS n_hit
+        FROM ({probe_bits}) pb JOIN bits USING (bit)
+        GROUP BY c_custkey
+    ), fp AS (
+        SELECT COUNT(*) AS n_false_pos FROM probe WHERE n_hit = {BLOOM_K}
+    )
+    SELECT (SELECT COUNT(*) FROM members) AS n_members,
+           (SELECT COUNT(*) FROM bits) AS n_set_bits,
+           (SELECT COUNT(*) FROM nonmembers) AS n_nonmembers,
+           (SELECT n_false_pos FROM fp) AS n_false_pos,
+           ROUND((SELECT n_false_pos FROM fp)
+                 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nonmembers), 6) AS fpr
+    """
+
+
+@query(
+    "q_agg_bloom_membership",
+    oracle=_bloom_oracle(),
+    tags=("agg", "sketch", "bloom", "membership"),
+)
+def q_agg_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership sketch with an EXACT cross-engine replay
+    (the companion to q_agg_countmin's frequency sketch): the customers
+    that placed orders populate a k=6 × m=2^17-bit filter via the
+    md5-affine hash family; a guaranteed-absent probe set (custkeys
+    shifted past the key domain) then probes it,
+    and the result row carries the filter's true occupancy and its
+    MEASURED false-positive rate — the number a capacity planner
+    compares against (1−e^{-kn/m})^k before sizing the real thing.
+    (Zero false negatives is structural — members set their own bits —
+    and pinned in tests.)
+
+    Sizing: m=131072 ≈ 8.7 bits/member at sf0.1 → theoretical FPR
+    (1−e^{−kn/m})^k ≈ 1.5%, and the measured rate lands beside it; at
+    sf0.01 the same filter is ~90× oversized and the measured FPR
+    rounds to zero — the safe direction a capacity-sized filter errs.
+
+    Scale shape: the set-bit table is at most m rows no matter how
+    many members stream in (distinct-combinable, mergeable across
+    partitions exactly like production bloom builds); probes join it
+    BROADCAST, map-side; the verdict per probe is a k-row count. This
+    is the same plan the engine's own runtime bloom join
+    (q_join_bloom_runtime) executes JVM-side — declared here with the
+    filter's anatomy exposed and hash-audited."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    h31 = lambda col: (  # noqa: E731 — local hash shorthand
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({col} AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+            " & 2147483647"
+        )
+    )
+    members = o.select("o_custkey").distinct().select("o_custkey", h31("o_custkey").alias("h"))
+    bit_sets = [
+        members.select((((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M).alias("bit"))
+        for a, b in _BLOOM_COEFFS
+    ]
+    bits = bit_sets[0]
+    for bs in bit_sets[1:]:
+        bits = bits.unionByName(bs)
+    bits = bits.distinct()
+
+    # synthetic guaranteed-absent probe keys (the fixture has no
+    # order-less customers at small SFs): custkey shifted past the domain
+    nonmembers = c.select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey")
+    ).select("c_custkey", h31("c_custkey").alias("h"))
+    probe_sets = [
+        nonmembers.select(
+            "c_custkey", (((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M).alias("bit")
+        )
+        for a, b in _BLOOM_COEFFS
+    ]
+    probes = probe_sets[0]
+    for ps in probe_sets[1:]:
+        probes = probes.unionByName(ps)
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .agg(F.count("*").alias("n_false_pos"))
+    )
+    summary = (
+        members.agg(F.count("*").alias("n_members"))
+        .crossJoin(bits.agg(F.count("*").alias("n_set_bits")))
+        .crossJoin(nonmembers.agg(F.count("*").alias("n_nonmembers")))
+        .crossJoin(hits)
+    )
+    return summary.select(
+        "n_members",
+        "n_set_bits",
+        "n_nonmembers",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") / F.col("n_nonmembers").cast("double"), 6).alias("fpr"),
+    )
+
+
+# Textbook HyperLogLog (Flajolet et al. 2007), p=10 -> m=1024 registers,
+# built from the 32-bit md5 hash so BOTH engines compute every register
+# exactly. The 2^-M sum is a dyadic rational with <= 42 significant bits
+# (1024 terms, each 2^-M with M <= 23), so even the float accumulation
+# is EXACT regardless of summation order - the one sketch estimate that
+# hash-compares without rounding tricks.
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_oracle() -> str:
+    return f"""
+    WITH keys AS (
+        SELECT DISTINCT l_orderkey,
+               CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM lineitem
+    ), regs AS (
+        SELECT h // 4194304 AS bucket,
+               MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                        ELSE 23 - (FLOOR(log2(h % 4194304)) + 1) END) AS m
+        FROM keys GROUP BY 1
+    ), stats AS (
+        SELECT SUM(POWER(2.0, -m)) AS s_present,
+               COUNT(*) AS n_present,
+               (SELECT COUNT(*) FROM keys) AS exact_distinct
+        FROM regs
+    ), est AS (
+        SELECT exact_distinct, n_present,
+               {HLL_M} - n_present AS v,
+               CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}.0 /
+                   (s_present + ({HLL_M} - n_present)) AS e_raw
+        FROM stats
+    )
+    SELECT CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(n_present AS BIGINT) AS n_buckets_hit,
+           ROUND(CASE WHEN e_raw <= {2.5 * HLL_M!r} AND v > 0
+                      THEN {HLL_M} * ln({HLL_M} / CAST(v AS DOUBLE))
+                      ELSE e_raw END, 6) AS hll_estimate,
+           ROUND((CASE WHEN e_raw <= {2.5 * HLL_M!r} AND v > 0
+                       THEN {HLL_M} * ln({HLL_M} / CAST(v AS DOUBLE))
+                       ELSE e_raw END - exact_distinct)
+                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+    FROM est
+    """
+
+
+@query(
+    "q_agg_hll_replay",
+    oracle=_hll_oracle(),
+    tags=("agg", "sketch", "hll", "approx-distinct"),
+)
+def q_agg_hll_replay(spark, sf_dir):
+    """Textbook HyperLogLog distinct-count sketch with an EXACT
+    cross-engine replay — the auditable companion to
+    q_agg_approx_distinct (whose HLL++ register layout is
+    engine-private, hence rows-only): p=10 → 1024 registers over the
+    32-bit md5 hash of the order keys, register = max leading-zero rank
+    in the 22-bit remainder, harmonic-mean estimate with the standard
+    small-range linear-counting correction. Every register is an exact
+    integer in both engines, and Σ2^-M is a dyadic rational that fits
+    float64 EXACTLY (≤42 significant bits), so the estimate itself
+    hash-compares — only the final display rounding touches inexact
+    arithmetic. The measured rel_error lands inside the theoretical
+    ±1.04/√1024 ≈ ±3.3% band (pinned in tests).
+
+    Scale shape: the register build is one map-side-combinable MAX
+    aggregate into ≤1024 cells — associative and mergeable across any
+    partitioning (the property HLL exists for: per-partition sketches
+    union by register-wise max); the distinct pre-pass shares the
+    shuffle the exact count needs anyway."""
+    li = t(spark, sf_dir, "lineitem")
+    keys = li.select("l_orderkey").distinct().select(
+        "l_orderkey",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    w = F.col("h") % 4194304
+    rho = F.when(w == 0, F.lit(23)).otherwise(
+        F.lit(23) - (F.floor(F.log2(w)) + 1)
+    )
+    regs = keys.groupBy((F.col("h") / 4194304).cast("long").alias("bucket")).agg(
+        F.max(rho).alias("m")
+    )
+    stats = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    ).crossJoin(keys.agg(F.count("*").alias("exact_distinct")))
+    v = F.lit(HLL_M) - F.col("n_present")
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(HLL_M * HLL_M) / (F.col("s_present") + v)
+    corrected = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(HLL_M) * F.log(F.lit(HLL_M) / v.cast("double")),
+    ).otherwise(e_raw)
+    return stats.select(
+        "exact_distinct",
+        F.col("n_present").alias("n_buckets_hit"),
+        F.round(corrected, 6).alias("hll_estimate"),
+        F.round(
+            (corrected - F.col("exact_distinct")) / F.col("exact_distinct").cast("double"), 6
+        ).alias("rel_error"),
+    )

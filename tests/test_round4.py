@@ -282,3 +282,58 @@ def test_label_propagation_partitions_nodes(spark, duck, sf_dir):
     got = out.agg(F.sum("n_nodes")).collect()[0][0]
     assert got == n_nodes
     compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_bloom_no_false_negatives_and_fpr(spark, duck, sf_dir):
+    """Every member must probe positive (structural zero false
+    negatives), and the summary row hash-matches the DuckDB replay."""
+    from tests.conftest import compare_frames
+
+    from spark_ml_pipelines_example_spark.queries.aggregates import (
+        BLOOM_K,
+        BLOOM_M,
+        _BLOOM_COEFFS,
+        _CM_P31,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 9, 8), 16, 10) AS BIGINT)"
+        " & 2147483647"
+    )
+    members = o.select("o_custkey").distinct().select("o_custkey", h.alias("h"))
+    bits = None
+    for a, b in _BLOOM_COEFFS:
+        part = members.select((((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M).alias("bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    bits = bits.distinct()
+    probes = None
+    for a, b in _BLOOM_COEFFS:
+        p = members.select(
+            "o_custkey", (((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M).alias("bit")
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    neg = (
+        probes.join(bits, "bit")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") < BLOOM_K)
+        .count()
+    )
+    assert neg == 0
+
+    spec = REGISTRY["q_agg_bloom_membership"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_hll_replay_error_band(spark, duck, sf_dir):
+    """The textbook-HLL estimate must land within a loose 2-sigma band
+    of the exact distinct count (sigma = 1.04/sqrt(1024) ~ 3.3%), and
+    the whole sketch hash-matches the DuckDB replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_agg_hll_replay"]
+    out = spec.fn(spark, sf_dir)
+    row = out.collect()[0].asDict()
+    assert abs(row["rel_error"]) < 0.066
+    compare_frames(out, duck, spec.oracle, spec.name)
