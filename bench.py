@@ -179,6 +179,7 @@ HEADLINE = [
     "q_curate_dsir",
     "q_agg_bloom_membership",
     "q_agg_hll_replay",
+    "q_curate_pipeline_funnel",
 ]
 
 

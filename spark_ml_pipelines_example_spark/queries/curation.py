@@ -928,3 +928,172 @@ def q_curate_dsir(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(DSIR_KEEP)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline funnel: the engine's flagship composite.
+# Reuses the SAME constants as the individual stage queries so the two
+# views can never drift: quality gate (MIN_TOKENS/STOPWORD band/
+# DISTINCT_FRAC_MIN), exact dedup, benchmark decontamination
+# (CONTAM_NGRAM/BENCH_MOD from queries/quality.py), per-source cap.
+
+PIPE_STAGES = ("raw", "quality", "dedup", "decontam", "domain_cap")
+
+
+def _pipeline_funnel_oracle() -> str:
+    from .quality import BENCH_MOD, CONTAM_NGRAM
+
+    return f"""
+    WITH m AS (
+        SELECT doc_id, source, text, n_chars, tk, len(tk) AS n_tokens,
+               CAST(len(list_filter(tk, x -> x IN ({_SW_LIST}))) AS DOUBLE) / len(tk) AS sw,
+               CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS df
+        FROM (SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS tk
+              FROM documents)
+    ), flags1 AS (
+        SELECT *, (n_tokens >= {MIN_TOKENS} AND sw >= {STOPWORD_MIN}
+                   AND sw <= {STOPWORD_MAX} AND df >= {DISTINCT_FRAC_MIN}) AS s1
+        FROM m
+    ), flags2 AS (
+        SELECT *, s1 AND doc_id = MIN(CASE WHEN s1 THEN doc_id END)
+                            OVER (PARTITION BY text) AS s2
+        FROM flags1
+    ), shingles AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(tk) - {CONTAM_NGRAM - 2}),
+                          i -> array_to_string(tk[i:i+{CONTAM_NGRAM - 1}], ' '))) AS g
+            FROM m WHERE len(tk) >= {CONTAM_NGRAM})
+    ), bench AS (
+        SELECT DISTINCT g FROM shingles WHERE doc_id % {BENCH_MOD} = 0
+    ), dirty AS (
+        SELECT DISTINCT s.doc_id FROM shingles s JOIN bench b ON s.g = b.g
+        WHERE s.doc_id % {BENCH_MOD} <> 0
+    ), flags3 AS (
+        SELECT f.*, f.s2 AND f.doc_id % {BENCH_MOD} <> 0
+                      AND d.doc_id IS NULL AS s3
+        FROM flags2 f LEFT JOIN dirty d ON d.doc_id = f.doc_id
+    ), flags4 AS (
+        SELECT *, s3 AND ROW_NUMBER() OVER (
+                   PARTITION BY source, s3 ORDER BY n_chars DESC, doc_id
+               ) <= {DOMAIN_CAP} AS s4
+        FROM flags3
+    )
+    SELECT stage, stage_no, n_docs, n_tokens, id_sum FROM (
+        SELECT 'raw' AS stage, 0 AS stage_no, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM flags4
+        UNION ALL
+        SELECT 'quality', 1, COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+               CAST(SUM(doc_id) AS BIGINT) FROM flags4 WHERE s1
+        UNION ALL
+        SELECT 'dedup', 2, COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+               CAST(SUM(doc_id) AS BIGINT) FROM flags4 WHERE s2
+        UNION ALL
+        SELECT 'decontam', 3, COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+               CAST(SUM(doc_id) AS BIGINT) FROM flags4 WHERE s3
+        UNION ALL
+        SELECT 'domain_cap', 4, COUNT(*), CAST(SUM(n_tokens) AS BIGINT),
+               CAST(SUM(doc_id) AS BIGINT) FROM flags4 WHERE s4
+    )
+    """
+
+
+@query(
+    "q_curate_pipeline_funnel",
+    oracle=_pipeline_funnel_oracle(),
+    tags=("curate", "pipeline", "composite", "training-data"),
+)
+def q_curate_pipeline_funnel(spark, sf_dir):
+    """The training-data pipeline END-TO-END, as one composite: quality
+    gate → exact dedup → benchmark decontamination → per-source cap,
+    with the survival funnel (docs / tokens / membership checksum per
+    stage) as the result — the readout every curation run publishes.
+    Each stage reuses the SAME constants as its standalone query
+    (q_text_filter_cascade, q_dedup_exact, q_text_contamination,
+    q_text_domain_cap), so the composite and the unit views can't
+    drift.
+
+    Plan shape — the important part: survival is computed as per-doc
+    FLAGS in one pass (a boolean column per stage), so the 5-stage
+    funnel is ONE aggregate over one frame instead of five
+    progressively-filtered re-scans; the only joins are the shingle
+    semi-join against the (tiny, broadcast) benchmark n-gram set, and
+    the windows are partitioned by text (dedup groups) and by source
+    (cap ranking; at 100 TB a long-tail source distribution keeps
+    these parallel — one hot source would call for the salted two-phase
+    rank of operators/globalrank.py instead). The funnel unpivots from
+    the single aggregate row via stack(), no second pass."""
+    from .quality import BENCH_MOD, CONTAM_NGRAM
+
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    base = d.select(
+        "doc_id", "source", "text", "n_chars", tk.alias("tk"), F.size(tk).alias("n_tokens")
+    )
+    sw = F.size(F.filter("tk", lambda x: x.isin(*STOPWORDS))) / F.col("n_tokens")
+    df_frac = F.size(F.array_distinct("tk")) / F.col("n_tokens")
+    s1 = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (sw >= STOPWORD_MIN)
+        & (sw <= STOPWORD_MAX)
+        & (df_frac >= DISTINCT_FRAC_MIN)
+    )
+    flagged = base.withColumn("s1", s1)
+    s2 = F.col("s1") & (
+        F.col("doc_id")
+        == F.min(F.when(F.col("s1"), F.col("doc_id"))).over(W.partitionBy("text"))
+    )
+    flagged = flagged.withColumn("s2", s2)
+
+    sh = (
+        base.filter(F.size("tk") >= CONTAM_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - CONTAM_NGRAM),
+                    lambda i: F.concat_ws(" ", F.slice("tk", i + 1, CONTAM_NGRAM)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select("g").distinct()
+    dirty = (
+        sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dirty", F.lit(True))
+    )
+    flagged = flagged.join(dirty, "doc_id", "left").withColumn(
+        "s3",
+        F.col("s2") & (F.col("doc_id") % BENCH_MOD != 0) & F.col("is_dirty").isNull(),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source", "s3").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    flagged = flagged.withColumn("s4", F.col("s3") & (rk <= DOMAIN_CAP))
+
+    def stage_aggs(flag: str | None):
+        cond = F.lit(True) if flag is None else F.col(flag)
+        return [
+            F.count(F.when(cond, 1)),
+            F.sum(F.when(cond, F.col("n_tokens"))).cast("long"),
+            F.sum(F.when(cond, F.col("doc_id"))).cast("long"),
+        ]
+
+    aggs = []
+    for i, flag in enumerate([None, "s1", "s2", "s3", "s4"]):
+        for j, a in enumerate(stage_aggs(flag)):
+            aggs.append(a.alias(f"v{i}_{j}"))
+    one = flagged.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{name}', {i}, v{i}_0, v{i}_1, v{i}_2" for i, name in enumerate(PIPE_STAGES)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PIPE_STAGES)}, {stack_expr}) AS (stage, stage_no, n_docs, n_tokens, id_sum)"
+        )
+    )

@@ -337,3 +337,25 @@ def test_hll_replay_error_band(spark, duck, sf_dir):
     row = out.collect()[0].asDict()
     assert abs(row["rel_error"]) < 0.066
     compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_pipeline_funnel_monotone_and_consistent(spark, duck, sf_dir):
+    """The funnel must be monotone non-increasing in docs and tokens,
+    stage counts must agree with the standalone stage queries'
+    semantics (raw = corpus size; quality = cascade 'keep' count), and
+    the whole composite hash-matches the DuckDB replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_curate_pipeline_funnel"]
+    out = spec.fn(spark, sf_dir)
+    rows = {r["stage"]: r.asDict() for r in out.collect()}
+    order = ["raw", "quality", "dedup", "decontam", "domain_cap"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_docs"] >= rows[b]["n_docs"]
+        assert rows[a]["n_tokens"] >= rows[b]["n_tokens"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows["raw"]["n_docs"] == docs.count()
+    cascade = REGISTRY["q_text_filter_cascade"].fn(spark, sf_dir)
+    keep = cascade.filter(F.col("verdict") == "keep").count()
+    assert rows["quality"]["n_docs"] == keep
+    compare_frames(out, duck, spec.oracle, spec.name)
