@@ -47,6 +47,15 @@ QUERIES = [
     "q_dedup_simhash",
     "q_dedup_prefix_filter",
     "q_dedup_embedding_cells",
+    # round-4 documents-only operators ("pairs" = result rows): phash
+    # clusters must grow ~10x (replica payloads are byte-distinct, so no
+    # cross-replica signature collisions); DSIR (fixed top-100) and the
+    # pipeline funnel (fixed 5 stages) have constant row counts - their
+    # evidence is the TIME ratio (fixed-size models / one-pass flags +
+    # the shingle semi-join staying linear)
+    "q_multimodal_phash",
+    "q_curate_dsir",
+    "q_curate_pipeline_funnel",
 ]
 
 
