@@ -373,6 +373,33 @@ def q_stream_interval_join_full(spark, sf_dir):
 
 
 @query(
+    "q_stream_foreach_batch_upsert",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("stream", "foreachBatch", "sink", "upsert"),
+)
+def q_stream_foreach_batch_upsert(spark, sf_dir):
+    """The foreachBatch lakehouse-landing path as a declared surface: a
+    real streaming aggregation whose every micro-batch is MERGED into a
+    partitioned parquet target with per-writer
+    `partitionOverwriteMode=dynamic` (replace only the partitions the
+    batch contains — the idempotent upsert that makes retried batches
+    rewrite instead of duplicate), then the FINAL TABLE STATE read back
+    and hash-checked against the batch aggregate. Partition-isolation
+    of the dynamic overwrite is separately pinned in
+    tests/test_streaming.py."""
+    from ..streaming.jobs import run_foreach_batch_upsert
+    from ._util import scratch_dir
+
+    out_dir = scratch_dir("q_stream_foreach_batch_upsert", sf_dir)
+    final = run_foreach_batch_upsert(spark, sf_dir, out_dir)
+    return final.select("event_type", "n", "sum_value")
+
+
+@query(
     "q_stream_state_reader",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
