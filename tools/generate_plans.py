@@ -117,6 +117,9 @@ SHOWCASE = [
     ("q_sql_pipe_syntax", "pipe syntax lowers to the same hash-agg plan as classic SQL"),
     ("q_multimodal_phash", "pHash: map-side Arrow decode+sign GEMM, one signature shuffle"),
     ("q_stream_state_reader", "statestore source: one task per state partition, no stream replay"),
+    ("q_agg_bloom_membership", "Bloom: distinct-combinable bit table, broadcast probe join"),
+    ("q_agg_hll_replay", "HLL: one combinable max-agg into 1024 registers, scalar finish"),
+    ("q_curate_pipeline_funnel", "funnel: one flag pass + stack unpivot, broadcast shingle semi-join"),
 ]
 
 
