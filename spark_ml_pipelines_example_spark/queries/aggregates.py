@@ -1607,7 +1607,11 @@ def q_agg_countmin(spark, sf_dir):
     )
     for i, (a, b) in enumerate(_CM_COEFFS):
         li = li.withColumn("bk%d" % i, ((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % CM_W)
-    li = li.cache()  # one scan feeds counters and truth; tiny projected cols
+    from pyspark import StorageLevel
+
+    # one scan feeds the d counter builds and the exact truth; lazy
+    # spill-safe persist (same rationale as operators/globalrank.py)
+    li = li.persist(StorageLevel.MEMORY_AND_DISK)
 
     counters = None
     for i in range(CM_D):
@@ -1736,29 +1740,22 @@ def q_agg_bloom_membership(spark, sf_dir):
         )
     )
     members = o.select("o_custkey").distinct().select("o_custkey", h31("o_custkey").alias("h"))
-    bit_sets = [
-        members.select((((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M).alias("bit"))
-        for a, b in _BLOOM_COEFFS
-    ]
-    bits = bit_sets[0]
-    for bs in bit_sets[1:]:
-        bits = bits.unionByName(bs)
-    bits = bits.distinct()
+    # all k bit positions in ONE pass via explode (a k-branch union
+    # would re-run the members DISTINCT aggregate once per hash row)
+    bit_arr = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M
+            for a, b in _BLOOM_COEFFS
+        ]
+    )
+    bits = members.select(F.explode(bit_arr).alias("bit")).distinct()
 
     # synthetic guaranteed-absent probe keys (the fixture has no
     # order-less customers at small SFs): custkey shifted past the domain
     nonmembers = c.select(
         (F.col("c_custkey") + 1000000).alias("c_custkey")
     ).select("c_custkey", h31("c_custkey").alias("h"))
-    probe_sets = [
-        nonmembers.select(
-            "c_custkey", (((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % BLOOM_M).alias("bit")
-        )
-        for a, b in _BLOOM_COEFFS
-    ]
-    probes = probe_sets[0]
-    for ps in probe_sets[1:]:
-        probes = probes.unionByName(ps)
+    probes = nonmembers.select("c_custkey", F.explode(bit_arr).alias("bit"))
     hits = (
         probes.join(F.broadcast(bits), "bit")
         .groupBy("c_custkey")

@@ -884,8 +884,8 @@ def q_curate_dsir(spark, sf_dir):
     table regardless of corpus vocabulary — the property that makes
     DSIR train on one node while scoring petabytes.
 
-    Scale shape: two 1024-cell combinable count aggregates build the
-    models; the scoring join is a broadcast of the 1024-row log-ratio
+    Scale shape: ONE 1024-cell combinable aggregate builds both models
+    (raw + conditional target counts in the same pass); the scoring join is a broadcast of the 1024-row log-ratio
     table into the token stream (map-side), one doc_id combine, and a
     TakeOrdered top-K — no global sort, no driver data path beyond the
     two scalar totals (the same one-collect pattern as
@@ -902,13 +902,17 @@ def q_curate_dsir(spark, sf_dir):
         % DSIR_BUCKETS
     )
     tb = tok.select("doc_id", "lang", bucket.alias("b"))
-    raw = tb.groupBy("b").agg(F.count("*").alias("c_r"))
-    tgt = tb.filter(F.col("lang") == "en").groupBy("b").agg(F.count("*").alias("c_t"))
+    # BOTH models from ONE pass over the token stream (raw count +
+    # conditional target count in the same combinable aggregate) — the
+    # two-branch formulation re-exploded the corpus once per model
+    counts = tb.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    )
     model = (
         spark.range(DSIR_BUCKETS)
         .withColumnRenamed("id", "b")
-        .join(raw, "b", "left")
-        .join(tgt, "b", "left")
+        .join(counts, "b", "left")
         .fillna(0, ["c_r", "c_t"])
     )
     totals = model.agg(F.sum("c_r").alias("tr"), F.sum("c_t").alias("tt")).collect()[0]
