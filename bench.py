@@ -180,6 +180,7 @@ HEADLINE = [
     "q_agg_bloom_membership",
     "q_agg_hll_replay",
     "q_curate_pipeline_funnel",
+    "q_scan_agg_pushdown",
 ]
 
 

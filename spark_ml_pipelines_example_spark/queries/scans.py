@@ -698,3 +698,59 @@ def q_sink_dynamic_partition_overwrite(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
+
+
+@query(
+    "q_scan_agg_pushdown",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+    tags=("scan", "pushdown", "aggregate", "statistics"),
+)
+def q_scan_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown INTO the parquet scan (DataSource V2 +
+    spark.sql.parquet.aggregatePushdown): COUNT/MIN/MAX are answered
+    from footer statistics — the scan reads row-group metadata, not
+    data pages, so the query touches ~KBs of a table that could be
+    100 TB. The plan shows `PushedAggregation: [COUNT(*), MIN(...),
+    MAX(...)]` with a statistics-only ReadSchema (pinned in
+    tests/test_round4.py). The V2 source routing and the pushdown flag
+    are scoped to this query and restored — the engine's default V1
+    path keeps the broader source behavior the rest of the suite pins.
+    This is the footer-statistics fast path every table format's
+    `DESCRIBE DETAIL` / file-skipping machinery rides."""
+    flags = [
+        ("spark.sql.parquet.aggregatePushdown", "true"),
+        ("spark.sql.sources.useV1SourceList", ""),
+    ]
+    prev = {}
+    for k, v in flags:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        out = li.agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        # Force PHYSICAL planning under the scoped confs: the V2 pushdown
+        # rule runs at plan time, which is lazy — without this the confs
+        # would be restored before the optimizer ever saw them. The
+        # QueryExecution caches the plan, so later actions reuse it.
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in flags:
+            if prev[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev[k])

@@ -359,3 +359,18 @@ def test_pipeline_funnel_monotone_and_consistent(spark, duck, sf_dir):
     keep = cascade.filter(F.col("verdict") == "keep").count()
     assert rows["quality"]["n_docs"] == keep
     compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_agg_pushdown_reaches_parquet_scan(spark, duck, sf_dir):
+    """The scoped V2 read must show PushedAggregation in the physical
+    plan (footer-statistics answer, no data pages), the session confs
+    must be restored afterwards, and the result hash-matches."""
+    from tests.conftest import compare_frames
+
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spec = REGISTRY["q_scan_agg_pushdown"]
+    out = spec.fn(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == prev_v1
+    compare_frames(out, duck, spec.oracle, spec.name)
