@@ -181,6 +181,7 @@ HEADLINE = [
     "q_agg_hll_replay",
     "q_curate_pipeline_funnel",
     "q_scan_agg_pushdown",
+    "q_agg_kmv_setops",
 ]
 
 

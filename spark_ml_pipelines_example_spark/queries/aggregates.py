@@ -1881,3 +1881,151 @@ def q_agg_hll_replay(spark, sf_dir):
             (corrected - F.col("exact_distinct")) / F.col("exact_distinct").cast("double"), 6
         ).alias("rel_error"),
     )
+
+
+# KMV (k-minimum-values) distinct sketch with SET OPERATIONS, k=256.
+# Like the Count-Min/Bloom/HLL trio above, every sketch element is an
+# exact integer both engines reproduce (32-bit md5 hash, rank-k
+# selection), so union/intersection estimates hash-compare too - the
+# set-algebra capability HLL alone cannot audit.
+KMV_K = 256
+
+
+def _kmv_oracle() -> str:
+    # standard KMV small-set branch: a sketch holding fewer than k
+    # values IS the exact distinct set
+    est = (
+        "CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+        "ELSE ({k} - 1) * 4294967296.0 / MAX(h) END".format(k=KMV_K)
+    )
+    return f"""
+    WITH flags AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_b
+        FROM orders GROUP BY o_custkey
+    ), hashed AS (
+        SELECT o_custkey, in_a, in_b,
+               CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM flags
+    ), sk_a AS (
+        SELECT h FROM hashed WHERE in_a = 1 ORDER BY h LIMIT {KMV_K}
+    ), sk_b AS (
+        SELECT h FROM hashed WHERE in_b = 1 ORDER BY h LIMIT {KMV_K}
+    ), sk_u AS (
+        SELECT DISTINCT h FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b)
+        ORDER BY h LIMIT {KMV_K}
+    ), j AS (
+        -- Jaccard denominator = the ACTUAL union-sketch size (= k only
+        -- once both cohorts are large; the exact set below k)
+        SELECT COUNT(*) AS n_u,
+               COUNT(CASE WHEN h IN (SELECT h FROM sk_a)
+                           AND h IN (SELECT h FROM sk_b) THEN 1 END) AS n_both
+        FROM sk_u
+    ), truth AS (
+        SELECT CAST(SUM(in_a) AS BIGINT) AS true_a,
+               CAST(SUM(in_b) AS BIGINT) AS true_b,
+               CAST(COUNT(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END) AS BIGINT)
+                   AS true_intersect,
+               CAST(COUNT(CASE WHEN in_a = 1 OR in_b = 1 THEN 1 END) AS BIGINT)
+                   AS true_union
+        FROM hashed
+    )
+    SELECT truth.*,
+           ROUND((SELECT {est} FROM sk_a), 4) AS est_a,
+           ROUND((SELECT {est} FROM sk_b), 4) AS est_b,
+           ROUND((SELECT {est} FROM sk_u), 4) AS est_union,
+           ROUND((SELECT n_both FROM j) / (SELECT CAST(n_u AS DOUBLE) FROM j)
+                 * (SELECT {est} FROM sk_u), 4) AS est_intersect
+    FROM truth
+    """
+
+
+@query(
+    "q_agg_kmv_setops",
+    oracle=_kmv_oracle(),
+    tags=("agg", "sketch", "kmv", "set-operations"),
+)
+def q_agg_kmv_setops(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketches WITH set algebra — the
+    capability the HLL family can't deliver auditable: two customer
+    cohorts (placed a finished 'F' order / an open 'O' order) are
+    sketched as their k=256 smallest 32-bit md5 hash values; the union
+    sketch is the k smallest of the merged sketches, and the
+    intersection estimate is the classic Jaccard route (fraction of
+    union-sketch values present in BOTH sketches × union estimate).
+    Every sketch element is an exact integer rank selection both
+    engines reproduce, so estimates hash-compare next to the exact
+    cohort sizes in one summary row.
+
+    Scale shape: the cohort flags are one combinable aggregate over
+    orders; each sketch is a TakeOrdered(k) — per-partition k-minimum
+    then a k-sized driver merge, the same mergeability production KMV
+    relies on (sketch union = merge + re-truncate, associative across
+    any partitioning); everything after is k-row arithmetic."""
+    o = t(spark, sf_dir, "orders")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("in_b"),
+    )
+    hashed = flags.select(
+        "in_a",
+        "in_b",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    from pyspark import StorageLevel
+
+    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)  # feeds 3 sketches + truth
+    sk_a = hashed.filter(F.col("in_a") == 1).select("h").orderBy("h").limit(KMV_K)
+    sk_b = hashed.filter(F.col("in_b") == 1).select("h").orderBy("h").limit(KMV_K)
+    sk_u = sk_a.unionByName(sk_b).distinct().orderBy("h").limit(KMV_K)
+
+    def est(sk):
+        # small-set branch mirrors the oracle: < k values = exact set
+        return sk.agg(
+            F.when(
+                F.count("*") < KMV_K, F.count("*").cast("double")
+            )
+            .otherwise(F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.max("h"))
+            .alias("e")
+        )
+
+    n_both = (
+        sk_u.join(sk_a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left")
+        .join(sk_b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left")
+        .agg(
+            F.count(
+                F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1)
+            ).alias("n_both"),
+            # Jaccard denominator = actual union-sketch size (mirrors oracle)
+            F.count("*").alias("n_u"),
+        )
+    )
+    truth = hashed.agg(
+        F.sum("in_a").alias("true_a"),
+        F.sum("in_b").alias("true_b"),
+        F.count(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)).alias(
+            "true_intersect"
+        ),
+        F.count(F.when((F.col("in_a") == 1) | (F.col("in_b") == 1), 1)).alias("true_union"),
+    )
+    out = (
+        truth.crossJoin(est(sk_a).withColumnRenamed("e", "ea"))
+        .crossJoin(est(sk_b).withColumnRenamed("e", "eb"))
+        .crossJoin(est(sk_u).withColumnRenamed("e", "eu"))
+        .crossJoin(n_both)
+    )
+    return out.select(
+        "true_a",
+        "true_b",
+        "true_intersect",
+        "true_union",
+        F.round("ea", 4).alias("est_a"),
+        F.round("eb", 4).alias("est_b"),
+        F.round("eu", 4).alias("est_union"),
+        F.round(F.col("n_both") / F.col("n_u").cast("double") * F.col("eu"), 4).alias(
+            "est_intersect"
+        ),
+    )

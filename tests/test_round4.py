@@ -374,3 +374,23 @@ def test_agg_pushdown_reaches_parquet_scan(spark, duck, sf_dir):
     assert "PushedAggregation: [COUNT(*)" in plan
     assert spark.conf.get("spark.sql.sources.useV1SourceList") == prev_v1
     compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_kmv_setops_error_band(spark, duck, sf_dir):
+    """KMV estimates (incl. the union and Jaccard-route intersection)
+    must land within a loose 3-sigma band (sigma = 1/sqrt(256) =
+    6.25%) of the exact cohort cardinalities, and the summary row
+    hash-matches the DuckDB replay."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_agg_kmv_setops"]
+    out = spec.fn(spark, sf_dir)
+    r = out.collect()[0].asDict()
+    for t_, e_ in (
+        ("true_a", "est_a"),
+        ("true_b", "est_b"),
+        ("true_union", "est_union"),
+        ("true_intersect", "est_intersect"),
+    ):
+        assert abs(r[e_] - r[t_]) / r[t_] < 0.19, (t_, r)
+    compare_frames(out, duck, spec.oracle, spec.name)
