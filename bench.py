@@ -182,6 +182,7 @@ HEADLINE = [
     "q_curate_pipeline_funnel",
     "q_scan_agg_pushdown",
     "q_agg_kmv_setops",
+    "q_curate_epoch_mix",
 ]
 
 

@@ -1101,3 +1101,111 @@ def q_curate_pipeline_funnel(spark, sf_dir):
             f"stack({len(PIPE_STAGES)}, {stack_expr}) AS (stage, stage_no, n_docs, n_tokens, id_sum)"
         )
     )
+
+
+@query(
+    "q_curate_epoch_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+    ), weighted AS (
+        SELECT source, n_src,
+               POWER(CAST(n_src AS DOUBLE), {MIX_ALPHA})
+                   / SUM(POWER(CAST(n_src AS DOUBLE), {MIX_ALPHA})) OVER () AS w,
+               CAST(SUM(n_src) OVER () AS BIGINT) AS total
+        FROM counts
+    ), quotas AS (
+        SELECT source,
+               CAST(FLOOR(total * w + 0.5) AS BIGINT) // n_src AS full_epochs,
+               CAST(FLOOR(total * w + 0.5) AS BIGINT) % n_src AS remainder_docs
+        FROM weighted
+    ), ranked AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                   AS rk
+        FROM documents d
+    ), emitted AS (
+        SELECT r.doc_id, r.source, r.n_chars, CAST(t.rep AS BIGINT) AS replica
+        FROM ranked r JOIN quotas q ON q.source = r.source,
+             UNNEST(range(0, q.full_epochs)) AS t(rep)
+        UNION ALL
+        SELECT r.doc_id, r.source, r.n_chars, q.full_epochs AS replica
+        FROM ranked r JOIN quotas q ON q.source = r.source
+        WHERE r.rk <= q.remainder_docs
+    )
+    SELECT source,
+           COUNT(*) AS n_emitted,
+           COUNT(DISTINCT doc_id) AS n_docs_used,
+           CAST(MAX(replica) AS BIGINT) AS max_replica,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_emitted,
+           CAST(SUM(doc_id * (replica + 1)) AS BIGINT) AS order_checksum
+    FROM emitted GROUP BY source
+    """,
+    tags=("curate", "mixture", "epochs", "upsampling", "training-data"),
+)
+def q_curate_epoch_mix(spark, sf_dir):
+    """MATERIALIZE the temperature mixture — the step after
+    q_curate_mix_temperature's quota math: every source is repeated
+    `full_epochs` whole times, and the fractional epoch takes the
+    deterministic md5-rank-smallest `remainder_docs` (so reruns and
+    engines agree doc-for-doc). This is the LLaMA/GPT-style data-recipe
+    upsampling (×N epochs of small high-quality sources, <1 epoch of
+    the big crawl) as an executable corpus expansion, checksummed
+    per source.
+
+    Scale shape: the epoch repeat is an explode of a per-source small
+    integer (rows ∝ output corpus, the unavoidable cost of
+    materializing it); the fractional-epoch selection is one md5-rank
+    window per source (same skew caveat + salted-rank fallback as
+    q_text_domain_cap); the quota math rides a 5-row broadcast."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    wtot = W.partitionBy()
+    weighted = counts.select(
+        "source",
+        "n_src",
+        (
+            F.pow(F.col("n_src").cast("double"), F.lit(MIX_ALPHA))
+            / F.sum(F.pow(F.col("n_src").cast("double"), F.lit(MIX_ALPHA))).over(wtot)
+        ).alias("w"),
+        F.sum("n_src").over(wtot).alias("total"),
+    )
+    quotas = weighted.select(
+        "source",
+        (F.floor(F.col("total") * F.col("w") + 0.5).cast("long") / F.col("n_src"))
+        .cast("long")
+        .alias("full_epochs"),
+        (F.floor(F.col("total") * F.col("w") + 0.5).cast("long") % F.col("n_src")).alias(
+            "remainder_docs"
+        ),
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    ).join(F.broadcast(quotas), "source")
+    whole = ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.col("full_epochs") - 1)).alias("replica"),
+    ).filter(F.col("full_epochs") > 0)
+    frac = ranked.filter(F.col("rk") <= F.col("remainder_docs")).select(
+        "doc_id", "source", "n_chars", F.col("full_epochs").alias("replica")
+    )
+    emitted = whole.unionByName(frac)
+    return emitted.groupBy("source").agg(
+        F.count("*").alias("n_emitted"),
+        F.countDistinct("doc_id").alias("n_docs_used"),
+        F.max("replica").cast("long").alias("max_replica"),
+        F.sum("n_chars").cast("long").alias("chars_emitted"),
+        F.sum(F.col("doc_id") * (F.col("replica") + 1)).cast("long").alias("order_checksum"),
+    )

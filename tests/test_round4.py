@@ -394,3 +394,20 @@ def test_kmv_setops_error_band(spark, duck, sf_dir):
     ):
         assert abs(r[e_] - r[t_]) / r[t_] < 0.19, (t_, r)
     compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_epoch_mix_matches_quota(spark, duck, sf_dir):
+    """Materialized epochs must emit exactly the quota rows the
+    temperature math assigns per source (n_emitted = quota from
+    q_curate_mix_temperature), and the rollup hash-matches."""
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_curate_epoch_mix"]
+    out = spec.fn(spark, sf_dir)
+    got = {r["source"]: r["n_emitted"] for r in out.collect()}
+    quota = {
+        r["source"]: r["quota"]
+        for r in REGISTRY["q_curate_mix_temperature"].fn(spark, sf_dir).collect()
+    }
+    assert got == quota
+    compare_frames(out, duck, spec.oracle, spec.name)
