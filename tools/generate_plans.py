@@ -120,6 +120,10 @@ SHOWCASE = [
     ("q_agg_bloom_membership", "Bloom: distinct-combinable bit table, broadcast probe join"),
     ("q_agg_hll_replay", "HLL: one combinable max-agg into 1024 registers, scalar finish"),
     ("q_curate_pipeline_funnel", "funnel: one flag pass + stack unpivot, broadcast shingle semi-join"),
+    ("q_scan_agg_pushdown", "footer stats: PushedAggregation, statistics-only ReadSchema"),
+    ("q_agg_kmv_setops", "KMV: combinable flags agg, TakeOrdered(k) sketches, k-row algebra"),
+    ("q_curate_epoch_mix", "epoch mix: broadcast quotas, per-source explode + md5-rank remainder"),
+    ("q_stream_foreach_batch_upsert", "foreachBatch: dynamic partition overwrite, final-state read"),
 ]
 
 
