@@ -183,6 +183,9 @@ HEADLINE = [
     "q_scan_agg_pushdown",
     "q_agg_kmv_setops",
     "q_curate_epoch_mix",
+    "q_text_bpe_train",
+    "q_text_bpe_apply",
+    "q_scan_time_travel",
 ]
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.io import read_csv_with_schema, write_parquet
-from ._util import scratch_dir, t
+from ._util import dec, scratch_dir, t
 from .registry import query
 
 
@@ -754,3 +754,82 @@ def q_scan_agg_pushdown(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, prev[k])
+
+
+@query(
+    "q_scan_time_travel",
+    oracle="""
+    WITH fseg AS (
+        SELECT COUNT(*) AS c,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders WHERE o_orderstatus = 'F'
+    ), oseg AS (
+        SELECT COUNT(*) AS c,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS s
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+    )
+    SELECT 0 AS version, fseg.c AS n_rows, fseg.s AS total_cents FROM fseg
+    UNION ALL
+    SELECT 1, fseg.c + oseg.c, fseg.s + oseg.s FROM fseg, oseg
+    UNION ALL
+    SELECT 2, oseg.c, oseg.s FROM oseg
+    ORDER BY version
+    """,
+    tags=("scan", "time-travel", "snapshot", "table-format"),
+)
+def q_scan_time_travel(spark, sf_dir):
+    """Table-format time travel over the minimal file-manifest snapshot
+    log (sources/snapshots.py — the Delta/Iceberg read mechanics without
+    the missing dependency; VERDICT r3 'What's missing' #4). Three
+    commits against one table: v0 ingests the 'F' orders segment, v1
+    APPENDS the sampled 'O' segment (new files, old untouched), v2
+    logically DELETES the F segment (manifest drops its files; no data
+    file is ever rewritten). The query then time-travel-reads ALL THREE
+    versions and aggregates each — possible only because commits are
+    copy-on-write over immutable files.
+
+    Scale shape: the manifest is driver-side KB-sized JSON (exactly how
+    Delta replays its log); each versioned read plans a plain multi-file
+    parquet scan over the listed files, so pushdown/pruning/parallelism
+    are unchanged, and the three version aggregates are combinable
+    count/sum passes unioned into a 3-row result. Money goes through the
+    decimal(18,2)→cents-BIGINT cast so every engine sums exact integers
+    (SURVEY §2.4)."""
+    from ..sources.snapshots import (
+        commit_snapshot,
+        init_table,
+        read_version,
+        write_segment,
+    )
+
+    base = scratch_dir("q_scan_time_travel", sf_dir)
+    init_table(base)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    f_files = write_segment(
+        orders.filter(F.col("o_orderstatus") == "F"), base, "seg-f"
+    )
+    v0 = commit_snapshot(base, f_files)
+    o_files = write_segment(
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
+        ),
+        base,
+        "seg-o",
+    )
+    v1 = commit_snapshot(base, f_files + o_files)
+    v2 = commit_snapshot(base, o_files)  # delete the F segment by manifest
+    out = None
+    for v in (v0, v1, v2):
+        agg = (
+            read_version(spark, base, v)
+            .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents"))
+            .select(F.lit(v).alias("version"), "n_rows", "total_cents")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")

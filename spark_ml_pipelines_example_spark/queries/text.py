@@ -393,3 +393,194 @@ def q_text_pmi_collocations(spark, sf_dir):
         .limit(20)
         .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016): the missing member of the
+# LLM-pipeline text stack — the engine can already tokenize, score, and
+# dedup a corpus; this trains the subword vocabulary itself.
+
+BPE_MERGES = 6
+
+
+def _bpe_oracle(merges: int = BPE_MERGES) -> str:
+    """Unrolled-CTE DuckDB twin of the BPE merge loop (the LPA pattern:
+    one CTE block per iteration). Pair positions come from
+    ``UNNEST(range(2, len(tk)))`` over the 1-indexed split list (element
+    1 is the empty string before the leading space); merge application is
+    ``replace(seq, ' l r', ' lr')``, whose left-to-right non-overlapping
+    scan is EXACTLY the greedy BPE merge order in both engines (verified:
+    ``' a a a'`` → ``' aa a'``, ``' a b a b'`` → ``' ab ab'``)."""
+    steps = []
+    for k in range(1, merges + 1):
+        steps.append(
+            f"""x{k} AS (
+        SELECT freq, string_split(seq, ' ') AS tk FROM w{k - 1}
+    ), e{k} AS (
+        SELECT freq, tk, UNNEST(range(2, len(tk))) AS i FROM x{k}
+    ), p{k} AS (
+        SELECT tk[i] AS l, tk[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM e{k} GROUP BY 1, 2
+    ), t{k} AS (
+        SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+    ), w{k} AS (
+        SELECT freq, replace(seq, ' ' || l || ' ' || r, ' ' || l || r) AS seq
+        FROM w{k - 1}, t{k}
+    )"""
+        )
+    chain = ", ".join(steps)
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, l || r AS merged,"
+        f" cnt AS pair_count FROM t{k}"
+        for k in range(1, merges + 1)
+    )
+    return f"""
+    WITH wf AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+    ), w0 AS (
+        SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') || ' </w>' AS seq
+        FROM wf
+    ), {chain}
+    SELECT * FROM ({sel}) ORDER BY step
+    """
+
+
+def _bpe_train(spark, sf_dir):
+    """Shared BPE merge loop: returns (final word-dict frame with merged
+    ``seq`` strings, list of 1-row per-step winner frames). Both stages
+    localCheckpoint per round — the word dict is vocabulary-sized, so the
+    checkpoint is cheap and it truncates the exponential lineage the
+    round-over-round self-reference would otherwise build."""
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = wf.select(
+        "freq",
+        F.concat(F.regexp_replace("w", "(.)", " $1"), F.lit(" </w>")).alias("seq"),
+    ).localCheckpoint()
+    pair_enum = F.expr(
+        "transform(sequence(2, size(tk) - 1),"
+        " i -> struct(element_at(tk, i) AS l, element_at(tk, i + 1) AS r))"
+    )
+    tops = []
+    for k in range(1, BPE_MERGES + 1):
+        pc = (
+            words.select("freq", F.split("seq", " ").alias("tk"))
+            .select("freq", F.explode(pair_enum).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pc.orderBy(F.desc("cnt"), "l", "r").limit(1).localCheckpoint()
+        tops.append(top.select(F.lit(k).alias("step"), "l", "r", "cnt"))
+        words = (
+            words.crossJoin(F.broadcast(top.select("l", "r")))
+            .select(
+                "freq",
+                F.expr(
+                    "replace(seq, concat(' ', l, ' ', r), concat(' ', l, r))"
+                ).alias("seq"),
+            )
+            .localCheckpoint()
+        )
+    return words, tops
+
+
+@query(
+    "q_text_bpe_train",
+    oracle=_bpe_oracle(),
+    tags=("text", "bpe", "tokenizer", "training-data"),
+)
+def q_text_bpe_train(spark, sf_dir):
+    """Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016 — the
+    algorithm behind GPT-2/RoBERTa vocabularies): start from characters
+    plus an end-of-word marker, repeatedly merge the globally most
+    frequent adjacent symbol pair (ties broken lexicographically), and
+    emit the learned merge table — the artifact a tokenizer ships. The
+    engine's text stack could already tokenize/score/dedup a corpus;
+    this trains the vocabulary itself.
+
+    Scale shape — the classic two-level BPE decomposition: ONE combinable
+    hash aggregate collapses the token stream into the distinct
+    word-frequency dict (the only corpus-sized stage; everything after is
+    vocabulary-sized, thousands of rows at 100 TB), localCheckpointed so
+    the merge rounds never rescan the corpus. Each round is then a
+    map-side ``transform``+``explode`` pair enumeration over the word
+    dict, a freq-weighted hash aggregate, and a TakeOrdered(1) — no
+    global sort, no driver data path; the 1-row winner broadcasts back
+    for the ``replace`` rewrite. Symbols are space-prefixed inside the
+    sequence string, so ``replace(' l r' → ' lr')`` is an unambiguous,
+    greedy left-to-right merge — bit-identical semantics in Spark and
+    DuckDB (both scan non-overlapping, resuming after each replacement).
+    Per-round localCheckpoint truncates the exponential lineage the
+    round-over-round self-reference would otherwise build (the
+    q_graph_label_propagation pattern)."""
+    _, tops = _bpe_train(spark, sf_dir)
+    out = tops[0]
+    for tdf in tops[1:]:
+        out = out.unionByName(tdf)
+    return out.select(
+        "step",
+        F.col("l").alias("lhs"),
+        F.col("r").alias("rhs"),
+        F.concat("l", "r").alias("merged"),
+        F.col("cnt").alias("pair_count"),
+    ).orderBy("step")
+
+
+BPE_VOCAB_TOP = 20
+
+
+def _bpe_apply_oracle(merges: int = BPE_MERGES, top: int = BPE_VOCAB_TOP) -> str:
+    """Train (same unrolled chain as q_text_bpe_train) then SEGMENT: the
+    final word dict's sequences explode back into subword tokens, and
+    freq-weighted counts give the corpus's subword distribution."""
+    train = _bpe_oracle(merges)
+    # reuse the training CTE chain up to w{merges}; strip its final SELECT
+    chain = train[: train.rindex("SELECT * FROM")]
+    return f"""{chain}
+    SELECT tok, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+           COUNT(*) AS n_word_forms
+    FROM (SELECT freq, UNNEST(string_split(seq, ' ')) AS tok FROM w{merges})
+    WHERE tok <> ''
+    GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT {top}
+    """
+
+
+@query(
+    "q_text_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "bpe", "tokenizer", "training-data"),
+)
+def q_text_bpe_apply(spark, sf_dir):
+    """BPE tokenizer INFERENCE — the other half of q_text_bpe_train:
+    segment the corpus with the learned merge table and report the
+    top subword vocabulary by corpus frequency (occurrences weighted by
+    word frequency, plus how many distinct word forms contain each
+    subword). Together the pair covers the tokenizer lifecycle: train
+    the merges, then tokenize data with them — the step every
+    token-counting / packing / contamination query downstream of a real
+    tokenizer depends on.
+
+    Scale shape: training reuses the shared two-level loop (corpus →
+    word-frequency dict in one combinable aggregate; merge rounds are
+    vocabulary-sized). Application is a map-side split+explode of the
+    merged sequences with a freq-weighted hash aggregate and a
+    TakeOrdered top-K — segmenting a 100 TB corpus would reuse the same
+    chained `replace` expressions per document, embarrassingly parallel,
+    no shuffle beyond the final vocab aggregate."""
+    words, _ = _bpe_train(spark, sf_dir)
+    toks = words.select(
+        "freq", F.explode(F.split("seq", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.sum("freq").alias("n_occurrences"), F.count("*").alias("n_word_forms"))
+        .orderBy(F.desc("n_occurrences"), "tok")
+        .limit(BPE_VOCAB_TOP)
+    )

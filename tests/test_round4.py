@@ -411,3 +411,111 @@ def test_epoch_mix_matches_quota(spark, duck, sf_dir):
     }
     assert got == quota
     compare_frames(out, duck, spec.oracle, spec.name)
+
+
+def test_bpe_train_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_text_bpe_train"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    """The replace()-based merge must be greedy left-to-right and
+    non-overlapping IDENTICALLY in Spark and DuckDB: ' a a a' merges to
+    ' aa a' (not ' a aa'), ' a b a b' to ' ab ab' (the scan resumes
+    after each replacement, so the consumed separator can't block the
+    next match)."""
+    import duckdb
+
+    cases = [(" a a a", " a a", " aa"), (" a b a b", " a b", " ab")]
+    con = duckdb.connect()
+    for s, pat, rep in cases:
+        spark_out = spark.sql(
+            f"SELECT replace('{s}', '{pat}', '{rep}') AS r"
+        ).collect()[0]["r"]
+        duck_out = con.execute(f"SELECT replace('{s}', '{pat}', '{rep}')").fetchone()[0]
+        assert spark_out == duck_out, (s, spark_out, duck_out)
+    con.close()
+
+
+def test_bpe_merges_are_valid_bpe(spark, sf_dir):
+    """Structural invariants of a BPE merge table: steps are 1..K, pair
+    counts are non-increasing is NOT guaranteed (a merge can create a
+    more frequent pair) but every merged token must be the concatenation
+    of its parts, and a later merge may only reference symbols that are
+    single characters, the </w> marker, or the product of an EARLIER
+    merge (the property that makes the table replayable by a tokenizer)."""
+    rows = REGISTRY["q_text_bpe_train"].fn(spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(range(1, len(rows) + 1))
+    known = set("abcdefghijklmnopqrstuvwxyz0123456789") | {"</w>"}
+    for r in rows:
+        assert r["merged"] == r["lhs"] + r["rhs"]
+        assert r["lhs"] in known and r["rhs"] in known, r
+        assert r["pair_count"] > 0
+        known.add(r["merged"])
+
+
+def test_time_travel_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_scan_time_travel"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_snapshot_log_isolation(spark, tmp_path):
+    """The table-format contract: commits are copy-on-write over
+    immutable files, so (a) a version resolved BEFORE a later commit
+    still reads its exact snapshot afterwards, (b) a delete commit
+    removes rows without touching data files, (c) versions are dense and
+    ordered."""
+    from spark_ml_pipelines_example_spark.sources import snapshots as S
+
+    base = str(tmp_path / "tbl")
+    S.init_table(base)
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    f1 = S.write_segment(df1, base, "seg1")
+    v0 = S.commit_snapshot(base, f1)
+    f2 = S.write_segment(spark.range(10, 15).withColumnRenamed("id", "k"), base, "seg2")
+    v1 = S.commit_snapshot(base, f1 + f2)
+    v2 = S.commit_snapshot(base, f2)  # delete seg1
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert S.versions(base) == [0, 1, 2]
+    assert S.read_version(spark, base, 0).count() == 10
+    assert S.read_version(spark, base, 1).count() == 15
+    assert S.read_version(spark, base, 2).count() == 5
+    # time travel after the delete still sees the full v1 snapshot
+    got = sorted(r["k"] for r in S.read_version(spark, base, 1).collect())
+    assert got == list(range(15))
+    # immutability: the delete commit left seg1's files on disk untouched
+    import os
+
+    assert all(os.path.exists(p) for p in f1)
+    # a segment can never be rewritten
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        S.write_segment(df1, base, "seg1")
+
+
+def test_bpe_apply_hash(spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY["q_text_bpe_apply"]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_bpe_segmentation_is_lossless(spark, sf_dir):
+    """Tokenization must be a partition of the input: concatenating each
+    word's subword tokens (minus the marker) reconstructs the word
+    exactly — no character is lost or duplicated by any merge round."""
+    from spark_ml_pipelines_example_spark.queries.text import _bpe_train
+
+    words, _ = _bpe_train(spark, sf_dir)
+    bad = words.select(
+        F.replace(
+            F.replace(F.col("seq"), F.lit(" "), F.lit("")), F.lit("</w>"), F.lit("")
+        ).alias("rejoined"),
+        "freq",
+    ).filter(~F.col("rejoined").rlike("^[a-z0-9]+$"))
+    assert bad.count() == 0
