@@ -186,6 +186,9 @@ HEADLINE = [
     "q_text_bpe_train",
     "q_text_bpe_apply",
     "q_scan_time_travel",
+    "q_scan_table_history",
+    "q_ts_ewma_irregular",
+    "q_curate_k_anonymity",
 ]
 
 

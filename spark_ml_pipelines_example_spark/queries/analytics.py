@@ -5258,3 +5258,112 @@ def q_graph_label_propagation(spark, sf_dir):
         F.min("node").alias("min_node"),
         F.sum("node").alias("node_sum"),
     )
+
+
+@query(
+    "q_ts_ewma_irregular",
+    # The gap-aware recursion is REPLAYED exactly (the q_ts_holt
+    # discipline): alpha_i = dt/(dt+30) uses only IEEE-correctly-rounded
+    # ops (int->double cast, +, /), and the update
+    # level += alpha*(x - level) is written with the same association in
+    # both engines, so states agree bit-for-bit before round_even(…,6).
+    oracle="""
+    WITH RECURSIVE hist AS (
+        SELECT o_custkey AS c, o_orderkey AS ok,
+               CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                    AS BIGINT) AS d,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+        FROM orders
+    ), seq AS (
+        SELECT c, ok, d, x,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY d, ok) AS rn
+        FROM hist
+    ), r AS (
+        SELECT c, ok, rn, d, x, CAST(0 AS BIGINT) AS dt, x AS level
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.c, s.ok, s.rn, s.d, s.x, s.d - r.d AS dt,
+               r.level + (CAST(s.d - r.d AS DOUBLE)
+                          / (CAST(s.d - r.d AS DOUBLE) + 30.0))
+                         * (s.x - r.level) AS level
+        FROM r JOIN seq s ON s.c = r.c AND s.rn = r.rn + 1
+    )
+    SELECT c AS o_custkey, ok AS o_orderkey, d AS epoch_day, dt,
+           round_even(x, 6) AS x, round_even(level, 6) AS level
+    FROM r
+    """,
+    tags=("timeseries", "ewma", "irregular", "smoothing"),
+)
+def q_ts_ewma_irregular(spark, sf_dir):
+    """Irregular-gap exponential smoothing of each customer's order-value
+    series — the time-decay feature real event streams need (orders
+    arrive at arbitrary intervals, so a constant-alpha EWMA like
+    q_win_ewma over-weights bursts). Per gap of dt days the smoother
+    moves by alpha(dt) = dt/(dt+30): ~dt/30 for short gaps, →1 for long
+    ones (the rational-decay kernel). exp(-dt/tau) is deliberately NOT
+    used: libm exp() is not guaranteed correctly rounded, so it cannot
+    hash-check across engines, while +,-,*,/ and int→double casts are
+    IEEE-exact — the alpha here keeps the whole recursion bit-identical
+    (see q_ts_holt).
+
+    Scale shape: ONE hash shuffle on customer + a within-partition sort,
+    then a partition-level STATE MACHINE in mapInPandas: rows stream by
+    in (customer, day, orderkey) order and a plain scalar loop resets the
+    level at each customer boundary — state survives Arrow batch
+    boundaries, so there is no per-group dispatch at all (the
+    applyInPandas formulation paid ~milliseconds of pandas overhead per
+    customer × 10⁴ customers; this shape costs one sequential scan per
+    partition and is how a 10⁹-customer deployment would run it). The
+    oracle's RECURSIVE CTE advances all customers in lockstep."""
+    import pandas as pd
+
+    hist = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("ok"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        dec("o_totalprice").cast("double").alias("x"),
+    )
+    part = hist.repartition("c").sortWithinPartitions("c", "d", "ok")
+
+    def smooth_partition(batches):
+        prev_c = None
+        prev_d = 0
+        level = 0.0
+        for pdf in batches:
+            cs = pdf["c"].to_numpy()
+            ds = pdf["d"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            dts = [0] * len(pdf)
+            levels = [0.0] * len(pdf)
+            for i in range(len(pdf)):
+                c_i = int(cs[i])
+                x_i = float(xs[i])
+                d_i = int(ds[i])
+                if c_i != prev_c:
+                    dt = 0
+                    level = x_i
+                else:
+                    dt = d_i - prev_d
+                    alpha = float(dt) / (float(dt) + 30.0)
+                    level = level + alpha * (x_i - level)
+                dts[i] = dt
+                levels[i] = level
+                prev_c, prev_d = c_i, d_i
+            yield pd.DataFrame(
+                {
+                    "o_custkey": pdf["c"],
+                    "o_orderkey": pdf["ok"],
+                    "epoch_day": pdf["d"],
+                    "dt": dts,
+                    "x": pdf["x"].round(6),
+                    "level": pd.Series(levels).round(6),
+                }
+            )
+
+    return part.mapInPandas(
+        smooth_partition,
+        "o_custkey long, o_orderkey long, epoch_day long, dt long, "
+        "x double, level double",
+    )

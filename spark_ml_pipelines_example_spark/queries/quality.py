@@ -1165,3 +1165,63 @@ def q_dq_observe_metrics(spark, sf_dir):
         ],
         schema,
     )
+
+
+K_ANON_K = 10
+K_ANON_L = 3
+
+
+@query(
+    "q_curate_k_anonymity",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_nationkey,
+               CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS BIGINT)
+                   AS bal_band,
+               COUNT(*) AS n,
+               COUNT(DISTINCT c_mktsegment) AS n_sensitive
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band, n, n_sensitive,
+           n >= {K_ANON_K} AS k_anonymous,
+           n_sensitive >= {K_ANON_L} AS l_diverse,
+           ROUND(1.0 / n, 6) AS reident_risk
+    FROM cells
+    """,
+    tags=("curate", "privacy", "k-anonymity", "l-diversity"),
+)
+def q_curate_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+    al. 2007) — the privacy measurement that decides whether a curated
+    release re-identifies people, completing the privacy suite beside
+    q_text_pii_scrub / q_curate_pseudonymize / q_curate_erasure: bucket
+    every record by its QUASI-IDENTIFIER tuple (nation, $1000
+    account-balance band), count the equivalence class (k-anonymity:
+    every class ≥ k) and its distinct sensitive values (l-diversity:
+    a class that is all one market segment leaks the segment even when
+    k-anonymous). Per-cell re-identification risk 1/n is what a privacy
+    reviewer reads first.
+
+    Scale shape: ONE combinable hash aggregate over the quasi-identifier
+    key (count + count-distinct together); the flags and risk are scalar
+    projections of the cell frame (≤ |nations|×|bands| rows regardless
+    of corpus size). The balance band floors an exact decimal (not a
+    double) so both engines bucket identically at the boundaries."""
+    c = t(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(dec("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    return cells.select(
+        "c_nationkey",
+        "bal_band",
+        "n",
+        "n_sensitive",
+        (F.col("n") >= K_ANON_K).alias("k_anonymous"),
+        (F.col("n_sensitive") >= K_ANON_L).alias("l_diverse"),
+        F.round(F.lit(1.0) / F.col("n"), 6).alias("reident_risk"),
+    )

@@ -756,6 +756,37 @@ def q_scan_agg_pushdown(spark, sf_dir):
                 spark.conf.set(k, prev[k])
 
 
+def _snapshot_demo_table(spark, sf_dir, qname):
+    """Build the 3-version demo table on the file-manifest snapshot log:
+    v0 = the 'F' orders segment, v1 = append the sampled 'O' segment,
+    v2 = manifest-level delete of the F segment. Shared by
+    q_scan_time_travel (versioned reads) and q_scan_table_history
+    (commit-log introspection)."""
+    from ..sources.snapshots import commit_snapshot, init_table, write_segment
+
+    base = scratch_dir(qname, sf_dir)
+    init_table(base)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    f_files = write_segment(
+        orders.filter(F.col("o_orderstatus") == "F"), base, "seg-f"
+    )
+    v0 = commit_snapshot(base, f_files)
+    o_files = write_segment(
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
+        ),
+        base,
+        "seg-o",
+    )
+    v1 = commit_snapshot(base, f_files + o_files)
+    v2 = commit_snapshot(base, o_files)  # delete the F segment by manifest
+    return base, (v0, v1, v2), f_files, o_files
+
+
 @query(
     "q_scan_time_travel",
     oracle="""
@@ -797,33 +828,11 @@ def q_scan_time_travel(spark, sf_dir):
     count/sum passes unioned into a 3-row result. Money goes through the
     decimal(18,2)→cents-BIGINT cast so every engine sums exact integers
     (SURVEY §2.4)."""
-    from ..sources.snapshots import (
-        commit_snapshot,
-        init_table,
-        read_version,
-        write_segment,
-    )
+    from ..sources.snapshots import read_version
 
-    base = scratch_dir("q_scan_time_travel", sf_dir)
-    init_table(base)
-    orders = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        (dec("o_totalprice") * 100).cast("long").alias("cents"),
+    base, (v0, v1, v2), _, _ = _snapshot_demo_table(
+        spark, sf_dir, "q_scan_time_travel"
     )
-    f_files = write_segment(
-        orders.filter(F.col("o_orderstatus") == "F"), base, "seg-f"
-    )
-    v0 = commit_snapshot(base, f_files)
-    o_files = write_segment(
-        orders.filter(
-            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
-        ),
-        base,
-        "seg-o",
-    )
-    v1 = commit_snapshot(base, f_files + o_files)
-    v2 = commit_snapshot(base, o_files)  # delete the F segment by manifest
     out = None
     for v in (v0, v1, v2):
         agg = (
@@ -832,4 +841,68 @@ def q_scan_time_travel(spark, sf_dir):
             .select(F.lit(v).alias("version"), "n_rows", "total_cents")
         )
         out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("version")
+
+
+@query(
+    "q_scan_table_history",
+    oracle="""
+    WITH fseg AS (
+        SELECT COUNT(*) AS c FROM orders WHERE o_orderstatus = 'F'
+    ), oseg AS (
+        SELECT COUNT(*) AS c FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
+    )
+    SELECT 0 AS version, fseg.c AS n_rows, fseg.c AS rows_added,
+           CAST(0 AS BIGINT) AS rows_removed FROM fseg
+    UNION ALL
+    SELECT 1, fseg.c + oseg.c, oseg.c, CAST(0 AS BIGINT) FROM fseg, oseg
+    UNION ALL
+    SELECT 2, oseg.c, CAST(0 AS BIGINT), fseg.c FROM fseg, oseg
+    ORDER BY version
+    """,
+    tags=("scan", "time-travel", "snapshot", "history"),
+)
+def q_scan_table_history(spark, sf_dir):
+    """DESCRIBE HISTORY over the file-manifest snapshot log — the
+    commit-log introspection every lakehouse operator runs daily: for
+    each version, the live row count plus the rows ADDED and REMOVED by
+    that commit, derived purely from the manifest DIFF (added files =
+    v's set minus v−1's, removed = the reverse) — commits never annotate
+    themselves, the log is the source of truth, exactly how Delta's
+    history computation replays its JSON actions.
+
+    Scale shape: manifests are driver-side KB JSON; each added/removed
+    file-set count is a parquet footer-metadata count scan over just
+    those files (no data pages), and the 3-version result is a union of
+    1-row aggregates. The shared demo table (_snapshot_demo_table) is
+    the same one q_scan_time_travel reads, so the two surfaces can't
+    drift."""
+    from ..sources.snapshots import manifest
+
+    base, vs, _, _ = _snapshot_demo_table(spark, sf_dir, "q_scan_table_history")
+
+    def count_frame(files, alias):
+        if not files:
+            return None
+        return spark.read.parquet(*files).agg(F.count("*").alias(alias))
+
+    out = None
+    prev_files: set[str] = set()
+    for v in vs:
+        cur_files = set(manifest(base, v)["files"])
+        added = sorted(cur_files - prev_files)
+        removed = sorted(prev_files - cur_files)
+        row = None
+        for files, alias in ((sorted(cur_files), "n_rows"), (added, "rows_added"),
+                             (removed, "rows_removed")):
+            cf = count_frame(files, alias)
+            if cf is None:
+                cf = spark.range(1).select(F.lit(0).cast("long").alias(alias))
+            row = cf if row is None else row.crossJoin(F.broadcast(cf))
+        row = row.select(
+            F.lit(v).alias("version"), "n_rows", "rows_added", "rows_removed"
+        )
+        out = row if out is None else out.unionByName(row)
+        prev_files = cur_files
     return out.orderBy("version")

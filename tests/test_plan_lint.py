@@ -28,6 +28,7 @@ PYTHON_OK = {
     "q_ts_holt",  # Holt recursion per series (applyInPandas; RECURSIVE CTE oracle)
     "q_ts_holt_winters",  # seasonal recursion per series (applyInPandas; list-state CTE oracle)
     "q_multimodal_binary_files",  # binaryFile ingest + BMP decode (mapInPandas)
+    "q_ts_ewma_irregular",  # gap-aware recursion: partition state machine (mapInPandas)
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.

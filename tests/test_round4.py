@@ -519,3 +519,71 @@ def test_bpe_segmentation_is_lossless(spark, sf_dir):
         "freq",
     ).filter(~F.col("rejoined").rlike("^[a-z0-9]+$"))
     assert bad.count() == 0
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q_ts_ewma_irregular", "q_curate_k_anonymity", "q_scan_table_history"],
+)
+def test_round4_batch2_hash(qname, spark, duck, sf_dir):
+    from tests.conftest import compare_frames
+
+    spec = REGISTRY[qname]
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, spec.name)
+
+
+def test_ewma_irregular_is_convex_and_gap_aware(spark, sf_dir):
+    """The smoother is a convex combination, so every level lies inside
+    the running [min, max] envelope of its customer's series; a zero-day
+    gap (same-day second order) must leave the level exactly unchanged."""
+    df = REGISTRY["q_ts_ewma_irregular"].fn(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch_day", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    chk = df.select(
+        "*",
+        F.min("x").over(w).alias("lo"),
+        F.max("x").over(w).alias("hi"),
+        F.lag("level").over(
+            W.partitionBy("o_custkey").orderBy("epoch_day", "o_orderkey")
+        ).alias("prev_level"),
+    )
+    eps = 1e-6  # output is rounded to 6dp
+    assert (
+        chk.filter(
+            (F.col("level") < F.col("lo") - eps) | (F.col("level") > F.col("hi") + eps)
+        ).count()
+        == 0
+    )
+    assert (
+        chk.filter(
+            (F.col("dt") == 0)
+            & F.col("prev_level").isNotNull()
+            & (F.abs(F.col("level") - F.col("prev_level")) > eps)
+        ).count()
+        == 0
+    )
+
+
+def test_table_history_reconciles(spark, sf_dir):
+    """Ledger identity: n_rows(v) = n_rows(v-1) + rows_added(v) -
+    rows_removed(v), and the history row counts equal what the
+    time-travel reads of the same versions actually return."""
+    hist = {
+        r["version"]: r
+        for r in REGISTRY["q_scan_table_history"].fn(spark, sf_dir).collect()
+    }
+    prev = 0
+    for v in sorted(hist):
+        r = hist[v]
+        assert r["n_rows"] == prev + r["rows_added"] - r["rows_removed"], r
+        prev = r["n_rows"]
+    tt = {
+        r["version"]: r["n_rows"]
+        for r in REGISTRY["q_scan_time_travel"].fn(spark, sf_dir).collect()
+    }
+    assert {v: hist[v]["n_rows"] for v in hist} == tt

@@ -124,6 +124,9 @@ SHOWCASE = [
     ("q_agg_kmv_setops", "KMV: combinable flags agg, TakeOrdered(k) sketches, k-row algebra"),
     ("q_curate_epoch_mix", "epoch mix: broadcast quotas, per-source explode + md5-rank remainder"),
     ("q_stream_foreach_batch_upsert", "foreachBatch: dynamic partition overwrite, final-state read"),
+    ("q_text_bpe_train", "BPE train: corpus collapses to word dict once, vocab-sized merge rounds"),
+    ("q_text_bpe_apply", "BPE apply: map-side segment explode, one vocab aggregate, TakeOrdered"),
+    ("q_scan_time_travel", "time travel: manifest-resolved multi-file scans, 3 combinable aggs"),
 ]
 
 
