@@ -757,12 +757,21 @@ def q_scan_agg_pushdown(spark, sf_dir):
 
 
 def _snapshot_demo_table(spark, sf_dir, qname):
-    """Build the 3-version demo table on the file-manifest snapshot log:
-    v0 = the 'F' orders segment, v1 = append the sampled 'O' segment,
-    v2 = manifest-level delete of the F segment. Shared by
+    """Build the 4-version demo table on the file-manifest snapshot log —
+    one commit per CRUD verb: v0 = ingest the 'F' orders segment, v1 =
+    APPEND the sampled 'O' segment, v2 = manifest-level DELETE of the F
+    segment, v3 = copy-on-write UPDATE (+500-cent credit to every 5th
+    order: the current version is read, the segment rewritten as new
+    files, and the manifest swaps old for new — the original files stay
+    on disk untouched, which is what keeps v1/v2 readable). Shared by
     q_scan_time_travel (versioned reads) and q_scan_table_history
     (commit-log introspection)."""
-    from ..sources.snapshots import commit_snapshot, init_table, write_segment
+    from ..sources.snapshots import (
+        commit_snapshot,
+        init_table,
+        read_version,
+        write_segment,
+    )
 
     base = scratch_dir(qname, sf_dir)
     init_table(base)
@@ -784,7 +793,15 @@ def _snapshot_demo_table(spark, sf_dir, qname):
     )
     v1 = commit_snapshot(base, f_files + o_files)
     v2 = commit_snapshot(base, o_files)  # delete the F segment by manifest
-    return base, (v0, v1, v2), f_files, o_files
+    upd = read_version(spark, base, v2).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("cents") + 500
+        ).otherwise(F.col("cents")),
+    )
+    u_files = write_segment(upd, base, "seg-o-upd")
+    v3 = commit_snapshot(base, u_files)  # copy-on-write update
+    return base, (v0, v1, v2, v3), f_files, o_files
 
 
 @query(
@@ -801,11 +818,17 @@ def _snapshot_demo_table(spark, sf_dir, qname):
                     AS BIGINT) AS s
         FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0
     )
+    , useg AS (
+        SELECT COUNT(*) AS c FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0 AND o_orderkey % 5 = 0
+    )
     SELECT 0 AS version, fseg.c AS n_rows, fseg.s AS total_cents FROM fseg
     UNION ALL
     SELECT 1, fseg.c + oseg.c, fseg.s + oseg.s FROM fseg, oseg
     UNION ALL
     SELECT 2, oseg.c, oseg.s FROM oseg
+    UNION ALL
+    SELECT 3, oseg.c, oseg.s + 500 * useg.c FROM oseg, useg
     ORDER BY version
     """,
     tags=("scan", "time-travel", "snapshot", "table-format"),
@@ -813,13 +836,15 @@ def _snapshot_demo_table(spark, sf_dir, qname):
 def q_scan_time_travel(spark, sf_dir):
     """Table-format time travel over the minimal file-manifest snapshot
     log (sources/snapshots.py — the Delta/Iceberg read mechanics without
-    the missing dependency; VERDICT r3 'What's missing' #4). Three
-    commits against one table: v0 ingests the 'F' orders segment, v1
-    APPENDS the sampled 'O' segment (new files, old untouched), v2
-    logically DELETES the F segment (manifest drops its files; no data
-    file is ever rewritten). The query then time-travel-reads ALL THREE
-    versions and aggregates each — possible only because commits are
-    copy-on-write over immutable files.
+    the missing dependency; VERDICT r3 'What's missing' #4). Four
+    commits against one table — one per CRUD verb: v0 ingests the 'F'
+    orders segment, v1 APPENDS the sampled 'O' segment (new files, old
+    untouched), v2 logically DELETES the F segment (manifest drops its
+    files; no data file rewritten), v3 UPDATES every 5th order with a
+    +500-cent credit copy-on-write (segment rewritten as NEW files, the
+    manifest swaps them, originals stay for history). The query then
+    time-travel-reads ALL FOUR versions and aggregates each — possible
+    only because commits are copy-on-write over immutable files.
 
     Scale shape: the manifest is driver-side KB-sized JSON (exactly how
     Delta replays its log); each versioned read plans a plain multi-file
@@ -830,11 +855,9 @@ def q_scan_time_travel(spark, sf_dir):
     (SURVEY §2.4)."""
     from ..sources.snapshots import read_version
 
-    base, (v0, v1, v2), _, _ = _snapshot_demo_table(
-        spark, sf_dir, "q_scan_time_travel"
-    )
+    base, versions, _, _ = _snapshot_demo_table(spark, sf_dir, "q_scan_time_travel")
     out = None
-    for v in (v0, v1, v2):
+    for v in versions:
         agg = (
             read_version(spark, base, v)
             .agg(F.count("*").alias("n_rows"), F.sum("cents").alias("total_cents"))
@@ -859,6 +882,8 @@ def q_scan_time_travel(spark, sf_dir):
     SELECT 1, fseg.c + oseg.c, oseg.c, CAST(0 AS BIGINT) FROM fseg, oseg
     UNION ALL
     SELECT 2, oseg.c, CAST(0 AS BIGINT), fseg.c FROM fseg, oseg
+    UNION ALL
+    SELECT 3, oseg.c, oseg.c, oseg.c FROM oseg
     ORDER BY version
     """,
     tags=("scan", "time-travel", "snapshot", "history"),
@@ -870,7 +895,9 @@ def q_scan_table_history(spark, sf_dir):
     that commit, derived purely from the manifest DIFF (added files =
     v's set minus v−1's, removed = the reverse) — commits never annotate
     themselves, the log is the source of truth, exactly how Delta's
-    history computation replays its JSON actions.
+    history computation replays its JSON actions. The v3 copy-on-write
+    update shows up as added≈removed with net-unchanged rows — the
+    characteristic rewrite signature an operator greps history for.
 
     Scale shape: manifests are driver-side KB JSON; each added/removed
     file-set count is a parquet footer-metadata count scan over just
