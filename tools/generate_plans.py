@@ -126,7 +126,10 @@ SHOWCASE = [
     ("q_stream_foreach_batch_upsert", "foreachBatch: dynamic partition overwrite, final-state read"),
     ("q_text_bpe_train", "BPE train: corpus collapses to word dict once, vocab-sized merge rounds"),
     ("q_text_bpe_apply", "BPE apply: map-side segment explode, one vocab aggregate, TakeOrdered"),
-    ("q_scan_time_travel", "time travel: manifest-resolved multi-file scans, 3 combinable aggs"),
+    ("q_scan_time_travel", "time travel: manifest-resolved multi-file scans, 4 combinable aggs"),
+    ("q_ts_ewma_irregular", "gap EWMA: one keyed shuffle + partition state machine, no per-group dispatch"),
+    ("q_curate_k_anonymity", "k-anonymity: one combinable quasi-identifier aggregate, scalar flags"),
+    ("q_scan_table_history", "history: manifest diffs drive footer-count scans, 1-row agg unions"),
 ]
 
 

@@ -56,6 +56,11 @@ QUERIES = [
     "q_multimodal_phash",
     "q_curate_dsir",
     "q_curate_pipeline_funnel",
+    # BPE train: 6-row result is constant; the evidence is the TIME
+    # ratio — the corpus stage is one combinable word-count aggregate
+    # and the merge rounds scale with the DISTINCT word dict (10x here,
+    # sublinear in a natural corpus where replicas share vocabulary)
+    "q_text_bpe_train",
 ]
 
 
