@@ -851,22 +851,26 @@ DSIR_KEEP = 100
                (CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) & 2147483647)
                    % {DSIR_BUCKETS} AS b
         FROM (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
-    ), raw AS (SELECT b, COUNT(*) AS c_r FROM tok GROUP BY b),
-    tgt AS (SELECT b, COUNT(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY b),
-    model AS (
+    ), db AS (
+        SELECT doc_id, lang, b, COUNT(*) AS n FROM tok GROUP BY doc_id, lang, b
+    ), counts AS (
+        SELECT b, CAST(SUM(n) AS BIGINT) AS c_r,
+               CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN n END), 0) AS BIGINT) AS c_t
+        FROM db GROUP BY b
+    ), model AS (
         SELECT g.b, COALESCE(c_r, 0) AS c_r, COALESCE(c_t, 0) AS c_t
         FROM (SELECT UNNEST(range(0, {DSIR_BUCKETS})) AS b) g
-        LEFT JOIN raw ON raw.b = g.b
-        LEFT JOIN tgt ON tgt.b = g.b
+        LEFT JOIN counts ON counts.b = g.b
     ), tot AS (SELECT SUM(c_r) AS tr, SUM(c_t) AS tt FROM model),
     lr AS (
         SELECT b, ln(c_t + 1) - ln(c_r + 1)
                   + ln((tr + {DSIR_BUCKETS}.0) / (tt + {DSIR_BUCKETS}.0)) AS lr
         FROM model, tot
     ), scored AS (
-        SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS n_tokens,
-               ROUND(SUM(lr.lr), 6) AS log_w
-        FROM tok JOIN lr ON lr.b = tok.b GROUP BY doc_id
+        SELECT doc_id, ANY_VALUE(lang) AS lang,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               ROUND(SUM(n * lr.lr), 6) AS log_w
+        FROM db JOIN lr ON lr.b = db.b GROUP BY doc_id
     )
     SELECT * FROM scored ORDER BY log_w DESC, doc_id LIMIT {DSIR_KEEP}
     """,
@@ -901,19 +905,41 @@ def q_curate_dsir(spark, sf_dir):
         .bitwiseAND(F.lit(2147483647))
         % DSIR_BUCKETS
     )
-    tb = tok.select("doc_id", "lang", bucket.alias("b"))
-    # BOTH models from ONE pass over the token stream (raw count +
-    # conditional target count in the same combinable aggregate) — the
-    # two-branch formulation re-exploded the corpus once per model
-    counts = tb.groupBy("b").agg(
-        F.count("*").alias("c_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    # ONE explode over the corpus: compress the token stream to
+    # (doc, bucket) COUNTS first — both the model aggregates AND the
+    # scoring join run over this far smaller frame (docs × distinct
+    # buckets-per-doc, not raw tokens), so the corpus is tokenized
+    # exactly once and the heavy scoring shuffle shrinks ~5×
+    db = (
+        tok.select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("n"))
+        # lazy persist: the model build (triggered by the totals collect
+        # below) materializes this compressed featurized frame; the
+        # scoring join then reads the cache instead of re-tokenizing +
+        # re-hashing the corpus. MEMORY_AND_DISK, spillable — at 100 TB
+        # this is the deliberate materialization of the 1000x-smaller
+        # doc×bucket intermediate, not the raw text
+        .persist()
     )
+    counts = db.groupBy("b").agg(
+        F.sum("n").alias("c_r"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "en", F.col("n"))), F.lit(0)).alias(
+            "c_t"
+        ),
+    )
+    # materialize the 1024-row model ONCE (SURVEY §7 discovery (i):
+    # column pruning differentiates the fan-out branches, so Catalyst
+    # will NOT reuse the corpus-pass exchange between the model build,
+    # the totals collect, and the scoring join — without this checkpoint
+    # the token stream was hashed three times; with it, once at build
+    # and once per action)
     model = (
         spark.range(DSIR_BUCKETS)
         .withColumnRenamed("id", "b")
         .join(counts, "b", "left")
         .fillna(0, ["c_r", "c_t"])
+        .localCheckpoint()
     )
     totals = model.agg(F.sum("c_r").alias("tr"), F.sum("c_t").alias("tt")).collect()[0]
     const = math.log(
@@ -923,12 +949,12 @@ def q_curate_dsir(spark, sf_dir):
         F.log(F.col("c_t") + 1) - F.log(F.col("c_r") + 1) + F.lit(const)
     ).alias("lr")
     scored = (
-        tb.join(F.broadcast(model.select("b", lograt)), "b")
+        db.join(F.broadcast(model.select("b", lograt)), "b")
         .groupBy("doc_id")
         .agg(
             F.any_value("lang").alias("lang"),
-            F.count("*").alias("n_tokens"),
-            F.round(F.sum("lr"), 6).alias("log_w"),
+            F.sum("n").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("log_w"),
         )
     )
     return scored.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(DSIR_KEEP)
