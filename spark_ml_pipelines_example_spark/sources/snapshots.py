@@ -98,3 +98,37 @@ def read_version(spark: SparkSession, base: str, version: int) -> DataFrame:
 
 def read_latest(spark: SparkSession, base: str) -> DataFrame:
     return read_version(spark, base, versions(base)[-1])
+
+
+def vacuum(base: str, keep_versions: int) -> dict:
+    """File garbage collection (Delta VACUUM / Iceberg expire_snapshots):
+    drop the manifests older than the last ``keep_versions`` commits,
+    then delete every data file no RETAINED manifest references. Returns
+    ``{"removed_files": n, "removed_versions": [..], "live_files": m}``.
+
+    Correctness argument (same as the production formats'): a file is
+    deletable iff no retained manifest lists it — readers of retained
+    versions never touch it, and writers never re-reference old files
+    (segments are immutable, commits copy-on-write). Time travel to an
+    expired version fails loudly afterwards, which is the documented
+    trade of running VACUUM."""
+    vs = versions(base)
+    retained = vs[-keep_versions:] if keep_versions > 0 else []
+    expired = [v for v in vs if v not in retained]
+    live: set[str] = set()
+    for v in retained:
+        live |= set(manifest(base, v)["files"])
+    dead: set[str] = set()
+    for v in expired:
+        dead |= set(manifest(base, v)["files"])
+    dead -= live
+    for p in sorted(dead):
+        if os.path.exists(p):
+            os.remove(p)
+    for v in expired:
+        os.remove(os.path.join(_log_dir(base), f"{v}.json"))
+    return {
+        "removed_files": len(dead),
+        "removed_versions": expired,
+        "live_files": len(live),
+    }

@@ -587,3 +587,35 @@ def test_table_history_reconciles(spark, sf_dir):
         for r in REGISTRY["q_scan_time_travel"].fn(spark, sf_dir).collect()
     }
     assert {v: hist[v]["n_rows"] for v in hist} == tt
+
+
+def test_snapshot_vacuum(spark, tmp_path):
+    """VACUUM semantics: expiring old versions deletes exactly the files
+    no retained manifest references — retained versions stay readable
+    byte-for-byte, expired versions fail loudly, and files shared with a
+    retained version survive."""
+    from spark_ml_pipelines_example_spark.sources import snapshots as S
+
+    base = str(tmp_path / "tbl")
+    S.init_table(base)
+    f1 = S.write_segment(spark.range(10).withColumnRenamed("id", "k"), base, "s1")
+    S.commit_snapshot(base, f1)                      # v0
+    f2 = S.write_segment(spark.range(10, 15).withColumnRenamed("id", "k"), base, "s2")
+    S.commit_snapshot(base, f1 + f2)                 # v1
+    S.commit_snapshot(base, f2)                      # v2 (delete s1)
+    res = S.vacuum(base, keep_versions=2)            # retain v1, v2
+    # s1's files are referenced by retained v1 -> NOT removed
+    assert res["removed_files"] == 0 and res["removed_versions"] == [0]
+    assert S.read_version(spark, base, 1).count() == 15
+    res2 = S.vacuum(base, keep_versions=1)           # retain only v2
+    assert res2["removed_files"] == len(f1)          # now s1 is dead
+    import os as _os
+
+    assert not any(_os.path.exists(p) for p in f1)
+    assert all(_os.path.exists(p) for p in f2)
+    assert S.read_version(spark, base, 2).count() == 5
+    assert S.versions(base) == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        S.read_version(spark, base, 1)
