@@ -59,19 +59,47 @@ def versions(base: str) -> list[int]:
     )
 
 
-def commit_snapshot(base: str, files: list[str], version: int | None = None) -> int:
+class CommitConflict(Exception):
+    """Raised when an optimistic commit loses the race: the table moved
+    past the version the writer based its changes on."""
+
+
+def commit_snapshot(
+    base: str,
+    files: list[str],
+    version: int | None = None,
+    expect_version: int | None = None,
+) -> int:
     """Write the next manifest. ``files`` is the COMPLETE live set at this
     version (copy-on-write semantics: append = previous files + new,
-    delete = previous files minus dropped)."""
+    delete = previous files minus dropped).
+
+    ``expect_version`` enables OPTIMISTIC CONCURRENCY (the Delta commit
+    protocol): the writer declares the version it read before computing
+    its change; if the log has advanced past it, the commit raises
+    CommitConflict and the writer must re-read, re-resolve, and retry —
+    lost updates are impossible because the version slot itself is
+    claimed by the atomic rename (two racers targeting the same slot:
+    exactly one rename wins on a POSIX filesystem, the loser's manifest
+    never becomes visible under the committed name)."""
     vs = versions(base)
+    latest = vs[-1] if vs else None
+    if expect_version is not None and latest != expect_version:
+        raise CommitConflict(
+            f"table at version {latest}, writer based on {expect_version}"
+        )
     v = (vs[-1] + 1 if vs else 0) if version is None else version
     manifest = {"version": v, "files": sorted(files)}
     tmp = os.path.join(_log_dir(base), f".{v}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
+    final = os.path.join(_log_dir(base), f"{v}.json")
+    if os.path.exists(final):  # slot already claimed by a racer
+        os.remove(tmp)
+        raise CommitConflict(f"version {v} already committed")
     # atomic rename = the commit point, the same single-filesystem-op
     # commit protocol Delta uses on HDFS-like stores
-    os.rename(tmp, os.path.join(_log_dir(base), f"{v}.json"))
+    os.rename(tmp, final)
     return v
 
 

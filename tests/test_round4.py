@@ -619,3 +619,29 @@ def test_snapshot_vacuum(spark, tmp_path):
 
     with _pytest.raises(Exception):
         S.read_version(spark, base, 1)
+
+
+def test_snapshot_optimistic_concurrency(spark, tmp_path):
+    """CAS commit protocol: a writer that based its change on a stale
+    version gets CommitConflict (and the log is untouched); retrying
+    from the fresh version succeeds; a direct collision on the same
+    version slot is also refused."""
+    from spark_ml_pipelines_example_spark.sources import snapshots as S
+
+    base = str(tmp_path / "tbl")
+    S.init_table(base)
+    f1 = S.write_segment(spark.range(5).withColumnRenamed("id", "k"), base, "s1")
+    v0 = S.commit_snapshot(base, f1, expect_version=None)
+    f2 = S.write_segment(spark.range(5, 9).withColumnRenamed("id", "k"), base, "s2")
+    # writer A commits on top of v0
+    S.commit_snapshot(base, f1 + f2, expect_version=v0)
+    # writer B also read v0 — its commit must now conflict
+    with pytest.raises(S.CommitConflict):
+        S.commit_snapshot(base, f1, expect_version=v0)
+    assert S.versions(base) == [0, 1]  # loser left no trace
+    # B retries from the current version and wins
+    S.commit_snapshot(base, f2, expect_version=1)
+    assert S.versions(base) == [0, 1, 2]
+    # explicit same-slot collision is refused too
+    with pytest.raises(S.CommitConflict):
+        S.commit_snapshot(base, f2, version=2)
