@@ -136,6 +136,7 @@ HEADLINE = [
     "q_ts_changepoint",
     "q_agg_theilsen",
     "q_ml_fpgrowth",
+    "q_ml_kmeans_exact",
     "q_events_markov_attribution",
     "q_win_hampel",
     # round-3 additions: literal Q1, the two-phase binned catalog

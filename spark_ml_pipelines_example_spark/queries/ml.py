@@ -1928,3 +1928,182 @@ def q_ml_isotonic(spark, sf_dir):
         [(b, round(p, 6)) for b, p in zip(bounds, preds)],
         "boundary double, prediction double",
     )
+
+
+# --- q_ml_kmeans_exact: deterministic, exactly-audited distributed Lloyd ---
+#
+# MLlib's k-means (q_ml_kmeans above) is seed-deterministic inside one
+# engine but unreproducible in SQL (k-means|| init + float mean order).
+# This variant restates Lloyd's algorithm so that EVERY intermediate is
+# either an exact int64 or a single correctly-rounded float64 division,
+# making the whole iterative fit replayable bit-for-bit by the DuckDB
+# oracle:
+#   * vectors are floor-quantized (floor(x * 1024) — x*1024 is exact
+#     because the float32 -> float64 cast is exact and 1024 is a power of
+#     two; floor has no tie semantics, unlike round);
+#   * a centroid is the RATIONAL (s, n) — elementwise int64 member sums
+#     plus the count — never a float mean, so distributed aggregation
+#     order cannot perturb it;
+#   * the assignment comparator for cluster j is
+#     d_j / n_j^2 where d_j = sum_i (n_j*x_i - s_i)^2 is an exact int64
+#     (bounds: |xq| <= 2^11, n <= 2^11 at the tested SFs -> d < 2^53,
+#     so the single float64 division is correctly rounded and identical
+#     in both engines); ties break by cluster id.
+KMX_Q = 1024  # power-of-two quantization scale (exact float64 product)
+KMX_K = 8
+KMX_DIM = 64
+KMX_PASSES = 4  # assignment passes; KMX_PASSES-1 centroid updates
+
+
+def _kmx_quantized(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * KMX_Q).cast("long"),
+        ).alias("xq"),
+    )
+
+
+def _kmx_assign(q, cents):
+    """One Lloyd assignment pass: broadcast the k centroid rationals as a
+    LITERAL array-of-structs (k x dim int64 — bytes, not a join), explode
+    per cluster, exact-int distance, argmin via a vec_id-partitioned
+    row_number (never a global sort)."""
+    karr = F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).cast("long").alias("c"),
+                F.array(*[F.lit(int(v)).cast("long") for v in s]).alias("s"),
+                F.lit(int(n)).cast("long").alias("n"),
+            )
+            for (c, s, n) in cents
+        ]
+    )
+    ex = q.select("vec_id", "xq", F.explode(karr).alias("k"))
+    cn = F.col("k.n")
+    d = F.aggregate(
+        F.zip_with("xq", F.col("k.s"), lambda x, s: (cn * x - s) * (cn * x - s)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    ex = ex.select(
+        "vec_id", "xq", F.col("k.c").alias("c"), cn.alias("cn"), d.alias("d")
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        (F.col("d").cast("double") / (F.col("cn") * F.col("cn")).cast("double")).asc(),
+        F.col("c").asc(),
+    )
+    return (
+        ex.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "xq", "c", "d")
+    )
+
+
+def _kmx_update(assigned, prev):
+    """Centroid update: elementwise int64 sums + counts (order-free exact
+    aggregation), collected driver-side (k x dim ints — driver-sized by
+    construction, like the other iterative operators' per-round state).
+    Empty clusters keep their previous rational."""
+    sums = [F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(KMX_DIM)]
+    rows = assigned.groupBy("c").agg(F.count("*").alias("n"), *sums).collect()
+    upd = {
+        int(r["c"]): ([int(r[f"s{i}"]) for i in range(KMX_DIM)], int(r["n"]))
+        for r in rows
+    }
+    return [(c, *(upd.get(c, (s, n)))) for (c, s, n) in prev]
+
+
+def _kmx_oracle() -> str:
+    """Unrolled-iteration DuckDB replay of the exact Lloyd loop: the
+    KMX_PASSES assignment/update rounds become chained CTEs computing the
+    identical int64 distances, the identical single-division float64
+    comparator, and the identical elementwise integer centroid sums."""
+    K, Q, D, P = KMX_K, KMX_Q, KMX_DIM, KMX_PASSES
+    dist = (
+        "CAST(list_sum(list_transform(list_zip(q.xq, c.s), "
+        "p -> (c.n*p[1] - p[2])*(c.n*p[1] - p[2]))) AS BIGINT)"
+    )
+    parts = [
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE)*{Q}) AS BIGINT)) AS xq FROM embeddings)",
+        "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, xq AS s, "
+        f"CAST(1 AS BIGINT) AS n FROM q WHERE vec_id < {K})",
+    ]
+    for i in range(1, P + 1):
+        parts.append(
+            f"a{i}_all AS (SELECT q.vec_id, q.xq, c.c, c.n AS cn, {dist} AS d "
+            f"FROM q, c{i - 1} c)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, xq, c, d FROM (SELECT *, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY CAST(d AS DOUBLE)/CAST(cn*cn AS DOUBLE), c"
+            f") AS rk FROM a{i}_all) WHERE rk = 1)"
+        )
+        if i < P:
+            parts.append(
+                f"s{i} AS (SELECT a.c, t.i, CAST(SUM(a.xq[t.i]) AS BIGINT) AS sx "
+                f"FROM a{i} a CROSS JOIN range(1, {D + 1}) t(i) GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"u{i} AS (SELECT s.c, list(s.sx ORDER BY s.i) AS s, "
+                f"CAST(MAX(m.cnt) AS BIGINT) AS n FROM s{i} s JOIN "
+                f"(SELECT c, COUNT(*) AS cnt FROM a{i} GROUP BY 1) m USING (c) "
+                "GROUP BY s.c)"
+            )
+            parts.append(
+                f"c{i} AS (SELECT p.c, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n "
+                f"FROM c{i - 1} p LEFT JOIN u{i} u USING (c))"
+            )
+    final = (
+        "SELECT CAST(c AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+        "CAST(SUM(list_sum(xq)) AS BIGINT) AS s_checksum, "
+        f"CAST(SUM(d) AS BIGINT) AS wssd_scaled FROM a{P} GROUP BY 1"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_ml_kmeans_exact",
+    oracle=_kmx_oracle(),
+    tags=("ml", "kmeans", "clustering", "exact-audit", "iterative"),
+)
+def q_ml_kmeans_exact(spark, sf_dir):
+    """Exactly-audited distributed k-means: KMX_PASSES Lloyd assignment
+    passes over the floor-quantized embedding corpus (init = the KMX_K
+    lowest vec_ids as singleton rationals), every arithmetic step either
+    exact int64 or one correctly-rounded float64 division, so DuckDB
+    replays the ENTIRE iterative fit and the declared per-cluster sizes,
+    centroid-sum checksums, and scaled within-cluster distances
+    hash-match (see _kmx_oracle for the unrolled replay).
+
+    Build-time action (documented like q_agg_quantile_two_phase): the
+    KMX_PASSES-1 centroid updates each run one k-row aggregate collect
+    while the DataFrame is being CONSTRUCTED — per-round driver state is
+    k x dim int64s, the same driver-sized footprint as pagerank's
+    convergence probe.
+
+    Scale shape: each pass broadcasts k x dim literal ints (bytes),
+    explodes k rows per vector pre-aggregation (map-side combinable),
+    and the argmin window partitions on vec_id — no global sort, no
+    pairwise join, cost k*dim*n per round exactly like MLlib's
+    distributed Lloyd; on a real cluster the quantized frame would be
+    cached across passes."""
+    q = _kmx_quantized(spark, sf_dir)
+    first = q.filter(F.col("vec_id") < KMX_K).orderBy("vec_id").collect()
+    if not first:
+        return spark.createDataFrame(
+            [], "cluster long, n_vectors long, s_checksum long, wssd_scaled long"
+        )
+    cents = [(int(r["vec_id"]), [int(v) for v in r["xq"]], 1) for r in first]
+    for _ in range(KMX_PASSES - 1):
+        cents = _kmx_update(_kmx_assign(q, cents), cents)
+    final = _kmx_assign(q, cents)
+    return final.groupBy(F.col("c").alias("cluster")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            F.aggregate("xq", F.lit(0).cast("long"), lambda a, v: a + v)
+        ).alias("s_checksum"),
+        F.sum("d").alias("wssd_scaled"),
+    )

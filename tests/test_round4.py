@@ -645,3 +645,39 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
     # explicit same-slot collision is refused too
     with pytest.raises(S.CommitConflict):
         S.commit_snapshot(base, f2, version=2)
+
+
+def test_kmeans_exact_invariants(spark, sf_dir, duck):
+    """q_ml_kmeans_exact: the exact-audit contract — partition of the
+    corpus (sizes sum to N, clusters <= K), int64-exact centroid
+    checksums, and the Spark result equals the DuckDB unrolled-replay
+    oracle row-for-row (the full hash check lives in driver_sim; this
+    pins the same equality in the suite)."""
+    from spark_ml_pipelines_example_spark.queries import ml
+
+    out = ml.q_ml_kmeans_exact(spark, sf_dir).orderBy("cluster").collect()
+    n_total = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert sum(r["n_vectors"] for r in out) == n_total
+    assert 0 < len(out) <= ml.KMX_K
+    oracle = duck.execute(
+        "SELECT * FROM (" + ml._kmx_oracle() + ") ORDER BY cluster"
+    ).fetchall()
+    got = [
+        (r["cluster"], r["n_vectors"], r["s_checksum"], r["wssd_scaled"]) for r in out
+    ]
+    assert got == [tuple(map(int, r)) for r in oracle]
+
+
+def test_kmeans_exact_quantizer_is_exact(spark):
+    """The floor(x*1024) quantizer claim: float32->float64 cast is exact
+    and *1024 (power of two) is exact, so quantization is a pure function
+    of the stored bits — identical for any evaluation order/engine."""
+    import math
+    import struct
+
+    for bits in (0x3F000001, 0xBF7FFFFF, 0x3DCCCCCD, 0x00000000, 0x3F7FFFFF):
+        x = struct.unpack("f", struct.pack("I", bits))[0]
+        # float64 product with a power of two preserves the significand
+        assert math.floor(x * 1024) == math.floor(float(x) * 1024.0)
+        m, e = math.frexp(x * 1024.0)
+        assert x == 0.0 or (x * 1024.0) / 1024.0 == x
