@@ -314,3 +314,69 @@ def q_win_capped_cumsum(spark, sf_dir):
         yield pd.DataFrame(out)
 
     return part.mapInPandas(run, _CAPPED_SCHEMA)
+
+
+ARROW_STATS_SCHEMA = "label int, n_vectors long, mass long, max_normsq long"
+ARROW_Q = 1024  # power-of-two quantizer: float32->float64 cast and *1024 both exact
+
+
+@query(
+    "q_group_arrow_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)*{ARROW_Q}) AS BIGINT)) AS xq
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(list_sum(xq)) AS BIGINT) AS mass,
+           CAST(MAX(list_sum(list_transform(xq, v -> v*v))) AS BIGINT) AS max_normsq
+    FROM q GROUP BY label
+    """,
+    tags=("udaf", "arrow", "grouped-map"),
+)
+def q_group_arrow_stats(spark, sf_dir):
+    """Grouped-map via `applyInArrow` — the Spark-4 Arrow-NATIVE twin of
+    applyInPandas (no pandas materialization: each label group arrives as
+    a pyarrow.Table and leaves as one). The kernel is vectorized numpy
+    over the list column's flat values + offsets (np.add.reduceat — zero
+    per-row Python), and all arithmetic is exact int64 on floor-quantized
+    vectors, so the Python-side reduction is order-insensitive and the
+    oracle replays it in SQL.
+
+    Scale shape: one hash shuffle on label, then per-group Arrow batches;
+    group size budgeting is the documented contract (labels here are
+    10-ary and uniform — skewed keys would be salted first like the
+    applyInPandas jobs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(tbl: "pa.Table") -> "pa.Table":
+        arr = tbl.column("xq").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = offsets[:-1]
+        row_sums = np.add.reduceat(flat, starts) if len(flat) else np.zeros(0, np.int64)
+        row_nsq = (
+            np.add.reduceat(flat * flat, starts) if len(flat) else np.zeros(0, np.int64)
+        )
+        label = tbl.column("label")[0].as_py()
+        return pa.table(
+            {
+                "label": pa.array([label], pa.int32()),
+                "n_vectors": pa.array([len(starts)], pa.int64()),
+                "mass": pa.array([int(row_sums.sum())], pa.int64()),
+                "max_normsq": pa.array([int(row_nsq.max())], pa.int64()),
+            }
+        )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * ARROW_Q).cast("long"),
+        ).alias("xq"),
+    )
+    return emb.groupBy("label").applyInArrow(stats, ARROW_STATS_SCHEMA)

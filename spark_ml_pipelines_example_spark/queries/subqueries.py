@@ -249,3 +249,37 @@ def q_sql_session_variables(spark, sf_dir):
         GROUP BY p_brand
         """
     )
+
+
+@query(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 150000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "parameterized", "spark4"),
+)
+def q_sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (`spark.sql(query, args=...)`, Spark 3.4+) plus
+    the `IDENTIFIER()` clause (Spark 3.5+): values bind as TYPED literal
+    parameters (:status, :floor) — no string interpolation, no injection
+    surface, and Catalyst constant-folds them like hand-written literals
+    — while the table name itself binds through IDENTIFIER(:tbl), the
+    sanctioned way to parameterize an identifier position. The oracle is
+    the fully-inlined classic spelling, so the hash check pins that
+    parameter binding is semantically identity."""
+    for tbl in ("orders",):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY ALL
+        """,
+        args={"tbl": "orders", "status": "F", "floor": 150000.0},
+    )

@@ -29,6 +29,7 @@ PYTHON_OK = {
     "q_ts_holt_winters",  # seasonal recursion per series (applyInPandas; list-state CTE oracle)
     "q_multimodal_binary_files",  # binaryFile ingest + BMP decode (mapInPandas)
     "q_ts_ewma_irregular",  # gap-aware recursion: partition state machine (mapInPandas)
+    "q_group_arrow_stats",  # Arrow-native grouped map (applyInArrow; exact-int kernel)
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.
@@ -73,3 +74,4 @@ def test_plan_invariants(name, spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
         assert "ArrowEvalPython" not in plan, f"{name} crosses to Python unexpectedly"
         assert "FlatMapGroupsInPandas" not in plan, f"{name} crosses to Python unexpectedly"
+        assert "FlatMapGroupsInArrow" not in plan, f"{name} crosses to Python unexpectedly"
