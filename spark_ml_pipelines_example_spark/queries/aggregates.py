@@ -2029,3 +2029,42 @@ def q_agg_kmv_setops(spark, sf_dir):
             "est_intersect"
         ),
     )
+
+
+@query(
+    "q_agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice >= 200000.0) AS BIGINT) AS n_large,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "filter-clause", "ansi"),
+)
+def q_agg_filter_clause(spark, sf_dir):
+    """ANSI aggregate FILTER clause — per-aggregate predicates in ONE
+    grouped pass (`COUNT(*) FILTER (WHERE ...)`), the standard spelling
+    of conditional aggregation that replaces N filtered scans or
+    CASE-wrapped inputs; Catalyst lowers each FILTER to the aggregate's
+    own filter flag inside the same hash aggregate (one scan, one
+    shuffle, identical to the CASE form — the oracle runs the literal
+    same FILTER spelling on DuckDB). Integer-typed COUNTs plus one exact
+    decimal SUM keep the hash comparison trivial."""
+    for tbl in ("orders",):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               COUNT(*) FILTER (WHERE o_totalprice >= 200000.0) AS n_large,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ._util import t
+from ._util import dec, t
 from .registry import query
 
 
@@ -275,3 +275,46 @@ def q_set_bag_ops(spark, sf_dir):
     return summarize(a.intersectAll(b), "intersect_all").unionAll(
         summarize(a.exceptAll(b), "except_all")
     )
+
+
+@query(
+    "q_set_transpose",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT m.key,
+           MAX(CASE WHEN a.l_returnflag = 'A' THEN v END) AS "A",
+           MAX(CASE WHEN a.l_returnflag = 'N' THEN v END) AS "N",
+           MAX(CASE WHEN a.l_returnflag = 'R' THEN v END) AS "R"
+    FROM agg a CROSS JOIN LATERAL (VALUES
+        ('sum_qty', a.sum_qty), ('n_rows', a.n_rows), ('revenue', a.revenue)
+    ) m(key, v)
+    GROUP BY m.key
+    """,
+    tags=("setops", "transpose", "spark4"),
+)
+def q_set_transpose(spark, sf_dir):
+    """`DataFrame.transpose()` (new in Spark 4.0): flips a metrics-wide
+    aggregate frame so metrics become rows and the (bounded, known)
+    group values become columns — the report-layout half of pivot, with
+    the first column's VALUES becoming column names. Only valid on
+    driver-sized frames by construction (the column count IS the row
+    count); here the input is the 3-row per-returnflag aggregate, all
+    measures pre-cast to one common DOUBLE type as transpose requires.
+    The oracle restates the flip as unpivot-then-repivot (LATERAL VALUES
+    + conditional MAX)."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+            F.count("*").cast("double").alias("n_rows"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+        )
+    )
+    return agg.transpose()

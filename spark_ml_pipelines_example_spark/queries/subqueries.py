@@ -283,3 +283,34 @@ def q_sql_parameterized(spark, sf_dir):
         """,
         args={"tbl": "orders", "status": "F", "floor": 150000.0},
     )
+
+
+@query(
+    "q_sql_execute_immediate",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 1000.0
+    GROUP BY n_name
+    """,
+    tags=("sql", "execute-immediate", "spark4"),
+)
+def q_sql_execute_immediate(spark, sf_dir):
+    """EXECUTE IMMEDIATE (Spark 4): dynamic SQL held in a session
+    variable, executed with a positional USING parameter — the
+    stored-procedure-style dispatch surface (query text decided at
+    runtime, parameters still TYPED bindings rather than string
+    splices). The oracle is the inlined static spelling; the hash check
+    pins that the dynamic path plans and evaluates identically."""
+    for tbl in ("supplier", "nation"):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    spark.sql("DECLARE OR REPLACE VARIABLE dyn_q STRING")
+    spark.sql(
+        """SET VAR dyn_q =
+           'SELECT n_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_acctbal > ? GROUP BY n_name'"""
+    )
+    return spark.sql("EXECUTE IMMEDIATE dyn_q USING 1000.0")
