@@ -1366,3 +1366,122 @@ def q_dedup_minhash_calibration(spark, sf_dir):
         F.round(F.avg(F.col("n_match") / 48.0), 4).alias("avg_est_jaccard"),
         F.round(F.avg("exact_j"), 4).alias("avg_exact_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication by k-means cluster + within-cluster
+# cosine (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"). The published recipe —
+# cluster the embedding corpus, then search for near-duplicates ONLY
+# within each cluster — is exactly the Σcluster² ≪ n² cost bound that
+# makes embedding dedup feasible at 100 TB. This variant composes the
+# exactly-audited Lloyd fit from ml.py (every intermediate an exact
+# int64 or one correctly-rounded float64 division) with an
+# exact-integer cosine test, so the ENTIRE pipeline — clustering
+# included — is replayed bit-for-bit by the DuckDB oracle.
+
+SEMDEDUP_TAU_NUM = 49  # τ² = 49/400 → τ = 0.35 (the corpus' far tail,
+SEMDEDUP_TAU_DEN = 400  # like q_dedup_embedding's 0.4 bar)
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay: the shared unrolled Lloyd CTEs (ml._kmx_cte_parts)
+    produce the converged assignment; the dedup step is pure exact-int
+    arithmetic — dup iff dot>0 AND 400·dot² ≥ 49·|a|²·|b|² (τ=0.35 with
+    no sqrt and no division; bounds: |xq|<2^10, dim 64 → dot<2^25,
+    400·dot²<2^58, well inside int64)."""
+    from .ml import KMX_PASSES, _kmx_cte_parts
+
+    num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
+    parts = _kmx_cte_parts()
+    parts.append(
+        "sd AS (SELECT vec_id, c, xq, CAST(list_sum(list_transform(xq, x -> x*x)) "
+        f"AS BIGINT) AS n2 FROM a{KMX_PASSES})"
+    )
+    parts.append(
+        "sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "CAST(list_sum(list_transform(list_zip(a.xq, b.xq), z -> z[1]*z[2])) "
+        "AS BIGINT) AS dot, a.n2 AS na2, b.n2 AS nb2 "
+        "FROM sd a JOIN sd b ON a.c = b.c AND a.vec_id < b.vec_id)"
+    )
+    parts.append(
+        "sr AS (SELECT DISTINCT id_b AS vec_id FROM sp "
+        f"WHERE dot > 0 AND {den}*dot*dot >= {num}*na2*nb2)"
+    )
+    final = (
+        "SELECT sd.vec_id, CAST(sd.c AS BIGINT) AS cluster, "
+        "CAST(CASE WHEN sr.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS removed "
+        "FROM sd LEFT JOIN sr USING (vec_id)"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "embedding", "semdedup", "exact-audit", "training-data"),
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup semantic dedup: k-means-cluster the embeddings (the
+    shared exactly-audited Lloyd fit, ml._kmx_fit_assign), then inside
+    each cluster mark a vector removed when a LOWER-id cluster-mate has
+    quantized cosine ≥ 0.35 — the test is division- and sqrt-free exact
+    int64 (400·dot² ≥ 49·|a|²·|b|², correct because both sides are
+    nonnegative once dot>0 is required), so clustering AND dedup
+    hash-match the DuckDB replay end to end.
+
+    Build-time action: inherits the Lloyd fit's KMX_PASSES-1 k-row
+    aggregate collects (documented at q_ml_kmeans_exact).
+
+    Scale shape — the reason SemDeDup exists: the pairwise join is
+    cluster-blocked (Σcluster², never corpus²), each side carries only
+    (id, 64 ints, one precomputed norm), and at 100 TB the cluster count
+    scales with the corpus exactly like operators/similarity's
+    adaptive_k so the per-cluster block stays bounded; the keep-lowest-id
+    rule needs no second ranking pass."""
+    from .ml import _kmx_fit_assign
+
+    assigned = _kmx_fit_assign(spark, sf_dir)
+    if assigned is None:
+        return spark.createDataFrame([], "vec_id long, cluster long, removed long")
+    num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
+    n2 = F.aggregate(
+        F.transform("xq", lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    # Lazy persist (globalrank-materialize precedent): the converged
+    # assignment feeds BOTH pair sides and the final left join — without
+    # it the 4-pass Lloyd lineage re-executes three times per action.
+    side = assigned.select("vec_id", "c", "xq").withColumn("n2", n2).persist()
+    a = side.select(
+        F.col("c").alias("ca"),
+        F.col("vec_id").alias("id_a"),
+        F.col("xq").alias("xa"),
+        F.col("n2").alias("na2"),
+    )
+    b = side.select(
+        F.col("c").alias("cb"),
+        F.col("vec_id").alias("id_b"),
+        F.col("xq").alias("xb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    removed = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (F.lit(den) * F.col("dot") * F.col("dot") >= F.lit(num) * F.col("na2") * F.col("nb2"))
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    return side.join(removed, "vec_id", "left").select(
+        "vec_id",
+        F.col("c").cast("long").alias("cluster"),
+        F.coalesce(F.col("hit"), F.lit(0).cast("long")).alias("removed"),
+    )

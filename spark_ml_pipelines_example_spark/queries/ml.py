@@ -1966,38 +1966,34 @@ def _kmx_quantized(spark, sf_dir):
 
 
 def _kmx_assign(q, cents):
-    """One Lloyd assignment pass: broadcast the k centroid rationals as a
-    LITERAL array-of-structs (k x dim int64 — bytes, not a join), explode
-    per cluster, exact-int distance, argmin via a vec_id-partitioned
-    row_number (never a global sort)."""
-    karr = F.array(
-        *[
+    """One Lloyd assignment pass as a ZERO-SHUFFLE projection: the k
+    centroid rationals are literals (k x dim int64 — bytes, not a join),
+    each cluster's exact-int distance is one fold, and the argmin is
+    array_min over structs ordered (comparator, c) — lexicographic
+    struct ordering reproduces the oracle's ROW_NUMBER ORDER BY
+    d/cn², c exactly (the comparator is the same single correctly-
+    rounded float64 division on both engines). No explode, no window,
+    no shuffle — the pass rides the scan; the earlier row_number
+    formulation shuffled the corpus once per pass."""
+    per_cluster = []
+    for (c, s, n) in cents:
+        cn = F.lit(int(n)).cast("long")
+        sarr = F.array(*[F.lit(int(v)).cast("long") for v in s])
+        d = F.aggregate(
+            F.zip_with("xq", sarr, lambda x, sv: (cn * x - sv) * (cn * x - sv)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        per_cluster.append(
             F.struct(
+                (d.cast("double") / (cn * cn).cast("double")).alias("cmp"),
                 F.lit(int(c)).cast("long").alias("c"),
-                F.array(*[F.lit(int(v)).cast("long") for v in s]).alias("s"),
-                F.lit(int(n)).cast("long").alias("n"),
+                d.alias("d"),
             )
-            for (c, s, n) in cents
-        ]
-    )
-    ex = q.select("vec_id", "xq", F.explode(karr).alias("k"))
-    cn = F.col("k.n")
-    d = F.aggregate(
-        F.zip_with("xq", F.col("k.s"), lambda x, s: (cn * x - s) * (cn * x - s)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    ex = ex.select(
-        "vec_id", "xq", F.col("k.c").alias("c"), cn.alias("cn"), d.alias("d")
-    )
-    w = W.partitionBy("vec_id").orderBy(
-        (F.col("d").cast("double") / (F.col("cn") * F.col("cn")).cast("double")).asc(),
-        F.col("c").asc(),
-    )
-    return (
-        ex.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "xq", "c", "d")
+        )
+    best = F.array_min(F.array(*per_cluster))
+    return q.withColumn("_b", best).select(
+        "vec_id", "xq", F.col("_b.c").alias("c"), F.col("_b.d").alias("d")
     )
 
 
@@ -2015,11 +2011,15 @@ def _kmx_update(assigned, prev):
     return [(c, *(upd.get(c, (s, n)))) for (c, s, n) in prev]
 
 
-def _kmx_oracle() -> str:
+def _kmx_cte_parts() -> list[str]:
     """Unrolled-iteration DuckDB replay of the exact Lloyd loop: the
     KMX_PASSES assignment/update rounds become chained CTEs computing the
     identical int64 distances, the identical single-division float64
-    comparator, and the identical elementwise integer centroid sums."""
+    comparator, and the identical elementwise integer centroid sums.
+    Returns the CTE list ending at a{KMX_PASSES} (vec_id, xq, c, d) so
+    downstream consumers (q_ml_kmeans_exact here, q_dedup_semantic in
+    dedup.py) append their own final select over the converged
+    assignment."""
     K, Q, D, P = KMX_K, KMX_Q, KMX_DIM, KMX_PASSES
     dist = (
         "CAST(list_sum(list_transform(list_zip(q.xq, c.s), "
@@ -2056,12 +2056,31 @@ def _kmx_oracle() -> str:
                 f"c{i} AS (SELECT p.c, COALESCE(u.s, p.s) AS s, COALESCE(u.n, p.n) AS n "
                 f"FROM c{i - 1} p LEFT JOIN u{i} u USING (c))"
             )
+    return parts
+
+
+def _kmx_oracle() -> str:
     final = (
         "SELECT CAST(c AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
         "CAST(SUM(list_sum(xq)) AS BIGINT) AS s_checksum, "
-        f"CAST(SUM(d) AS BIGINT) AS wssd_scaled FROM a{P} GROUP BY 1"
+        f"CAST(SUM(d) AS BIGINT) AS wssd_scaled FROM a{KMX_PASSES} GROUP BY 1"
     )
-    return "WITH " + ",\n".join(parts) + "\n" + final
+    return "WITH " + ",\n".join(_kmx_cte_parts()) + "\n" + final
+
+
+def _kmx_fit_assign(spark, sf_dir):
+    """Run the exact Lloyd fit (init = KMX_K lowest vec_ids, KMX_PASSES-1
+    updates) and return the FINAL assignment frame (vec_id, xq, c, d), or
+    None on an empty corpus. Shared by q_ml_kmeans_exact and
+    q_dedup_semantic so both ride the identical audited iteration."""
+    q = _kmx_quantized(spark, sf_dir)
+    first = q.filter(F.col("vec_id") < KMX_K).orderBy("vec_id").collect()
+    if not first:
+        return None
+    cents = [(int(r["vec_id"]), [int(v) for v in r["xq"]], 1) for r in first]
+    for _ in range(KMX_PASSES - 1):
+        cents = _kmx_update(_kmx_assign(q, cents), cents)
+    return _kmx_assign(q, cents)
 
 
 @query(
@@ -2090,16 +2109,11 @@ def q_ml_kmeans_exact(spark, sf_dir):
     pairwise join, cost k*dim*n per round exactly like MLlib's
     distributed Lloyd; on a real cluster the quantized frame would be
     cached across passes."""
-    q = _kmx_quantized(spark, sf_dir)
-    first = q.filter(F.col("vec_id") < KMX_K).orderBy("vec_id").collect()
-    if not first:
+    final = _kmx_fit_assign(spark, sf_dir)
+    if final is None:
         return spark.createDataFrame(
             [], "cluster long, n_vectors long, s_checksum long, wssd_scaled long"
         )
-    cents = [(int(r["vec_id"]), [int(v) for v in r["xq"]], 1) for r in first]
-    for _ in range(KMX_PASSES - 1):
-        cents = _kmx_update(_kmx_assign(q, cents), cents)
-    final = _kmx_assign(q, cents)
     return final.groupBy(F.col("c").alias("cluster")).agg(
         F.count("*").alias("n_vectors"),
         F.sum(

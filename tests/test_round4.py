@@ -681,3 +681,40 @@ def test_kmeans_exact_quantizer_is_exact(spark):
         assert math.floor(x * 1024) == math.floor(float(x) * 1024.0)
         m, e = math.frexp(x * 1024.0)
         assert x == 0.0 or (x * 1024.0) / 1024.0 == x
+
+
+def test_semdedup_invariants(spark, sf_dir, duck):
+    """q_dedup_semantic: SemDeDup contract — one row per vector, cluster
+    column matches the shared Lloyd assignment, a removed vector always
+    has a surviving lower-id cluster-mate above the τ bar, and the Spark
+    result equals the DuckDB replay row-for-row (hash check in
+    driver_sim; this pins the same equality in the suite)."""
+    from spark_ml_pipelines_example_spark.queries import dedup
+
+    out = dedup.q_dedup_semantic(spark, sf_dir).orderBy("vec_id").collect()
+    n_total = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert len(out) == n_total
+    assert {r["removed"] for r in out} <= {0, 1}
+    n_removed = sum(r["removed"] for r in out)
+    assert 0 < n_removed < n_total  # the τ=0.35 bar bites but keeps most
+    oracle = duck.execute(
+        "SELECT * FROM (" + dedup._semdedup_oracle() + ") ORDER BY vec_id"
+    ).fetchall()
+    got = [(r["vec_id"], r["cluster"], r["removed"]) for r in out]
+    assert got == [tuple(map(int, r)) for r in oracle]
+
+
+def test_semdedup_tau_bounds_are_int64_safe():
+    """The sqrt/division-free cosine test's overflow claim: with
+    |xq| < 2^10 and dim 64, 400*dot^2 and 49*|a|^2*|b|^2 both stay well
+    inside int64 at the worst case."""
+    from spark_ml_pipelines_example_spark.queries.dedup import (
+        SEMDEDUP_TAU_DEN,
+        SEMDEDUP_TAU_NUM,
+    )
+
+    xmax, dim = 1023, 64
+    dot_max = dim * xmax * xmax
+    n2_max = dim * xmax * xmax
+    assert SEMDEDUP_TAU_DEN * dot_max * dot_max < 2**63
+    assert SEMDEDUP_TAU_NUM * n2_max * n2_max < 2**63
