@@ -1225,3 +1225,127 @@ def q_curate_k_anonymity(spark, sf_dir):
         (F.col("n_sensitive") >= K_ANON_L).alias("l_diverse"),
         F.round(F.lit(1.0) / F.col("n"), 6).alias("reident_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1).
+# The published document-level filter: word count in [50, 100000], mean
+# word length in [3, 10], symbol-to-word ratio (# or ...) <= 0.1, < 90%
+# of lines bullet-started, < 30% of lines ellipsis-ended, >= 80% of
+# words containing an alphabetic character, and >= 2 of 8 designated
+# English stop words present.
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+
+
+@query(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk,
+               string_split(text, chr(10)) AS ln,
+               length(replace(text, ' ', '')) AS wchars,
+               length(text)
+                 - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym
+        FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               len(tk) AS n_words,
+               CAST(wchars AS DOUBLE) / len(tk) AS mwl,
+               CAST(n_sym AS DOUBLE) / len(tk) AS sym_ratio,
+               CAST(len(list_filter(ln, x -> x LIKE '-%' OR x LIKE '*%'
+                    OR x LIKE '•%')) AS DOUBLE) / len(ln) AS bullet_frac,
+               CAST(len(list_filter(ln, x -> x LIKE '%...'
+                    OR x LIKE '%…')) AS DOUBLE) / len(ln) AS ellipsis_frac,
+               CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                    AS DOUBLE) / len(tk) AS alpha_frac,
+               len(list_intersect(tk, [{_GOPHER_STOPS_SQL}])) AS n_stops
+        FROM w
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mwl, 6) AS mean_word_len,
+           CAST(n_stops AS BIGINT) AS n_stop_types,
+           CAST(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                      AND n_words <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+                AS BIGINT) AS r_word_count,
+           CAST(CASE WHEN mwl >= {GOPHER_MWL_MIN}
+                      AND mwl <= {GOPHER_MWL_MAX} THEN 1 ELSE 0 END
+                AS BIGINT) AS r_mean_word_len,
+           CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END
+                AS BIGINT) AS r_symbol_ratio,
+           CAST(CASE WHEN 10 * len(list_filter(ln, x -> x LIKE '-%'
+                    OR x LIKE '*%' OR x LIKE '•%')) < 9 * len(ln)
+                THEN 1 ELSE 0 END AS BIGINT) AS r_bullet_lines,
+           CAST(CASE WHEN 10 * len(list_filter(ln, x -> x LIKE '%...'
+                    OR x LIKE '%…')) < 3 * len(ln)
+                THEN 1 ELSE 0 END AS BIGINT) AS r_ellipsis_lines,
+           CAST(CASE WHEN 5 * len(list_filter(tk,
+                    x -> regexp_matches(x, '[A-Za-z]'))) >= 4 * len(tk)
+                THEN 1 ELSE 0 END AS BIGINT) AS r_alpha_words,
+           CAST(CASE WHEN n_stops >= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS r_stop_words
+    FROM m JOIN w USING (doc_id, lang)
+    """,
+    tags=("text", "quality", "gopher", "training-data"),
+)
+def q_text_gopher_rules(spark, sf_dir):
+    """The complete Gopher document-quality rule set (Rae et al. 2021
+    A1.1) as one zero-shuffle projection: all seven published rules
+    computed per document, each emitted as a 0/1 flag alongside the
+    underlying measurements. Ratio rules are decided by EXACT integer
+    cross-multiplication (10*n_sym <= n_words, 5*n_alpha >= 4*n_words,
+    ...), never a float threshold, so the flags hash-match the oracle
+    bit-for-bit. On this synthetic single-line fixture the line-level
+    and symbol rules are structurally satisfied (no newlines/#/...) and
+    the word-count + stop-word rules bite (277/500 resp. 224/500 at
+    sf0.01); on a real crawl all seven vary. At 100 TB the whole rule
+    set rides the scan — flags partition the corpus for routing with no
+    second pass, exactly like q_text_filter_cascade's verdict column."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens("text")
+    ln = F.split("text", "\n")
+    n_words = F.size(tk)
+    n_lines = F.size(ln)
+    wchars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_sym = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + F.size(F.regexp_extract_all("text", F.lit(r"\.\.\."), 0))
+    )
+    n_bullet = F.size(
+        F.filter(
+            ln,
+            lambda x: x.startswith("-") | x.startswith("*") | x.startswith("•"),
+        )
+    )
+    n_ellip = F.size(
+        F.filter(ln, lambda x: x.endswith("...") | x.endswith("…"))
+    )
+    n_alpha = F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]")))
+    n_stops = F.size(F.array_intersect(tk, F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    mwl = wchars.cast("double") / n_words
+    flag = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        n_stops.cast("long").alias("n_stop_types"),
+        flag(
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        ).alias("r_word_count"),
+        flag((mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)).alias(
+            "r_mean_word_len"
+        ),
+        flag(10 * n_sym <= n_words).alias("r_symbol_ratio"),
+        flag(10 * n_bullet < 9 * n_lines).alias("r_bullet_lines"),
+        flag(10 * n_ellip < 3 * n_lines).alias("r_ellipsis_lines"),
+        flag(5 * n_alpha >= 4 * n_words).alias("r_alpha_words"),
+        flag(n_stops >= 2).alias("r_stop_words"),
+    )

@@ -680,3 +680,48 @@ def q_stream_milestones(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+@query(
+    "q_stream_tws_map_state",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("stream", "stateful", "transformWithState", "map-state"),
+)
+def q_stream_tws_map_state(spark, sf_dir):
+    """The state-v2 MAP-STATE handle (Spark 4
+    ``transformWithStateInPandas`` + ``getMapState``) driver-checked
+    against a plain GROUP BY oracle: a REAL streaming run keeping each
+    user's per-event-type totals as typed map entries (point lookup +
+    per-key update, each entry its own RocksDB KV — the dictionary-
+    shaped state ValueState would rewrite whole). Completes the
+    arbitrary-stateful matrix: applyInPandasWithState
+    (q_stream_stateful_session), state-v2 ValueState
+    (q_stream_milestones), state-v2 MapState (here). Exact integer
+    cents make stream and oracle bit-identical."""
+    from ..streaming.jobs import streaming_tws_map_state
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    # transformWithState requires the RocksDB state store provider.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return streaming_tws_map_state(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

@@ -1180,3 +1180,168 @@ def streaming_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value.count").alias("n"),
         F.col("value.sum").cast("double").alias("sum_value"),
     )
+
+
+def streaming_tws_map_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-event-type totals via ``transformWithStateInPandas``
+    holding a typed MAP-STATE handle — the state-v2 handle family member
+    q_stream_milestones (ValueState) doesn't exercise. Each user's state
+    is MapState[event_type -> (n, cents)]: point lookups and per-key
+    updates instead of rewriting one monolithic value, which is the
+    handle you want when a key's state is a growing dictionary (per-SKU
+    counters, per-campaign attribution buckets) — RocksDB stores each
+    map entry as its own KV pair, so updating one event_type never
+    rewrites the user's whole map.
+
+    Money rides as exact integer CENTS (decimal(18,2)*100 → long) so
+    state arithmetic is order-free exact and the final emissions
+    hash-match the plain GROUP BY oracle. The conf scope (RocksDB
+    provider, required by transformWithState) is the caller's job —
+    see q_stream_tws_map_state.
+
+    Scale shape: state is O(users x event_types) small tuples in
+    RocksDB (spillable), each micro-batch shuffles only its own rows on
+    the state key, and emissions are one row per touched (user, type)
+    per batch — the update-mode contract. The batch-side finisher takes
+    the max-n emission per pair (totals are monotone), which for a
+    single availableNow batch is the only emission.
+
+    Like streaming_spend_milestones: the state-v2 Python runner speaks
+    protobuf to the JVM state server; when the ``protobuf`` package is
+    absent (this container has no pip) the job runs the SAME per-type
+    recurrence on the v1 ``applyInPandasWithState`` surface with the
+    map packed as parallel arrays — still a real Structured Streaming
+    run with per-key state, identical emissions."""
+    import importlib.util
+
+    import pandas as pd
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        return _tws_map_state_v1(spark, sf_dir)
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PerTypeTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._m = handle.getMapState(
+                "per_type", "event_type STRING", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            touched: dict[str, list[int]] = {}
+            for pdf in rows:
+                g = pdf.groupby("event_type")["cents"].agg(["count", "sum"])
+                for et, (cnt, sm) in g.iterrows():
+                    cur = touched.get(et)
+                    if cur is None:
+                        prev = (
+                            self._m.getValue((et,))
+                            if self._m.containsKey((et,))
+                            else (0, 0)
+                        )
+                        cur = touched.setdefault(et, [int(prev[0]), int(prev[1])])
+                    cur[0] += int(cnt)
+                    cur[1] += int(sm)
+            for et, (n, cents) in sorted(touched.items()):
+                self._m.updateValue((et,), (n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(touched),
+                    "event_type": sorted(touched),
+                    "n_events": [touched[et][0] for et in sorted(touched)],
+                    "sum_cents": [touched[et][1] for et in sorted(touched)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") != SENTINEL_USER)
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        PerTypeTotals(),
+        "user_id BIGINT, event_type STRING, n_events BIGINT, sum_cents BIGINT",
+        "update",
+        "None",
+    )
+    mem = _run_to_memory(out, "stream_tws_map_out", "update")
+    return mem.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+    )
+
+
+def _tws_map_state_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals recurrence on the v1 arbitrary-stateful surface
+    (``applyInPandasWithState``, no timeouts): the per-user map
+    event_type -> (n, cents) rides as three parallel ARRAYS in the
+    packed state tuple — the v1 idiom state-v2's MapState handle
+    replaces with per-entry KV storage. Same emissions as the
+    transformWithState path."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def per_type(key, pdfs, state: GroupState):
+        user_id = key[0]
+        if state.exists:
+            ets, ns, cs = state.get
+            m = {et: [int(n), int(c)] for et, n, c in zip(ets, ns, cs)}
+        else:
+            m = {}
+        touched = set()
+        for pdf in pdfs:
+            g = pdf.groupby("event_type")["cents"].agg(["count", "sum"])
+            for et, (cnt, sm) in g.iterrows():
+                cur = m.setdefault(et, [0, 0])
+                cur[0] += int(cnt)
+                cur[1] += int(sm)
+                touched.add(et)
+        state.update(
+            (list(m), [m[et][0] for et in m], [m[et][1] for et in m])
+        )
+        if touched:
+            out = sorted(touched)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "event_type": out,
+                    "n_events": [m[et][0] for et in out],
+                    "sum_cents": [m[et][1] for et in out],
+                }
+            )
+
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") != SENTINEL_USER)
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        per_type,
+        outputStructType="user_id long, event_type string, n_events long, sum_cents long",
+        stateStructType="ets array<string>, ns array<long>, cents array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    mem = _run_to_memory(out, "stream_tws_map_out", "update")
+    return mem.groupBy("user_id", "event_type").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+    )

@@ -718,3 +718,22 @@ def test_semdedup_tau_bounds_are_int64_safe():
     n2_max = dim * xmax * xmax
     assert SEMDEDUP_TAU_DEN * dot_max * dot_max < 2**63
     assert SEMDEDUP_TAU_NUM * n2_max * n2_max < 2**63
+
+
+def test_stream_tws_map_state_matches_batch(spark, sf_dir, duck):
+    """q_stream_tws_map_state: the arbitrary-stateful map-state run's
+    final emissions equal the batch GROUP BY exactly (one row per
+    (user, event_type), exact integer cents)."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in REGISTRY["q_stream_tws_map_state"].fn(spark, sf_dir).collect()
+    }
+    exp = {
+        (u, et): (n, c)
+        for u, et, n, c in duck.execute(
+            REGISTRY["q_stream_tws_map_state"].oracle
+        ).fetchall()
+    }
+    assert got == exp
