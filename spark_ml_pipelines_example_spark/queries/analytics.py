@@ -4601,13 +4601,140 @@ def q_agg_theilsen(spark, sf_dir):
     )
 
 
+MARKOV_ITERS = 200  # Jacobi steps; fixture chains converge to <1e-15 by 200
+
+
+def _markov_oracle() -> str:
+    """DuckDB replay of the ENTIRE markov attribution pipeline (rows-only
+    → SQL upgrade): journeys → transition counts (exact ints) → per-
+    removal-scenario probability matrices (one correctly-rounded float64
+    division per cell) → MARKOV_ITERS Jacobi steps of x' = b + Qx run by
+    a recursive CTE carrying the k-vector as LIST state. Each step's dot
+    product is a list_prepend + list_reduce LEFT FOLD — the identical
+    IEEE op sequence the Spark side's pure-Python loop performs
+    (acc = b[i]; acc += q[i][j]*x[j] for ascending j) — so after the
+    same N steps both engines hold bit-identical doubles and the
+    round_even(…, 6) outputs hash-match."""
+    N = MARKOV_ITERS
+    return f"""
+WITH RECURSIVE s1 AS (
+    SELECT user_id, event_type, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT),
+                        event_id) AS rn
+    FROM events
+), s2 AS (
+    SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN rn END)
+                  OVER (PARTITION BY user_id) AS conv_rn
+    FROM s1
+), touches AS (
+    SELECT * FROM s2 WHERE conv_rn IS NULL OR rn < conv_rn
+), nxt AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS dst_raw,
+           conv_rn IS NOT NULL AS converts
+    FROM touches
+), tc AS (
+    SELECT src,
+           CASE WHEN dst_raw IS NOT NULL THEN dst_raw
+                WHEN converts THEN 'CONV' ELSE 'NULL' END AS dst,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nxt GROUP BY 1, 2
+    UNION ALL
+    SELECT 'START', event_type, CAST(COUNT(*) AS BIGINT)
+    FROM touches WHERE rn = 1 GROUP BY 2
+), tcg AS (
+    SELECT src, dst, CAST(SUM(n) AS BIGINT) AS n FROM tc GROUP BY 1, 2
+), states AS (
+    SELECT list_sort(list(DISTINCT s)) AS sts, CAST(COUNT(DISTINCT s) AS BIGINT) AS k
+    FROM (SELECT src AS s FROM tcg UNION SELECT dst FROM tcg)
+    WHERE s NOT IN ('CONV', 'NULL')
+), idxd AS (
+    SELECT list_position(s.sts, t.src) AS i,
+           CASE WHEN t.dst = 'CONV' THEN s.k + 1
+                WHEN t.dst = 'NULL' THEN NULL
+                ELSE list_position(s.sts, t.dst) END AS j,
+           t.n
+    FROM tcg t, states s
+), tot AS (
+    SELECT i, CAST(SUM(n) AS BIGINT) AS tot FROM idxd GROUP BY i
+), cnt AS (
+    SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM idxd WHERE j IS NOT NULL GROUP BY i, j
+), grid AS (
+    SELECT CAST(ii.i AS BIGINT) AS i, CAST(jj.j AS BIGINT) AS j
+    FROM states s, UNNEST(range(1, s.k + 1)) AS ii(i),
+         UNNEST(range(1, s.k + 2)) AS jj(j)
+), dense AS (
+    SELECT g.i, g.j,
+           COALESCE(c.n, 0) AS n, COALESCE(tt.tot, 0) AS tot
+    FROM grid g LEFT JOIN cnt c ON g.i = c.i AND g.j = c.j
+                LEFT JOIN tot tt ON g.i = tt.i
+), scen AS (
+    SELECT CAST(NULL AS VARCHAR) AS removed FROM states
+    UNION ALL
+    SELECT u.s AS removed
+    FROM states st, UNNEST(st.sts) AS u(s) WHERE u.s <> 'START'
+), mrows AS (
+    SELECT sc.removed, d.i,
+           list(CASE WHEN d.tot = 0 OR s.sts[d.i] = sc.removed
+                       OR (sc.removed IS NOT NULL
+                           AND d.j = list_position(s.sts, sc.removed))
+                     THEN CAST(0.0 AS DOUBLE)
+                     ELSE CAST(d.n AS DOUBLE) / d.tot END
+                ORDER BY d.j) FILTER (WHERE d.j <= s.k) AS qrow,
+           MAX(CASE WHEN d.j = s.k + 1 THEN
+                 (CASE WHEN d.tot = 0 OR s.sts[d.i] = sc.removed
+                       THEN CAST(0.0 AS DOUBLE)
+                       ELSE CAST(d.n AS DOUBLE) / d.tot END) END) AS brow
+    FROM dense d, states s, scen sc
+    GROUP BY sc.removed, d.i, s.sts, s.k
+), mats AS (
+    SELECT removed, list(qrow ORDER BY i) AS q, list(brow ORDER BY i) AS b
+    FROM mrows GROUP BY removed
+), it AS (
+    SELECT removed, q, b, 0 AS t,
+           list_transform(range(1, len(b) + 1), v -> CAST(0.0 AS DOUBLE)) AS x
+    FROM mats
+    UNION ALL
+    SELECT removed, q, b, t + 1,
+           list_transform(range(1, len(b) + 1), i ->
+               list_reduce(
+                   list_prepend(b[i],
+                       list_transform(range(1, len(b) + 1), j -> q[i][j] * x[j])),
+                   (a, v) -> a + v)) AS x
+    FROM it WHERE t < {N}
+), fin AS (
+    SELECT i.removed, i.x[list_position(s.sts, 'START')] AS conv
+    FROM it i, states s WHERE i.t = {N}
+), eff AS (
+    SELECT f.removed AS channel,
+           CASE WHEN b.conv > 0 THEN greatest(0.0, (b.conv - f.conv) / b.conv)
+                ELSE 0.0 END AS effect,
+           b.conv AS basec
+    FROM fin f, (SELECT conv FROM fin WHERE removed IS NULL) b
+    WHERE f.removed IS NOT NULL
+), tote AS (
+    SELECT list_reduce(list(effect ORDER BY channel), (a, v) -> a + v) AS te
+    FROM eff
+)
+SELECT e.channel,
+       round_even(e.effect, 6) AS removal_effect,
+       CASE WHEN t.te > 0 THEN round_even(e.effect / t.te, 6) ELSE 0.0 END
+           AS attribution_share,
+       round_even(e.basec, 6) AS base_conv_prob
+FROM eff e, tote t
+"""
+
+
 @query(
     "q_events_markov_attribution",
-    # The chain solve is a k×k linear system (k = |event types| + start,
-    # single digits) — engine-specific float linear algebra, so rows-only;
-    # tests pin share normalization, non-negative removal effects, and the
-    # base conversion probability recomputed by brute-force path simulation.
-    oracle=None,
+    # Rows-only → SQL upgrade: the k×k absorbing-chain solve is restated
+    # as MARKOV_ITERS fixed Jacobi steps in pure Python (explicit
+    # ascending-j left fold, every op a correctly-rounded float64), which
+    # the oracle's recursive CTE replays with the identical op sequence —
+    # bit-identical after the same N steps (fixture residual <1e-15 vs
+    # the exact solve; pinned in tests).
+    oracle=_markov_oracle(),
     tags=("events", "attribution", "markov", "removal-effect"),
 )
 def q_events_markov_attribution(spark, sf_dir):
@@ -4622,9 +4749,11 @@ def q_events_markov_attribution(spark, sf_dir):
     event ordering (window lag) to transition pairs, then a hash
     aggregate to a k² transition-count matrix (k = |event types|, single
     digits). The absorbing-chain solve runs on the driver over that k²
-    matrix via Gaussian elimination — the same driver-size-matrix
-    precedent as the confusion matrix (ml/metrics.py). Removal effects
-    re-solve k times on the same tiny matrix.
+    matrix as MARKOV_ITERS Jacobi steps (x' = b + Qx) in pure Python —
+    the same driver-size-matrix precedent as the confusion matrix
+    (ml/metrics.py), restated iteratively so the DuckDB oracle replays
+    the identical IEEE op sequence (see _markov_oracle). Removal effects
+    re-iterate k times on the same tiny matrix.
     """
     import numpy as np
 
@@ -4673,29 +4802,40 @@ def q_events_markov_attribution(spark, sf_dir):
     )
     idx = {s: i for i, s in enumerate(states)}
     k = len(states)
-    counts = np.zeros((k, k + 1))  # last col = CONV
-    totals = np.zeros(k)
+    counts = [[0] * (k + 1) for _ in range(k)]  # exact ints; last col = CONV
+    totals = [0] * k
     for r in rows:
         totals[idx[r["src"]]] += r["n"]
         if r["dst"] == "CONV":
-            counts[idx[r["src"]], k] += r["n"]
+            counts[idx[r["src"]]][k] += r["n"]
         elif r["dst"] != "NULL":
-            counts[idx[r["src"]], idx[r["dst"]]] += r["n"]
+            counts[idx[r["src"]]][idx[r["dst"]]] += r["n"]
 
     def conv_prob(removed: str | None) -> float:
-        q = np.zeros((k, k))
-        b = np.zeros(k)
+        # Probability cells: one correctly-rounded float64 division each
+        # (exact int counts / exact int totals) — identical in DuckDB.
+        q = [[0.0] * k for _ in range(k)]
+        b = [0.0] * k
         for i, s in enumerate(states):
             if totals[i] == 0 or s == removed:
-                continue  # all mass -> NULL
-            p = counts[i] / totals[i]
-            if removed is not None:
-                p = p.copy()
-                p[idx[removed]] = 0.0
-            q[i] = p[:k]
-            b[i] = p[k]
-        x = np.linalg.solve(np.eye(k) - q, b)  # absorption prob per state
-        return float(x[idx["START"]])
+                continue  # all mass -> NULL (row stays zero)
+            for j in range(k):
+                if removed is not None and j == idx[removed]:
+                    continue
+                q[i][j] = counts[i][j] / totals[i]
+            b[i] = counts[i][k] / totals[i]
+        # Fixed-N Jacobi: x' = b + Qx, ascending-j LEFT FOLD per row —
+        # the exact op sequence the oracle's list_reduce replays.
+        x = [0.0] * k
+        for _ in range(MARKOV_ITERS):
+            nx = []
+            for i in range(k):
+                acc = b[i]
+                for j in range(k):
+                    acc = acc + q[i][j] * x[j]
+                nx.append(acc)
+            x = nx
+        return x[idx["START"]]
 
     base = conv_prob(None)
     channels = [s for s in states if s != "START"]
@@ -4703,13 +4843,17 @@ def q_events_markov_attribution(spark, sf_dir):
         c: max(0.0, (base - conv_prob(c)) / base) if base > 0 else 0.0
         for c in channels
     }
-    tot_removal = sum(removals.values())
+    # sum() left-folds in sorted-channel order from 0.0 — 0.0+e1 == e1
+    # exactly, so this equals the oracle's list_reduce over the same order.
+    tot_removal = sum(removals[c] for c in sorted(channels))
+    # np.round (not builtin round): numpy's scaled round-half-even is the
+    # proven twin of DuckDB round_even (q_ts_holt precedent).
     out = [
         (
             c,
-            round(removals[c], 6),
-            round(removals[c] / tot_removal, 6) if tot_removal > 0 else 0.0,
-            round(base, 6),
+            float(np.round(removals[c], 6)),
+            float(np.round(removals[c] / tot_removal, 6)) if tot_removal > 0 else 0.0,
+            float(np.round(base, 6)),
         )
         for c in sorted(channels)
     ]
