@@ -2121,3 +2121,124 @@ def q_ml_kmeans_exact(spark, sf_dir):
         ).alias("s_checksum"),
         F.sum("d").alias("wssd_scaled"),
     )
+
+
+# --- q_ml_isotonic_exact: exactly-audited pool-adjacent-violators -------
+#
+# q_ml_isotonic above keeps MLlib's parallel PAV rows-only (its block
+# merges run in an implementation-specific float order). This twin
+# restates the weighted isotonic fit so the ENTIRE algorithm is exact
+# integer arithmetic until one final division (the kmeans_exact recipe):
+#   * per-day pools carry (W, S) = (event count, cents sum) — both
+#     exact int64, so pooling is int addition in any order;
+#   * the violation test "mean(prev) >= mean(cur)" is the integer
+#     cross-multiplication S_prev*W_cur >= S_cur*W_prev — no float
+#     compare ever decides a merge (ties pool, so emitted means are
+#     strictly increasing);
+#   * the prediction is the single correctly-rounded division S/W.
+# DuckDB replays the sequential stack machine with a recursive CTE
+# carrying the three pool stacks as LIST state (the FFD-replay
+# precedent): each step either merges the top two pools (violation) or
+# pushes the next day; the unique terminal row (input consumed, no
+# violation) unnests to the fitted step function.
+
+
+def _iso_oracle() -> str:
+    return """
+WITH RECURSIVE daily AS (
+    SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1
+), packed AS (
+    SELECT list(d ORDER BY d) AS dd, list(n ORDER BY d) AS nn,
+           list(s ORDER BY d) AS ss
+    FROM daily
+), rec AS (
+    SELECT 1 AS i,
+           CAST([] AS BIGINT[]) AS pd,
+           CAST([] AS BIGINT[]) AS pw,
+           CAST([] AS BIGINT[]) AS ps
+    FROM packed
+    UNION ALL
+    SELECT CASE WHEN viol THEN i ELSE i + 1 END,
+           CASE WHEN viol THEN pd[:len(pd) - 1]
+                ELSE list_append(pd, dd[i]) END,
+           CASE WHEN viol
+                THEN list_append(pw[:len(pw) - 2], pw[-2] + pw[-1])
+                ELSE list_append(pw, nn[i]) END,
+           CASE WHEN viol
+                THEN list_append(ps[:len(ps) - 2], ps[-2] + ps[-1])
+                ELSE list_append(ps, ss[i]) END
+    FROM (
+        SELECT r.*, p.dd, p.nn, p.ss,
+               (len(r.pw) >= 2 AND r.ps[-2] * r.pw[-1] >= r.ps[-1] * r.pw[-2])
+                   AS viol
+        FROM rec r, packed p
+    )
+    WHERE viol OR i <= len(dd)
+), final AS (
+    SELECT r.pd, r.pw, r.ps
+    FROM rec r, packed p
+    WHERE r.i = len(p.dd) + 1
+      AND NOT (len(r.pw) >= 2 AND r.ps[-2] * r.pw[-1] >= r.ps[-1] * r.pw[-2])
+)
+SELECT pd[u.k] AS d_start,
+       pw[u.k] AS pool_weight,
+       ps[u.k] AS pool_cents,
+       CAST(ps[u.k] AS DOUBLE) / pw[u.k] AS pred_cents
+FROM final, UNNEST(range(1, len(pd) + 1)) AS u(k)
+"""
+
+
+@query(
+    "q_ml_isotonic_exact",
+    oracle=_iso_oracle(),
+    tags=("ml", "isotonic", "calibration", "exact-audit", "iterative"),
+)
+def q_ml_isotonic_exact(spark, sf_dir):
+    """Exactly-audited weighted isotonic regression of daily total event
+    value vs epoch day: the distributed work is the one-shuffle daily
+    (count, cents) rollup — exact ints — and the PAV stack machine runs
+    driver-side over that |days|-size series (the same driver-size
+    precedent as q_ml_isotonic/markov), with every merge decided by
+    integer cross-multiplication and the fitted level emitted as the
+    single division S/W. The DuckDB oracle replays the identical stack
+    machine (see _iso_oracle), so the full fit hash-matches.
+
+    Scale shape: the fit input is |days| rows regardless of corpus size
+    (the rollup is combinable), and the emitted step function is the
+    broadcastable artifact a calibration scoring join uses downstream —
+    identical to MLlib's deployment shape, minus the float-order
+    nondeterminism."""
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((dec("value") * 100).cast("long")).alias("s"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    if not daily:
+        return spark.createDataFrame(
+            [], "d_start long, pool_weight long, pool_cents long, pred_cents double"
+        )
+    pd_, pw, ps = [], [], []
+    for r in daily:
+        pd_.append(int(r["d"]))
+        pw.append(int(r["n"]))
+        ps.append(int(r["s"]))
+        while len(pw) >= 2 and ps[-2] * pw[-1] >= ps[-1] * pw[-2]:
+            pd_.pop()
+            pw[-2:] = [pw[-2] + pw[-1]]
+            ps[-2:] = [ps[-2] + ps[-1]]
+    out = [
+        (d, w, s, s / w) for d, w, s in zip(pd_, pw, ps)
+    ]
+    return spark.createDataFrame(
+        out, "d_start long, pool_weight long, pool_cents long, pred_cents double"
+    )

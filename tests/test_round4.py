@@ -833,3 +833,53 @@ def test_markov_iteration_converged_vs_exact_solve(spark, sf_dir):
         assert abs(r["base_conv_prob"] - base) < 5.1e-7
         want = max(0.0, (base - exact(r["channel"])) / base) if base > 0 else 0.0
         assert abs(r["removal_effect"] - want) < 5.1e-7
+
+
+def test_isotonic_exact_invariants(spark, sf_dir):
+    """q_ml_isotonic_exact: strictly increasing pool means (ties pool by
+    construction), total weight/cents preserved, and the fit minimizes
+    weighted squared error like a reference sequential PAV over the same
+    exact integer series."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = (
+        REGISTRY["q_ml_isotonic_exact"].fn(spark, sf_dir).orderBy("d_start").collect()
+    )
+    assert rows
+    means = [r["pool_cents"] / r["pool_weight"] for r in rows]
+    assert all(a < b for a, b in zip(means, means[1:]))  # strictly increasing
+    # cross-check against an independent numpy PAV on the same rollup
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from spark_ml_pipelines_example_spark.queries._util import dec, t
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((dec("value") * 100).cast("long")).alias("s"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    w = np.array([r["n"] for r in daily], dtype=float)
+    y = np.array([r["s"] / r["n"] for r in daily])
+    # sequential PAV (merge on >=)
+    pw, py = [], []
+    for wi, yi in zip(w, y):
+        pw.append(wi)
+        py.append(yi)
+        while len(pw) >= 2 and py[-2] >= py[-1]:
+            m = (py[-2] * pw[-2] + py[-1] * pw[-1]) / (pw[-2] + pw[-1])
+            pw[-2:] = [pw[-2] + pw[-1]]
+            py[-2:] = [m]
+        # note float merge order differs from the exact int path; values
+        # agree to float tolerance
+    assert len(pw) == len(rows)
+    got = [r["pred_cents"] for r in rows]
+    assert np.allclose(got, py, rtol=1e-9)
+    assert sum(r["pool_weight"] for r in rows) == int(w.sum())
+    assert sum(r["pool_cents"] for r in rows) == sum(int(r["s"]) for r in daily)
