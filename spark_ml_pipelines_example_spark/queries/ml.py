@@ -2242,3 +2242,204 @@ def q_ml_isotonic_exact(spark, sf_dir):
     return spark.createDataFrame(
         out, "d_start long, pool_weight long, pool_cents long, pred_cents double"
     )
+
+
+# --- q_ml_pca_power_exact: exactly-audited top principal component -----
+#
+# q_ml_pca keeps MLlib's eigen-decomposition rows-only (LAPACK sign/
+# order conventions aren't SQL-reproducible). This twin restates the
+# top-PC computation so BOTH engines perform the identical IEEE op
+# sequence end to end (the kmeans_exact/markov recipe):
+#   * center WITHOUT rationals: y_r = n*x_r - colsum over the floor-
+#     quantized vectors — exact int64 (the kmeans n*x - s trick);
+#   * the Gram matrix G = Y'Y is an exact int64 aggregate (order-free),
+#     cast once to float64 (identical correctly-rounded cast);
+#   * three driver-side matrix squarings produce C8 = (G)^8 with a
+#     defined ascending-k fold per cell — eigenvectors unchanged,
+#     eigengap raised to the 8th power, so 100 power steps converge
+#     like 800 on G;
+#   * each power step divides by the carried norm (n2 in the recursion
+#     state) and the DuckDB oracle replays every fold left-to-right.
+PCAX_ITERS = 100
+
+
+def _pcax_oracle() -> str:
+    D = KMX_DIM
+    Q = KMX_Q
+    N = PCAX_ITERS
+    fold0 = "list_prepend(CAST(0.0 AS DOUBLE), {body})"
+
+    def dot(body):
+        return f"list_reduce({fold0.format(body=body)}, (a, b) -> a + b)"
+
+    sq = (
+        "SELECT list_transform(range(1, {d} + 1), i -> "
+        "list_transform(range(1, {d} + 1), j -> "
+        + dot("list_transform(range(1, {d} + 1), k -> c[i][k] * c[k][j])")
+        + ")) AS c FROM {src}"
+    )
+    return f"""
+WITH RECURSIVE q AS (
+    SELECT vec_id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * {Q}) AS BIGINT)) AS xq
+    FROM embeddings
+), meta AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q
+), scol AS (
+    SELECT u.i, CAST(SUM(xq[u.i]) AS BIGINT) AS sv
+    FROM q, UNNEST(range(1, {D} + 1)) AS u(i) GROUP BY u.i
+), svec AS (
+    SELECT list(sv ORDER BY i) AS s FROM scol
+), yr AS (
+    SELECT vec_id,
+           list_transform(range(1, {D} + 1),
+               i -> m.n * q.xq[i] - sv.s[i]) AS y
+    FROM q, meta m, svec sv
+), cells AS (
+    SELECT u.i, v.j, CAST(SUM(y[u.i] * y[v.j]) AS BIGINT) AS g
+    FROM yr, UNNEST(range(1, {D} + 1)) AS u(i),
+         UNNEST(range(1, {D} + 1)) AS v(j)
+    GROUP BY u.i, v.j
+), grow AS (
+    SELECT i, list(CAST(g AS DOUBLE) ORDER BY j) AS gr FROM cells GROUP BY i
+), gmat AS (
+    SELECT list(gr ORDER BY i) AS c FROM grow
+), m2 AS ({sq.format(d=D, src="gmat")}
+), m4 AS ({sq.format(d=D, src="m2")}
+), m8 AS ({sq.format(d=D, src="m4")}
+), it AS (
+    SELECT 0 AS t, c,
+           list_transform(range(1, {D} + 1),
+               i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END) AS w,
+           CAST(1.0 AS DOUBLE) AS n2
+    FROM m8
+    UNION ALL
+    SELECT t + 1, c,
+           list_transform(range(1, {D} + 1), i ->
+               {dot(f"list_transform(range(1, {D} + 1), j -> c[i][j] * (w[j] / sqrt(n2)))")}) AS w,
+           {dot(f'''list_transform(
+               list_transform(range(1, {D} + 1), i ->
+                   {dot(f"list_transform(range(1, {D} + 1), j -> c[i][j] * (w[j] / sqrt(n2)))")}),
+               y -> y * y)''')} AS n2
+    FROM it WHERE t < {N}
+), vfin AS (
+    SELECT list_transform(w, x -> x / sqrt(n2)) AS v
+    FROM it WHERE t = {N}
+), ray AS (
+    SELECT {dot(f'''list_transform(range(1, {D} + 1), i -> v[i] *
+        {dot(f"list_transform(range(1, {D} + 1), j -> g.c[i][j] * v[j])")})''')} AS lam
+    FROM vfin, gmat g
+)
+SELECT CAST(u.i AS BIGINT) AS component,
+       round_even(v.v[u.i], 6) AS loading,
+       round_even(r.lam, 2) AS rayleigh_g
+FROM vfin v, ray r, UNNEST(range(1, {D} + 1)) AS u(i)
+"""
+
+
+@query(
+    "q_ml_pca_power_exact",
+    oracle=_pcax_oracle(),
+    tags=("ml", "pca", "exact-audit", "iterative"),
+)
+def q_ml_pca_power_exact(spark, sf_dir):
+    """Exactly-audited top principal component of the embedding corpus:
+    the distributed work is ONE exact-integer Gram aggregate (posexplode
+    to (i, y_i) pairs, self-join on vec_id, 64x64 int64 sums — order-
+    free), and the eigenvector extraction runs driver-side as PCAX_ITERS
+    power steps on (G cast to float64)^8 with every fold in declared
+    ascending order, so the DuckDB oracle replays the identical IEEE
+    sequence and the loadings hash-match bit-for-bit (see _pcax_oracle).
+    Alignment with LAPACK's eigenvector is pinned in pytest.
+
+    Build-time action: the Gram collect (64x64 ints) and the pure-Python
+    squarings/iterations run while the DataFrame is constructed — the
+    same driver-size-matrix precedent as markov/confusion.
+
+    Scale shape: corpus size only touches the single combinable Gram
+    aggregate (n*d^2 map work, d^2 reduce — exactly MLlib PCA's
+    treeAggregate shape); everything after is O(d^2) driver state.
+    Bounds: |y| <= 2n*2^10*... with |xq| < 2^10 and n <= 2^11 at the
+    tested SFs, |y| < 2^22 and G entries < 2^(44+11) = 2^55 < 2^63
+    (int64-exact; the float64 cast is correctly rounded identically in
+    both engines either way)."""
+    import math
+
+    q = _kmx_quantized(spark, sf_dir)
+    D = KMX_DIM
+    meta = q.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(D)],
+    ).collect()[0]
+    n = int(meta["n"])
+    if n == 0:
+        return spark.createDataFrame(
+            [], "component long, loading double, rayleigh_g double"
+        )
+    s = [int(meta[f"s{i}"]) for i in range(D)]
+    sarr = F.array(*[F.lit(v).cast("long") for v in s])
+    y = q.select(
+        "vec_id",
+        F.zip_with(
+            "xq", sarr, lambda x, sv: F.lit(n).cast("long") * x - sv
+        ).alias("y"),
+    )
+    a = y.select("vec_id", F.posexplode("y").alias("i", "yi"))
+    b = y.select(
+        F.col("vec_id").alias("vid2"), F.posexplode("y").alias("j", "yj")
+    )
+    cells = (
+        a.join(b, a["vec_id"] == b["vid2"])
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("yi") * F.col("yj")).alias("g"))
+        .collect()
+    )
+    G = [[0] * D for _ in range(D)]
+    for r in cells:
+        G[r["i"]][r["j"]] = int(r["g"])
+    C = [[float(v) for v in row] for row in G]
+
+    def matsq(c):
+        out = [[0.0] * D for _ in range(D)]
+        for i in range(D):
+            ci = c[i]
+            for j in range(D):
+                acc = 0.0
+                for k in range(D):
+                    acc = acc + ci[k] * c[k][j]
+                out[i][j] = acc
+        return out
+
+    c8 = matsq(matsq(matsq(C)))
+    w = [1.0] + [0.0] * (D - 1)
+    n2 = 1.0
+    for _ in range(PCAX_ITERS):
+        nrm = math.sqrt(n2)
+        nw = []
+        for i in range(D):
+            acc = 0.0
+            for j in range(D):
+                acc = acc + c8[i][j] * (w[j] / nrm)
+            nw.append(acc)
+        acc = 0.0
+        for v in nw:
+            acc = acc + v * v
+        w, n2 = nw, acc
+    nrm = math.sqrt(n2)
+    v = [x / nrm for x in w]
+    lam = 0.0
+    for i in range(D):
+        inner = 0.0
+        for j in range(D):
+            inner = inner + G[i][j] * v[j]
+        lam = lam + v[i] * inner
+    import numpy as np
+
+    out = [
+        (i + 1, float(np.round(v[i], 6)), float(np.round(lam, 2)))
+        for i in range(D)
+    ]
+    return spark.createDataFrame(
+        out, "component long, loading double, rayleigh_g double"
+    )

@@ -883,3 +883,45 @@ def test_isotonic_exact_invariants(spark, sf_dir):
     assert np.allclose(got, py, rtol=1e-9)
     assert sum(r["pool_weight"] for r in rows) == int(w.sum())
     assert sum(r["pool_cents"] for r in rows) == sum(int(r["s"]) for r in daily)
+
+
+def test_pca_power_exact_matches_lapack(spark, sf_dir):
+    """q_ml_pca_power_exact: the power-iterated loading vector aligns
+    with LAPACK's top eigenvector of the same exact Gram matrix (up to
+    sign), and rayleigh_g equals the top eigenvalue — i.e. the declared
+    result is PCA, not a truncation artifact."""
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = (
+        REGISTRY["q_ml_pca_power_exact"].fn(spark, sf_dir).orderBy("component").collect()
+    )
+    v = np.array([r["loading"] for r in rows])
+    lam = rows[0]["rayleigh_g"]
+    # rebuild the exact Gram matrix independently
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                "SELECT list_transform(embedding, x -> "
+                "CAST(floor(CAST(x AS DOUBLE)*1024) AS BIGINT)) "
+                "FROM embeddings ORDER BY vec_id"
+            ).fetchall()
+        ],
+        dtype=np.int64,
+    )
+    n = len(X)
+    Y = n * X - X.sum(axis=0)
+    G = (Y.T @ Y).astype(float)
+    evals, evecs = np.linalg.eigh(G)
+    top = evecs[:, -1]
+    align = abs(float(v @ top)) / float(np.linalg.norm(v))
+    assert align > 1 - 1e-6
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-9
