@@ -1967,33 +1967,41 @@ def _kmx_quantized(spark, sf_dir):
 
 def _kmx_assign(q, cents):
     """One Lloyd assignment pass as a ZERO-SHUFFLE projection: the k
-    centroid rationals are literals (k x dim int64 — bytes, not a join),
-    each cluster's exact-int distance is one fold, and the argmin is
-    array_min over structs ordered (comparator, c) — lexicographic
-    struct ordering reproduces the oracle's ROW_NUMBER ORDER BY
-    d/cn², c exactly (the comparator is the same single correctly-
-    rounded float64 division on both engines). No explode, no window,
-    no shuffle — the pass rides the scan; the earlier row_number
-    formulation shuffled the corpus once per pass."""
-    per_cluster = []
-    for (c, s, n) in cents:
-        cn = F.lit(int(n)).cast("long")
-        sarr = F.array(*[F.lit(int(v)).cast("long") for v in s])
+    centroid rationals ride a BROADCAST one-row DataFrame (bytes over
+    the wire, and — measured — a far smaller expression tree than k*dim
+    inline literals, which cost more Catalyst analysis time per pass
+    than the pass's execution), each cluster's exact-int distance is one
+    fold over the joined array column, and the argmin is array_min over
+    structs ordered (comparator, c) — lexicographic struct ordering
+    reproduces the oracle's ROW_NUMBER ORDER BY d/cn², c exactly (the
+    comparator is the same single correctly-rounded float64 division on
+    both engines). No explode, no window, no shuffle — the pass rides
+    the scan."""
+    from pyspark.sql.functions import broadcast
+
+    spark = q.sparkSession
+    krow = spark.createDataFrame(
+        [([(int(c), [int(v) for v in s], int(n)) for (c, s, n) in cents],)],
+        "ks array<struct<c: long, s: array<long>, n: long>>",
+    )
+
+    def scored(k):
         d = F.aggregate(
-            F.zip_with("xq", sarr, lambda x, sv: (cn * x - sv) * (cn * x - sv)),
+            F.zip_with("xq", k["s"], lambda x, sv: (k["n"] * x - sv) * (k["n"] * x - sv)),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
-        per_cluster.append(
-            F.struct(
-                (d.cast("double") / (cn * cn).cast("double")).alias("cmp"),
-                F.lit(int(c)).cast("long").alias("c"),
-                d.alias("d"),
-            )
+        return F.struct(
+            (d.cast("double") / (k["n"] * k["n"]).cast("double")).alias("cmp"),
+            k["c"].alias("c"),
+            d.alias("d"),
         )
-    best = F.array_min(F.array(*per_cluster))
-    return q.withColumn("_b", best).select(
-        "vec_id", "xq", F.col("_b.c").alias("c"), F.col("_b.d").alias("d")
+
+    best = F.array_min(F.transform(F.col("ks"), scored))
+    return (
+        q.crossJoin(broadcast(krow))
+        .withColumn("_b", best)
+        .select("vec_id", "xq", F.col("_b.c").alias("c"), F.col("_b.d").alias("d"))
     )
 
 
