@@ -190,6 +190,12 @@ HEADLINE = [
     "q_scan_table_history",
     "q_ts_ewma_irregular",
     "q_curate_k_anonymity",
+    # round-4 continuation wave 2
+    "q_dedup_semantic",
+    "q_text_gopher_rules",
+    "q_stream_tws_map_state",
+    "q_ml_isotonic_exact",
+    "q_ml_pca_power_exact",
 ]
 
 

@@ -314,3 +314,105 @@ def q_sql_execute_immediate(spark, sf_dir):
             WHERE s_acctbal > ? GROUP BY n_name'"""
     )
     return spark.sql("EXECUTE IMMEDIATE dyn_q USING 1000.0")
+
+
+SCRIPT_TARGET_N = 100  # exponential-search stop: at most this many orders
+
+
+@query(
+    "q_sql_scripting",
+    oracle=f"""
+    WITH p AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders
+    ), pw AS (
+        SELECT CAST(1 AS BIGINT) << g.g AS t FROM UNNEST(range(0, 63)) AS g(g)
+    ), scored AS (
+        SELECT t,
+               (SELECT COUNT(*) FROM p WHERE c >= pw.t) AS n_at,
+               (SELECT COUNT(*) FROM p WHERE c >= pw.t // 2) AS n_at_half
+        FROM pw
+    )
+    SELECT t AS threshold_cents, n_at AS n_at_or_above,
+           CASE WHEN t = 1 THEN CAST(NULL AS BIGINT) ELSE n_at_half END
+               AS n_at_half
+    FROM scored WHERE n_at <= {SCRIPT_TARGET_N} ORDER BY t LIMIT 1
+    """,
+    tags=("sql", "scripting", "spark4", "control-flow"),
+)
+def q_sql_scripting(spark, sf_dir):
+    """SQL scripting (Spark 4 `BEGIN … END` blocks, SQL/PSM control
+    flow): an exponential search for the smallest power-of-two price
+    threshold leaving at most SCRIPT_TARGET_N orders — DECLARE'd
+    variables mutated by a WHILE loop whose condition is a scalar
+    subquery over the real table, i.e. genuine multi-statement
+    procedural SQL, not a single query. The oracle is the closed form
+    (the doubling sequence's first satisfying element = the minimum
+    satisfying power of two, counts being antitone in t), so the whole
+    control-flow path is hash-checked. Exact integer cents throughout.
+
+    Scale shape: each loop step is one combinable count over the scan
+    (predicate pushed down); the loop runs O(log2(max price)) times and
+    state is two driver-side scalars — scripting moves the LOOP to the
+    engine but each iteration stays a full distributed query."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+        BEGIN
+          DECLARE thr BIGINT = 1;
+          WHILE (SELECT COUNT(*) FROM orders
+                 WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       >= thr) > {SCRIPT_TARGET_N} DO
+            SET thr = thr * 2;
+          END WHILE;
+          SELECT thr AS threshold_cents,
+                 (SELECT COUNT(*) FROM orders
+                  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        >= thr) AS n_at_or_above,
+                 CASE WHEN thr = 1 THEN CAST(NULL AS BIGINT) ELSE
+                   (SELECT COUNT(*) FROM orders
+                    WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                          >= thr DIV 2) END AS n_at_half;
+        END
+        """)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+
+
+@query(
+    "q_sql_identifier_clause",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("sql", "identifier-clause", "spark4"),
+)
+def q_sql_identifier_clause(spark, sf_dir):
+    """IDENTIFIER() clause (Spark 4): table and column names resolved
+    from runtime STRING parameters as first-class identifiers — the
+    SQL-injection-safe alternative to string-spliced table names in
+    templated jobs (a name that isn't a valid identifier fails to
+    resolve instead of smuggling SQL). The table, join column, and
+    aggregated column all route through IDENTIFIER(:param) bindings;
+    the oracle is the static spelling, so the hash check pins that the
+    indirection resolves to the identical plan."""
+    for tbl in ("customer", "nation"):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(IDENTIFIER(:balcol) AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_bal
+        FROM IDENTIFIER(:tbl) JOIN nation
+          ON IDENTIFIER(:tbl || '.' || :natkey) = n_nationkey
+        GROUP BY n_name
+        """,
+        args={"tbl": "customer", "balcol": "c_acctbal", "natkey": "c_nationkey"},
+    )
