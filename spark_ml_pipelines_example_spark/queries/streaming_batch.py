@@ -725,3 +725,62 @@ def q_stream_tws_map_state(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+@query(
+    "q_stream_python_datasource",
+    # Same closed-form replay as the batch connector twin
+    # (q_scan_python_datasource), so the STREAMING delivery path is held
+    # to the identical hash check.
+    oracle="""
+    WITH src AS (
+        SELECT i AS device_id, CAST(i // 2500 AS INT) AS part,
+               (i * i + 17 * i) % 9973 AS reading
+        FROM range(0, 20000) t(i)
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_readings,
+           CAST(SUM(reading) AS BIGINT) AS sum_reading,
+           CAST(MIN(device_id) AS BIGINT) AS min_device,
+           CAST(MAX(device_id) AS BIGINT) AS max_device
+    FROM src GROUP BY part
+    """,
+    tags=("stream", "python-datasource", "connector", "spark4"),
+)
+def q_stream_python_datasource(spark, sf_dir):
+    """STREAMING custom connector through Spark 4's Python DataSource
+    API: ``spark.readStream.format("synthetic_telemetry")`` drives the
+    ``DataSourceStreamReader`` offset machinery — initialOffset /
+    latestOffset / per-batch ``partitions(start, end)`` planning /
+    executor-side ``read`` / ``commit`` — the SDK a Python Kafka-like
+    source implements. Rows are the same closed-form function of the id
+    as the batch twin, so the full stream → memory-sink loop
+    hash-checks against the identical range() replay. (AvailableNow
+    falls back to single-batch for Python stream sources; the fallback
+    is part of the declared surface and logged by the runtime.)
+
+    Scale shape: per batch, parallelism = len(partitions()); a
+    production source maps InputPartitions to shards/offset ranges and
+    the downstream groupBy is one combinable shuffle."""
+    from ..sources.pyds import register
+
+    register(spark)
+    from ..streaming.jobs import _run_to_memory
+
+    src = (
+        spark.readStream.format("synthetic_telemetry")
+        .option("n_rows", 20000)
+        .option("n_parts", 8)
+        .load()
+    )
+    agg = src.groupBy("part").agg(
+        F.count("*").alias("n_readings"),
+        F.sum("reading").alias("sum_reading"),
+        F.min("device_id").alias("min_device"),
+        F.max("device_id").alias("max_device"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return _run_to_memory(agg, "stream_pyds_out", "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

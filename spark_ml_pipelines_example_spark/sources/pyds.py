@@ -26,7 +26,12 @@ is idempotent by name.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 DEFAULT_ROWS = 100_000
 DEFAULT_PARTS = 8
@@ -58,6 +63,43 @@ class SyntheticTelemetryReader(DataSourceReader):
             yield (i, partition.part, (i * i + 17 * i) % MOD)
 
 
+class SyntheticTelemetryStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the same closed-form id space: offsets
+    are plain id watermarks ({"i": n} dict offsets, the Python API's
+    JSON-able offset contract), each batch covers [start, end) split
+    over ``n_parts`` planned partitions. ``commit`` is a no-op (the
+    source is stateless/replayable — the deterministic analogue of a
+    Kafka range). Under Trigger.AvailableNow Spark falls back to one
+    batch for Python stream sources (logged by MicroBatchExecution);
+    the offset/partition/read machinery is exercised all the same."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", DEFAULT_ROWS))
+        self.n_parts = int(options.get("n_parts", DEFAULT_PARTS))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        return {"i": self.n_rows}
+
+    def partitions(self, start, end):
+        s, e = int(start["i"]), int(end["i"])
+        per = max(1, -(-(e - s) // self.n_parts))
+        return [
+            _IdRange(p, s + p * per, min(s + (p + 1) * per, e))
+            for p in range(self.n_parts)
+            if s + p * per < e
+        ]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield (i, i // (-(-self.n_rows // self.n_parts)), (i * i + 17 * i) % MOD)
+
+    def commit(self, end):
+        pass
+
+
 class SyntheticTelemetryDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -68,6 +110,9 @@ class SyntheticTelemetryDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticTelemetryReader:
         return SyntheticTelemetryReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticTelemetryStreamReader:
+        return SyntheticTelemetryStreamReader(self.options)
 
 
 def register(spark) -> None:
