@@ -1382,6 +1382,11 @@ def q_dedup_minhash_calibration(spark, sf_dir):
 
 SEMDEDUP_TAU_NUM = 49  # τ² = 49/400 → τ = 0.35 (the corpus' far tail,
 SEMDEDUP_TAU_DEN = 400  # like q_dedup_embedding's 0.4 bar)
+# Clusters are SIZED TO THE CORPUS (k = ceil(n / target)), never fixed:
+# a fixed k is the Σcluster² quadratic trap the IVF operators fixed with
+# adaptive_k (SURVEY §7h) — with bounded cluster size the pairwise stage
+# stays ~linear in n. Exact integer ceil-div keeps both engines' k equal.
+SEMDEDUP_TARGET_CLUSTER = 250
 
 
 def _semdedup_oracle() -> str:
@@ -1393,7 +1398,10 @@ def _semdedup_oracle() -> str:
     from .ml import KMX_PASSES, _kmx_cte_parts
 
     num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
-    parts = _kmx_cte_parts()
+    k_sql = (
+        "SELECT GREATEST(1, (COUNT(*) + {t} - 1) // {t}) FROM embeddings"
+    ).format(t=SEMDEDUP_TARGET_CLUSTER)
+    parts = _kmx_cte_parts(k_sql=k_sql)
     parts.append(
         "sd AS (SELECT vec_id, c, xq, CAST(list_sum(list_transform(xq, x -> x*x)) "
         f"AS BIGINT) AS n2 FROM a{KMX_PASSES})"
@@ -1439,9 +1447,11 @@ def q_dedup_semantic(spark, sf_dir):
     scales with the corpus exactly like operators/similarity's
     adaptive_k so the per-cluster block stays bounded; the keep-lowest-id
     rule needs no second ranking pass."""
-    from .ml import _kmx_fit_assign
+    from .ml import _kmx_fit_assign, _kmx_quantized
 
-    assigned = _kmx_fit_assign(spark, sf_dir)
+    n_vecs = _kmx_quantized(spark, sf_dir).count()
+    k = max(1, (n_vecs + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER)
+    assigned = _kmx_fit_assign(spark, sf_dir, k=k)
     if assigned is None:
         return spark.createDataFrame([], "vec_id long, cluster long, removed long")
     num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN

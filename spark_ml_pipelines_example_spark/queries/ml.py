@@ -2019,7 +2019,7 @@ def _kmx_update(assigned, prev):
     return [(c, *(upd.get(c, (s, n)))) for (c, s, n) in prev]
 
 
-def _kmx_cte_parts() -> list[str]:
+def _kmx_cte_parts(k_sql: str | None = None) -> list[str]:
     """Unrolled-iteration DuckDB replay of the exact Lloyd loop: the
     KMX_PASSES assignment/update rounds become chained CTEs computing the
     identical int64 distances, the identical single-division float64
@@ -2027,8 +2027,11 @@ def _kmx_cte_parts() -> list[str]:
     Returns the CTE list ending at a{KMX_PASSES} (vec_id, xq, c, d) so
     downstream consumers (q_ml_kmeans_exact here, q_dedup_semantic in
     dedup.py) append their own final select over the converged
-    assignment."""
+    assignment. ``k_sql`` overrides the init-cluster count with a SQL
+    expression (q_dedup_semantic sizes k to the corpus — the unrolled
+    passes themselves are k-agnostic, only the c0 seed filter changes)."""
     K, Q, D, P = KMX_K, KMX_Q, KMX_DIM, KMX_PASSES
+    k_expr = k_sql if k_sql is not None else str(K)
     dist = (
         "CAST(list_sum(list_transform(list_zip(q.xq, c.s), "
         "p -> (c.n*p[1] - p[2])*(c.n*p[1] - p[2]))) AS BIGINT)"
@@ -2037,7 +2040,7 @@ def _kmx_cte_parts() -> list[str]:
         "q AS (SELECT vec_id, list_transform(embedding, "
         f"x -> CAST(floor(CAST(x AS DOUBLE)*{Q}) AS BIGINT)) AS xq FROM embeddings)",
         "c0 AS (SELECT CAST(vec_id AS BIGINT) AS c, xq AS s, "
-        f"CAST(1 AS BIGINT) AS n FROM q WHERE vec_id < {K})",
+        f"CAST(1 AS BIGINT) AS n FROM q WHERE vec_id < ({k_expr}))",
     ]
     for i in range(1, P + 1):
         parts.append(
@@ -2076,13 +2079,16 @@ def _kmx_oracle() -> str:
     return "WITH " + ",\n".join(_kmx_cte_parts()) + "\n" + final
 
 
-def _kmx_fit_assign(spark, sf_dir):
-    """Run the exact Lloyd fit (init = KMX_K lowest vec_ids, KMX_PASSES-1
-    updates) and return the FINAL assignment frame (vec_id, xq, c, d), or
-    None on an empty corpus. Shared by q_ml_kmeans_exact and
-    q_dedup_semantic so both ride the identical audited iteration."""
+def _kmx_fit_assign(spark, sf_dir, k: int | None = None):
+    """Run the exact Lloyd fit (init = the k lowest vec_ids as singleton
+    rationals, default k=KMX_K, KMX_PASSES-1 updates) and return the
+    FINAL assignment frame (vec_id, xq, c, d), or None on an empty
+    corpus. Shared by q_ml_kmeans_exact (fixed k) and q_dedup_semantic
+    (corpus-sized k) so both ride the identical audited iteration."""
+    if k is None:
+        k = KMX_K
     q = _kmx_quantized(spark, sf_dir)
-    first = q.filter(F.col("vec_id") < KMX_K).orderBy("vec_id").collect()
+    first = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     if not first:
         return None
     cents = [(int(r["vec_id"]), [int(v) for v in r["xq"]], 1) for r in first]

@@ -61,6 +61,12 @@ QUERIES = [
     # and the merge rounds scale with the DISTINCT word dict (10x here,
     # sublinear in a natural corpus where replicas share vocabulary)
     "q_text_bpe_train",
+    # SemDeDup: result rows = corpus (10x trivially); the evidence is
+    # the TIME ratio staying ~linear because k = ceil(n/250) scales with
+    # the corpus (bounded clusters -> bounded per-cluster pairwise), the
+    # same adaptive-k defense as the IVF cells. The signed-permutation
+    # isometry preserves within-replica cosines exactly.
+    "q_dedup_semantic",
 ]
 
 
