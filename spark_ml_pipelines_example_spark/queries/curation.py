@@ -608,15 +608,21 @@ def q_text_kneser_ney(spark, sf_dir):
     re-joins the bigram stream on (w1,w2) with the two word-keyed
     tables broadcast when small, shuffled otherwise — identical scale
     shape to the add-k variant."""
-    d = t(spark, sf_dir, "documents")
+    return _kn_doc_scores(t(spark, sf_dir, "documents"), keys=["doc_id"])
+
+
+def _kn_doc_scores(d, keys):
+    """Per-document interpolated-KN bigram score (see q_text_kneser_ney
+    for the model derivation), grouped by ``keys`` — shared by the
+    standalone scoring query and the CCNet perplexity bucketing."""
     tk = tokens("text")
     pairs = F.zip_with(
         F.slice(tk, 1, F.size(tk) - 1),
         F.slice(tk, 2, F.size(tk) - 1),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
-    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
+    bg = d.select(*keys, F.explode(pairs).alias("p")).select(
+        *keys, "p.w1", "p.w2"
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     ugc = bg.groupBy("w1").agg(
@@ -636,7 +642,7 @@ def q_text_kneser_ney(spark, sf_dir):
         bg.join(bgc, ["w1", "w2"])
         .join(F.broadcast(ugc), "w1")
         .join(F.broadcast(cont), "w2")
-        .groupBy("doc_id")
+        .groupBy(*keys)
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg(F.log(p_kn)), 6).alias("avg_kn_logprob"),
@@ -1234,4 +1240,82 @@ def q_curate_epoch_mix(spark, sf_dir):
         F.max("replica").cast("long").alias("max_replica"),
         F.sum("n_chars").cast("long").alias("chars_emitted"),
         F.sum(F.col("doc_id") * (F.col("replica") + 1)).cast("long").alias("order_checksum"),
+    )
+
+
+@query(
+    "q_curate_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, lang, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id, lang,
+                   UNNEST(list_transform(range(1, len(tk)),
+                          i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS u
+            FROM toks)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    ugc AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1,
+                   CAST(COUNT(DISTINCT w2) AS DOUBLE) AS fan1
+            FROM bg GROUP BY 1),
+    cont AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS DOUBLE) AS cont2
+             FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types
+            FROM (SELECT DISTINCT w1, w2 FROM bg)),
+    scored AS (
+        SELECT b.doc_id, b.lang, COUNT(*) AS n_bigrams,
+               ROUND(AVG(ln(
+                   GREATEST(c.c12 - {KN_DISCOUNT}, 0) / g.c1
+                   + ({KN_DISCOUNT} * g.fan1 / g.c1) * (k.cont2 / tot.n_types)
+               )), 6) AS avg_kn_logprob
+        FROM bg b
+        JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN ugc g ON b.w1 = g.w1
+        JOIN cont k ON b.w2 = k.w2
+        CROSS JOIN tot
+        GROUP BY b.doc_id, b.lang
+    )
+    SELECT doc_id, lang, n_bigrams, avg_kn_logprob,
+           CAST(NTILE(3) OVER (PARTITION BY lang
+                ORDER BY avg_kn_logprob DESC, doc_id) AS BIGINT) AS bucket,
+           CAST(CASE WHEN NTILE(3) OVER (PARTITION BY lang
+                ORDER BY avg_kn_logprob DESC, doc_id) <= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM scored
+    """,
+    tags=("curation", "ccnet", "perplexity", "lm", "training-data"),
+)
+def q_curate_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus LM (the interpolated-KN bigram model,
+    shared scorer `_kn_doc_scores`), then split each LANGUAGE into
+    head/middle/tail terciles by model fit and keep head+middle — the
+    published recipe behind CCNet/LLaMA-1's crawl curation, where
+    "well-modeled" text is kept and the worst-fit tail is dropped or
+    routed to extra cleaning.
+
+    The tercile cut uses NTILE over (ROUNDED score, doc_id) — a total
+    order both engines share, so bucket assignment is deterministic
+    (never a raw-float boundary). Per-doc rows keep the hash check
+    strong (one row per scoreable document).
+
+    Scale shape: the LM is three hash aggregates + broadcast scoring
+    joins (see q_text_kneser_ney); the tercile window partitions by
+    lang and at 100 TB would be replaced by the two-phase global-rank
+    decomposition (operators/globalrank.py) per language — same cut,
+    no single-task sort; at fixture scale the per-lang partitions are
+    driver-small."""
+    d = t(spark, sf_dir, "documents")
+    scored = _kn_doc_scores(d, keys=["doc_id", "lang"])
+    w = W.partitionBy("lang").orderBy(
+        F.col("avg_kn_logprob").desc(), F.col("doc_id").asc()
+    )
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_kn_logprob",
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket <= 2, 1).otherwise(0).cast("long").alias("keep"),
     )
