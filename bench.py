@@ -196,6 +196,7 @@ HEADLINE = [
     "q_stream_tws_map_state",
     "q_ml_isotonic_exact",
     "q_ml_pca_power_exact",
+    "q_curate_perplexity_buckets",
 ]
 
 

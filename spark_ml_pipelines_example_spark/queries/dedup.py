@@ -1382,11 +1382,18 @@ def q_dedup_minhash_calibration(spark, sf_dir):
 
 SEMDEDUP_TAU_NUM = 49  # τ² = 49/400 → τ = 0.35 (the corpus' far tail,
 SEMDEDUP_TAU_DEN = 400  # like q_dedup_embedding's 0.4 bar)
-# Clusters are SIZED TO THE CORPUS (k = ceil(n / target)), never fixed:
-# a fixed k is the Σcluster² quadratic trap the IVF operators fixed with
-# adaptive_k (SURVEY §7h) — with bounded cluster size the pairwise stage
-# stays ~linear in n. Exact integer ceil-div keeps both engines' k equal.
-SEMDEDUP_TARGET_CLUSTER = 250
+# Clusters are SIZED TO THE CORPUS as k = floor(sqrt(n)) — the balanced
+# exponent for single-level cluster-blocked dedup: Lloyd assignment costs
+# n*k and within-cluster pairwise costs ~n^2/k, so k ∝ sqrt(n) makes BOTH
+# n^1.5 (a fixed k leaves pairwise at n^2 — the Σcluster² trap; k ∝ n
+# leaves assignment at n^2 — measured 36.7x time at 10x corpus by the
+# sf1 probe before this sizing). floor(sqrt(n)) is exact in both engines:
+# n is an exact int64 < 2^53, IEEE sqrt is correctly rounded, and perfect
+# squares take the exact branch, so FLOOR(SQRT(n)) == math.isqrt(n).
+# The published SemDeDup itself accepts the n*k assignment (k fixed by
+# dedup-quality budget, GPU-assigned); the truly sub-n^1.5 path is
+# ANN-assisted assignment (coarse-quantize centroids), which this repo's
+# IVF cell dedup (operators/similarity.py) already embodies.
 
 
 def _semdedup_oracle() -> str:
@@ -1399,8 +1406,9 @@ def _semdedup_oracle() -> str:
 
     num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
     k_sql = (
-        "SELECT GREATEST(1, (COUNT(*) + {t} - 1) // {t}) FROM embeddings"
-    ).format(t=SEMDEDUP_TARGET_CLUSTER)
+        "SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
+        "FROM embeddings"
+    )
     parts = _kmx_cte_parts(k_sql=k_sql)
     parts.append(
         "sd AS (SELECT vec_id, c, xq, CAST(list_sum(list_transform(xq, x -> x*x)) "
@@ -1441,57 +1449,54 @@ def q_dedup_semantic(spark, sf_dir):
     Build-time action: inherits the Lloyd fit's KMX_PASSES-1 k-row
     aggregate collects (documented at q_ml_kmeans_exact).
 
-    Scale shape — the reason SemDeDup exists: the pairwise join is
-    cluster-blocked (Σcluster², never corpus²), each side carries only
-    (id, 64 ints, one precomputed norm), and at 100 TB the cluster count
-    scales with the corpus exactly like operators/similarity's
-    adaptive_k so the per-cluster block stays bounded; the keep-lowest-id
-    rule needs no second ranking pass."""
+    Scale shape — the reason SemDeDup exists: the pairwise stage is
+    cluster-blocked (Σcluster², never corpus²), one applyInPandas GEMM
+    per cluster after a single shuffle on the cluster id; with
+    k = floor(sqrt(n)) both the Lloyd assignment (n·k) and the pairwise
+    (n²/k) are n^1.5 — the single-level optimum (see the sizing note at
+    SEMDEDUP_TAU_NUM; the sf1 probe measured the k ∝ n variant at ~37x
+    time for 10x corpus before this). The keep-lowest-id rule resolves
+    inside each cluster kernel — no second ranking pass, no self-join."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
     from .ml import _kmx_fit_assign, _kmx_quantized
 
     n_vecs = _kmx_quantized(spark, sf_dir).count()
-    k = max(1, (n_vecs + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER)
+    k = max(1, math.isqrt(n_vecs))
     assigned = _kmx_fit_assign(spark, sf_dir, k=k)
     if assigned is None:
         return spark.createDataFrame([], "vec_id long, cluster long, removed long")
     num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
-    n2 = F.aggregate(
-        F.transform("xq", lambda x: x * x), F.lit(0).cast("long"), lambda a, v: a + v
-    )
-    # Lazy persist (globalrank-materialize precedent): the converged
-    # assignment feeds BOTH pair sides and the final left join — without
-    # it the 4-pass Lloyd lineage re-executes three times per action.
-    side = assigned.select("vec_id", "c", "xq").withColumn("n2", n2).persist()
-    a = side.select(
-        F.col("c").alias("ca"),
-        F.col("vec_id").alias("id_a"),
-        F.col("xq").alias("xa"),
-        F.col("n2").alias("na2"),
-    )
-    b = side.select(
-        F.col("c").alias("cb"),
-        F.col("vec_id").alias("id_b"),
-        F.col("xq").alias("xb"),
-        F.col("n2").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("xa", "xb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    removed = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (F.lit(den) * F.col("dot") * F.col("dot") >= F.lit(num) * F.col("na2") * F.col("nb2"))
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Per-cluster exact-int GEMM (the sim_knn_all kernel shape): all
+        # pairwise dots in one int64 matmul; identical integers to the
+        # oracle's per-pair fold, so the removed set matches exactly.
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        X = np.array(pdf["xq"].to_numpy()[order].tolist(), dtype=np.int64)
+        dot = X @ X.T
+        n2 = (X * X).sum(axis=1)
+        dup = (dot > 0) & (
+            den * dot * dot >= num * n2[:, None] * n2[None, :]
         )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("hit", F.lit(1).cast("long"))
-    )
-    return side.join(removed, "vec_id", "left").select(
-        "vec_id",
-        F.col("c").cast("long").alias("cluster"),
-        F.coalesce(F.col("hit"), F.lit(0).cast("long")).alias("removed"),
+        # b removed iff a lower-id cluster-mate (strict upper triangle,
+        # ids ascending) is a near-dup
+        removed = np.triu(dup, 1).any(axis=0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["c"].to_numpy()[order],
+                "removed": removed,
+            }
+        )
+
+    return (
+        assigned.select("vec_id", "c", "xq")
+        .groupBy("c")
+        .applyInPandas(dedup_cluster, "vec_id long, cluster long, removed long")
     )

@@ -30,6 +30,7 @@ PYTHON_OK = {
     "q_multimodal_binary_files",  # binaryFile ingest + BMP decode (mapInPandas)
     "q_ts_ewma_irregular",  # gap-aware recursion: partition state machine (mapInPandas)
     "q_group_arrow_stats",  # Arrow-native grouped map (applyInArrow; exact-int kernel)
+    "q_dedup_semantic",  # Lloyd assignment + per-cluster pairwise: exact-int GEMM (mapInPandas/applyInPandas)
 }
 # ML-training queries: plan building runs fits (slow) and the result plan
 # is a local scan of driver-side results — lint the rest.
