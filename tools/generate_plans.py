@@ -130,6 +130,13 @@ SHOWCASE = [
     ("q_ts_ewma_irregular", "gap EWMA: one keyed shuffle + partition state machine, no per-group dispatch"),
     ("q_curate_k_anonymity", "k-anonymity: one combinable quasi-identifier aggregate, scalar flags"),
     ("q_scan_table_history", "history: manifest diffs drive footer-count scans, 1-row agg unions"),
+    # round-4 continuation-2 wave
+    ("q_dedup_semantic", "SemDeDup: zero-shuffle GEMM assignment, one cluster-id shuffle into per-cluster pairwise GEMM"),
+    ("q_text_gopher_rules", "Gopher rules: all seven flags in one zero-shuffle codegen projection"),
+    ("q_curate_perplexity_buckets", "CCNet buckets: KN scoring joins + per-lang NTILE window"),
+    ("q_stream_python_datasource", "streaming Python DataSource: per-batch planned partitions into the sink"),
+    ("q_sql_scripting", "SQL scripting: per-iteration pushed-filter counts, driver-held loop state"),
+    ("q_ml_pca_power_exact", "exact PCA: posexplode pair grid, one combinable d^2 Gram aggregate"),
 ]
 
 
