@@ -2465,3 +2465,153 @@ def q_ml_pca_power_exact(spark, sf_dir):
     return spark.createDataFrame(
         out, "component long, loading double, rayleigh_g double"
     )
+
+
+# --- q_ml_logreg_exact: exactly-audited INTEGER-ONLY GLM training ------
+#
+# The audited-ML recipe pushed to its endpoint: a full-batch
+# gradient-descent classifier where every quantity in the ENTIRE
+# training loop is an int64 — features (quantized), the hard-sigmoid
+# link (clamp(S/2 + z/4), i.e. the piecewise-linear sigmoid of
+# quantized/low-precision training practice), the error, the gradient
+# sums (order-free exact), and the weight update (floor-div by n plus
+# an arithmetic shift as the learning rate). No float exists anywhere,
+# so there is nothing to round and the oracle replay is trivially
+# bit-exact; cross-engine gotchas baked in: arithmetic >> (both engines
+# floor), and floor-div via the pmod identity because DuckDB's // and
+# Spark's DIV truncate toward zero on negatives.
+LOGREG_STEPS = 12
+LOGREG_LR_SHIFT = 2  # w -= (grad/n) >> 2
+LOGREG_S = 1 << 16  # fixed-point scale
+
+
+def _logreg_feat_sql() -> str:
+    return """
+    SELECT CAST(c_nationkey AS BIGINT) AS x2,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) >> 10 AS x1,
+           CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+    FROM customer
+    """
+
+
+def _logreg_oracle() -> str:
+    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+    half = S >> 1
+
+    def err(w):  # per-row error with weights from CTE alias w
+        z = f"({w}.a + {w}.b * x1 + {w}.c * x2)"
+        s = f"LEAST(GREATEST({half} + ({z} >> 2), 0), {S})"
+        return f"({s} - y * {S})"
+
+    parts = [f"feat AS ({_logreg_feat_sql()})",
+             "meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat)",
+             "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, "
+             "CAST(0 AS BIGINT) AS c)"]
+    for i in range(1, N + 1):
+        p = f"w{i - 1}"
+        e = err(p)
+        # LINEAR dependency chain: g{i} carries the previous weights
+        # through (MAX over the 1-row cross join) so w{i} references
+        # ONLY g{i} — a double reference to w{i-1} from both g{i} and
+        # w{i} makes non-materialized CTE expansion exponential in N
+        # (measured: 97s -> ~1s for the whole oracle).
+        parts.append(
+            f"g{i} AS (SELECT CAST(SUM({e}) AS BIGINT) AS g0, "
+            f"CAST(SUM({e} * x1) AS BIGINT) AS g1, "
+            f"CAST(SUM({e} * x2) AS BIGINT) AS g2, "
+            f"MAX({p}.a) AS pa, MAX({p}.b) AS pb, MAX({p}.c) AS pc, "
+            f"MAX(m.n) AS n FROM feat, {p}, meta m)"
+        )
+        upd = ", ".join(
+            f"p{w} - (((g{g} - (((g{g} % n) + n) % n)) // n) >> {E}) AS {w}"
+            for w, g in (("a", 0), ("b", 1), ("c", 2))
+        )
+        parts.append(f"w{i} AS (SELECT {upd} FROM g{i})")
+    zf = f"(w.a + w.b * x1 + w.c * x2)"
+    sf = f"LEAST(GREATEST({half} + ({zf} >> 2), 0), {S})"
+    final = (
+        f"SELECT x2 AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        f"CAST(COUNT(CASE WHEN (CASE WHEN {sf} >= {half} THEN 1 ELSE 0 END) = y "
+        f"THEN 1 END) AS BIGINT) AS n_correct, "
+        f"w.a AS w0, w.b AS w1, w.c AS w2 "
+        f"FROM feat, w{N} w GROUP BY x2, w.a, w.b, w.c"
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_ml_logreg_exact",
+    oracle=_logreg_oracle(),
+    tags=("ml", "glm", "logreg", "exact-audit", "iterative", "quantized"),
+)
+def q_ml_logreg_exact(spark, sf_dir):
+    """Exactly-audited linear classifier training: LOGREG_STEPS rounds of
+    full-batch gradient descent on a hard-sigmoid GLM where EVERY value
+    is an int64 (see the recipe note above) — the quantized-training
+    analogue of MLlib's LogisticRegression whose fit both engines
+    reproduce bit-for-bit. The label (acctbal > 0) is linearly learnable
+    from the quantized features, and the fit reaching ~100% train
+    accuracy is pinned in pytest — the audit shows real learning, not a
+    fixed-point curiosity.
+
+    Build-time action: each step collects one 3-long gradient row while
+    the DataFrame is constructed (markov/kmeans precedent).
+
+    Scale shape: a training step is ONE map-side-combinable integer
+    aggregate over the scan (the classic distributed full-batch GD /
+    L-BFGS shape MLlib itself uses — treeAggregate of per-row gradient
+    contributions); driver state is 3 ints. Integer gradients make the
+    aggregation order-free — the property float gradient sums lack —
+    so the fit is reproducible on ANY cluster topology, 32 threads or
+    1000 executors."""
+    c = t(spark, sf_dir, "customer")
+    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+    half = S >> 1
+    cents = (dec("c_acctbal") * 100).cast("long")
+    feat = c.select(
+        F.shiftright(cents, 10).alias("x1"),
+        F.col("c_nationkey").cast("long").alias("x2"),
+        (cents > 0).cast("long").alias("y"),
+    )
+    n = feat.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "nationkey long, n_customers long, n_correct long, "
+            "w0 long, w1 long, w2 long",
+        )
+    w = [0, 0, 0]
+    for _ in range(N):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        s = F.least(
+            F.greatest(F.lit(half) + F.shiftright(z, 2), F.lit(0)), F.lit(S)
+        )
+        err = s - F.col("y") * S
+        g = feat.agg(
+            F.sum(err).alias("g0"),
+            F.sum(err * F.col("x1")).alias("g1"),
+            F.sum(err * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        w = [
+            wi - ((int(g[f"g{i}"]) // n) >> E)  # python // floors like pmod form
+            for i, wi in enumerate(w)
+        ]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    s = F.least(F.greatest(F.lit(half) + F.shiftright(z, 2), F.lit(0)), F.lit(S))
+    pred = F.when(s >= half, 1).otherwise(0).cast("long")
+    return (
+        feat.groupBy(F.col("x2").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count(F.when(pred == F.col("y"), 1)).alias("n_correct"),
+        )
+        .select(
+            "nationkey",
+            "n_customers",
+            "n_correct",
+            F.lit(w[0]).cast("long").alias("w0"),
+            F.lit(w[1]).cast("long").alias("w1"),
+            F.lit(w[2]).cast("long").alias("w2"),
+        )
+    )

@@ -925,3 +925,17 @@ def test_pca_power_exact_matches_lapack(spark, sf_dir):
     align = abs(float(v @ top)) / float(np.linalg.norm(v))
     assert align > 1 - 1e-6
     assert abs(lam - evals[-1]) / evals[-1] < 1e-9
+
+
+def test_logreg_exact_learns(spark, sf_dir):
+    """q_ml_logreg_exact: the integer GD fit actually LEARNS — train
+    accuracy far above the majority class on the linearly-learnable
+    label, and the weight on the predictive feature dominates."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["q_ml_logreg_exact"].fn(spark, sf_dir).collect()
+    n = sum(r["n_customers"] for r in rows)
+    correct = sum(r["n_correct"] for r in rows)
+    assert correct / n > 0.98  # ~majority class is <0.92 on this fixture
+    w1 = rows[0]["w1"]
+    assert w1 > 0 and abs(w1) > abs(rows[0]["w2"])  # acctbal drives the label
