@@ -197,6 +197,8 @@ HEADLINE = [
     "q_ml_isotonic_exact",
     "q_ml_pca_power_exact",
     "q_curate_perplexity_buckets",
+    "q_ml_tree_stump_exact",
+    "q_ml_logreg_exact",
 ]
 
 

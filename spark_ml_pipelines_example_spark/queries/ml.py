@@ -2615,3 +2615,158 @@ def q_ml_logreg_exact(spark, sf_dir):
             F.lit(w[2]).cast("long").alias("w2"),
         )
     )
+
+
+# --- q_ml_tree_stump_exact: decision-tree induction as ONE QUERY -------
+#
+# Tree learning, audited: a depth-1 CART split search where the split
+# statistics are exact integer counts and the only float is the final
+# ranking comparator — computed from identical int64s in both engines,
+# so the chosen split (and every ranked candidate) hash-matches. Unlike
+# the iterative audited fits (kmeans/logreg), the whole induction is
+# DECLARATIVE — no driver loop, no build-time action: cumulative bin
+# counts give every candidate threshold's left/right sufficient
+# statistics in one window pass, and maximizing
+#     (A_l*n_r + A_r*n_l) / (n_l*n_r),  A = pos^2 + neg^2
+# is exactly minimizing weighted Gini impurity (constant-shift algebra).
+
+
+@query(
+    "q_ml_tree_stump_exact",
+    oracle="""
+    WITH feat AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >> 20
+                   AS f1,
+               CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS f2,
+               CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS y
+        FROM orders
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+               CAST(SUM(y) AS BIGINT) AS p_tot
+        FROM feat
+    ), bins AS (
+        SELECT 1 AS feature, f1 AS bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM feat GROUP BY f1
+        UNION ALL
+        SELECT 2, f2, COUNT(*), CAST(SUM(y) AS BIGINT) FROM feat GROUP BY f2
+    ), cum AS (
+        SELECT feature, bin,
+               SUM(n) OVER w AS n_l, SUM(pos) OVER w AS pos_l
+        FROM bins
+        WINDOW w AS (PARTITION BY feature ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cand AS (
+        SELECT feature, bin AS threshold,
+               CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+               CAST(t.n_tot - n_l AS BIGINT) AS n_r,
+               CAST(t.p_tot - pos_l AS BIGINT) AS pos_r
+        FROM cum, tot t
+        WHERE n_l > 0 AND t.n_tot - n_l > 0
+    ), scored AS (
+        SELECT *,
+               CAST((pos_l*pos_l + (n_l-pos_l)*(n_l-pos_l)) * n_r
+                    + (pos_r*pos_r + (n_r-pos_r)*(n_r-pos_r)) * n_l AS DOUBLE)
+                   / CAST(n_l * n_r AS DOUBLE) AS score
+        FROM cand
+    )
+    SELECT feature, threshold, n_l, pos_l, n_r, pos_r,
+           CAST(CASE WHEN 2*pos_l >= n_l THEN 1 ELSE 0 END AS BIGINT) AS pred_l,
+           CAST(CASE WHEN 2*pos_r >= n_r THEN 1 ELSE 0 END AS BIGINT) AS pred_r,
+           CAST(GREATEST(pos_l, n_l - pos_l)
+                + GREATEST(pos_r, n_r - pos_r) AS BIGINT) AS n_correct,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, feature, threshold)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+    tags=("ml", "tree", "cart", "exact-audit", "declarative"),
+)
+def q_ml_tree_stump_exact(spark, sf_dir):
+    """Exactly-audited CART decision stump over orders (predict
+    orderstatus='F' from binned totalprice and order month), fit as ONE
+    declarative query: per-feature bin counts → one cumulative window →
+    every candidate threshold's left/right (count, positives) → Gini
+    ranking. The comparator double is a division of identical int64s in
+    both engines (the kmeans d/n² move), ties broken by (feature,
+    threshold); the top-5 candidates with leaf majority predictions and
+    train-correct counts are the declared result.
+
+    Scale shape: one combinable bin aggregate over the scan (|bins|
+    rows), a window over the per-feature bin frames (driver-small), and
+    nothing else — split search cost is independent of row count beyond
+    the first aggregate, exactly how distributed tree learners (MLlib,
+    XGBoost hist mode) evaluate splits from binned sufficient
+    statistics."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    feat = o.select(
+        F.shiftright(cents, 20).alias("f1"),
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("f2"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    tot = feat.agg(
+        F.count("*").alias("n_tot"), F.sum("y").alias("p_tot")
+    )
+    bins = (
+        feat.groupBy(F.col("f1").alias("bin"))
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .select(F.lit(1).alias("feature"), "bin", "n", "pos")
+        .unionByName(
+            feat.groupBy(F.col("f2").alias("bin"))
+            .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+            .select(F.lit(2).alias("feature"), "bin", "n", "pos")
+        )
+    )
+    wcum = W.partitionBy("feature").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = bins.select(
+        "feature",
+        F.col("bin").alias("threshold"),
+        F.sum("n").over(wcum).alias("n_l"),
+        F.sum("pos").over(wcum).alias("pos_l"),
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n_r", F.col("n_tot") - F.col("n_l"))
+        .withColumn("pos_r", F.col("p_tot") - F.col("pos_l"))
+        .filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+    )
+    a_l = F.col("pos_l") * F.col("pos_l") + (F.col("n_l") - F.col("pos_l")) * (
+        F.col("n_l") - F.col("pos_l")
+    )
+    a_r = F.col("pos_r") * F.col("pos_r") + (F.col("n_r") - F.col("pos_r")) * (
+        F.col("n_r") - F.col("pos_r")
+    )
+    score = (a_l * F.col("n_r") + a_r * F.col("n_l")).cast("double") / (
+        F.col("n_l") * F.col("n_r")
+    ).cast("double")
+    wr = W.orderBy(score.desc(), "feature", "threshold")
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "feature",
+            "threshold",
+            F.col("n_l").cast("long").alias("n_l"),
+            F.col("pos_l").cast("long").alias("pos_l"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.col("pos_r").cast("long").alias("pos_r"),
+            F.when(2 * F.col("pos_l") >= F.col("n_l"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("pred_l"),
+            F.when(2 * F.col("pos_r") >= F.col("n_r"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("pred_r"),
+            (
+                F.greatest(F.col("pos_l"), F.col("n_l") - F.col("pos_l"))
+                + F.greatest(F.col("pos_r"), F.col("n_r") - F.col("pos_r"))
+            )
+            .cast("long")
+            .alias("n_correct"),
+            "rank",
+        )
+    )

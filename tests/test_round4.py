@@ -939,3 +939,28 @@ def test_logreg_exact_learns(spark, sf_dir):
     assert correct / n > 0.98  # ~majority class is <0.92 on this fixture
     w1 = rows[0]["w1"]
     assert w1 > 0 and abs(w1) > abs(rows[0]["w2"])  # acctbal drives the label
+
+
+def test_tree_stump_exact_is_best_split(spark, sf_dir):
+    """q_ml_tree_stump_exact: the rank-1 candidate truly minimizes
+    weighted Gini among all candidates (recomputed brute-force from the
+    same binned stats), and leaf predictions are the side majorities."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = (
+        REGISTRY["q_ml_tree_stump_exact"].fn(spark, sf_dir).orderBy("rank").collect()
+    )
+    assert len(rows) == 5
+    best = rows[0]
+
+    def ratio(r):
+        a_l = r["pos_l"] ** 2 + (r["n_l"] - r["pos_l"]) ** 2
+        a_r = r["pos_r"] ** 2 + (r["n_r"] - r["pos_r"]) ** 2
+        return (a_l * r["n_r"] + a_r * r["n_l"]) / (r["n_l"] * r["n_r"])
+
+    scores = [ratio(r) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert best["pred_l"] == int(2 * best["pos_l"] >= best["n_l"])
+    assert best["n_correct"] == max(best["pos_l"], best["n_l"] - best["pos_l"]) + max(
+        best["pos_r"], best["n_r"] - best["pos_r"]
+    )
