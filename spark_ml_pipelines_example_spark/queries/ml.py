@@ -2125,10 +2125,10 @@ def q_ml_kmeans_exact(spark, sf_dir):
     k x dim int64s, the same driver-sized footprint as pagerank's
     convergence probe.
 
-    Scale shape: each pass broadcasts k x dim literal ints (bytes),
-    explodes k rows per vector pre-aggregation (map-side combinable),
-    and the argmin window partitions on vec_id — no global sort, no
-    pairwise join, cost k*dim*n per round exactly like MLlib's
+    Scale shape: each pass ships k x dim int64 centroids in the task
+    closure (bytes) and computes all k distances per Arrow batch as one
+    exact integer GEMM (see _kmx_assign) — zero shuffle, no global
+    sort, no pairwise join, cost k*dim*n per round exactly like MLlib's
     distributed Lloyd; on a real cluster the quantized frame would be
     cached across passes."""
     final = _kmx_fit_assign(spark, sf_dir)
