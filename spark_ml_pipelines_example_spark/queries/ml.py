@@ -2770,3 +2770,194 @@ def q_ml_tree_stump_exact(spark, sf_dir):
             "rank",
         )
     )
+
+
+# --- q_ml_tree_depth2_exact: declarative depth-2 CART -------------------
+#
+# The stump's split search, RECURSED ONCE — still zero driver loops: the
+# root split is the argmax candidate over the full table's binned
+# statistics; each side's child split re-runs the identical search over
+# side-filtered bins, with the root row joined in so the whole two-level
+# tree materializes in one declarative plan. Same exactness contract as
+# the stump (integer sufficient statistics, comparator double from
+# identical int64s, (feature, threshold) tie-breaks).
+
+_TREE2_FEAT_SQL = """
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >> 20
+               AS f1,
+           CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS f2,
+           CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS y
+    FROM orders
+"""
+
+_TREE2_SEARCH_SQL = """
+    bins{sfx} AS (
+        SELECT side, 1 AS feature, f1 AS bin, COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM sided{sfx} GROUP BY side, f1
+        UNION ALL
+        SELECT side, 2, f2, COUNT(*), CAST(SUM(y) AS BIGINT)
+        FROM sided{sfx} GROUP BY side, f2
+    ), tots{sfx} AS (
+        SELECT side, CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(pos) AS BIGINT) AS p_tot
+        FROM (SELECT * FROM bins{sfx} WHERE feature = 1) GROUP BY side
+    ), cum{sfx} AS (
+        SELECT side, feature, bin,
+               SUM(n) OVER w AS n_l, SUM(pos) OVER w AS pos_l
+        FROM bins{sfx}
+        WINDOW w AS (PARTITION BY side, feature ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), cand{sfx} AS (
+        SELECT c.side, feature, bin AS threshold,
+               CAST(n_l AS BIGINT) AS n_l, CAST(pos_l AS BIGINT) AS pos_l,
+               CAST(t.n_tot - n_l AS BIGINT) AS n_r,
+               CAST(t.p_tot - pos_l AS BIGINT) AS pos_r
+        FROM cum{sfx} c JOIN tots{sfx} t ON c.side = t.side
+        WHERE n_l > 0 AND t.n_tot - n_l > 0
+    ), best{sfx} AS (
+        SELECT * FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY side ORDER BY
+                       CAST((pos_l*pos_l + (n_l-pos_l)*(n_l-pos_l)) * n_r
+                            + (pos_r*pos_r + (n_r-pos_r)*(n_r-pos_r)) * n_l
+                            AS DOUBLE) / CAST(n_l * n_r AS DOUBLE) DESC,
+                       feature, threshold) AS rk
+            FROM cand{sfx})
+        WHERE rk = 1
+    )
+"""
+
+
+@query(
+    "q_ml_tree_depth2_exact",
+    oracle=(
+        "WITH feat AS (" + _TREE2_FEAT_SQL + "),\n"
+        "sided0 AS (SELECT 0 AS side, * FROM feat),\n"
+        + _TREE2_SEARCH_SQL.format(sfx="0") + ",\n"
+        "sided1 AS (\n"
+        "    SELECT CASE WHEN (CASE WHEN r.feature = 1 THEN f.f1 ELSE f.f2 END)\n"
+        "                     <= r.threshold THEN 1 ELSE 2 END AS side, f.*\n"
+        "    FROM feat f, best0 r\n"
+        "),\n"
+        + _TREE2_SEARCH_SQL.format(sfx="1") + "\n"
+        "SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS side,\n"
+        "       CAST(feature AS BIGINT) AS feature, threshold,\n"
+        "       n_l, pos_l, n_r, pos_r,\n"
+        "       CAST(GREATEST(pos_l, n_l - pos_l)\n"
+        "            + GREATEST(pos_r, n_r - pos_r) AS BIGINT) AS n_correct\n"
+        "FROM best0\n"
+        "UNION ALL\n"
+        "SELECT CAST(side AS BIGINT), CAST(side AS BIGINT),\n"
+        "       CAST(feature AS BIGINT), threshold, n_l, pos_l, n_r, pos_r,\n"
+        "       CAST(GREATEST(pos_l, n_l - pos_l)\n"
+        "            + GREATEST(pos_r, n_r - pos_r) AS BIGINT)\n"
+        "FROM best1"
+    ),
+    tags=("ml", "tree", "cart", "exact-audit", "declarative"),
+)
+def q_ml_tree_depth2_exact(spark, sf_dir):
+    """Depth-2 CART over orders as ONE declarative query: the root split
+    is the Gini-argmax candidate (the stump search), and each side's
+    child split re-runs the identical search over side-filtered binned
+    statistics with the root row joined in — no driver loop, no
+    build-time action, the whole two-level induction in one plan.
+    Output: three rows (root + two children) with exact integer split
+    statistics and per-node train-correct counts.
+
+    Scale shape: two combinable bin aggregates over the scan (the
+    second keyed by the broadcast root split), windows only over
+    per-(side, feature) bin frames — split-search cost stays
+    independent of row count past the aggregates, the binned
+    distributed-tree shape (MLlib/XGBoost-hist) recursed one level."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    feat = o.select(
+        F.shiftright(cents, 20).alias("f1"),
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("f2"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+
+    def search(sided):
+        bins = (
+            sided.groupBy("side", F.col("f1").alias("bin"))
+            .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+            .select("side", F.lit(1).alias("feature"), "bin", "n", "pos")
+            .unionByName(
+                sided.groupBy("side", F.col("f2").alias("bin"))
+                .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+                .select("side", F.lit(2).alias("feature"), "bin", "n", "pos")
+            )
+        )
+        tots = (
+            bins.filter(F.col("feature") == 1)
+            .groupBy("side")
+            .agg(F.sum("n").alias("n_tot"), F.sum("pos").alias("p_tot"))
+        )
+        wcum = W.partitionBy("side", "feature").orderBy("bin").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        cum = bins.select(
+            "side",
+            "feature",
+            F.col("bin").alias("threshold"),
+            F.sum("n").over(wcum).alias("n_l"),
+            F.sum("pos").over(wcum).alias("pos_l"),
+        )
+        cand = (
+            cum.join(F.broadcast(tots), "side")
+            .withColumn("n_r", F.col("n_tot") - F.col("n_l"))
+            .withColumn("pos_r", F.col("p_tot") - F.col("pos_l"))
+            .filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+        )
+        a_l = F.col("pos_l") * F.col("pos_l") + (F.col("n_l") - F.col("pos_l")) * (
+            F.col("n_l") - F.col("pos_l")
+        )
+        a_r = F.col("pos_r") * F.col("pos_r") + (F.col("n_r") - F.col("pos_r")) * (
+            F.col("n_r") - F.col("pos_r")
+        )
+        score = (a_l * F.col("n_r") + a_r * F.col("n_l")).cast("double") / (
+            F.col("n_l") * F.col("n_r")
+        ).cast("double")
+        wr = W.partitionBy("side").orderBy(score.desc(), "feature", "threshold")
+        return (
+            cand.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") == 1)
+            .select(
+                "side", "feature", "threshold", "n_l", "pos_l", "n_r", "pos_r"
+            )
+        )
+
+    root = search(feat.withColumn("side", F.lit(0)))
+    routed = feat.crossJoin(
+        F.broadcast(
+            root.select(
+                F.col("feature").alias("rf"), F.col("threshold").alias("rt")
+            )
+        )
+    ).withColumn(
+        "side",
+        F.when(
+            F.when(F.col("rf") == 1, F.col("f1")).otherwise(F.col("f2"))
+            <= F.col("rt"),
+            1,
+        ).otherwise(2),
+    )
+    children = search(routed)
+    correct = (
+        F.greatest(F.col("pos_l"), F.col("n_l") - F.col("pos_l"))
+        + F.greatest(F.col("pos_r"), F.col("n_r") - F.col("pos_r"))
+    ).cast("long")
+    out_cols = [
+        F.col("side").cast("long").alias("node"),
+        F.col("side").cast("long").alias("side"),
+        F.col("feature").cast("long").alias("feature"),
+        F.col("threshold").cast("long").alias("threshold"),
+        F.col("n_l").cast("long").alias("n_l"),
+        F.col("pos_l").cast("long").alias("pos_l"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.col("pos_r").cast("long").alias("pos_r"),
+        correct.alias("n_correct"),
+    ]
+    return root.select(*out_cols).unionByName(children.select(*out_cols))

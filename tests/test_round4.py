@@ -964,3 +964,22 @@ def test_tree_stump_exact_is_best_split(spark, sf_dir):
     assert best["n_correct"] == max(best["pos_l"], best["n_l"] - best["pos_l"]) + max(
         best["pos_r"], best["n_r"] - best["pos_r"]
     )
+
+
+def test_tree_depth2_children_refine_root(spark, sf_dir):
+    """q_ml_tree_depth2_exact: three nodes; the children partition the
+    root's sides (child totals equal root side totals) and the combined
+    depth-2 train accuracy is at least the stump's."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = {
+        r["node"]: r
+        for r in REGISTRY["q_ml_tree_depth2_exact"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    root, l, r = rows[0], rows[1], rows[2]
+    assert l["n_l"] + l["n_r"] == root["n_l"]
+    assert r["n_l"] + r["n_r"] == root["n_r"]
+    assert l["pos_l"] + l["pos_r"] == root["pos_l"]
+    assert r["pos_l"] + r["pos_r"] == root["pos_r"]
+    assert l["n_correct"] + r["n_correct"] >= root["n_correct"]
