@@ -5511,3 +5511,132 @@ def q_ts_ewma_irregular(spark, sf_dir):
         "o_custkey long, o_orderkey long, epoch_day long, dt long, "
         "x double, level double",
     )
+
+
+MSPRT_TAU2 = 0.0001  # mixture variance (tau=0.01, the expected effect scale)
+
+
+@query(
+    "q_events_msprt",
+    oracle=f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+               CAST(user_id % 2 AS BIGINT) AS treat,
+               COUNT(*) AS n,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS conv
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT d, treat,
+               CAST(SUM(n) OVER w AS BIGINT) AS cn,
+               CAST(SUM(conv) OVER w AS BIGINT) AS cc
+        FROM daily
+        WINDOW w AS (PARTITION BY treat ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), j AS (
+        SELECT t.d, t.cn AS nt, t.cc AS ct, c.cn AS nc, c.cc AS cc
+        FROM (SELECT * FROM cum WHERE treat = 1) t
+        JOIN (SELECT * FROM cum WHERE treat = 0) c USING (d)
+    ), stat AS (
+        SELECT d, nt, nc, ct, cc,
+               (CAST(ct AS DOUBLE) / nt) - (CAST(cc AS DOUBLE) / nc) AS s,
+               ((CAST(ct + cc AS DOUBLE) / (nt + nc))
+                * (CAST(1 AS DOUBLE) - CAST(ct + cc AS DOUBLE) / (nt + nc)))
+               * ((CAST(1 AS DOUBLE) / nt) + (CAST(1 AS DOUBLE) / nc)) AS v
+        FROM j
+    ), lam AS (
+        SELECT d, nt, nc, ct, cc,
+               sqrt(v / (v + {MSPRT_TAU2}))
+                 * exp(s * s * {MSPRT_TAU2} / (2 * v * (v + {MSPRT_TAU2}))) AS l
+        FROM stat WHERE v > 0
+    )
+    SELECT d AS epoch_day, nt, nc, ct, cc,
+           round(l, 6) AS lambda_n,
+           round(LEAST(CAST(1 AS DOUBLE),
+                 MIN(CAST(1 AS DOUBLE) / l) OVER (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS always_valid_p
+    FROM lam
+    """,
+    tags=("events", "experimentation", "msprt", "always-valid", "sequential"),
+)
+def q_events_msprt(spark, sf_dir):
+    """Always-valid sequential A/B inference (mixture SPRT, Johari et
+    al. 2017 "Peeking at A/B tests"): per day, the cumulative two-sample
+    proportion statistic feeds the normal-mixture likelihood ratio
+    Λ_n = sqrt(V/(V+τ²))·exp(S²τ²/(2V(V+τ²))), and the always-valid
+    p-value is the running min of 1/Λ — the quantity that lets an
+    experimenter PEEK every day without inflating false positives,
+    completing the experimentation suite (fixed-horizon z-test, CUPED,
+    power, Qini, DiD) with its sequential member.
+
+    Exactness: all counts are exact-int window cumsums; S and V are
+    derived with an identical parenthesized op sequence in both engines,
+    so the sqrt/exp inputs are bit-identical and the rounded outputs
+    hash-match (the KN-scorer precedent for transcendentals on identical
+    doubles; no integer decision is derived from exp, which is what made
+    the qini-decile case dangerous).
+
+    Scale shape: one combinable (day, arm) aggregate over the scan, then
+    windows over the |days|-size frame — peeking infrastructure costs
+    one rollup regardless of corpus size."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        (F.col("user_id") % 2).cast("long").alias("treat"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("conv"),
+    )
+    wc = W.partitionBy("treat").orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = daily.select(
+        "d",
+        "treat",
+        F.sum("n").over(wc).cast("long").alias("cn"),
+        F.sum("conv").over(wc).cast("long").alias("cc"),
+    )
+    tside = cum.filter(F.col("treat") == 1).select(
+        "d", F.col("cn").alias("nt"), F.col("cc").alias("ct")
+    )
+    cside = cum.filter(F.col("treat") == 0).select(
+        "d", F.col("cn").alias("nc"), F.col("cc").alias("cc")
+    )
+    j = tside.join(cside, "d")
+    pool = (F.col("ct") + F.col("cc")).cast("double") / (
+        F.col("nt") + F.col("nc")
+    )
+    s = (F.col("ct").cast("double") / F.col("nt")) - (
+        F.col("cc").cast("double") / F.col("nc")
+    )
+    v = (pool * (F.lit(1.0) - pool)) * (
+        (F.lit(1.0) / F.col("nt")) + (F.lit(1.0) / F.col("nc"))
+    )
+    T = F.lit(MSPRT_TAU2)
+    stat = j.select("d", "nt", "nc", "ct", "cc", s.alias("s"), v.alias("v"))
+    lam = stat.filter(F.col("v") > 0).select(
+        "d",
+        "nt",
+        "nc",
+        "ct",
+        "cc",
+        (
+            F.sqrt(F.col("v") / (F.col("v") + T))
+            * F.exp(
+                F.col("s") * F.col("s") * T
+                / (2 * F.col("v") * (F.col("v") + T))
+            )
+        ).alias("l"),
+    )
+    wp = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return lam.select(
+        F.col("d").alias("epoch_day"),
+        "nt",
+        "nc",
+        "ct",
+        "cc",
+        F.round("l", 6).alias("lambda_n"),
+        F.round(
+            F.least(F.lit(1.0), F.min(F.lit(1.0) / F.col("l")).over(wp)), 6
+        ).alias("always_valid_p"),
+    )
