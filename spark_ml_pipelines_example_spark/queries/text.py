@@ -424,7 +424,7 @@ def _bpe_oracle(merges: int = BPE_MERGES) -> str:
     ), t{k} AS (
         SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
     ), w{k} AS (
-        SELECT freq, replace(seq, ' ' || l || ' ' || r, ' ' || l || r) AS seq
+        SELECT w, freq, replace(seq, ' ' || l || ' ' || r, ' ' || l || r) AS seq
         FROM w{k - 1}, t{k}
     )"""
         )
@@ -440,7 +440,7 @@ def _bpe_oracle(merges: int = BPE_MERGES) -> str:
         FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
         WHERE w <> '' GROUP BY w
     ), w0 AS (
-        SELECT freq, regexp_replace(w, '(.)', ' \\1', 'g') || ' </w>' AS seq
+        SELECT w, freq, regexp_replace(w, '(.)', ' \\1', 'g') || ' </w>' AS seq
         FROM wf
     ), {chain}
     SELECT * FROM ({sel}) ORDER BY step
@@ -461,6 +461,7 @@ def _bpe_train(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
     )
     words = wf.select(
+        "w",
         "freq",
         F.concat(F.regexp_replace("w", "(.)", " $1"), F.lit(" </w>")).alias("seq"),
     ).localCheckpoint()
@@ -481,6 +482,7 @@ def _bpe_train(spark, sf_dir):
         words = (
             words.crossJoin(F.broadcast(top.select("l", "r")))
             .select(
+                "w",
                 "freq",
                 F.expr(
                     "replace(seq, concat(' ', l, ' ', r), concat(' ', l, r))"
@@ -583,4 +585,83 @@ def q_text_bpe_apply(spark, sf_dir):
         .agg(F.sum("freq").alias("n_occurrences"), F.count("*").alias("n_word_forms"))
         .orderBy(F.desc("n_occurrences"), "tok")
         .limit(BPE_VOCAB_TOP)
+    )
+
+
+def _bpe_fertility_oracle(merges: int = BPE_MERGES) -> str:
+    """Train (shared unrolled chain), then score tokenizer FERTILITY per
+    language: join the per-(lang, word) corpus counts to the segmented
+    dict and aggregate exact integer piece/char sums."""
+    train = _bpe_oracle(merges)
+    chain = train[: train.rindex("SELECT * FROM")]
+    return f"""{chain}
+    , seg AS (
+        SELECT w, len(list_filter(string_split(seq, ' '), x -> x <> '')) AS n_pieces
+        FROM w{merges}
+    ), lw AS (
+        SELECT lang, w, COUNT(*) AS flang
+        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(flang) AS BIGINT) AS n_words,
+           CAST(SUM(flang * n_pieces) AS BIGINT) AS n_tokens,
+           CAST(SUM(flang * length(w)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(flang * n_pieces) AS DOUBLE) / SUM(flang), 6)
+               AS tokens_per_word,
+           ROUND(CAST(SUM(flang * length(w)) AS DOUBLE)
+                 / SUM(flang * n_pieces), 6) AS chars_per_token
+    FROM lw JOIN seg USING (w)
+    GROUP BY lang
+    """
+
+
+@query(
+    "q_text_bpe_fertility",
+    oracle=_bpe_fertility_oracle(),
+    tags=("text", "bpe", "tokenizer", "fertility", "training-data"),
+)
+def q_text_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per language — tokens/word and chars/token
+    under the trained BPE vocabulary (piece count includes the merged
+    </w> marker piece): the metric multilingual-tokenizer work optimizes
+    (a language with high fertility pays more sequence length per word,
+    i.e. trains and infers slower per unit text). Completes the
+    tokenizer lifecycle: train (q_text_bpe_train) → apply
+    (q_text_bpe_apply) → evaluate (here).
+
+    Scale shape: the per-(lang, word) rollup is one combinable aggregate
+    over the token stream; the segmented dict is vocabulary-sized and
+    broadcast into the join, so fertility costs one corpus pass
+    regardless of language count. Exact integer piece/char sums; two
+    final divisions."""
+    d = t(spark, sf_dir, "documents")
+    words, _ = _bpe_train(spark, sf_dir)
+    seg = words.select(
+        "w",
+        F.size(
+            F.filter(F.split("seq", " "), lambda x: x != "")
+        ).cast("long").alias("n_pieces"),
+    )
+    lw = (
+        d.select("lang", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("flang"))
+    )
+    j = lw.join(F.broadcast(seg), "w")
+    return j.groupBy("lang").agg(
+        F.sum("flang").alias("n_words"),
+        F.sum(F.col("flang") * F.col("n_pieces")).alias("n_tokens"),
+        F.sum(F.col("flang") * F.length("w")).alias("n_chars"),
+        F.round(
+            F.sum(F.col("flang") * F.col("n_pieces")).cast("double")
+            / F.sum("flang"),
+            6,
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("flang") * F.length("w")).cast("double")
+            / F.sum(F.col("flang") * F.col("n_pieces")),
+            6,
+        ).alias("chars_per_token"),
     )
