@@ -2961,3 +2961,208 @@ def q_ml_tree_depth2_exact(spark, sf_dir):
         correct.alias("n_correct"),
     ]
     return root.select(*out_cols).unionByName(children.select(*out_cols))
+
+
+# --- q_ml_cv_stumps_exact: cross-validated stumps, declaratively --------
+#
+# The audited answer to MLlib's CrossValidator (rows-only by seed): a
+# 3-fold cross-validated stump ensemble where the fold assignment is a
+# deterministic md5 hash both engines compute, TRAIN statistics are
+# derived by SUBTRACTION (train = total − heldout fold) from ONE binned
+# aggregate, and each fold's best split is evaluated on its held-out
+# fold — honest out-of-fold accuracy with exact integer statistics end
+# to end, no driver loop, no seed.
+
+CV_FOLDS = 3
+
+
+@query(
+    "q_ml_cv_stumps_exact",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))
+                    AS BIGINT) % {CV_FOLDS} AS fold,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >> 20
+                   AS f1,
+               CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS f2,
+               CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS y
+        FROM orders
+    ), binsf AS (
+        SELECT fold, feature, bin, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS pos
+        FROM (
+            SELECT fold, 1 AS feature, f1 AS bin, COUNT(*) AS n,
+                   SUM(y) AS pos FROM feat GROUP BY fold, f1
+            UNION ALL
+            SELECT fold, 2, f2, COUNT(*), SUM(y) FROM feat GROUP BY fold, f2
+        ) GROUP BY fold, feature, bin
+    ), binst AS (
+        SELECT feature, bin, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS pos
+        FROM binsf GROUP BY feature, bin
+    ), folds AS (
+        SELECT CAST(g.g AS BIGINT) AS fold FROM range(0, {CV_FOLDS}) g(g)
+    ), grid AS (
+        SELECT folds.fold, t.feature, t.bin, t.n AS tn, t.pos AS tpos,
+               COALESCE(f.n, 0) AS fn, COALESCE(f.pos, 0) AS fpos
+        FROM binst t CROSS JOIN folds
+        LEFT JOIN binsf f ON f.fold = folds.fold AND f.feature = t.feature
+                          AND f.bin = t.bin
+    ), cum AS (
+        SELECT fold, feature, bin,
+               SUM(tn - fn) OVER w AS tr_n_l, SUM(tpos - fpos) OVER w AS tr_p_l,
+               SUM(fn) OVER w AS ho_n_l, SUM(fpos) OVER w AS ho_p_l
+        FROM grid
+        WINDOW w AS (PARTITION BY fold, feature ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tots AS (
+        SELECT fold,
+               CAST(SUM(tn - fn) AS BIGINT) AS tr_n, CAST(SUM(tpos - fpos) AS BIGINT) AS tr_p,
+               CAST(SUM(fn) AS BIGINT) AS ho_n, CAST(SUM(fpos) AS BIGINT) AS ho_p
+        FROM grid WHERE feature = 1 GROUP BY fold
+    ), cand AS (
+        SELECT c.fold, feature, bin AS threshold,
+               CAST(tr_n_l AS BIGINT) AS n_l, CAST(tr_p_l AS BIGINT) AS pos_l,
+               CAST(t.tr_n - tr_n_l AS BIGINT) AS n_r,
+               CAST(t.tr_p - tr_p_l AS BIGINT) AS pos_r,
+               CAST(ho_n_l AS BIGINT) AS ho_n_l, CAST(ho_p_l AS BIGINT) AS ho_p_l,
+               t.ho_n, t.ho_p
+        FROM cum c JOIN tots t ON c.fold = t.fold
+        WHERE tr_n_l > 0 AND t.tr_n - tr_n_l > 0
+    ), best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fold ORDER BY
+                CAST((pos_l*pos_l + (n_l-pos_l)*(n_l-pos_l)) * n_r
+                     + (pos_r*pos_r + (n_r-pos_r)*(n_r-pos_r)) * n_l AS DOUBLE)
+                / CAST(n_l * n_r AS DOUBLE) DESC, feature, threshold) AS rk
+            FROM cand)
+        WHERE rk = 1
+    )
+    SELECT fold, CAST(feature AS BIGINT) AS feature, threshold,
+           n_l, pos_l, n_r, pos_r,
+           CAST(ho_n AS BIGINT) AS oof_n,
+           CAST((CASE WHEN 2*pos_l >= n_l THEN ho_p_l ELSE ho_n_l - ho_p_l END)
+                + (CASE WHEN 2*pos_r >= n_r THEN ho_p - ho_p_l
+                        ELSE (ho_n - ho_n_l) - (ho_p - ho_p_l) END)
+                AS BIGINT) AS oof_correct
+    FROM best
+    """,
+    tags=("ml", "tree", "cross-validation", "exact-audit", "declarative"),
+)
+def q_ml_cv_stumps_exact(spark, sf_dir):
+    """3-fold cross-validated decision stumps as ONE declarative query —
+    the exactly-audited counterpart of q_ml_cross_validation (rows-only,
+    seeded): folds come from a deterministic md5 hash of the order key,
+    each fold's stump trains on the OTHER folds' binned statistics
+    (train = total − heldout, pure subtraction from one aggregate), and
+    the declared result is each stump's split plus its HONEST
+    out-of-fold accuracy — derived from the same cumulative bin frame
+    (left-leaf heldout positives at the chosen threshold, etc.), so
+    evaluation costs no second corpus pass.
+
+    Scale shape: ONE combinable (fold, feature, bin) aggregate over the
+    scan; everything downstream operates on the |folds|x|bins| frame.
+    This is precisely how distributed CV over histogram-based learners
+    should work at 100 TB — share the sufficient statistics across
+    folds, never re-scan per fold (MLlib's CrossValidator re-fits per
+    fold; binned subtraction makes the k-fold sweep one pass)."""
+    o = t(spark, sf_dir, "orders")
+    cents = (dec("o_totalprice") * 100).cast("long")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % CV_FOLDS
+    )
+    feat = o.select(
+        fold.alias("fold"),
+        F.shiftright(cents, 20).alias("f1"),
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("f2"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    binsf = (
+        feat.groupBy("fold", F.col("f1").alias("bin"))
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .select("fold", F.lit(1).alias("feature"), "bin", "n", "pos")
+        .unionByName(
+            feat.groupBy("fold", F.col("f2").alias("bin"))
+            .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+            .select("fold", F.lit(2).alias("feature"), "bin", "n", "pos")
+        )
+    )
+    binst = binsf.groupBy("feature", "bin").agg(
+        F.sum("n").alias("tn"), F.sum("pos").alias("tpos")
+    )
+    folds = spark.range(CV_FOLDS).select(F.col("id").alias("fold"))
+    grid = (
+        binst.crossJoin(F.broadcast(folds))
+        .join(binsf, ["fold", "feature", "bin"], "left")
+        .select(
+            "fold",
+            "feature",
+            "bin",
+            "tn",
+            "tpos",
+            F.coalesce(F.col("n"), F.lit(0)).alias("fn"),
+            F.coalesce(F.col("pos"), F.lit(0)).alias("fpos"),
+        )
+    )
+    wcum = W.partitionBy("fold", "feature").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = grid.select(
+        "fold",
+        "feature",
+        F.col("bin").alias("threshold"),
+        F.sum(F.col("tn") - F.col("fn")).over(wcum).alias("tr_n_l"),
+        F.sum(F.col("tpos") - F.col("fpos")).over(wcum).alias("tr_p_l"),
+        F.sum("fn").over(wcum).alias("ho_n_l"),
+        F.sum("fpos").over(wcum).alias("ho_p_l"),
+    )
+    tots = (
+        grid.filter(F.col("feature") == 1)
+        .groupBy("fold")
+        .agg(
+            F.sum(F.col("tn") - F.col("fn")).alias("tr_n"),
+            F.sum(F.col("tpos") - F.col("fpos")).alias("tr_p"),
+            F.sum("fn").alias("ho_n"),
+            F.sum("fpos").alias("ho_p"),
+        )
+    )
+    cand = (
+        cum.join(F.broadcast(tots), "fold")
+        .withColumn("n_r", F.col("tr_n") - F.col("tr_n_l"))
+        .withColumn("pos_r", F.col("tr_p") - F.col("tr_p_l"))
+        .filter((F.col("tr_n_l") > 0) & (F.col("n_r") > 0))
+    )
+    n_l, pos_l = F.col("tr_n_l"), F.col("tr_p_l")
+    a_l = pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)
+    a_r = F.col("pos_r") * F.col("pos_r") + (F.col("n_r") - F.col("pos_r")) * (
+        F.col("n_r") - F.col("pos_r")
+    )
+    score = (a_l * F.col("n_r") + a_r * n_l).cast("double") / (
+        n_l * F.col("n_r")
+    ).cast("double")
+    wr = W.partitionBy("fold").orderBy(score.desc(), "feature", "threshold")
+    best = cand.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") == 1)
+    oof_correct = (
+        F.when(2 * pos_l >= n_l, F.col("ho_p_l")).otherwise(
+            F.col("ho_n_l") - F.col("ho_p_l")
+        )
+        + F.when(
+            2 * F.col("pos_r") >= F.col("n_r"), F.col("ho_p") - F.col("ho_p_l")
+        ).otherwise(
+            (F.col("ho_n") - F.col("ho_n_l")) - (F.col("ho_p") - F.col("ho_p_l"))
+        )
+    ).cast("long")
+    return best.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("feature").cast("long").alias("feature"),
+        F.col("threshold").cast("long").alias("threshold"),
+        n_l.cast("long").alias("n_l"),
+        pos_l.cast("long").alias("pos_l"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.col("pos_r").cast("long").alias("pos_r"),
+        F.col("ho_n").cast("long").alias("oof_n"),
+        oof_correct.alias("oof_correct"),
+    )

@@ -983,3 +983,21 @@ def test_tree_depth2_children_refine_root(spark, sf_dir):
     assert l["pos_l"] + l["pos_r"] == root["pos_l"]
     assert r["pos_l"] + r["pos_r"] == root["pos_r"]
     assert l["n_correct"] + r["n_correct"] >= root["n_correct"]
+
+
+def test_cv_stumps_exact_invariants(spark, sf_dir):
+    """q_ml_cv_stumps_exact: one stump per fold; train+heldout totals
+    reconstruct the full table; OOF accuracy is a real accuracy (between
+    0 and 1, and consistent with the held-out totals)."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["q_ml_cv_stumps_exact"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    n_total = None
+    for r in rows:
+        train_n = r["n_l"] + r["n_r"]
+        total = train_n + r["oof_n"]
+        if n_total is None:
+            n_total = total
+        assert total == n_total  # every fold sees the same table
+        assert 0 <= r["oof_correct"] <= r["oof_n"]
