@@ -199,6 +199,10 @@ HEADLINE = [
     "q_curate_perplexity_buckets",
     "q_ml_tree_stump_exact",
     "q_ml_logreg_exact",
+    "q_ml_tree_depth2_exact",
+    "q_ml_cv_stumps_exact",
+    "q_events_msprt",
+    "q_text_bpe_fertility",
 ]
 
 

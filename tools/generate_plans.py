@@ -137,6 +137,8 @@ SHOWCASE = [
     ("q_stream_python_datasource", "streaming Python DataSource: per-batch planned partitions into the sink"),
     ("q_sql_scripting", "SQL scripting: per-iteration pushed-filter counts, driver-held loop state"),
     ("q_ml_pca_power_exact", "exact PCA: posexplode pair grid, one combinable d^2 Gram aggregate"),
+    ("q_ml_cv_stumps_exact", "CV stumps: ONE (fold,feature,bin) aggregate, train-by-subtraction, OOF from the same frame"),
+    ("q_events_msprt", "mSPRT: one (day,arm) rollup, windows over the days frame only"),
 ]
 
 
