@@ -2485,6 +2485,53 @@ LOGREG_LR_SHIFT = 2  # w -= (grad/n) >> 2
 LOGREG_S = 1 << 16  # fixed-point scale
 
 
+def _logreg_feat(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    cents = (dec("c_acctbal") * 100).cast("long")
+    return c.select(
+        F.shiftright(cents, 10).alias("x1"),
+        F.col("c_nationkey").cast("long").alias("x2"),
+        (cents > 0).cast("long").alias("y"),
+    )
+
+
+def _logreg_fit(feat):
+    """The LOGREG_STEPS integer GD loop over an arbitrary feature frame
+    (shared by q_ml_logreg_exact, the fairness audit, and the conformal
+    query, which fits on a hash-fold subset). Returns the weight triple,
+    or None on empty input."""
+    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+    half = S >> 1
+    n = feat.count()
+    if n == 0:
+        return None
+    w = [0, 0, 0]
+    for _ in range(N):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        s = F.least(
+            F.greatest(F.lit(half) + F.shiftright(z, 2), F.lit(0)), F.lit(S)
+        )
+        err = s - F.col("y") * S
+        g = feat.agg(
+            F.sum(err).alias("g0"),
+            F.sum(err * F.col("x1")).alias("g1"),
+            F.sum(err * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        w = [
+            wi - ((int(g[f"g{i}"]) // n) >> E)  # python // floors like pmod form
+            for i, wi in enumerate(w)
+        ]
+    return w
+
+
+def _logreg_score(w):
+    """Engine-side hard-sigmoid score for weight triple w (int64 col)."""
+    S = LOGREG_S
+    half = S >> 1
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    return F.least(F.greatest(F.lit(half) + F.shiftright(z, 2), F.lit(0)), F.lit(S))
+
+
 def _logreg_feat_sql() -> str:
     return """
     SELECT CAST(c_nationkey AS BIGINT) AS x2,
@@ -2495,16 +2542,22 @@ def _logreg_feat_sql() -> str:
     """
 
 
-def _logreg_oracle() -> str:
-    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+def _logreg_err_sql(w):  # per-row error with weights from CTE alias w
+    S = LOGREG_S
     half = S >> 1
+    z = f"({w}.a + {w}.b * x1 + {w}.c * x2)"
+    s = f"LEAST(GREATEST({half} + ({z} >> 2), 0), {S})"
+    return f"({s} - y * {S})"
 
-    def err(w):  # per-row error with weights from CTE alias w
-        z = f"({w}.a + {w}.b * x1 + {w}.c * x2)"
-        s = f"LEAST(GREATEST({half} + ({z} >> 2), 0), {S})"
-        return f"({s} - y * {S})"
 
-    parts = [f"feat AS ({_logreg_feat_sql()})",
+def _logreg_chain(feat_sql: str) -> list[str]:
+    """The unrolled integer-GD CTE chain ending at w{LOGREG_STEPS} —
+    shared by the training query, the fairness audit, and the conformal
+    query (which passes a fold-filtered feat_sql)."""
+    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+    err = _logreg_err_sql
+
+    parts = [f"feat AS ({feat_sql})",
              "meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM feat)",
              "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, "
              "CAST(0 AS BIGINT) AS c)"]
@@ -2528,6 +2581,13 @@ def _logreg_oracle() -> str:
             for w, g in (("a", 0), ("b", 1), ("c", 2))
         )
         parts.append(f"w{i} AS (SELECT {upd} FROM g{i})")
+    return parts
+
+
+def _logreg_oracle() -> str:
+    S, N = LOGREG_S, LOGREG_STEPS
+    half = S >> 1
+    parts = _logreg_chain(_logreg_feat_sql())
     zf = f"(w.a + w.b * x1 + w.c * x2)"
     sf = f"LEAST(GREATEST({half} + ({zf} >> 2), 0), {S})"
     final = (
@@ -2565,40 +2625,17 @@ def q_ml_logreg_exact(spark, sf_dir):
     aggregation order-free — the property float gradient sums lack —
     so the fit is reproducible on ANY cluster topology, 32 threads or
     1000 executors."""
-    c = t(spark, sf_dir, "customer")
-    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+    S = LOGREG_S
     half = S >> 1
-    cents = (dec("c_acctbal") * 100).cast("long")
-    feat = c.select(
-        F.shiftright(cents, 10).alias("x1"),
-        F.col("c_nationkey").cast("long").alias("x2"),
-        (cents > 0).cast("long").alias("y"),
-    )
-    n = feat.count()
-    if n == 0:
+    feat = _logreg_feat(spark, sf_dir)
+    w = _logreg_fit(feat)
+    if w is None:
         return spark.createDataFrame(
             [],
             "nationkey long, n_customers long, n_correct long, "
             "w0 long, w1 long, w2 long",
         )
-    w = [0, 0, 0]
-    for _ in range(N):
-        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-        s = F.least(
-            F.greatest(F.lit(half) + F.shiftright(z, 2), F.lit(0)), F.lit(S)
-        )
-        err = s - F.col("y") * S
-        g = feat.agg(
-            F.sum(err).alias("g0"),
-            F.sum(err * F.col("x1")).alias("g1"),
-            F.sum(err * F.col("x2")).alias("g2"),
-        ).collect()[0]
-        w = [
-            wi - ((int(g[f"g{i}"]) // n) >> E)  # python // floors like pmod form
-            for i, wi in enumerate(w)
-        ]
-    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-    s = F.least(F.greatest(F.lit(half) + F.shiftright(z, 2), F.lit(0)), F.lit(S))
+    s = _logreg_score(w)
     pred = F.when(s >= half, 1).otherwise(0).cast("long")
     return (
         feat.groupBy(F.col("x2").alias("nationkey"))
@@ -3166,3 +3203,215 @@ def q_ml_cv_stumps_exact(spark, sf_dir):
         F.col("ho_n").cast("long").alias("oof_n"),
         oof_correct.alias("oof_correct"),
     )
+
+
+def _fairness_oracle() -> str:
+    S, N = LOGREG_S, LOGREG_STEPS
+    half = S >> 1
+    parts = _logreg_chain(_logreg_feat_sql())
+    sf = f"LEAST(GREATEST({half} + ((w.a + w.b * x1 + w.c * x2) >> 2), 0), {S})"
+    pred = f"(CASE WHEN {sf} >= {half} THEN 1 ELSE 0 END)"
+    parts.append(
+        f"conf AS (SELECT x2 AS nationkey, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos, "
+        f"CAST(COUNT(CASE WHEN {pred} = 1 AND y = 1 THEN 1 END) AS BIGINT) AS tp, "
+        f"CAST(COUNT(CASE WHEN {pred} = 1 AND y = 0 THEN 1 END) AS BIGINT) AS fp "
+        f"FROM feat, w{N} w GROUP BY x2)"
+    )
+    final = """
+    SELECT nationkey, n, pos, tp, fp,
+           ROUND(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos END, 6) AS tpr,
+           ROUND(CASE WHEN n - pos > 0 THEN CAST(fp AS DOUBLE) / (n - pos) END, 6)
+               AS fpr,
+           ROUND(MAX(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos END) OVER ()
+                 - MIN(CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / pos END) OVER (),
+                 6) AS tpr_gap,
+           ROUND(MAX(CASE WHEN n - pos > 0 THEN CAST(fp AS DOUBLE) / (n - pos) END)
+                     OVER ()
+                 - MIN(CASE WHEN n - pos > 0 THEN CAST(fp AS DOUBLE) / (n - pos) END)
+                     OVER (), 6) AS fpr_gap
+    FROM conf"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_ml_fairness_audit",
+    oracle=_fairness_oracle(),
+    tags=("ml", "fairness", "audit", "exact-audit", "glm"),
+)
+def q_ml_fairness_audit(spark, sf_dir):
+    """Group-fairness audit of the integer GLM (equalized-odds surface):
+    per protected group (nation), the exact confusion counts of the
+    trained classifier, the group TPR/FPR, and the corpus-wide TPR/FPR
+    GAPS (max − min across groups) — the equalized-odds disparity a
+    model-governance review reads. Everything through the confusion
+    counts is exact int64 (the audited GD fit + integer predictions);
+    rates are single divisions of identical ints rounded 6dp.
+
+    Scale shape: ONE combinable per-group confusion aggregate over the
+    scan (the ml/metrics.py one-job discipline); the gap window runs
+    over the |groups| frame. Auditing a 100 TB scored corpus costs one
+    pass — fairness monitoring should never be the expensive part."""
+    S = LOGREG_S
+    half = S >> 1
+    feat = _logreg_feat(spark, sf_dir)
+    w = _logreg_fit(feat)
+    if w is None:
+        return spark.createDataFrame(
+            [],
+            "nationkey long, n long, pos long, tp long, fp long, "
+            "tpr double, fpr double, tpr_gap double, fpr_gap double",
+        )
+    pred = F.when(_logreg_score(w) >= half, 1).otherwise(0)
+    conf = feat.groupBy(F.col("x2").alias("nationkey")).agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("pos"),
+        F.count(F.when((pred == 1) & (F.col("y") == 1), 1)).alias("tp"),
+        F.count(F.when((pred == 1) & (F.col("y") == 0), 1)).alias("fp"),
+    )
+    tpr = F.when(
+        F.col("pos") > 0, F.col("tp").cast("double") / F.col("pos")
+    )
+    fpr = F.when(
+        F.col("n") - F.col("pos") > 0,
+        F.col("fp").cast("double") / (F.col("n") - F.col("pos")),
+    )
+    wall = W.partitionBy()
+    return conf.select(
+        "nationkey",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.round(tpr, 6).alias("tpr"),
+        F.round(fpr, 6).alias("fpr"),
+        F.round(F.max(tpr).over(wall) - F.min(tpr).over(wall), 6).alias("tpr_gap"),
+        F.round(F.max(fpr).over(wall) - F.min(fpr).over(wall), 6).alias("fpr_gap"),
+    )
+
+
+# --- q_ml_conformal_exact: split-conformal prediction, audited ----------
+CONF_ALPHA_NUM = 9  # coverage target 1-alpha = 9/10
+
+
+def _conformal_feat_sql() -> str:
+    return """
+    SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))
+                AS BIGINT) % 3 AS fold,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) >> 10 AS x1,
+           CAST(c_nationkey AS BIGINT) AS x2,
+           CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+    FROM customer
+    """
+
+
+def _conformal_oracle() -> str:
+    S, N = LOGREG_S, LOGREG_STEPS
+    half = S >> 1
+    parts = _logreg_chain("SELECT x1, x2, y FROM allfeat WHERE fold = 0")
+    parts.insert(0, f"allfeat AS ({_conformal_feat_sql()})")
+    sf = f"LEAST(GREATEST({half} + ((w.a + w.b * x1 + w.c * x2) >> 2), 0), {S})"
+    parts.append(
+        f"scored AS (SELECT fold, x2, y, {sf} AS s FROM allfeat, w{N} w)"
+    )
+    parts.append(
+        f"calib AS (SELECT CASE WHEN y = 1 THEN {S} - s ELSE s END AS r "
+        f"FROM scored WHERE fold = 1)"
+    )
+    parts.append(
+        "kq AS (SELECT (9 * (COUNT(*) + 1) + 9) // 10 AS k FROM calib)"
+    )
+    parts.append(
+        "rcum AS (SELECT r, SUM(COUNT(*)) OVER (ORDER BY r "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+        "FROM calib GROUP BY r)"
+    )
+    parts.append(
+        "qhat AS (SELECT CAST(MIN(r) AS BIGINT) AS q FROM rcum, kq "
+        "WHERE cum >= kq.k)"
+    )
+    final = f"""
+    SELECT x2 AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(CASE WHEN (CASE WHEN y = 1 THEN {S} - s ELSE s END)
+                           <= q.q THEN 1 END) AS BIGINT) AS n_covered,
+           CAST(SUM((CASE WHEN {S} - s <= q.q THEN 1 ELSE 0 END)
+                    + (CASE WHEN s <= q.q THEN 1 ELSE 0 END)) AS BIGINT)
+               AS sum_set_size,
+           q.q AS q_hat
+    FROM scored, qhat q WHERE fold = 2 GROUP BY x2, q.q"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@query(
+    "q_ml_conformal_exact",
+    oracle=_conformal_oracle(),
+    tags=("ml", "conformal", "uncertainty", "exact-audit", "glm"),
+)
+def q_ml_conformal_exact(spark, sf_dir):
+    """Split-conformal prediction (Vovk; Angelopoulos & Bates 2022) over
+    the integer GLM — distribution-free uncertainty with EXACT integer
+    machinery end to end: md5 folds (train/calibrate/test), the audited
+    GD fit on the train fold, integer nonconformity scores r = S −
+    score(true class), the calibration quantile q̂ as the k-th smallest
+    r with k = ⌈(n_cal+1)(1−α)⌉ computed by integer arithmetic over the
+    BOUNDED score domain (counts per r value + running sum — the
+    quantile_two_phase discipline, never a global sort), and per-group
+    test coverage + prediction-set sizes. The marginal-coverage
+    guarantee (≥ 90%) is pinned in pytest.
+
+    Scale shape: one combinable fold-scored aggregate per stage; the
+    calibration quantile aggregates over ≤ S+1 distinct score values
+    regardless of corpus size; conformalizing a 100 TB scored corpus is
+    two passes."""
+    S = LOGREG_S
+    c = t(spark, sf_dir, "customer")
+    cents = (dec("c_acctbal") * 100).cast("long")
+    allfeat = c.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("c_custkey").cast("string")), 9, 8), 16, 10
+            ).cast("long")
+            % 3
+        ).alias("fold"),
+        F.shiftright(cents, 10).alias("x1"),
+        F.col("c_nationkey").cast("long").alias("x2"),
+        (cents > 0).cast("long").alias("y"),
+    )
+    w = _logreg_fit(allfeat.filter(F.col("fold") == 0))
+    if w is None:
+        return spark.createDataFrame(
+            [],
+            "nationkey long, n_test long, n_covered long, "
+            "sum_set_size long, q_hat long",
+        )
+    scored = allfeat.select(
+        "fold", "x2", "y", _logreg_score(w).alias("s")
+    )
+    r_true = F.when(F.col("y") == 1, F.lit(S) - F.col("s")).otherwise(F.col("s"))
+    calib = scored.filter(F.col("fold") == 1).select(r_true.alias("r"))
+    kq = calib.agg(
+        ((9 * (F.count("*") + 1) + 9) / 10).cast("long").alias("k")
+    )
+    wcum = W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rcum = (
+        calib.groupBy("r")
+        .agg(F.count("*").alias("cnt"))
+        .select("r", F.sum("cnt").over(wcum).alias("cum"))
+    )
+    qhat = (
+        rcum.crossJoin(F.broadcast(kq))
+        .filter(F.col("cum") >= F.col("k"))
+        .agg(F.min("r").cast("long").alias("q"))
+    )
+    test = scored.filter(F.col("fold") == 2).crossJoin(F.broadcast(qhat))
+    covered = F.when(r_true <= F.col("q"), 1)
+    set_size = (
+        F.when(F.lit(S) - F.col("s") <= F.col("q"), 1).otherwise(0)
+        + F.when(F.col("s") <= F.col("q"), 1).otherwise(0)
+    )
+    return test.groupBy(F.col("x2").alias("nationkey"), F.col("q").alias("q_hat")).agg(
+        F.count("*").alias("n_test"),
+        F.count(covered).alias("n_covered"),
+        F.sum(set_size).cast("long").alias("sum_set_size"),
+    ).select("nationkey", "n_test", "n_covered", "sum_set_size", "q_hat")

@@ -1001,3 +1001,17 @@ def test_cv_stumps_exact_invariants(spark, sf_dir):
             n_total = total
         assert total == n_total  # every fold sees the same table
         assert 0 <= r["oof_correct"] <= r["oof_n"]
+
+
+def test_conformal_marginal_coverage(spark, sf_dir):
+    """q_ml_conformal_exact: split-conformal marginal coverage on the
+    test fold is >= 1 - alpha (0.9) up to the finite-sample term, and
+    prediction sets are between 1 and 2 labels on average."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["q_ml_conformal_exact"].fn(spark, sf_dir).collect()
+    n = sum(r["n_test"] for r in rows)
+    cov = sum(r["n_covered"] for r in rows) / n
+    assert cov >= 0.88  # 0.9 target minus finite-sample slack
+    avg_set = sum(r["sum_set_size"] for r in rows) / n
+    assert 1.0 <= avg_set <= 2.0
