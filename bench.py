@@ -203,6 +203,8 @@ HEADLINE = [
     "q_ml_cv_stumps_exact",
     "q_events_msprt",
     "q_text_bpe_fertility",
+    "q_ml_fairness_audit",
+    "q_ml_conformal_exact",
 ]
 
 
