@@ -3415,3 +3415,152 @@ def q_ml_conformal_exact(spark, sf_dir):
         F.count(covered).alias("n_covered"),
         F.sum(set_size).cast("long").alias("sum_set_size"),
     ).select("nationkey", "n_test", "n_covered", "sum_set_size", "q_hat")
+
+
+# --- q_ml_ridge_exact: ridge regression via integer normal equations ----
+RIDGE_LAMBDA = 1000  # integer ridge; comparable to the diagonal scale
+
+
+def _ridge_oracle() -> str:
+    L = RIDGE_LAMBDA
+    return f"""
+    WITH feat AS (
+        SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS x1,
+               CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) >> 10
+                   AS y
+        FROM lineitem
+    ), s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) + {L} AS a00,
+               CAST(SUM(x1) AS HUGEINT) AS a01,
+               CAST(SUM(x2) AS HUGEINT) AS a02,
+               CAST(SUM(x1 * x1) AS HUGEINT) + {L} AS a11,
+               CAST(SUM(x1 * x2) AS HUGEINT) AS a12,
+               CAST(SUM(x2 * x2) AS HUGEINT) + {L} AS a22,
+               CAST(SUM(y) AS HUGEINT) AS b0,
+               CAST(SUM(x1 * y) AS HUGEINT) AS b1,
+               CAST(SUM(x2 * y) AS HUGEINT) AS b2
+        FROM feat
+    ), dets AS (
+        SELECT a00*(a11*a22 - a12*a12) - a01*(a01*a22 - a12*a02)
+                 + a02*(a01*a12 - a11*a02) AS det,
+               b0*(a11*a22 - a12*a12) - a01*(b1*a22 - a12*b2)
+                 + a02*(b1*a12 - a11*b2) AS det0,
+               a00*(b1*a22 - b2*a12) - b0*(a01*a22 - a12*a02)
+                 + a02*(a01*b2 - b1*a02) AS det1,
+               a00*(a11*b2 - a12*b1) - a01*(a01*b2 - b1*a02)
+                 + b0*(a01*a12 - a11*a02) AS det2,
+               s.* FROM s
+    )
+    SELECT round_even(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS w0,
+           round_even(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS w1,
+           round_even(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS w2,
+           CAST(a00 - {L} AS BIGINT) AS n_rows,
+           CAST(a01 AS BIGINT) AS sum_x1, CAST(a02 AS BIGINT) AS sum_x2,
+           CAST(a11 - {L} AS BIGINT) AS sum_x1x1,
+           CAST(a12 AS BIGINT) AS sum_x1x2,
+           CAST(a22 - {L} AS BIGINT) AS sum_x2x2,
+           CAST(b0 AS BIGINT) AS sum_y, CAST(b1 AS BIGINT) AS sum_x1y,
+           CAST(b2 AS BIGINT) AS sum_x2y
+    FROM dets
+    """
+
+
+@query(
+    "q_ml_ridge_exact",
+    oracle=_ridge_oracle(),
+    tags=("ml", "regression", "ridge", "exact-audit"),
+)
+def q_ml_ridge_exact(spark, sf_dir):
+    """Exactly-audited ridge regression (predict scaled extended price
+    from quantity and discount): the normal equations' sufficient
+    statistics are ONE combinable exact-int64 aggregate over the scan —
+    the classic distributed closed-form fit — and the 3x3 solve runs by
+    CRAMER DETERMINANTS in arbitrary-precision integer arithmetic
+    (Python big ints driver-side, HUGEINT in the oracle; dets reach
+    ~2^100, far past int64 but exact in both). The only floats are the
+    three final det_i/det divisions, computed as correctly-rounded
+    double casts of identical integers — so the fitted coefficients
+    hash-match bit-for-bit alongside the raw sufficient statistics.
+
+    Scale shape: corpus size touches ONE map-side-combinable aggregate
+    (9 int64 sums); the solve is O(1) driver arithmetic. This is how
+    closed-form GLMs should run at 100 TB — and unlike float normal
+    equations, the integer statistics are aggregation-order-free, so
+    the fit is identical on any cluster topology."""
+    import numpy as np
+
+    L = RIDGE_LAMBDA
+    li = t(spark, sf_dir, "lineitem")
+    feat = li.select(
+        dec("l_quantity", 12).cast("long").alias("x1"),
+        (dec("l_discount", 12) * 100).cast("long").alias("x2"),
+        F.shiftright((dec("l_extendedprice") * 100).cast("long"), 10).alias("y"),
+    )
+    r = feat.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("a01"),
+        F.sum("x2").alias("a02"),
+        F.sum(F.col("x1") * F.col("x1")).alias("a11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("a12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("a22"),
+        F.sum("y").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2"),
+    ).collect()[0]
+    if r["n"] == 0:
+        return spark.createDataFrame(
+            [],
+            "w0 double, w1 double, w2 double, n_rows long, sum_x1 long, "
+            "sum_x2 long, sum_x1x1 long, sum_x1x2 long, sum_x2x2 long, "
+            "sum_y long, sum_x1y long, sum_x2y long",
+        )
+    n = int(r["n"])
+    a00, a01, a02 = n + L, int(r["a01"]), int(r["a02"])
+    a11, a12, a22 = int(r["a11"]) + L, int(r["a12"]), int(r["a22"]) + L
+    b0, b1, b2 = int(r["b0"]), int(r["b1"]), int(r["b2"])
+    det = (
+        a00 * (a11 * a22 - a12 * a12)
+        - a01 * (a01 * a22 - a12 * a02)
+        + a02 * (a01 * a12 - a11 * a02)
+    )
+    det0 = (
+        b0 * (a11 * a22 - a12 * a12)
+        - a01 * (b1 * a22 - a12 * b2)
+        + a02 * (b1 * a12 - a11 * b2)
+    )
+    det1 = (
+        a00 * (b1 * a22 - b2 * a12)
+        - b0 * (a01 * a22 - a12 * a02)
+        + a02 * (a01 * b2 - b1 * a02)
+    )
+    det2 = (
+        a00 * (a11 * b2 - a12 * b1)
+        - a01 * (a01 * b2 - b1 * a02)
+        + b0 * (a01 * a12 - a11 * a02)
+    )
+    # float(bigint) is correctly rounded — the same rounding as the
+    # oracle's CAST(HUGEINT AS DOUBLE) — so each w is the identical
+    # double division.
+    out = [
+        (
+            float(np.round(float(det0) / float(det), 6)),
+            float(np.round(float(det1) / float(det), 6)),
+            float(np.round(float(det2) / float(det), 6)),
+            n,
+            a01,
+            a02,
+            a11 - L,
+            a12,
+            a22 - L,
+            b0,
+            b1,
+            b2,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "w0 double, w1 double, w2 double, n_rows long, sum_x1 long, "
+        "sum_x2 long, sum_x1x1 long, sum_x1x2 long, sum_x2x2 long, "
+        "sum_y long, sum_x1y long, sum_x2y long",
+    )

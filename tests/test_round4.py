@@ -1015,3 +1015,30 @@ def test_conformal_marginal_coverage(spark, sf_dir):
     assert cov >= 0.88  # 0.9 target minus finite-sample slack
     avg_set = sum(r["sum_set_size"] for r in rows) / n
     assert 1.0 <= avg_set <= 2.0
+
+
+def test_ridge_exact_matches_numpy(spark, sf_dir):
+    """q_ml_ridge_exact: the integer-Cramer coefficients equal numpy's
+    float ridge solve to rounding tolerance, and the fit is sensible
+    (quantity coefficient positive — price grows with quantity)."""
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.queries.ml import RIDGE_LAMBDA
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY
+
+    r = REGISTRY["q_ml_ridge_exact"].fn(spark, sf_dir).collect()[0]
+    n, L = r["n_rows"], RIDGE_LAMBDA
+    A = np.array(
+        [
+            [n + L, r["sum_x1"], r["sum_x2"]],
+            [r["sum_x1"], r["sum_x1x1"] + L, r["sum_x1x2"]],
+            [r["sum_x2"], r["sum_x1x2"], r["sum_x2x2"] + L],
+        ],
+        dtype=float,
+    )
+    b = np.array([r["sum_y"], r["sum_x1y"], r["sum_x2y"]], dtype=float)
+    w = np.linalg.solve(A, b)
+    assert abs(r["w0"] - w[0]) < 1e-4
+    assert abs(r["w1"] - w[1]) < 1e-4
+    assert abs(r["w2"] - w[2]) < 1e-4
+    assert r["w1"] > 0
