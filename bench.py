@@ -205,6 +205,7 @@ HEADLINE = [
     "q_text_bpe_fertility",
     "q_ml_fairness_audit",
     "q_ml_conformal_exact",
+    "q_ml_ridge_exact",
 ]
 
 
