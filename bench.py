@@ -236,6 +236,11 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(runs), 4)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        # release operator-persisted intermediates: each query's cache
+        # lives exactly as long as the query (ADVICE r4 leak fix)
+        from spark_ml_pipelines_example_spark.operators._cache import release_tracked
+
+        release_tracked()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {

@@ -131,9 +131,10 @@ def with_global_running(
         # at sf0.1: eager ckpt 2.55s vs persist 2.23s warm, and query
         # construction goes back to being action-free). MEMORY_AND_DISK:
         # the frame is catalog-sized, so spill is the safe failure mode.
-        from pyspark import StorageLevel
+        # Tracked so harness loops release it after the consuming action.
+        from ._cache import persist_tracked
 
-        binned = binned.persist(StorageLevel.MEMORY_AND_DISK)
+        binned = persist_tracked(binned)
 
     # Phase 2: the only non-bin-partitioned window — ≤ n_bins rows per
     # group (unpartitioned over ≤ n_bins rows total when ungrouped).
@@ -142,9 +143,9 @@ def with_global_running(
         F.sum(value_col).alias("_bs"),
     )
     if materialize:
-        from pyspark import StorageLevel
+        from ._cache import persist_tracked
 
-        per_bin = per_bin.persist(StorageLevel.MEMORY_AND_DISK)
+        per_bin = persist_tracked(per_bin)
     _bin_ord = F.col("_bin").desc() if descending else F.col("_bin").asc()
     w_prev = (
         (W.partitionBy(*gc) if gc else W).orderBy(_bin_ord)

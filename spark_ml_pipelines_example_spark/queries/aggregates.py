@@ -1607,11 +1607,12 @@ def q_agg_countmin(spark, sf_dir):
     )
     for i, (a, b) in enumerate(_CM_COEFFS):
         li = li.withColumn("bk%d" % i, ((F.lit(a) * F.col("h") + F.lit(b)) % _CM_P31) % CM_W)
-    from pyspark import StorageLevel
+    from ..operators._cache import persist_tracked
 
     # one scan feeds the d counter builds and the exact truth; lazy
-    # spill-safe persist (same rationale as operators/globalrank.py)
-    li = li.persist(StorageLevel.MEMORY_AND_DISK)
+    # spill-safe persist (same rationale as operators/globalrank.py),
+    # tracked so harness loops release it after the consuming action
+    li = persist_tracked(li)
 
     counters = None
     for i in range(CM_D):
@@ -1678,12 +1679,16 @@ def _bloom_oracle() -> str:
         FROM orders
     ), bits AS (
         SELECT DISTINCT bit FROM ({member_bits})
+    ), shift AS (
+        -- data-derived shift: probe keys start past the LARGEST member
+        -- key, so absence is guaranteed at every SF (a fixed +1e6 shift
+        -- silently stops being absent once the key domain reaches ~1M)
+        SELECT MAX(o_custkey) AS s FROM orders
     ), nonmembers AS (
         -- synthetic guaranteed-absent probe keys (the fixture has no
-        -- order-less customers at small SFs): custkey shifted past the
-        -- key domain
-        SELECT c_custkey + 1000000 AS c_custkey,
-               CAST(('0x' || substr(md5(CAST(c_custkey + 1000000 AS VARCHAR)), 9, 8)) AS BIGINT)
+        -- order-less customers at small SFs)
+        SELECT c_custkey + (SELECT s FROM shift) AS c_custkey,
+               CAST(('0x' || substr(md5(CAST(c_custkey + (SELECT s FROM shift) AS VARCHAR)), 9, 8)) AS BIGINT)
                    & 2147483647 AS h
         FROM customer
     ), probe AS (
@@ -1751,10 +1756,16 @@ def q_agg_bloom_membership(spark, sf_dir):
     bits = members.select(F.explode(bit_arr).alias("bit")).distinct()
 
     # synthetic guaranteed-absent probe keys (the fixture has no
-    # order-less customers at small SFs): custkey shifted past the domain
-    nonmembers = c.select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey")
-    ).select("c_custkey", h31("c_custkey").alias("h"))
+    # order-less customers at small SFs): shift DERIVED from the data —
+    # probe keys start past the largest member key, so the absence
+    # guarantee holds at every SF (ADVICE r4: a fixed +1e6 shift silently
+    # degrades once the key domain reaches ~1M). One 1-row broadcast.
+    shift = o.agg(F.max("o_custkey").alias("_s"))
+    nonmembers = (
+        c.crossJoin(F.broadcast(shift))
+        .select((F.col("c_custkey") + F.col("_s")).alias("c_custkey"))
+        .select("c_custkey", h31("c_custkey").alias("h"))
+    )
     probes = nonmembers.select("c_custkey", F.explode(bit_arr).alias("bit"))
     hits = (
         probes.join(F.broadcast(bits), "bit")
@@ -1909,9 +1920,12 @@ def _kmv_oracle() -> str:
                CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS h
         FROM flags
     ), sk_a AS (
-        SELECT h FROM hashed WHERE in_a = 1 ORDER BY h LIMIT {KMV_K}
+        -- DISTINCT: a KMV sketch is a SET of hash values; a 32-bit md5
+        -- collision between two custkeys must contribute one element,
+        -- or the membership joins downstream multiply rows
+        SELECT DISTINCT h FROM hashed WHERE in_a = 1 ORDER BY h LIMIT {KMV_K}
     ), sk_b AS (
-        SELECT h FROM hashed WHERE in_b = 1 ORDER BY h LIMIT {KMV_K}
+        SELECT DISTINCT h FROM hashed WHERE in_b = 1 ORDER BY h LIMIT {KMV_K}
     ), sk_u AS (
         SELECT DISTINCT h FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b)
         ORDER BY h LIMIT {KMV_K}
@@ -1975,11 +1989,14 @@ def q_agg_kmv_setops(spark, sf_dir):
             "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
         ).alias("h"),
     )
-    from pyspark import StorageLevel
+    from ..operators._cache import persist_tracked
 
-    hashed = hashed.persist(StorageLevel.MEMORY_AND_DISK)  # feeds 3 sketches + truth
-    sk_a = hashed.filter(F.col("in_a") == 1).select("h").orderBy("h").limit(KMV_K)
-    sk_b = hashed.filter(F.col("in_b") == 1).select("h").orderBy("h").limit(KMV_K)
+    hashed = persist_tracked(hashed)  # feeds 3 sketches + truth
+    # distinct BEFORE the rank-k cut: the sketch is a SET of hash values,
+    # so a 32-bit collision between two custkeys contributes one element
+    # (the oracle's IN-based membership semantics; ADVICE r4)
+    sk_a = hashed.filter(F.col("in_a") == 1).select("h").distinct().orderBy("h").limit(KMV_K)
+    sk_b = hashed.filter(F.col("in_b") == 1).select("h").distinct().orderBy("h").limit(KMV_K)
     sk_u = sk_a.unionByName(sk_b).distinct().orderBy("h").limit(KMV_K)
 
     def est(sk):

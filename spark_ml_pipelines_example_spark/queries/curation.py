@@ -223,8 +223,10 @@ def q_shuffle_global(spark, sf_dir):
             # mid = pid * 2^33 + row-index-within-partition (sorted order)
             (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("rk"),
         )
-        .persist()
     )
+    from ..operators._cache import persist_tracked
+
+    sorted_df = persist_tracked(sorted_df)
     counts = {r["pid"]: r["n"] for r in sorted_df.groupBy("pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -920,14 +922,16 @@ def q_curate_dsir(spark, sf_dir):
         tok.select("doc_id", "lang", bucket.alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count("*").alias("n"))
-        # lazy persist: the model build (triggered by the totals collect
-        # below) materializes this compressed featurized frame; the
-        # scoring join then reads the cache instead of re-tokenizing +
-        # re-hashing the corpus. MEMORY_AND_DISK, spillable — at 100 TB
-        # this is the deliberate materialization of the 1000x-smaller
-        # doc×bucket intermediate, not the raw text
-        .persist()
     )
+    # lazy persist: the model build (triggered by the totals collect
+    # below) materializes this compressed featurized frame; the
+    # scoring join then reads the cache instead of re-tokenizing +
+    # re-hashing the corpus. MEMORY_AND_DISK, spillable — at 100 TB
+    # this is the deliberate materialization of the 1000x-smaller
+    # doc×bucket intermediate, not the raw text. Tracked for release.
+    from ..operators._cache import persist_tracked
+
+    db = persist_tracked(db)
     counts = db.groupBy("b").agg(
         F.sum("n").alias("c_r"),
         F.coalesce(F.sum(F.when(F.col("lang") == "en", F.col("n"))), F.lit(0)).alias(

@@ -421,6 +421,64 @@ def load_all() -> dict[str, QuerySpec]:
     return _rotate_for_driver(REGISTRY)
 
 
+# Round-5 window pin (VERDICT r4 "Next round: do this" #1): the judge asked
+# for the audited-fit ML wave and six stale-row queries at the head of the
+# driver window. Names listed here sort before everything else within their
+# never-checked block; once they earn a green hard row the self-maintaining
+# rotation retires them into the regression tail like any other query.
+_WINDOW_PIN: tuple[str, ...] = (
+    # the never-checked q_ml_* SQL-oracled wave (audited fits + metrics)
+    "q_ml_logreg_exact",
+    "q_ml_ridge_exact",
+    "q_ml_isotonic_exact",
+    "q_ml_kmeans_exact",
+    "q_ml_pca_power_exact",
+    "q_ml_tree_stump_exact",
+    "q_ml_tree_depth2_exact",
+    "q_ml_cv_stumps_exact",
+    "q_ml_conformal_exact",
+    "q_ml_fairness_audit",
+    "q_ml_auc",
+    "q_ml_pr_auc",
+    "q_ml_ndcg",
+    "q_ml_calibration",
+    "q_ml_lift_table",
+    "q_ml_class_metrics",
+    "q_ml_evaluator",
+    "q_ml_feature_hashing",
+    "q_ml_fpgrowth",
+    "q_ml_knn_classifier",
+    "q_ml_onehot",
+    "q_ml_pit_features",
+    "q_ml_quantile_discretizer",
+    "q_ml_scaler",
+    "q_ml_string_indexer",
+    "q_ml_target_encode",
+    "q_ml_train_test_split",
+    "q_ml_vector_assembler",
+    # stale-row queries (VERDICT r4 "What's wrong" #3): only hard rows
+    # predate their oracle upgrade / fix — earn a fresh green row
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_pack_ffd",
+    "q_ml_pca",
+    "q_agg_approx_distinct",
+    "q_agg_approx_percentile",
+    # never-checked rows-only ml contracts
+    "q_ml_cross_validation",
+    "q_ml_isotonic",
+    "q_ml_kmeans",
+    "q_ml_rf_pipeline",
+    "q_ml_xgb_pipeline",
+)
+
+# Rows-only queries whose only hard row predates a fix or upgrade: treat
+# as unchecked so the rotation re-fronts them for a fresh row even though
+# an old rows-only row technically exists.
+_FORCE_RECHECK: frozenset[str] = frozenset(
+    {"q_ml_pca", "q_agg_approx_distinct", "q_agg_approx_percentile"}
+)
+
 # Family priority for the automatic rotation: composite/behavioral/DQ
 # shapes first within the never-checked block (hash signal on the most
 # load-bearing queries beats roundtrip smoke checks).
@@ -520,7 +578,9 @@ def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     every future round's check budget lands on fresh queries — including
     queries added in the current round — with no manual reordering.
     Deterministic given the repo contents."""
-    checked = _driver_checked_queries()
+    checked = _driver_checked_queries() - _FORCE_RECHECK
+
+    pin_rank = {n: i for i, n in enumerate(_WINDOW_PIN)}
 
     def fam_rank(n: str) -> int:
         for i, f in enumerate(_FAMILY_ORDER):
@@ -528,12 +588,23 @@ def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 return i
         return len(_FAMILY_ORDER)
 
+    def sort_key(n: str):
+        return (pin_rank.get(n, len(_WINDOW_PIN)), fam_rank(n), n)
+
+    # Pinned rows-only queries ride in the SQL block so the whole pin set
+    # lands inside the driver's ~50-query window.
     never_sql = sorted(
-        (n for n, s in registry.items() if n not in checked and s.oracle is not None),
-        key=lambda n: (fam_rank(n), n),
+        (
+            n
+            for n, s in registry.items()
+            if n not in checked and (s.oracle is not None or n in pin_rank)
+        ),
+        key=sort_key,
     )
     never_rows = sorted(
-        n for n, s in registry.items() if n not in checked and s.oracle is None
+        n
+        for n, s in registry.items()
+        if n not in checked and s.oracle is None and n not in pin_rank
     )
     tail = [n for n in _DRIVER_PRIORITY if n in registry and n in checked]
     tail += [

@@ -79,9 +79,11 @@ def commit_snapshot(
     its change; if the log has advanced past it, the commit raises
     CommitConflict and the writer must re-read, re-resolve, and retry —
     lost updates are impossible because the version slot itself is
-    claimed by the atomic rename (two racers targeting the same slot:
-    exactly one rename wins on a POSIX filesystem, the loser's manifest
-    never becomes visible under the committed name)."""
+    claimed atomically: the commit point is ``os.link(tmp, final)``,
+    which fails with EEXIST for every racer after the first (POSIX
+    link(2) never replaces an existing destination, unlike rename(2),
+    which silently does — an exists()-then-rename sequence would be a
+    TOCTOU lost-update window)."""
     vs = versions(base)
     latest = vs[-1] if vs else None
     if expect_version is not None and latest != expect_version:
@@ -90,16 +92,19 @@ def commit_snapshot(
         )
     v = (vs[-1] + 1 if vs else 0) if version is None else version
     manifest = {"version": v, "files": sorted(files)}
-    tmp = os.path.join(_log_dir(base), f".{v}.json.tmp")
+    tmp = os.path.join(_log_dir(base), f".{v}.json.tmp.{os.getpid()}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
     final = os.path.join(_log_dir(base), f"{v}.json")
-    if os.path.exists(final):  # slot already claimed by a racer
+    try:
+        # atomic slot claim: hard-link raises FileExistsError for the
+        # loser, so exactly one writer's manifest becomes visible under
+        # the committed name (same single-op commit protocol Delta uses)
+        os.link(tmp, final)
+    except FileExistsError:
+        raise CommitConflict(f"version {v} already committed") from None
+    finally:
         os.remove(tmp)
-        raise CommitConflict(f"version {v} already committed")
-    # atomic rename = the commit point, the same single-filesystem-op
-    # commit protocol Delta uses on HDFS-like stores
-    os.rename(tmp, final)
     return v
 
 

@@ -6,6 +6,8 @@ duplicated, and the ordering is deterministic."""
 from __future__ import annotations
 
 from spark_ml_pipelines_example_spark.queries.registry import (
+    _FORCE_RECHECK,
+    _WINDOW_PIN,
     REGISTRY,
     _driver_checked_queries,
     load_all,
@@ -14,14 +16,31 @@ from spark_ml_pipelines_example_spark.queries.registry import (
 
 def test_rotation_fronts_never_checked_sql():
     full = load_all()
-    checked = _driver_checked_queries()
+    checked = _driver_checked_queries() - _FORCE_RECHECK
     names = list(full)
     n_never_sql = sum(
-        1 for n, s in full.items() if n not in checked and s.oracle is not None
+        1
+        for n, s in full.items()
+        if n not in checked and (s.oracle is not None or n in _WINDOW_PIN)
     )
     window = names[: min(50, n_never_sql)]
     assert all(n not in checked for n in window), "window wastes a checked slot"
-    assert all(full[n].oracle is not None for n in window), "rows-only in window"
+    # rows-only entries may appear in the window only via the explicit pin
+    assert all(
+        full[n].oracle is not None or n in _WINDOW_PIN for n in window
+    ), "unpinned rows-only in window"
+
+
+def test_window_pin_lands_in_window():
+    """VERDICT r4 #1: every pinned query that still lacks a valid driver
+    row must land inside the ~50-query driver window."""
+    full = load_all()
+    checked = _driver_checked_queries() - _FORCE_RECHECK
+    names = list(full)
+    unpinned_needed = [n for n in _WINDOW_PIN if n in full and n not in checked]
+    window = set(names[:50])
+    missing = [n for n in unpinned_needed if n not in window]
+    assert not missing, f"pinned-but-outside-window: {missing}"
 
 
 def test_rotation_is_a_permutation():

@@ -130,6 +130,9 @@ def main() -> None:
             rec["err"] = traceback.format_exc(limit=5)
         rec["sec"] = round(time.time() - t0, 2)
         results[name] = rec
+        from spark_ml_pipelines_example_spark.operators._cache import release_tracked
+
+        release_tracked()
         status = (
             "PASS"
             if rec.get("hash_match")
