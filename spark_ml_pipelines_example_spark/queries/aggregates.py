@@ -650,47 +650,154 @@ def q_agg_argmax(spark, sf_dir):
     )
 
 
-@query("q_agg_sketch_rollup", oracle=None, tags=("agg", "approx", "sketch"))
-def q_agg_sketch_rollup(spark, sf_dir):
-    """Mergeable-sketch rollup (Apache DataSketches HLL): build one HLL
-    sketch per language, then UNION the sketches to the corpus-wide
-    distinct estimate — without rescanning the data. This is the 100 TB
-    pre-aggregation pattern: per-partition/per-day sketches are tiny,
-    associative, and merge map-side, so any rollup grain (day → month →
-    all-time) costs one pass over sketches instead of a re-shuffle of raw
-    keys. Rows-only (sketch internals are engine-specific); the union row
-    embeds its own tolerance check against the exact distinct, and tests
-    pin the union estimate within the sketch error bound of both the
-    direct single-sketch estimate and the exact count."""
-    d = t(spark, sf_dir, "documents")
-    per_lang = d.groupBy("lang").agg(
-        F.hll_sketch_agg("doc_id", F.lit(12)).alias("sk"),
-        F.countDistinct("doc_id").alias("exact_docs"),
+# Textbook HyperLogLog (Flajolet et al. 2007), p=10 -> m=1024 registers,
+# built from the 32-bit md5 hash so BOTH engines compute every register
+# exactly. The 2^-M sum is a dyadic rational with <= 42 significant bits
+# (1024 terms, each 2^-M with M <= 23), so even the float accumulation
+# is EXACT regardless of summation order - the one sketch estimate that
+# hash-compares without rounding tricks.
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll32_h(key_sql: str) -> "F.Column":
+    """32-bit md5 hash of a key expression — the audited HLL hash family
+    (identical in DuckDB via '0x'||substr(md5(..),1,8))."""
+    return F.expr(
+        f"CAST(conv(substring(md5(CAST({key_sql} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
     )
-    lang_rows = per_lang.select(
-        "lang",
-        F.hll_sketch_estimate("sk").cast("long").alias("approx_docs"),
-        "exact_docs",
+
+
+def _hll_rho() -> "F.Column":
+    """Leading-zero rank of the 22-bit remainder of column ``h`` (p=10)."""
+    w = F.col("h") % 4194304
+    return F.when(w == 0, F.lit(23)).otherwise(F.lit(23) - (F.floor(F.log2(w)) + 1))
+
+
+def _hll_corrected(s_present, n_present) -> "F.Column":
+    """Standard HLL estimate with small-range linear counting — applied
+    to per-group register stats (see q_agg_hll_replay for the exactness
+    argument: every term is a dyadic rational that float64 holds exactly)."""
+    v = F.lit(float(HLL_M)) - n_present.cast("double")
+    e_raw = F.lit(_HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / (s_present + v)
+    return F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+
+
+def _hll_group_oracle(table: str, group: str, key: str, all_label: str = "ALL") -> str:
+    """DuckDB twin of the audited grouped-HLL + register-max merge."""
+    est = (
+        f"CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}.0"
+        f" / (s_present + ({HLL_M} - n_present)) <= {2.5 * HLL_M}"
+        f" AND n_present < {HLL_M}"
+        f" THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))"
+        f" ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}.0"
+        f" / (s_present + ({HLL_M} - n_present)) END"
     )
-    union_row = per_lang.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk"))
-        .cast("long")
-        .alias("approx_docs"),
-        F.sum("exact_docs").alias("exact_docs"),  # langs partition doc_ids
-    ).select(F.lit("ALL").alias("lang"), "approx_docs", "exact_docs")
-    return (
-        lang_rows.unionByName(union_row)
-        .select(
-            "lang",
-            "approx_docs",
-            "exact_docs",
-            (
-                F.abs(F.col("approx_docs") - F.col("exact_docs"))
-                / F.col("exact_docs")
-                <= 0.05
-            ).alias("within_tolerance"),
+    return f"""
+    WITH keyed AS (
+        SELECT {group} AS grp,
+               CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM {table}
+    ), regs AS (
+        SELECT grp, h // 4194304 AS bucket,
+               MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                        ELSE 23 - (FLOOR(log2(h % 4194304)) + 1) END) AS m
+        FROM keyed GROUP BY 1, 2
+    ), merged AS (
+        -- the sketch MERGE: register-wise max across groups
+        SELECT bucket, MAX(m) AS m FROM regs GROUP BY 1
+    ), gstats AS (
+        SELECT grp, SUM(POWER(2.0, -m)) AS s_present, COUNT(*) AS n_present
+        FROM regs GROUP BY 1
+        UNION ALL
+        SELECT '{all_label}', SUM(POWER(2.0, -m)), COUNT(*) FROM merged
+    ), counts AS (
+        SELECT {group} AS grp, COUNT(*) AS n_rows,
+               COUNT(DISTINCT {key}) AS exact_keys
+        FROM {table} GROUP BY 1
+        UNION ALL
+        SELECT '{all_label}', COUNT(*), COUNT(DISTINCT {key}) FROM {table}
+    )
+    SELECT g.grp, c.n_rows, c.exact_keys,
+           ROUND({est}, 6) AS approx_keys,
+           ROUND(({est} - c.exact_keys) / CAST(c.exact_keys AS DOUBLE), 6)
+               AS rel_error
+    FROM gstats g JOIN counts c ON g.grp = c.grp
+    """
+
+
+def _hll_grouped_audited(df, group_col: str, key_sql: str, all_label: str = "ALL"):
+    """Audited grouped HLL + register-max rollup, shared by
+    q_agg_sketch_rollup (documents/lang) and q_agg_hll_merge
+    (events/event_type). Output: grp, n_rows, exact_keys, approx_keys,
+    rel_error — every column hash-comparable (registers are exact
+    integers; Σ2^-M is exactly representable; see q_agg_hll_replay)."""
+    keyed = df.select(F.col(group_col).alias("grp"), _hll32_h(key_sql).alias("h"))
+    regs = keyed.groupBy(
+        "grp", (F.col("h") / 4194304).cast("long").alias("bucket")
+    ).agg(F.max(_hll_rho()).alias("m"))
+    merged = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    gstats = regs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    ).unionByName(
+        merged.agg(
+            F.lit(all_label).alias("grp"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+            F.count("*").alias("n_present"),
         )
     )
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.expr(key_sql)).alias("exact_keys"),
+    ).unionByName(
+        df.agg(
+            F.lit(all_label).alias("grp"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(F.expr(key_sql)).alias("exact_keys"),
+        )
+    )
+    est = _hll_corrected(F.col("s_present"), F.col("n_present"))
+    return gstats.join(counts, "grp").select(
+        "grp",
+        "n_rows",
+        "exact_keys",
+        F.round(est, 6).alias("approx_keys"),
+        F.round((est - F.col("exact_keys")) / F.col("exact_keys").cast("double"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+@query(
+    "q_agg_sketch_rollup",
+    oracle=_hll_group_oracle("documents", "lang", "doc_id"),
+    tags=("agg", "approx", "sketch", "hll", "mergeable"),
+)
+def q_agg_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup, EXACTLY AUDITED (upgraded from the
+    rows-only DataSketches form per VERDICT r4 #5): one audited
+    1024-register HLL per language, rolled up to the corpus-wide
+    estimate by REGISTER-WISE MAX — the sketch-union algebra that makes
+    any rollup grain (day → month → all-time) one pass over KB-sized
+    sketches instead of a re-shuffle of raw keys at 100 TB. Every
+    register is an exact integer in both engines (32-bit md5 family, see
+    q_agg_hll_replay), so the per-lang estimates AND the merged estimate
+    hash-match the DuckDB replay. The Spark-native DataSketches surface
+    (hll_sketch_agg / hll_union_agg) remains exercised in
+    tests/test_sketches.py, which also pins this audited rollup within
+    the same ±3σ envelope.
+
+    Scale shape: register build = one map-side-combinable MAX into
+    |langs|×1024 cells (no distinct pre-pass needed — MAX absorbs
+    duplicates); the merge is a second 1024-cell MAX; exact counts ride
+    one shuffle of the same keys."""
+    d = t(spark, sf_dir, "documents")
+    return _hll_grouped_audited(d, "lang", "doc_id")
 
 
 @query(
@@ -1429,48 +1536,29 @@ def q_agg_percentile_disc(spark, sf_dir):
 
 @query(
     "q_agg_hll_merge",
-    # Estimates come from Spark's Apache DataSketches HLL — deterministic
-    # for fixed input sets (hash-based, no RNG) but engine-specific, so no
-    # SQL oracle; tests/test_sketches.py pins the ±3% envelope vs exact
-    # countDistinct and the sketch-merge ≡ union-of-inputs invariant.
-    oracle=None,
+    oracle=_hll_group_oracle("events", "event_type", "user_id"),
     tags=("agg", "sketch", "hll", "mergeable", "approx"),
 )
 def q_agg_hll_merge(spark, sf_dir):
-    """Mergeable HLL distinct-user sketches: one DataSketches HLL per
-    event type, then a sketch-level union to the global estimate —
-    the pattern that makes 100 TB distinct counting incremental. Unlike
-    `q_agg_approx_distinct` (a one-shot estimate), the sketch here is a
-    reusable BINARY value: per-partition/per-day sketches can be stored
-    and re-unioned later without touching raw data, which is how
-    incremental-MV distinct counts (see q_agg_incremental_maintenance)
-    extend to COUNT(DISTINCT). The exact twin of this merge shape is
-    q_agg_bitmap_distinct; HLL trades exactness for O(KB) fixed size.
+    """Mergeable HLL distinct-user sketches, EXACTLY AUDITED (upgraded
+    from the rows-only DataSketches form per VERDICT r4 #5): one audited
+    1024-register HLL per event type, merged to the global estimate by
+    REGISTER-WISE MAX — the algebra that makes 100 TB distinct counting
+    incremental (per-partition/per-day registers are tiny integer
+    vectors; union = elementwise max, associative and re-mergeable
+    without touching raw data, which is how incremental-MV distinct
+    counts extend to COUNT(DISTINCT)). Every register and the Σ2^-M
+    accumulation are exact in both engines (q_agg_hll_replay's
+    argument), so per-type and merged estimates hash-match DuckDB. The
+    exact twin of this merge shape is q_agg_bitmap_distinct; Spark's
+    native binary-sketch surface (hll_sketch_agg/hll_union_agg) stays
+    pinned in tests/test_sketches.py.
 
-    Scale shape: partial sketches build map-side (hll_sketch_agg is an
-    ImperativeAggregate with partial merge), one |types|-row shuffle,
-    then a |types|→1 union — no second scan of the data for the global
-    row.
-    """
+    Scale shape: register build = one map-side-combinable MAX into
+    |types|×1024 cells; merge = a second 1024-cell MAX; the exact
+    distinct audit rides one shuffle of (type, user) keys."""
     ev = t(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
-        F.count("*").alias("n_events"),
-    )
-    per_type = sk.select(
-        "event_type", "n_events", F.hll_sketch_estimate("sk").alias("approx_users")
-    )
-    merged = (
-        sk.agg(
-            F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
-        )
-        .select(
-            F.lit("ALL").alias("event_type"),
-            "n_events",
-            F.hll_sketch_estimate("sk").alias("approx_users"),
-        )
-    )
-    return per_type.unionByName(merged)
+    return _hll_grouped_audited(ev, "event_type", "user_id")
 
 
 @query(
@@ -1789,15 +1877,6 @@ def q_agg_bloom_membership(spark, sf_dir):
     )
 
 
-# Textbook HyperLogLog (Flajolet et al. 2007), p=10 -> m=1024 registers,
-# built from the 32-bit md5 hash so BOTH engines compute every register
-# exactly. The 2^-M sum is a dyadic rational with <= 42 significant bits
-# (1024 terms, each 2^-M with M <= 23), so even the float accumulation
-# is EXACT regardless of summation order - the one sketch estimate that
-# hash-compares without rounding tricks.
-HLL_P = 10
-HLL_M = 1 << HLL_P  # 1024
-_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
 def _hll_oracle() -> str:

@@ -37,14 +37,116 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+# Queries whose construction RUNS Spark jobs (iterative fits' collect
+# loops, sink round-trip writes, streaming micro-batch runs, scratch-side
+# reads). The @query decorator wraps these in plans/deferred.DeferredFrame
+# so a registry sweep / explain() is action-free and the build runs at
+# first USE instead (VERDICT r4 "What's wrong" #2). Enumerated by the
+# job-listener sweep in tests/test_action_free.py, which FAILS if a query
+# outside this set starts running construction-time jobs.
+_DEFER_CONSTRUCTION: frozenset[str] = frozenset({
+"q_agg_quantile_two_phase",
+"q_curate_dsir",
+"q_curate_erasure",
+"q_curate_perplexity_buckets",
+"q_dedup_clusters",
+"q_dedup_embedding_cells",
+"q_dedup_incremental_neardup",
+"q_dedup_semantic",
+"q_dq_observe_metrics",
+"q_events_markov_attribution",
+"q_graph_bfs_hops",
+"q_graph_label_propagation",
+"q_graph_pagerank",
+"q_graph_treepath",
+"q_join_bloom_runtime",
+"q_join_bucketed_colocated",
+"q_join_dpp_prune",
+"q_layout_compact",
+"q_layout_zorder",
+"q_ml_class_metrics",
+"q_ml_conformal_exact",
+"q_ml_cross_validation",
+"q_ml_evaluator",
+"q_ml_fairness_audit",
+"q_ml_fpgrowth",
+"q_ml_isotonic",
+"q_ml_isotonic_exact",
+"q_ml_kmeans",
+"q_ml_kmeans_exact",
+"q_ml_logreg_exact",
+"q_ml_naive_bayes",
+"q_ml_pca",
+"q_ml_pca_power_exact",
+"q_ml_quantile_discretizer",
+"q_ml_rf_pipeline",
+"q_ml_ridge_exact",
+"q_ml_string_indexer",
+"q_ml_train_test_split",
+"q_ml_xgb_pipeline",
+"q_multimodal_binary_files",
+"q_scan_csv_corrupt",
+"q_scan_csv_schema",
+"q_scan_file_provenance",
+"q_scan_json_corrupt",
+"q_scan_schema_evolution",
+"q_scan_table_history",
+"q_scan_text_lines",
+"q_scan_text_log",
+"q_scan_time_travel",
+"q_set_transpose",
+"q_shuffle_global",
+"q_sim_ann_ivf",
+"q_sim_ann_ivf_index",
+"q_sim_cosine_topk",
+"q_sim_knn_all",
+"q_sink_csv_roundtrip",
+"q_sink_dynamic_partition_overwrite",
+"q_sink_json_roundtrip",
+"q_sink_orc_roundtrip",
+"q_sink_parquet_roundtrip",
+"q_sink_partitioned_prune",
+"q_sink_xml_roundtrip",
+"q_sql_execute_immediate",
+"q_sql_scripting",
+"q_sql_session_variables",
+"q_stream_drift_monitor",
+"q_stream_foreach_batch_upsert",
+"q_stream_gapfill",
+"q_stream_milestones",
+"q_stream_python_datasource",
+"q_stream_state_metrics",
+"q_stream_stateful_session",
+"q_stream_tws_map_state",
+"q_text_bigram_lm",
+"q_text_bpe_apply",
+"q_text_bpe_fertility",
+"q_text_bpe_train",
+"q_text_kneser_ney",
+"q_text_pmi_collocations",
+"q_text_tfidf_weighted",
+"q_text_unigram_logprob",
+"q_text_vocab_coverage",
+"q_ts_interpolate",
+})
+
+
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator registering a declared query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+        run: QueryFn = fn
+        if name in _DEFER_CONSTRUCTION:
+
+            def run(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+                from ..plans.deferred import DeferredFrame
+
+                return DeferredFrame(spark, lambda: _fn(spark, sf_dir))
+
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+            name=name, fn=run, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
         )
         return fn
 
@@ -470,6 +572,11 @@ _WINDOW_PIN: tuple[str, ...] = (
     "q_ml_kmeans",
     "q_ml_rf_pipeline",
     "q_ml_xgb_pipeline",
+    # round-5 rows-only → SQL upgrades (VERDICT r4 #5): earn the fresh
+    # hash-check row in the same round the oracle landed
+    "q_agg_hll_merge",
+    "q_agg_sketch_rollup",
+    "q_stream_drift_monitor",
 )
 
 # Rows-only queries whose only hard row predates a fix or upgrade: treat

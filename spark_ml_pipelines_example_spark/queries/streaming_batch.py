@@ -601,15 +601,56 @@ def q_stream_stateful_session(spark, sf_dir):
     )
 
 
-@query("q_stream_drift_monitor", oracle=None, tags=("stream", "dq", "drift", "psi"))
+@query(
+    "q_stream_drift_monitor",
+    # batch replay of the streaming alarm log: one micro-batch per
+    # event-time week (the staged layout guarantees it), so each
+    # (week_start, n_rows, psi) row is a pure function of the data —
+    # same PSI discipline as q_dq_drift_psi (eps-clamped shares,
+    # 6dp-rounded terms, order-independent decimal sum)
+    oracle="""
+    WITH ref AS (
+        SELECT event_type, COUNT(*) AS n_a FROM events GROUP BY 1
+    ), reft AS (
+        SELECT CAST(SUM(n_a) AS DOUBLE) AS ref_total FROM ref
+    ), wkcounts AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               event_type, COUNT(*) AS n_b
+        FROM events GROUP BY 1, 2
+    ), wktot AS (
+        SELECT week_start, SUM(n_b) AS wk_total FROM wkcounts GROUP BY 1
+    ), grid AS (
+        SELECT w.week_start, r.event_type, r.n_a,
+               COALESCE(k.n_b, 0) AS n_b, w.wk_total
+        FROM wktot w CROSS JOIN ref r
+        LEFT JOIN wkcounts k
+          ON k.week_start = w.week_start AND k.event_type = r.event_type
+    ), terms AS (
+        SELECT week_start, wk_total,
+               ROUND((GREATEST(CAST(n_b AS DOUBLE) / wk_total, 1e-6)
+                      - GREATEST(CAST(n_a AS DOUBLE) / (SELECT ref_total FROM reft), 1e-6))
+                     * LN(GREATEST(CAST(n_b AS DOUBLE) / wk_total, 1e-6)
+                          / GREATEST(CAST(n_a AS DOUBLE) / (SELECT ref_total FROM reft), 1e-6)),
+                     6) AS term
+        FROM grid
+    )
+    SELECT week_start, CAST(MIN(wk_total) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY week_start
+    """,
+    tags=("stream", "dq", "drift", "psi"),
+)
 def q_stream_drift_monitor(spark, sf_dir):
     """Driver-visible wrapper of the streaming PSI drift alarm
-    (streaming/jobs.py run_streaming_drift_monitor): per-micro-batch
-    category mix scored against frozen reference shares via foreachBatch,
-    one (batch_id, n_rows, psi) row per batch. Rows-only: the row set
-    depends on micro-batch file boundaries (maxFilesPerTrigger), which
-    the SQL oracle cannot express; determinism across reruns is ensured
-    by clearing the alarm log + checkpoint before each run."""
+    (streaming/jobs.py run_streaming_drift_monitor): each micro-batch is
+    one event-time WEEK of the staged file source, its category mix is
+    scored against the frozen reference shares via foreachBatch, and one
+    (week_start, n_rows, psi) alarm row per week appends to a parquet
+    log. Upgraded rows-only → FULL HASH CHECK (VERDICT r4 #5): the
+    week-per-batch staging makes the log a pure function of the data,
+    replayed exactly by the batch oracle (q_dq_drift_psi's
+    order-independent PSI discipline). Determinism across reruns is
+    ensured by clearing the alarm log + checkpoint before each run."""
     import shutil
 
     from ..streaming.jobs import run_streaming_drift_monitor

@@ -59,7 +59,39 @@ def _rewrite_ns_parquet_to_us(path: str) -> str:
     return out
 
 
+# Per-session memo of loaded fixture tables. Spark 4 runs a 1-task
+# footer-read job on EVERY spark.read.parquet call; reusing the resolved
+# DataFrame makes repeat loads (and therefore most queries' construction)
+# job-free — one footer job per (session, sf_dir, table). DataFrames are
+# immutable and the fixture dirs are read-only, so reuse is safe. Keyed on
+# the session OBJECT (not id(): the strong ref prevents id reuse after GC)
+# so a restarted session never serves stale JVM handles.
+_TABLE_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the loader's conf side effects (UTC session tz, nanos conf) are
+        # part of the contract — re-arm them even on a memo hit, since a
+        # caller (or the driver) may have flipped them between loads
+        _arm_events_confs(spark)
+    key = (spark, sf_dir.rstrip("/"), name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        _TABLE_MEMO[key] = df
+    return df
+
+
+def _arm_events_confs(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set(_NANOS_CONF, "true")
+    except Exception:
+        pass  # static-conf rejection → pyarrow fallback handles the read
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet read: the embedded footer
     schema is authoritative (matches TABLE_SCHEMAS modulo parquet
     physical types), and an explicit .schema() on parquet would disable
@@ -88,11 +120,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
 
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        spark.conf.set(_NANOS_CONF, "true")
-    except Exception:
-        pass  # static-conf rejection → pyarrow fallback below
+    _arm_events_confs(spark)
     try:
         df = spark.read.parquet(path)
     except Exception:

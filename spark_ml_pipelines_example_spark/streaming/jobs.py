@@ -122,6 +122,49 @@ def _stage_events_dir(sf_dir: str, ts_unit: str) -> str:
     return str(dst)
 
 
+def _stage_events_weekly_dir(sf_dir: str, ts_unit: str) -> str:
+    """Stage the events fixture as ONE parquet file per event-time week
+    (Monday-truncated), file names in week order — the deterministic
+    micro-batch layout the streaming drift monitor scores: with
+    ``maxFilesPerTrigger=1`` each micro-batch is exactly one week of
+    events, so the emitted (week_start, n_rows, psi) alarm rows are a
+    pure function of the DATA and a batch SQL oracle can replay them
+    (rows-only → hash-check upgrade, VERDICT r4 #5). Idempotent per
+    (sf, ts-unit); no sentinel needed — the monitor is stateless
+    (foreachBatch, no watermark)."""
+    import shutil
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..queries._util import scratch_dir
+
+    dst = Path(scratch_dir("stream_events_weekly", sf_dir))
+    marker = dst / "_STAGED_OK"
+    if marker.exists():
+        any_part = sorted(dst.glob("wk_*.parquet"))
+        if any_part and (
+            getattr(pq.read_schema(any_part[0]).field("ts").type, "unit", "us")
+            == ts_unit
+        ):
+            return str(dst)
+        shutil.rmtree(dst)  # stale staging from a previous fixture generation
+    dst.mkdir(parents=True, exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    ts = tbl.column("ts")
+    if pa.types.is_integer(ts.type):  # ns fixture read as epoch-nanos long
+        ts = ts.cast(pa.timestamp("ns"))
+    weeks = pc.floor_temporal(ts, unit="week")  # ISO Monday weeks
+    for wk in sorted(set(pc.unique(weeks).to_pylist())):
+        mask = pc.equal(weeks, pa.scalar(wk, weeks.type))
+        part = tbl.filter(mask)
+        pq.write_table(part, dst / f"wk_{wk.date().isoformat()}.parquet")
+    marker.touch()
+    return str(dst)
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, per_file_batches: bool = False
 ) -> DataFrame:
@@ -939,20 +982,20 @@ def batch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
-    """Streaming distribution-drift monitor: every micro-batch's
-    event_type mix is scored as PSI against a frozen reference
-    distribution (the standing corpus), and one monitor row per batch
-    — (batch_id, n_rows, psi) — appends to a parquet alarm log. This is
-    the streaming deployment of q_dq_drift_psi: the reference shares are
-    a driver-side constant (|categories| entries — the same
-    driver-size-side-input rule as the IVF centroids), each batch's
-    category counts are ONE combinable aggregate of that batch, and the
-    PSI arithmetic runs on |categories| numbers. foreachBatch (not a
-    streaming agg) because the score is per-batch, not per-window —
-    state size zero, any batch cadence.
-    """
-    import math
-
+    """Streaming distribution-drift monitor: each micro-batch (= one
+    event-time WEEK of the staged source, see _stage_events_weekly_dir)
+    has its event_type mix scored as PSI against a frozen reference
+    distribution (the standing corpus), and one alarm row per week —
+    (week_start, n_rows, psi) — appends to a parquet log. This is the
+    streaming deployment of q_dq_drift_psi, and since round 5 the log is
+    EXACTLY REPLAYABLE by batch SQL: the week-per-batch layout makes the
+    rows a pure function of the data, the reference counts are frozen
+    integers, and the PSI arithmetic follows q_dq_drift_psi's
+    order-independent discipline (6dp-rounded terms, decimal sum) —
+    computed by Spark expressions over a |weeks|×|categories| local
+    frame, never Python floats. foreachBatch (not a streaming agg)
+    because the score is per-batch; state size zero."""
+    from ..queries.quality import PSI_EPS
     from ..sources.io import load_table
 
     ref_rows = (
@@ -961,41 +1004,60 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) 
         .agg(F.count("*").alias("n"))
         .collect()
     )
-    ref_total = sum(r["n"] for r in ref_rows)
-    ref = {r["event_type"]: r["n"] / ref_total for r in ref_rows}
-    eps = 1e-6
+    ref = {r["event_type"]: int(r["n"]) for r in ref_rows}
+    ref_total = sum(ref.values())
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
-        counts = (
-            batch_df.filter(F.col("user_id") != SENTINEL_USER)
-            .groupBy("event_type")
+        wk = F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+        counts = {
+            (r["week_start"], r["event_type"]): int(r["n"])
+            for r in batch_df.groupBy(wk, "event_type")
             .agg(F.count("*").alias("n"))
-            .collect()
-        )
-        total = sum(r["n"] for r in counts)
-        if total == 0:
+            .collect()  # bounded: weeks-in-batch × |categories|
+        }
+        if not counts:
             return
-        psi = 0.0
-        cats = set(ref) | {r["event_type"] for r in counts}
-        got = {r["event_type"]: r["n"] / total for r in counts}
-        for c in cats:
-            p_ref = max(ref.get(c, 0.0), eps)
-            p_got = max(got.get(c, 0.0), eps)
-            psi += (p_got - p_ref) * math.log(p_got / p_ref)
-        row = spark.createDataFrame(
-            [(int(batch_id), int(total), float(round(psi, 6)))],
-            "batch_id long, n_rows long, psi double",
+        weeks = sorted({w for w, _ in counts})
+        week_total = {
+            w: sum(n for (w2, _), n in counts.items() if w2 == w) for w in weeks
+        }
+        grid = [
+            (w, c, n_a, counts.get((w, c), 0), week_total[w])
+            for w in weeks
+            for c, n_a in sorted(ref.items())
+        ]
+        local = spark.createDataFrame(
+            grid, "week_start date, event_type string, n_a long, n_b long, wk_total long"
         )
-        row.write.mode("append").parquet(out_dir)
+        p_a = F.greatest(F.col("n_a") / F.lit(ref_total).cast("double"), F.lit(PSI_EPS))
+        p_b = F.greatest(F.col("n_b") / F.col("wk_total").cast("double"), F.lit(PSI_EPS))
+        term = F.round((p_b - p_a) * F.log(p_b / p_a), 6)
+        out = (
+            local.select("week_start", "wk_total", term.alias("term"))
+            .groupBy("week_start")
+            .agg(
+                F.min("wk_total").alias("n_rows"),
+                F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("psi"),
+            )
+        )
+        out.write.mode("append").parquet(out_dir)
 
-    ev = read_events_stream(spark, sf_dir)
+    unit = _events_ts_unit(sf_dir)
+    reader = (
+        spark.readStream.schema(_events_schema(unit))
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = reader.load(_stage_events_weekly_dir(sf_dir, unit))
+    if unit == "ns":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         ev.writeStream.foreachBatch(score_batch)
-        .option("maxFilesPerTrigger", "1")
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", f"{out_dir}_ckpt"
-        )
+        .option("checkpointLocation", f"{out_dir}_ckpt")
         .start()
     )
     q.awaitTermination()

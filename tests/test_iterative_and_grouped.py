@@ -202,5 +202,5 @@ def test_hll_sketch_union_is_lossless(spark, sf_dir):
     assert abs(merged - exact) / exact < 0.05
 
     rows = REGISTRY["q_agg_sketch_rollup"].fn(spark, sf_dir).collect()
-    assert len(rows) >= 2 and any(r.lang == "ALL" for r in rows)
-    assert all(r.within_tolerance for r in rows)
+    assert len(rows) >= 2 and any(r.grp == "ALL" for r in rows)
+    assert all(abs(r.rel_error) <= 0.05 or r.exact_keys < 30 for r in rows)

@@ -17,34 +17,44 @@ REGISTRY = load_all()
 
 
 def test_hll_estimates_within_envelope(spark, sf_dir):
-    """Each per-type HLL estimate (lgConfigK=14 → ~0.8% relative std err)
-    lands within 3% of the exact distinct-user count, and so does the
-    sketch-union global row."""
-    res = {
-        r["event_type"]: r["approx_users"]
-        for r in REGISTRY["q_agg_hll_merge"].fn(spark, sf_dir).collect()
-    }
+    """Each per-type audited-HLL estimate (m=1024 → ±1.04/√1024 ≈ 3.3%
+    std err; small cardinalities ride the linear-counting branch) lands
+    within 3σ of the exact distinct-user count carried in the same row,
+    and so does the register-max merged global row. The native
+    DataSketches surface keeps its own pin below."""
+    rows = REGISTRY["q_agg_hll_merge"].fn(spark, sf_dir).collect()
+    assert any(r["grp"] == "ALL" for r in rows)
+    for r in rows:
+        assert abs(r["approx_keys"] - r["exact_keys"]) <= max(
+            3, 0.10 * r["exact_keys"]
+        ), (r["grp"], r["approx_keys"], r["exact_keys"])
+        assert abs(r["rel_error"]) <= 0.10 or r["exact_keys"] < 30
+
+
+def test_native_datasketches_hll_surface(spark, sf_dir):
+    """Spark's binary-sketch functions (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) — the production KB-sized-sketch surface the
+    audited queries re-platformed away from — still estimate within the
+    DataSketches envelope and merge sketch-level."""
     from spark_ml_pipelines_example_spark.sources.io import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    exact = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    exact["ALL"] = ev.select("user_id").distinct().count()
-    assert set(res) == set(exact)
-    for k, est in res.items():
-        assert abs(est - exact[k]) <= max(3, 0.03 * exact[k]), (k, est, exact[k])
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    ).head()["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) <= max(3, 0.03 * exact)
 
 
 def test_hll_union_is_sketch_level_not_sum(spark, sf_dir):
     """The merged row estimates |union of users|, not Σ per-type counts —
     the whole point of a mergeable sketch (users overlap across types)."""
     rows = REGISTRY["q_agg_hll_merge"].fn(spark, sf_dir).collect()
-    per_type_sum = sum(r["approx_users"] for r in rows if r["event_type"] != "ALL")
-    merged = next(r["approx_users"] for r in rows if r["event_type"] == "ALL")
+    per_type_sum = sum(r["approx_keys"] for r in rows if r["grp"] != "ALL")
+    merged = next(r["approx_keys"] for r in rows if r["grp"] == "ALL")
     assert merged < per_type_sum  # heavy cross-type overlap in the fixture
 
 
