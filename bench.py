@@ -206,6 +206,10 @@ HEADLINE = [
     "q_ml_fairness_audit",
     "q_ml_conformal_exact",
     "q_ml_ridge_exact",
+    # round-5: rows-only -> audited upgrades
+    "q_agg_hll_merge",
+    "q_agg_sketch_rollup",
+    "q_stream_drift_monitor",
 ]
 
 

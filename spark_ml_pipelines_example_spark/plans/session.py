@@ -68,4 +68,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warnings(spark)
     return spark
+
+
+def _silence_bounded_window_warnings(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR: every unpartitioned window in
+    the engine runs over a provably bounded frame (≤1024-row bin frames,
+    ≤10 deciles, top-K limits — enforced by tests/test_plan_lint.py's
+    no-catalog-frame-global-window lint), so the per-query 'No Partition
+    Defined for Window operation' warning is noise that buries real
+    regressions in bench logs (VERDICT r4 #7)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowGroupLimitExec",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                cls, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # non-log4j2 deployments keep their own logging config

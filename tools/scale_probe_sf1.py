@@ -67,6 +67,16 @@ QUERIES = [
     # same adaptive-k defense as the IVF cells. The signed-permutation
     # isometry preserves within-replica cosines exactly.
     "q_dedup_semantic",
+    # round-5 additions (VERDICT r4 #3): the basket-graph operators.
+    # The probe lineitem replicates baskets with DISJOINT order/part key
+    # ranges per replica, so the co-purchase graph is 10 isomorphic
+    # components — result rows must grow ~10x and time ~linearly:
+    # - label propagation: per-round cost = |E| vote aggregate; expected
+    #   complexity exponent 1 (rounds fixed at 3)
+    # - fpgrowth: Σ|basket|² pair join + PFP mining, linear in orders
+    #   for bounded baskets; expected exponent 1
+    "q_graph_label_propagation",
+    "q_ml_fpgrowth",
 ]
 
 
@@ -94,6 +104,21 @@ def build_probe() -> None:
             # tokens make cross-replica shingle sets disjoint
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/documents.parquet' (FORMAT PARQUET)"
+        )
+    if not os.path.exists(f"{PROBE}/lineitem.parquet"):
+        # basket probe: replica r shifts order AND part keys into a
+        # disjoint range, so the co-purchase graph is 10 isomorphic
+        # components — pair/community/itemset structure replicates
+        # exactly and any cross-replica candidate is an n²-floor bug.
+        # Only the two columns the basket operators read.
+        parts = [
+            f"SELECT l_orderkey + {r * 10_000_000} AS l_orderkey, "
+            f"l_partkey + {r * 1_000_000} AS l_partkey "
+            f"FROM read_parquet('{SF01}/lineitem.parquet')"
+            for r in range(REPLICAS)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/lineitem.parquet' (FORMAT PARQUET)"
         )
     if not os.path.exists(f"{PROBE}/embeddings.parquet"):
         emb = con.execute(
