@@ -2087,12 +2087,14 @@ def _kmx_oracle() -> str:
     return "WITH " + ",\n".join(_kmx_cte_parts()) + "\n" + final
 
 
-def _kmx_fit_assign(spark, sf_dir, k: int | None = None):
+def _kmx_fit(spark, sf_dir, k: int | None = None):
     """Run the exact Lloyd fit (init = the k lowest vec_ids as singleton
-    rationals, default k=KMX_K, KMX_PASSES-1 updates) and return the
-    FINAL assignment frame (vec_id, xq, c, d), or None on an empty
-    corpus. Shared by q_ml_kmeans_exact (fixed k) and q_dedup_semantic
-    (corpus-sized k) so both ride the identical audited iteration."""
+    rationals, default k=KMX_K, KMX_PASSES-1 updates) and return
+    ``(q, cents)`` — the quantized corpus and the FINAL centroid
+    rationals [(c, s, n), ...] — or None on an empty corpus. The
+    audited IVF index (operators/similarity.py) consumes the rationals
+    directly; q_ml_kmeans_exact / q_dedup_semantic take the assignment
+    via _kmx_fit_assign."""
     if k is None:
         k = KMX_K
     q = _kmx_quantized(spark, sf_dir)
@@ -2102,6 +2104,18 @@ def _kmx_fit_assign(spark, sf_dir, k: int | None = None):
     cents = [(int(r["vec_id"]), [int(v) for v in r["xq"]], 1) for r in first]
     for _ in range(KMX_PASSES - 1):
         cents = _kmx_update(_kmx_assign(q, cents), cents)
+    return q, cents
+
+
+def _kmx_fit_assign(spark, sf_dir, k: int | None = None):
+    """Exact Lloyd fit + final assignment frame (vec_id, xq, c, d), or
+    None on an empty corpus. Shared by q_ml_kmeans_exact (fixed k) and
+    q_dedup_semantic (corpus-sized k) so both ride the identical audited
+    iteration."""
+    fit = _kmx_fit(spark, sf_dir, k)
+    if fit is None:
+        return None
+    q, cents = fit
     return _kmx_assign(q, cents)
 
 

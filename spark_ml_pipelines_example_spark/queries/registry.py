@@ -577,6 +577,9 @@ _WINDOW_PIN: tuple[str, ...] = (
     "q_agg_hll_merge",
     "q_agg_sketch_rollup",
     "q_stream_drift_monitor",
+    "q_sim_ann_ivf",
+    "q_sim_ann_ivf_index",
+    "q_dedup_embedding_cells",
 )
 
 # Rows-only queries whose only hard row predates a fix or upgrade: treat

@@ -734,7 +734,9 @@ def q_scan_agg_pushdown(spark, sf_dir):
             prev[k] = None
         spark.conf.set(k, v)
     try:
-        li = t(spark, sf_dir, "lineitem")
+        # fresh read, NOT the memoized load_table frame: the relation must
+        # resolve while the V2-source + aggregatePushdown confs are active
+        li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
         out = li.agg(
             F.count("*").alias("n_rows"),
             F.min("l_quantity").alias("min_qty"),

@@ -58,17 +58,59 @@ def test_simhash_pairs_exact_duplicates(spark, sf_dir):
 
 
 def test_embedding_cell_block_recall(spark, sf_dir):
-    """The IVF-cell-blocked near-dup variant vs the label-blocked
-    (oracle-green) ground truth: measured recall is 1.0 at sf0.001/sf0.01
-    and 0.965 at sf0.1 on the near-orthogonal fixture (IVF's worst case —
-    the missed pairs straddle cell boundaries in all 4 soft probes), so
-    the floor is pinned at 0.95 across scale factors."""
-    gt = REG["q_dedup_embedding"].fn(spark, sf_dir).select("id_a", "id_b")
-    cc = REG["q_dedup_embedding_cells"].fn(spark, sf_dir).select("id_a", "id_b")
-    n_gt = gt.count()
-    hit = gt.join(cc, ["id_a", "id_b"]).count()
-    assert n_gt > 0, "fixture should contain at least one near-dup pair"
-    assert hit / n_gt >= 0.95, f"cell-blocked dedup recall {hit}/{n_gt} below 0.95"
+    """Blocking recall of the IVF-cell-blocked near-dup variant, measured
+    in the query's OWN measure (quantized cosine ≥ 0.4, the audited
+    comparator): ground truth = brute-force quantized pairwise with no
+    blocking. Recall isolates what soft-cell assignment is responsible
+    for — a pair the cells variant may legitimately exclude on the
+    quantized-vs-raw threshold boundary (|raw cos − 0.4| inside the
+    quantization band) must not count against blocking. The raw-cosine
+    twin q_dedup_embedding keeps its own oracle; here we additionally pin
+    that every raw-vs-quantized verdict disagreement sits inside that
+    boundary band."""
+    import math
+
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.operators.similarity import (
+        _EMB_TAU_DEN,
+        _EMB_TAU_NUM,
+    )
+    from spark_ml_pipelines_example_spark.queries.ml import _kmx_quantized
+
+    rows = _kmx_quantized(spark, sf_dir).collect()  # test-SF corpora are driver-sized
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    X = np.array([r.xq for r in rows], dtype=np.int64)
+    dot = X @ X.T
+    n2 = (X * X).sum(axis=1)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    d = dot[ia, ib]
+    keep = (d > 0) & (_EMB_TAU_DEN * d * d >= _EMB_TAU_NUM * n2[ia] * n2[ib])
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[ia[keep]], ids[ib[keep]])
+    }
+    cc = {
+        (r.id_a, r.id_b)
+        for r in REG["q_dedup_embedding_cells"].fn(spark, sf_dir).collect()
+    }
+    assert truth, "fixture should contain at least one quantized near-dup pair"
+    assert cc <= truth, "cells variant emitted a pair brute force rejects"
+    recall = len(cc & truth) / len(truth)
+    assert recall >= 0.95, f"cell-blocked recall {len(cc & truth)}/{len(truth)} < 0.95"
+
+    # raw-threshold twin: any verdict disagreement must be a boundary case
+    # (quantization error band: 64-dim, 1/1024 per component → ~1% of cos)
+    gt_raw = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in REG["q_dedup_embedding"].fn(spark, sf_dir).collect()
+    }
+    for pair, raw_cos in gt_raw.items():
+        if pair not in truth:
+            assert math.isclose(raw_cos, 0.4, abs_tol=0.01), (
+                f"{pair}: raw cos {raw_cos} excluded by the quantized test "
+                "but not a threshold-boundary case"
+            )
 
 
 def test_jaccard_df_cap_prunes_hot_shingles(spark):

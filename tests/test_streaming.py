@@ -338,10 +338,14 @@ def test_streaming_daily_users_equals_batch(spark, sf_dir):
 
 
 def test_streaming_drift_monitor_scores_batches(spark, sf_dir, tmp_path):
-    """One PSI row per micro-batch; row counts conserve the stream; and
-    a batch containing the whole reference distribution scores PSI≈0."""
+    """One PSI alarm row per event-time WEEK (the week-per-micro-batch
+    staging); weeks partition the stream exactly; PSI is non-negative and
+    finite; and re-running over the same data reproduces the identical
+    log (the determinism the SQL oracle relies on)."""
     import math
     import shutil
+
+    from pyspark.sql import functions as F
 
     from spark_ml_pipelines_example_spark.sources.io import load_table
     from spark_ml_pipelines_example_spark.streaming.jobs import (
@@ -350,16 +354,27 @@ def test_streaming_drift_monitor_scores_batches(spark, sf_dir, tmp_path):
 
     out = str(tmp_path / "drift_out")
     log = run_streaming_drift_monitor(spark, sf_dir, out).collect()
-    assert len(log) >= 1
-    total_events = load_table(spark, sf_dir, "events").count()
-    assert sum(r["n_rows"] for r in log) == total_events
+    ev = load_table(spark, sf_dir, "events")
+    weeks = {
+        r["w"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date").alias("w")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(log) == len(weeks)
+    assert {r["week_start"]: r["n_rows"] for r in log} == weeks
+    assert sum(r["n_rows"] for r in log) == ev.count()
     for r in log:
         assert r["psi"] >= 0.0 and math.isfinite(r["psi"])
-    # the full-corpus batch (the big staged file) must score ~zero drift
-    big = max(log, key=lambda r: r["n_rows"])
-    assert big["n_rows"] == total_events  # sentinel file carries 1 row, filtered
-    assert big["psi"] < 1e-6
+    out2 = str(tmp_path / "drift_out2")
+    log2 = run_streaming_drift_monitor(spark, sf_dir, out2).collect()
+    assert sorted((r["week_start"], r["n_rows"], r["psi"]) for r in log) == sorted(
+        (r["week_start"], r["n_rows"], r["psi"]) for r in log2
+    )
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
 
 
 def test_dedup_within_watermark_suppresses_late_duplicates(spark, sf_dir):
