@@ -85,6 +85,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_train_test_split",
 "q_ml_xgb_pipeline",
 "q_multimodal_binary_files",
+"q_scan_agg_pushdown",
 "q_scan_csv_corrupt",
 "q_scan_csv_schema",
 "q_scan_file_provenance",
