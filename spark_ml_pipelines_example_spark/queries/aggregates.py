@@ -2070,35 +2070,56 @@ def q_agg_kmv_setops(spark, sf_dir):
     )
     from ..operators._cache import persist_tracked
 
-    hashed = persist_tracked(hashed)  # feeds 3 sketches + truth
+    hashed = persist_tracked(hashed)  # feeds the distinct-h frame + truth
     # distinct BEFORE the rank-k cut: the sketch is a SET of hash values,
     # so a 32-bit collision between two custkeys contributes one element
-    # (the oracle's IN-based membership semantics; ADVICE r4)
-    sk_a = hashed.filter(F.col("in_a") == 1).select("h").distinct().orderBy("h").limit(KMV_K)
-    sk_b = hashed.filter(F.col("in_b") == 1).select("h").distinct().orderBy("h").limit(KMV_K)
-    sk_u = sk_a.unionByName(sk_b).distinct().orderBy("h").limit(KMV_K)
-
-    def est(sk):
-        # small-set branch mirrors the oracle: < k values = exact set
-        return sk.agg(
-            F.when(
-                F.count("*") < KMV_K, F.count("*").cast("double")
-            )
-            .otherwise(F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.max("h"))
-            .alias("e")
-        )
-
-    n_both = (
-        sk_u.join(sk_a.withColumnRenamed("h", "ha"), F.col("h") == F.col("ha"), "left")
-        .join(sk_b.withColumnRenamed("h", "hb"), F.col("h") == F.col("hb"), "left")
-        .agg(
-            F.count(
-                F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1)
-            ).alias("n_both"),
-            # Jaccard denominator = actual union-sketch size (mirrors oracle)
-            F.count("*").alias("n_u"),
+    # (the oracle's IN-based membership semantics; ADVICE r4). ONE
+    # combinable aggregate distincts h for BOTH cohorts at once — a hash
+    # belongs to a cohort iff ANY key with that hash does (max flag ≡ the
+    # oracle's DISTINCT-within-WHERE) — and the three rank-k cuts are
+    # TakeOrdered over it, so the sketch build costs one shuffle total.
+    hs = persist_tracked(
+        hashed.groupBy("h").agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
         )
     )
+    # The sketches are DRIVER-SIZED by construction (k = 256 values) —
+    # KMV's entire point is a tiny mergeable summary — so the rank-k cuts
+    # are two TakeOrdered collects and the set algebra runs on Python
+    # sets (exact integers), the same driver-side-summary rule as the IVF
+    # centroid ranking. The r4-r5 join/aggregate formulation spent ~2s of
+    # sf0.1 wall on five crossJoined 1-row aggregates re-deriving the
+    # sketches; this shape is one flags shuffle + one h aggregate + two
+    # k-row collects. Estimate ARITHMETIC stays in Spark expressions
+    # (lit → round) so rounding matches the oracle's HALF_UP exactly.
+    ska = [
+        r["h"]
+        for r in hs.filter(F.col("in_a") == 1)
+        .select("h")
+        .orderBy("h")
+        .limit(KMV_K)
+        .collect()
+    ]
+    skb = [
+        r["h"]
+        for r in hs.filter(F.col("in_b") == 1)
+        .select("h")
+        .orderBy("h")
+        .limit(KMV_K)
+        .collect()
+    ]
+    sku = sorted(set(ska) | set(skb))[:KMV_K]
+    seta, setb = set(ska), set(skb)
+    n_u = len(sku)
+    n_both = sum(1 for h in sku if h in seta and h in setb)
+
+    def est_lit(sk: list) -> "F.Column":
+        # small-set branch mirrors the oracle: < k values = exact set;
+        # sketches are sorted ascending so max(h) = sk[-1]
+        if len(sk) < KMV_K:
+            return F.lit(len(sk)).cast("double")
+        return F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.lit(sk[-1])
+
     truth = hashed.agg(
         F.sum("in_a").alias("true_a"),
         F.sum("in_b").alias("true_b"),
@@ -2107,23 +2128,17 @@ def q_agg_kmv_setops(spark, sf_dir):
         ),
         F.count(F.when((F.col("in_a") == 1) | (F.col("in_b") == 1), 1)).alias("true_union"),
     )
-    out = (
-        truth.crossJoin(est(sk_a).withColumnRenamed("e", "ea"))
-        .crossJoin(est(sk_b).withColumnRenamed("e", "eb"))
-        .crossJoin(est(sk_u).withColumnRenamed("e", "eu"))
-        .crossJoin(n_both)
-    )
-    return out.select(
+    return truth.select(
         "true_a",
         "true_b",
         "true_intersect",
         "true_union",
-        F.round("ea", 4).alias("est_a"),
-        F.round("eb", 4).alias("est_b"),
-        F.round("eu", 4).alias("est_union"),
-        F.round(F.col("n_both") / F.col("n_u").cast("double") * F.col("eu"), 4).alias(
-            "est_intersect"
-        ),
+        F.round(est_lit(ska), 4).alias("est_a"),
+        F.round(est_lit(skb), 4).alias("est_b"),
+        F.round(est_lit(sku), 4).alias("est_union"),
+        F.round(
+            F.lit(n_both) / F.lit(n_u).cast("double") * est_lit(sku), 4
+        ).alias("est_intersect"),
     )
 
 

@@ -45,6 +45,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # job-listener sweep in tests/test_action_free.py, which FAILS if a query
 # outside this set starts running construction-time jobs.
 _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
+"q_agg_kmv_setops",
 "q_agg_quantile_two_phase",
 "q_curate_dsir",
 "q_curate_erasure",
