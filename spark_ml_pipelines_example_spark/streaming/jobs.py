@@ -1054,13 +1054,17 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) 
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
-    q = (
-        ev.writeStream.foreachBatch(score_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{out_dir}_ckpt")
-        .start()
-    )
-    q.awaitTermination()
+    # fixture-size ergonomics, same rationale as _bounded_state_partitions:
+    # each weekly batch runs a tiny groupBy + a |cats|-row local frame; 32
+    # shuffle tasks × batches × stages is pure overhead at this scale
+    with _bounded_state_partitions(spark, 8):
+        q = (
+            ev.writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out_dir}_ckpt")
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir)
 
 
