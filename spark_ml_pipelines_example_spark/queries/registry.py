@@ -680,6 +680,39 @@ def _driver_checked_queries() -> set[str]:
     return checked
 
 
+def _force_recheck_pending(root=None) -> frozenset[str]:
+    """_FORCE_RECHECK names whose ONLY valid rows predate round 5 (their
+    stale-row round). Once a round ≥ 5 artifact records a fresh good row,
+    the force-recheck retires automatically — otherwise these three would
+    re-front forever and waste a window slot every round. ``root``
+    overrides the artifact directory (tests)."""
+    import json
+    import re
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    root = Path(root)
+    fresh: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if not m or int(m.group(1)) < 5:
+            continue
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or name not in _FORCE_RECHECK:
+                continue
+            if (row.get("hash_match") is True and row.get("err") is None) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                fresh.add(name)
+    return _FORCE_RECHECK - fresh
+
+
 def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """SELF-MAINTAINING driver-window rotation: the external driver
     hash-checks roughly the first 50 entries per round, so order the
@@ -690,7 +723,7 @@ def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     every future round's check budget lands on fresh queries — including
     queries added in the current round — with no manual reordering.
     Deterministic given the repo contents."""
-    checked = _driver_checked_queries() - _FORCE_RECHECK
+    checked = _driver_checked_queries() - _force_recheck_pending()
 
     pin_rank = {n: i for i, n in enumerate(_WINDOW_PIN)}
 

@@ -10,13 +10,14 @@ from spark_ml_pipelines_example_spark.queries.registry import (
     _WINDOW_PIN,
     REGISTRY,
     _driver_checked_queries,
+    _force_recheck_pending,
     load_all,
 )
 
 
 def test_rotation_fronts_never_checked_sql():
     full = load_all()
-    checked = _driver_checked_queries() - _FORCE_RECHECK
+    checked = _driver_checked_queries() - _force_recheck_pending()
     names = list(full)
     n_never_sql = sum(
         1
@@ -35,7 +36,7 @@ def test_window_pin_lands_in_window():
     """VERDICT r4 #1: every pinned query that still lacks a valid driver
     row must land inside the ~50-query driver window."""
     full = load_all()
-    checked = _driver_checked_queries() - _FORCE_RECHECK
+    checked = _driver_checked_queries() - _force_recheck_pending()
     names = list(full)
     unpinned_needed = [n for n in _WINDOW_PIN if n in full and n not in checked]
     window = set(names[:50])
@@ -89,3 +90,31 @@ def test_fingerprint_tracks_oracle_text():
     assert oracle_fingerprint(dataclasses.replace(spec)) == fp
     assert oracle_fingerprint(dataclasses.replace(spec, oracle=spec.oracle + " ")) != fp
     assert oracle_fingerprint(dataclasses.replace(spec, oracle=None)) == "rows-only"
+
+
+def test_force_recheck_retires_on_fresh_row(tmp_path):
+    """A fresh (round >= 5) good row retires the force-recheck — the trio
+    must not re-front forever once the driver re-verifies them; pre-r5
+    rows and errored rows must NOT retire it."""
+    import json
+
+    # no artifacts at all → everything still pending
+    assert _force_recheck_pending(tmp_path) == _FORCE_RECHECK
+
+    # a pre-r5 row does not retire (that IS the stale row)
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_ml_pca": {"err": "no_oracle", "spark_rows": 8}})
+    )
+    assert _force_recheck_pending(tmp_path) == _FORCE_RECHECK
+
+    # an errored r5 row does not retire
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"q_ml_pca": {"err": "Traceback ...", "spark_rows": None}})
+    )
+    assert _force_recheck_pending(tmp_path) == _FORCE_RECHECK
+
+    # a good r5 rows-only row retires exactly that name
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"q_ml_pca": {"err": "no_oracle", "spark_rows": 8}})
+    )
+    assert _force_recheck_pending(tmp_path) == _FORCE_RECHECK - {"q_ml_pca"}
