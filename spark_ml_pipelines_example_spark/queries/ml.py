@@ -1868,6 +1868,14 @@ def q_ml_fpgrowth(spark, sf_dir):
     n = baskets.count()
     # minCount = ceil(minSupport * n); 1.5/n pins the absolute floor at 2
     # without float-boundary risk (2.0/n * n could round to 2 + ulp).
+    # numPartitions (PFP's conditional-tree mining parallelism) stays at
+    # the default = input partitions: an interleaved warm A/B at sf0.1
+    # measured default(4) ≈ 4.1-5.1s, 8 ≈ 4.0-4.5s, 16 ≈ 4.8-5.9s,
+    # 32 ≈ 6.0-6.8s — at fixture scale wider mining only adds task
+    # overhead (a cold-session probe that suggested 32 was faster did not
+    # replicate). At 100 TB numPartitions IS the knob to size toward
+    # cluster cores: group partitions bound per-task conditional-tree
+    # memory, which is what caps PFP's scaling.
     fp = FPGrowth(itemsCol="items", minSupport=1.5 / n, minConfidence=0.5)
     model = fp.fit(baskets)
     return (
