@@ -77,6 +77,12 @@ QUERIES = [
     #   for bounded baskets; expected exponent 1
     "q_graph_label_propagation",
     "q_ml_fpgrowth",
+    # round-5 audited-HLL rollups: result rows constant (|groups|+ALL),
+    # evidence = time ratio — the register build is one map-side
+    # combinable MAX into |groups|x1024 cells, so 10x data should be
+    # ~scan-bound (expected exponent 1 with small constants)
+    "q_agg_hll_merge",
+    "q_agg_sketch_rollup",
 ]
 
 
@@ -119,6 +125,20 @@ def build_probe() -> None:
         ]
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/lineitem.parquet' (FORMAT PARQUET)"
+        )
+    if not os.path.exists(f"{PROBE}/events.parquet"):
+        # sketch probe: replica r shifts user/event ids into a disjoint
+        # range (timestamps repeat — irrelevant to the distinct sketch),
+        # so the true distinct-user count grows exactly 10x and the
+        # audited HLL register build must stay scan-bound.
+        parts = [
+            f"SELECT event_id + {r * 100_000_000} AS event_id, ts, "
+            f"user_id + {r * 10_000_000} AS user_id, event_type, value, props "
+            f"FROM read_parquet('{SF01}/events.parquet')"
+            for r in range(REPLICAS)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/events.parquet' (FORMAT PARQUET)"
         )
     if not os.path.exists(f"{PROBE}/embeddings.parquet"):
         emb = con.execute(
