@@ -8,8 +8,17 @@ correct, but in a long-lived session (bench runs ~150 queries, pytest
 1000+) nothing ever unpersisted them, so cache entries accumulated until
 LRU eviction (ADVICE r4). Operators now persist through
 ``persist_tracked`` and harness loops (bench.py, tools/driver_sim.py,
-test fixtures) call ``release_tracked`` once the consuming action has
-run — each query's cache lives exactly as long as the query needs it.
+and the autouse ``_release_tracked_persists`` fixture in
+tests/conftest.py) call ``release_tracked`` once the consuming action
+has run — each query's cache lives exactly as long as the query needs it.
+
+SAFETY RULE for new call sites: only track frames whose recompute is a
+pure deterministic function of their inputs. ``release_tracked`` is a
+process-global all-or-nothing unpersist, so a released frame may be
+recomputed later by a still-held DataFrame; a frame whose content
+depends on physical execution (``monotonically_increasing_id``,
+partition sampling, RNG) must use ``localCheckpoint()`` instead — see
+q_shuffle_global (queries/curation.py).
 """
 
 from __future__ import annotations

@@ -8,8 +8,12 @@ scanning only the `nprobe` cells whose centroids are nearest — a
 partition-pruned read of nprobe/k of the data instead of a full pass.
 
 Spark-first layout:
-- cell assignment is a one-off batch job (MLlib KMeans, seeded) whose
-  output would be written `partitionBy("cell")` in production, so the
+- cell assignment is a one-off batch job — since round 5, the shared
+  EXACTLY-AUDITED integer Lloyd fit (queries/ml.py _kmx_fit, the
+  q_ml_kmeans_exact machinery), so index builds are deterministic and
+  the ANN/cell-dedup queries carry full DuckDB hash-check oracles (the
+  MLlib KMeans surface stays exercised by q_ml_kmeans); the assigned
+  output is written `partitionBy("cell")` in production, so the
   per-probe cell filter becomes parquet partition pruning — no shuffle,
   no index service;
 - the in-cell scan reuses the same codegen cosine kernel as the
@@ -19,9 +23,8 @@ Spark-first layout:
   matrix-vector product (one BLAS call per batch instead of dim·rows
   expression-tree evaluations).
 
-Recall is measured against the brute-force baseline in
-tests/test_similarity_ops.py (not oracle-checkable: k-means cells are
-engine-specific → rows-only).
+Recall is additionally measured against the brute-force baseline in
+tests/test_similarity_ops.py / test_dedup_hardening.py.
 """
 
 from __future__ import annotations
@@ -55,7 +58,15 @@ TOP_K = 10
 TARGET_SOFT_ROWS_PER_CELL = 500
 
 
-def adaptive_k(n_vectors: int, soft_cells: int = 4) -> int:
+# Declared ANN probe vector and the adaptive-k soft-cell multiplier —
+# module constants so the Spark paths AND the DuckDB oracle strings
+# interpolate the SAME values (a divergence would silently desync the
+# hash check from the code under test).
+PROBE_VEC_ID = 0
+SOFT_CELLS = 4
+
+
+def adaptive_k(n_vectors: int, soft_cells: int = SOFT_CELLS) -> int:
     import math
 
     return max(N_CELLS, math.ceil(soft_cells * n_vectors / TARGET_SOFT_ROWS_PER_CELL))
@@ -126,24 +137,39 @@ def cosine_pandas_factory(probe: list[float]):
 # what you want anyway: reproducible index builds. The MLlib KMeans
 # surface remains exercised by q_ml_kmeans.
 _IVF_INDEX: dict[str, tuple[DataFrame, list[tuple[int, list[int], int]]]] = {}
+_IVF_FIT: dict[str, tuple[DataFrame, list[tuple[int, list[int], int]]]] = {}
 
 
-def _ivf_index_for(
+def _ivf_fit_for(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[tuple[int, list[int], int]]]:
-    if sf_dir not in _IVF_INDEX:
-        from ..queries.ml import _kmx_assign, _kmx_fit
+    """The centroid fit alone (quantized corpus + centroid rationals) —
+    memoized separately from the assigned index so consumers that only
+    need the centroids (q_dedup_embedding_cells' soft assignment) never
+    pay the corpus-wide assignment join + cache fill."""
+    if sf_dir not in _IVF_FIT:
+        from ..queries.ml import _kmx_fit
 
         emb = t(spark, sf_dir, "embeddings")
         k = adaptive_k(emb.count())
         fit = _kmx_fit(spark, sf_dir, k=k)
         if fit is None:
             raise ValueError(f"empty embeddings corpus at {sf_dir}")
-        q, cents = fit
+        _IVF_FIT[sf_dir] = fit
+    return _IVF_FIT[sf_dir]
+
+
+def _ivf_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, list[int], int]]]:
+    if sf_dir not in _IVF_INDEX:
+        from ..queries.ml import _kmx_assign
+
+        q, cents = _ivf_fit_for(spark, sf_dir)
         assigned = (
             _kmx_assign(q, cents)
             .select("vec_id", "xq", F.col("c").alias("cell"))
-            .join(emb, "vec_id")
+            .join(t(spark, sf_dir, "embeddings"), "vec_id")
         )
         assigned = assigned.cache()
         assigned.count()
@@ -154,7 +180,7 @@ def _ivf_index_for(
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
-    probe_vec_id: int = 0,
+    probe_vec_id: int = PROBE_VEC_ID,
     k: int = TOP_K,
     use_pandas_kernel: bool = False,
 ) -> DataFrame:
@@ -187,12 +213,12 @@ def _ann_ivf_oracle() -> str:
     from ..queries.ml import KMX_PASSES, _kmx_cte_parts
 
     k_sql = (
-        f"SELECT GREATEST({N_CELLS}, CAST(CEIL(4.0 * COUNT(*) / "
+        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
         f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
     )
     parts = _kmx_cte_parts(k_sql=k_sql)
     parts += [
-        "pq AS (SELECT xq FROM q WHERE vec_id = 0)",
+        f"pq AS (SELECT xq FROM q WHERE vec_id = {PROBE_VEC_ID})",
         f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) AS ss "
         f"FROM c{KMX_PASSES - 1})",
         "crank AS (SELECT cm.c, ROW_NUMBER() OVER (ORDER BY "
@@ -200,8 +226,9 @@ def _ann_ivf_oracle() -> str:
         " / sqrt(CAST(cm.ss AS DOUBLE)) DESC, cm.c) AS rk FROM cm, pq)",
         f"cells AS (SELECT c FROM crank WHERE rk <= {N_PROBE})",
         f"incell AS (SELECT a.vec_id FROM a{KMX_PASSES} a JOIN cells USING (c) "
-        "WHERE a.vec_id <> 0)",
-        "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0)",
+        f"WHERE a.vec_id <> {PROBE_VEC_ID})",
+        f"probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings "
+        f"WHERE vec_id = {PROBE_VEC_ID})",
         "scored AS (SELECT e.vec_id, list_dot_product(e.e, p) / "
         "(sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(p, p))) AS cos "
         "FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) e "
@@ -252,7 +279,7 @@ def materialize_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> N
 def ann_ivf_topk_from_index(
     spark: SparkSession,
     index_dir: str,
-    probe_vec_id: int = 0,
+    probe_vec_id: int = PROBE_VEC_ID,
     k: int = TOP_K,
     nprobe: int = N_PROBE,
 ) -> DataFrame:
@@ -490,7 +517,7 @@ def _emb_cells_oracle() -> str:
     from ..queries.ml import KMX_PASSES, _kmx_cte_parts
 
     k_sql = (
-        f"SELECT GREATEST({N_CELLS}, CAST(CEIL(4.0 * COUNT(*) / "
+        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
         f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
     )
     parts = _kmx_cte_parts(k_sql=k_sql)
@@ -538,7 +565,7 @@ def q_dedup_embedding_cells(spark, sf_dir):
     A pair co-occurring in up to SOFT_ASSIGN cells computes identical
     values each time, so the cross-cell dedup is a grouped max over the
     surviving pairs only."""
-    _, cents = _ivf_index_for(spark, sf_dir)
+    _, cents = _ivf_fit_for(spark, sf_dir)  # centroids only — no index join
     from ..queries.ml import _kmx_quantized
 
     q = _kmx_quantized(spark, sf_dir).repartition(32, "vec_id")

@@ -224,9 +224,15 @@ def q_shuffle_global(spark, sf_dir):
             (F.monotonically_increasing_id() % F.lit(1 << 33)).alias("rk"),
         )
     )
-    from ..operators._cache import persist_tracked
-
-    sorted_df = persist_tracked(sorted_df)
+    # localCheckpoint, NOT a releasable persist: the rk column comes from
+    # monotonically_increasing_id over a range partitioning whose sampling
+    # can differ across recomputes, and the collected offsets below are
+    # baked into the returned plan. A cache eviction (or a
+    # release_tracked() from any other code path) would recompute rk under
+    # a different partitioning while the stale offsets still join —
+    # silently corrupting the permutation. Checkpointing materializes the
+    # frame and CUTS lineage, so recompute is impossible by construction.
+    sorted_df = sorted_df.localCheckpoint()
     counts = {r["pid"]: r["n"] for r in sorted_df.groupBy("pid").agg(F.count("*").alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):

@@ -680,6 +680,13 @@ def _driver_checked_queries() -> set[str]:
     return checked
 
 
+# The CORRECTNESS artifacts are constant for the life of the process
+# (the driver writes them between rounds), and load_all() is called from
+# import-time module scopes — cache the pending set so the artifact files
+# are parsed once, not once per load_all().
+_PENDING_CACHE: dict[str, frozenset[str]] = {}
+
+
 def _force_recheck_pending(root=None) -> frozenset[str]:
     """_FORCE_RECHECK names whose ONLY valid rows predate round 5 (their
     stale-row round). Once a round ≥ 5 artifact records a fresh good row,
@@ -690,9 +697,13 @@ def _force_recheck_pending(root=None) -> frozenset[str]:
     import re
     from pathlib import Path
 
+    cacheable = root is None  # test roots mutate between calls; never cache them
     if root is None:
         root = Path(__file__).resolve().parents[2]
     root = Path(root)
+    key = str(root)
+    if cacheable and key in _PENDING_CACHE:
+        return _PENDING_CACHE[key]
     fresh: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
@@ -710,7 +721,10 @@ def _force_recheck_pending(root=None) -> frozenset[str]:
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             ):
                 fresh.add(name)
-    return _FORCE_RECHECK - fresh
+    pending = _FORCE_RECHECK - fresh
+    if cacheable:
+        _PENDING_CACHE[key] = pending
+    return pending
 
 
 def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:

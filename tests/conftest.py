@@ -41,6 +41,21 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_persists():
+    """Unpersist operator-tracked intermediates after every test (ADVICE
+    r4 leak fix, pytest side): without this, the ~1000-test session
+    accumulates cache entries from every query that persists through
+    operators/_cache.persist_tracked. Recompute after release is safe —
+    every tracked frame is a deterministic function of its inputs (the
+    one recompute-sensitive frame, q_shuffle_global's rk, uses
+    localCheckpoint instead)."""
+    yield
+    from spark_ml_pipelines_example_spark.operators._cache import release_tracked
+
+    release_tracked()
+
+
 @pytest.fixture(scope="session")
 def duck(sf_dir):
     con = duckdb.connect()
