@@ -525,63 +525,75 @@ def load_all() -> dict[str, QuerySpec]:
     return _rotate_for_driver(REGISTRY)
 
 
-# Round-5 window pin (VERDICT r4 "Next round: do this" #1): the judge asked
-# for the audited-fit ML wave and six stale-row queries at the head of the
-# driver window. Names listed here sort before everything else within their
-# never-checked block; once they earn a green hard row the self-maintaining
-# rotation retires them into the regression tail like any other query.
+# Round-6 window pin (VERDICT r5 "Next round: do this" #1): front the
+# queries never checked by the driver NOR any judge's independent sample
+# (the r4 judge sampled 38, the r5 judge sampled a disjoint 38 — both
+# samples live in .scratch/driver_sim.json history and are excluded
+# here). Priority per the verdict: the sink/scan format matrix (a user's
+# first contact surface), the ts recursive-CTE replays, subqueries, the
+# remaining stream twins, then sql-scripting / set / fn / cdc-merge
+# families. Names listed here sort before everything else within the
+# never-checked block; once they earn a green hard row the
+# self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # the never-checked q_ml_* SQL-oracled wave (audited fits + metrics)
-    "q_ml_logreg_exact",
-    "q_ml_ridge_exact",
-    "q_ml_isotonic_exact",
-    "q_ml_kmeans_exact",
-    "q_ml_pca_power_exact",
-    "q_ml_tree_stump_exact",
-    "q_ml_tree_depth2_exact",
-    "q_ml_cv_stumps_exact",
-    "q_ml_conformal_exact",
-    "q_ml_fairness_audit",
-    "q_ml_auc",
-    "q_ml_pr_auc",
-    "q_ml_ndcg",
-    "q_ml_calibration",
-    "q_ml_lift_table",
-    "q_ml_class_metrics",
-    "q_ml_evaluator",
-    "q_ml_feature_hashing",
-    "q_ml_fpgrowth",
-    "q_ml_knn_classifier",
-    "q_ml_onehot",
-    "q_ml_pit_features",
-    "q_ml_quantile_discretizer",
-    "q_ml_scaler",
-    "q_ml_string_indexer",
-    "q_ml_target_encode",
-    "q_ml_train_test_split",
-    "q_ml_vector_assembler",
-    # stale-row queries (VERDICT r4 "What's wrong" #3): only hard rows
-    # predate their oracle upgrade / fix — earn a fresh green row
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_pack_ffd",
-    "q_ml_pca",
-    "q_agg_approx_distinct",
-    "q_agg_approx_percentile",
-    # never-checked rows-only ml contracts
-    "q_ml_cross_validation",
-    "q_ml_isotonic",
-    "q_ml_kmeans",
-    "q_ml_rf_pipeline",
-    "q_ml_xgb_pipeline",
-    # round-5 rows-only → SQL upgrades (VERDICT r4 #5): earn the fresh
-    # hash-check row in the same round the oracle landed
-    "q_agg_hll_merge",
-    "q_agg_sketch_rollup",
-    "q_stream_drift_monitor",
-    "q_sim_ann_ivf",
-    "q_sim_ann_ivf_index",
-    "q_dedup_embedding_cells",
+    # sink/scan format matrix
+    "q_sink_csv_roundtrip",
+    "q_sink_json_roundtrip",
+    "q_sink_orc_roundtrip",
+    "q_sink_parquet_roundtrip",
+    "q_scan_text_log",
+    "q_scan_csv_corrupt",
+    "q_scan_json_corrupt",
+    "q_scan_file_provenance",
+    "q_scan_csv_schema",
+    "q_scan_parquet",
+    "q_scan_text_lines",
+    "q_scan_time_travel",
+    "q_scan_table_history",
+    "q_scan_column_prune",
+    # ts family recursive-CTE replays
+    "q_ts_holt",
+    "q_ts_ses",
+    "q_ts_acf_multilag",
+    "q_ts_decompose",
+    "q_ts_holt_winters",
+    "q_ts_forecast_naive",
+    "q_ts_interpolate",
+    # subqueries
+    "q_subquery_exists",
+    "q_subquery_not_in",
+    "q_subquery_scalar",
+    # remaining stream twins (state_metrics is the contract rows-only row)
+    "q_stream_interval_join",
+    "q_stream_interval_join_outer",
+    "q_stream_session_dynamic",
+    "q_stream_state_reader",
+    "q_stream_static_join",
+    "q_stream_tws_map_state",
+    "q_stream_state_metrics",
+    # sql scripting / session surface
+    "q_sql_identifier_clause",
+    "q_sql_pipe_syntax",
+    "q_sql_scripting",
+    "q_sql_session_variables",
+    # set operators
+    "q_set_intersect_except",
+    "q_set_transpose",
+    "q_set_union_all",
+    "q_set_unpivot",
+    # scalar-function surface
+    "q_fn_collation",
+    "q_fn_datetime_arith",
+    "q_fn_sql_udf",
+    "q_fn_try_safe",
+    "q_fn_winsorize",
+    # cdc / merge / diff / scd2 / profile / seq behavioral family
+    "q_cdc_apply",
+    "q_diff_tables",
+    "q_merge_upsert",
+    "q_scd2_lookup",
+    "q_profile_orders",
+    "q_seq_pattern_match",
 )
 
 # Rows-only queries whose only hard row predates a fix or upgrade: treat

@@ -68,14 +68,30 @@ def test_checked_requires_valid_row_and_fresh_oracle():
     certifying once the query gains a SQL oracle; a SQL row stops
     certifying if the declared oracle no longer matches the recorded
     fingerprint."""
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        _checked_fingerprints,
+        oracle_fingerprint,
+    )
+
     load_all()
     checked = _driver_checked_queries()
-    # q_dedup_minhash / q_dedup_simhash / q_pack_ffd: r1/r2 rows were
-    # 'no_oracle' class but the registry now declares SQL oracles →
-    # the weaker row must not satisfy the stronger contract.
+    fps = _checked_fingerprints()
+    # q_dedup_minhash / q_dedup_simhash / q_pack_ffd: their r1/r2 rows
+    # were 'no_oracle' class and did NOT certify through rounds 3-4; the
+    # r5 driver window recorded fresh hash-match rows against the current
+    # oracles, so they certify now — but ONLY because the recorded
+    # fingerprint matches the declared oracle today.
     for name in ("q_dedup_minhash", "q_dedup_simhash", "q_pack_ffd"):
         assert REGISTRY[name].oracle is not None
-        assert name not in checked, f"{name} stale rows-only row counted as checked"
+        assert fps.get(name) == oracle_fingerprint(REGISTRY[name])
+        assert name in checked, f"{name} fresh r5 hash row should certify"
+    # and the gate itself: any checked SQL-oracled query must carry a
+    # matching fingerprint — a drifted oracle would silently launder an
+    # old row otherwise.
+    for name in checked:
+        spec = REGISTRY[name]
+        if spec.oracle is not None:
+            assert fps.get(name) == oracle_fingerprint(spec), name
 
 
 def test_fingerprint_tracks_oracle_text():

@@ -8,7 +8,10 @@ sorts the pandas frame by all columns — which raises ``unhashable type:
 'list'`` on array cells (the r1 q_agg_collect failure) — so this simulator
 does the same to catch harness-incompatible schemas before the driver does.
 
-Usage: python tools/driver_sim.py [N] [sf_dir]
+Usage: python tools/driver_sim.py [N | q_a,q_b,... | --tail [N]] [sf_dir]
+  --tail [N]  auto-pick the first N (default 50) names with no valid hard
+              driver row (rotation order minus CORRECTNESS_r* rows) — the
+              exact tail the next driver window will read.
 """
 
 from __future__ import annotations
@@ -73,12 +76,31 @@ def _value_hash(pdf):
 def main() -> None:
     only: list[str] | None = None
     limit = 50
-    if len(sys.argv) > 1:
-        if sys.argv[1].startswith("q_"):  # comma-separated query names
-            only = sys.argv[1].split(",")
-        else:
-            limit = int(sys.argv[1])
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--tail":
+        # VERDICT r5 #5: pick the N never-checked names automatically
+        # (rotation order minus valid CORRECTNESS_r* rows) so the builder
+        # selfcheck fronts exactly the tail the next driver window reads.
+        argv.pop(0)
+        n = int(argv.pop(0)) if argv and not argv[0].startswith("/") else 50
+        from spark_ml_pipelines_example_spark.queries.registry import (
+            _driver_checked_queries,
+            _force_recheck_pending,
+            load_all,
+        )
+
+        reg = load_all()
+        checked = _driver_checked_queries() - _force_recheck_pending()
+        only = [name for name in reg if name not in checked][:n]
+        print(f"--tail {n}: {len(only)} never-checked names selected", flush=True)
+    if argv:
+        if argv[0].startswith("q_"):  # comma-separated query names
+            only = argv[0].split(",")
+        elif not argv[0].startswith("/"):
+            limit = int(argv[0])
+        if argv and not argv[0].startswith("/"):
+            argv.pop(0)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
