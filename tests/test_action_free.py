@@ -34,16 +34,36 @@ def warm_tables(spark, sf_dir):
 
 
 def test_construct_and_explain_runs_no_jobs(spark, sf_dir, warm_tables, capsys):
+    """Zero jobs for construct+explain, AND no audit path can read the
+    deferred placeholder as a real plan (VERDICT r5 #2): explain() either
+    prints the real plan or raises DeferredPlanError — never `Range (0, 0)`.
+    """
+    from spark_ml_pipelines_example_spark.plans.deferred import DeferredPlanError
+
     offenders: dict[str, int] = {}
+    placeholder_leaks: list[str] = []
+    refused: list[str] = []
     for name, spec in REGISTRY.items():
         before = _n_jobs(spark)
         df = spec.fn(spark, sf_dir)
-        df.explain("formatted")
+        try:
+            df.explain("formatted")
+        except DeferredPlanError:
+            refused.append(name)
+        else:
+            out = capsys.readouterr().out
+            if "Range (0, 0)" in out or "DeferredFrame" in out:
+                placeholder_leaks.append(name)
         delta = _n_jobs(spark) - before
         if delta:
             offenders[name] = delta
-    capsys.readouterr()  # swallow the explain output
+    capsys.readouterr()  # swallow any remaining explain output
     assert not offenders, f"construction/explain ran jobs: {offenders}"
+    assert not placeholder_leaks, f"placeholder plan printed as real: {placeholder_leaks}"
+    # every deferred query refuses; every non-deferred query explains
+    assert set(refused) == _DEFER_CONSTRUCTION, (
+        set(refused) ^ _DEFER_CONSTRUCTION
+    )
 
 
 def test_deferred_set_matches_reality(spark, sf_dir, warm_tables):
@@ -61,13 +81,18 @@ def test_deferred_set_matches_reality(spark, sf_dir, warm_tables):
         assert df.columns, name
 
 
-def test_deferred_frame_delegates_and_composes(spark):
-    """DeferredFrame contract: zero jobs at construction, placeholder
-    explain before first use, full delegation after, and safe use as the
-    argument of another frame's join (the _jdf-materializes path)."""
+def test_deferred_frame_delegates_and_composes(spark, monkeypatch, capsys):
+    """DeferredFrame contract: zero jobs at construction, explain before
+    first use REFUSES (or auto-materializes under the opt-in env flag),
+    full delegation after, and safe use as the argument of another
+    frame's join (the _jdf-materializes path)."""
+    import pytest
     from pyspark.sql import functions as F
 
-    from spark_ml_pipelines_example_spark.plans.deferred import DeferredFrame
+    from spark_ml_pipelines_example_spark.plans.deferred import (
+        DeferredFrame,
+        DeferredPlanError,
+    )
 
     calls = {"n": 0}
 
@@ -78,14 +103,22 @@ def test_deferred_frame_delegates_and_composes(spark):
     before = _n_jobs(spark)
     df = DeferredFrame(spark, build)
     assert _n_jobs(spark) == before and calls["n"] == 0
-    df.explain()
-    assert calls["n"] == 0, "explain() must not materialize"
+    with pytest.raises(DeferredPlanError, match="not built yet"):
+        df.explain()
+    assert calls["n"] == 0, "refusing explain() must not materialize"
+    # opt-in flag: explain materializes once and prints the REAL plan
+    flagged = DeferredFrame(spark, build)
+    monkeypatch.setenv("SPARK_GRAFT_EXPLAIN_MATERIALIZE", "1")
+    flagged.explain()
+    monkeypatch.delenv("SPARK_GRAFT_EXPLAIN_MATERIALIZE")
+    out = capsys.readouterr().out
+    assert calls["n"] == 1 and "Range (0, 0)" not in out and "Range (0, 5" in out
     # join argument path: other._jdf access must materialize, not read
     # the empty placeholder
     other = spark.range(5).withColumnRenamed("id", "id")
     joined = other.join(df, "id")
     assert joined.count() == 5
-    assert calls["n"] == 1
+    assert calls["n"] == 2  # flagged built once + df built once
     # repeated use builds once
-    assert df.count() == 5 and calls["n"] == 1
+    assert df.count() == 5 and calls["n"] == 2
     assert sorted(df.columns) == ["id", "v"]
