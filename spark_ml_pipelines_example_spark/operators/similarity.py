@@ -459,7 +459,14 @@ def soft_assign_audited(
     cs = np.array([s for (_, s, _) in cents], dtype=np.int64)
     cc = np.array([c for (c, _, _) in cents], dtype=np.int64)
     assert list(cc) == sorted(cc), "cents must stay sorted by cell id"
-    rss = np.sqrt((cs * cs).sum(axis=1).astype(np.float64))
+    ss = (cs * cs).sum(axis=1)
+    rss = np.sqrt(ss.astype(np.float64))
+    # ADVICE r5: a degenerate all-zero centroid (ss == 0) must rank LAST
+    # deterministically — the same ss==0 → -inf convention as
+    # rank_cells_audited — not produce NaN/inf out of a 0-division. (No
+    # fixture produces one; this pins the edge so the three rankers can
+    # never disagree on it.)
+    zero_cell = ss == 0
 
     def gen(batches):
         for pdf in batches:
@@ -467,7 +474,8 @@ def soft_assign_audited(
                 continue
             X = np.array(pdf["xq"].tolist(), dtype=np.int64)
             dot = X @ cs.T  # exact int64
-            r = dot.astype(np.float64) / rss[None, :]
+            r = dot.astype(np.float64) / np.where(zero_cell, 1.0, rss)[None, :]
+            r[:, zero_cell] = -np.inf
             take = min(n_assign, r.shape[1])
             idx = np.argsort(-r, axis=1, kind="stable")[:, :take]
             n = len(pdf)

@@ -670,9 +670,20 @@ def _hll32_h(key_sql: str) -> "F.Column":
 
 
 def _hll_rho() -> "F.Column":
-    """Leading-zero rank of the 22-bit remainder of column ``h`` (p=10)."""
+    """Leading-zero rank of the 22-bit remainder of column ``h`` (p=10).
+
+    ADVICE r5: computed with INTEGER arithmetic — bit_length(w) =
+    length(conv(w, 10, 2)) — so no transcendental sits on the audited
+    Spark path (floor(log2(w)) must flip exactly at powers of two; a
+    1-ulp libm wobble would shift a register). The DuckDB oracle still
+    states FLOOR(log2(w)) + 1: tests/test_sketches.py proves it equals
+    this bit-length on ALL 2^22 possible remainders on this platform,
+    and the integer form lands in the oracle text the next time that
+    text changes for a substantive reason (rewriting it now would burn
+    the r5-certified oracle fingerprints for a no-op)."""
     w = F.col("h") % 4194304
-    return F.when(w == 0, F.lit(23)).otherwise(F.lit(23) - (F.floor(F.log2(w)) + 1))
+    bit_length = F.length(F.conv(w.cast("string"), 10, 2))
+    return F.when(w == 0, F.lit(23)).otherwise(F.lit(23) - bit_length)
 
 
 def _hll_corrected(s_present, n_present) -> "F.Column":

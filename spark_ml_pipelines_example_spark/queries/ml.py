@@ -1788,6 +1788,27 @@ def q_ml_class_metrics(spark, sf_dir):
     )
 
 
+# Relative support floor for frequent-itemset mining (VERDICT r5 task #3
+# — the 100 TB lever as code, not prose). An item is mined only if it
+# appears in >= _FP_REL_FLOOR of all baskets, so the frequent-item
+# dictionary is bounded by avg_basket_len / _FP_REL_FLOOR items
+# INDEPENDENT of corpus size (sum of supports = total item occurrences =
+# avg_len * n, and each surviving item absorbs >= _FP_REL_FLOOR * n of
+# it). At every fixture SF the relative floor is below the absolute
+# floor of 2 (ceil(1e-5 * 150k) = 2 at sf0.1), so the declared oracle's
+# literal `>= 2` is exact at every scale the driver contract evaluates;
+# the lever engages beyond ~200k baskets — measured on the 10x probe.
+_FP_REL_FLOOR = 1e-5
+_FP_REL_FLOOR_DEN = 100_000  # 1 / _FP_REL_FLOOR, for exact integer ceil
+
+
+def _fp_min_count(n_baskets: int) -> int:
+    """Absolute support floor derived from corpus size: max(2,
+    ceil(n_baskets / 100_000)) in exact integer arithmetic (a float
+    multiply by 1e-5 ceils 15.000...02 to 16 at n = 1.5M)."""
+    return max(2, -(-n_baskets // _FP_REL_FLOOR_DEN))
+
+
 def _prune_subfloor_items(items, item_col: str, min_count: int):
     """Support-floor pre-prune for frequent-itemset mining on long-tail
     catalogs: items whose global support is below the absolute floor
@@ -1839,12 +1860,13 @@ def _prune_subfloor_items(items, item_col: str, min_count: int):
 )
 def q_ml_fpgrowth(spark, sf_dir):
     """MLlib FPGrowth frequent-itemset mining over order→parts baskets
-    (absolute support floor 2), hash-checked against the closed-form
-    singleton + pair counting SQL — the A-priori join q_agg_copurchase
-    implements by hand, here run through the ACTUAL distributed FP-tree
-    miner. The declared result filters to itemsets of size ≤ 2 so the
-    oracle stays closed-form; size-3+ sets exist in the model output and
-    are exercised (count only) in tests.
+    (corpus-derived support floor: max(2, ceil(1e-5 · n_baskets)), which
+    is exactly 2 at every fixture SF — see _FP_REL_FLOOR), hash-checked
+    against the closed-form singleton + pair counting SQL — the A-priori
+    join q_agg_copurchase implements by hand, here run through the
+    ACTUAL distributed FP-tree miner. The declared result filters to
+    itemsets of size ≤ 2 so the oracle stays closed-form; size-3+ sets
+    exist in the model output and are exercised (count only) in tests.
 
     Scale shape: FPGrowth is parallel per conditional tree (PFP,
     Li et al. 2008 — MLlib's implementation); baskets arrive via one
@@ -1856,18 +1878,29 @@ def q_ml_fpgrowth(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
+    # Corpus-size-derived support floor (the 100 TB lever, VERDICT r5
+    # task #3): floor = max(2, ceil(1e-5 * n_baskets)) bounds the
+    # frequent-item dictionary independent of corpus size — see
+    # _FP_REL_FLOOR. At every fixture SF this is exactly 2, so the
+    # declared oracle's literal `>= 2` floor is exact wherever the
+    # driver contract evaluates it; on the 10x worst-case probe
+    # (disjoint replica key ranges) the floor rises to 15 and the
+    # dictionary shrinks instead of multiplying (BASELINE.md probe
+    # table: post-lever exponent).
+    n = items.select("l_orderkey").distinct().count()
+    min_count = _fp_min_count(n)
     # Long-tail guard (VERDICT r3 task #8): sub-floor items can never
     # appear in a frequent itemset, so pruning them BEFORE collect_set
-    # shrinks basket width and the FP-tree — but on this corpus every
-    # part clears the floor, so the semi-join would be a no-op and is
-    # skipped by the shape check.
-    items, _pruned = _prune_subfloor_items(items, "l_partkey", 2)
+    # shrinks basket width and the FP-tree — on fixture corpora every
+    # part clears floor 2 and the semi-join is skipped by the shape
+    # check; on the probe the derived floor makes it engage.
+    items, _pruned = _prune_subfloor_items(items, "l_partkey", min_count)
     baskets = items.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("items")
     )
-    n = baskets.count()
-    # minCount = ceil(minSupport * n); 1.5/n pins the absolute floor at 2
-    # without float-boundary risk (2.0/n * n could round to 2 + ulp).
+    # minCount = ceil(minSupport * n); (min_count - 0.5)/n pins the
+    # absolute floor at min_count without float-boundary risk
+    # (min_count/n * n could round to min_count + ulp).
     # numPartitions (PFP's conditional-tree mining parallelism) stays at
     # the default = input partitions: an interleaved warm A/B at sf0.1
     # measured default(4) ≈ 4.1-5.1s, 8 ≈ 4.0-4.5s, 16 ≈ 4.8-5.9s,
@@ -1876,7 +1909,9 @@ def q_ml_fpgrowth(spark, sf_dir):
     # replicate). At 100 TB numPartitions IS the knob to size toward
     # cluster cores: group partitions bound per-task conditional-tree
     # memory, which is what caps PFP's scaling.
-    fp = FPGrowth(itemsCol="items", minSupport=1.5 / n, minConfidence=0.5)
+    fp = FPGrowth(
+        itemsCol="items", minSupport=(min_count - 0.5) / n, minConfidence=0.5
+    )
     model = fp.fit(baskets)
     return (
         model.freqItemsets.filter(F.size("items") <= 2)

@@ -141,18 +141,28 @@ def _stage_events_weekly_dir(sf_dir: str, ts_unit: str) -> str:
 
     from ..queries._util import scratch_dir
 
+    import json
+    import os
+
     dst = Path(scratch_dir("stream_events_weekly", sf_dir))
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    # ADVICE r5: the marker must invalidate when the SOURCE fixture is
+    # regenerated in place (same ts-unit, new content), not only on a
+    # ts-unit mismatch — otherwise the monitor scores stale weekly files
+    # while the SQL oracle reads the fresh events.parquet.
+    st = os.stat(src)
+    stamp = {"ts_unit": ts_unit, "src_size": st.st_size, "src_mtime_ns": st.st_mtime_ns}
     marker = dst / "_STAGED_OK"
     if marker.exists():
-        any_part = sorted(dst.glob("wk_*.parquet"))
-        if any_part and (
-            getattr(pq.read_schema(any_part[0]).field("ts").type, "unit", "us")
-            == ts_unit
-        ):
+        try:
+            recorded = json.loads(marker.read_text())
+        except ValueError:
+            recorded = None  # pre-r6 empty marker: re-stage once
+        if recorded == stamp:
             return str(dst)
         shutil.rmtree(dst)  # stale staging from a previous fixture generation
     dst.mkdir(parents=True, exist_ok=True)
-    tbl = pq.read_table(f"{sf_dir.rstrip('/')}/events.parquet")
+    tbl = pq.read_table(src)
     ts = tbl.column("ts")
     if pa.types.is_integer(ts.type):  # ns fixture read as epoch-nanos long
         ts = ts.cast(pa.timestamp("ns"))
@@ -161,7 +171,7 @@ def _stage_events_weekly_dir(sf_dir: str, ts_unit: str) -> str:
         mask = pc.equal(weeks, pa.scalar(wk, weeks.type))
         part = tbl.filter(mask)
         pq.write_table(part, dst / f"wk_{wk.date().isoformat()}.parquet")
-    marker.touch()
+    marker.write_text(json.dumps(stamp))
     return str(dst)
 
 

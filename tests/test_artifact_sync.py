@@ -45,3 +45,25 @@ def test_survey_declared_counts_match():
     assert re.search(rf"\({n_sql}\s*\nSQL-oracled, {n_rows} rows-only", text) or (
         f"({n_sql} SQL-oracled, {n_rows} rows-only" in text
     ), "SURVEY.md SQL/rows-only split out of sync with the registry"
+
+
+def test_bench_detail_matches_headline_list():
+    """VERDICT r5 #6: BENCH_detail.json must carry exactly the bench
+    HEADLINE list — the r4 artifact drifted by two queries because the
+    detail file wasn't regenerated with the list change. Every HEADLINE
+    name must also resolve in the registry (a renamed query would
+    silently shrink the bench)."""
+    import json
+
+    import bench
+
+    assert all(n in REGISTRY for n in bench.HEADLINE), (
+        set(bench.HEADLINE) - set(REGISTRY)
+    )
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE names"
+    detail = json.loads((ROOT / "BENCH_detail.json").read_text())
+    assert detail["n_queries"] == len(bench.HEADLINE), (
+        f"BENCH_detail.json has {detail['n_queries']} queries, bench.HEADLINE "
+        f"has {len(bench.HEADLINE)} — rerun python bench.py"
+    )
+    assert set(detail["queries"]) == set(bench.HEADLINE)

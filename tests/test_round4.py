@@ -118,6 +118,27 @@ def test_fpgrowth_subfloor_prune_branches(spark):
     assert mine(tail) == mine(out)
 
 
+def test_fpgrowth_corpus_derived_floor():
+    """VERDICT r5 task #3: the support floor derives from corpus size —
+    exactly 2 at every fixture SF (so the literal `>= 2` oracle stays
+    exact wherever the driver contract runs), rising proportionally
+    beyond ~200k baskets to bound the frequent-item dictionary by
+    avg_basket_len / _FP_REL_FLOOR items independent of corpus size."""
+    from spark_ml_pipelines_example_spark.queries.ml import (
+        _FP_REL_FLOOR,
+        _fp_min_count,
+    )
+
+    assert _FP_REL_FLOOR == 1e-5
+    # fixture scales: sf0.001 / sf0.01 / sf0.1 basket (order) counts
+    for n in (1_500, 15_000, 150_000, 200_000):
+        assert _fp_min_count(n) == 2, n
+    # the 10x worst-case probe (1.5M disjoint baskets): floor 15
+    assert _fp_min_count(1_500_000) == 15
+    # 100 TB shape: floor proportional to n
+    assert _fp_min_count(10_000_000_000) == 100_000
+
+
 def test_holt_family_hash(spark, duck, sf_dir):
     """q_ts_holt / q_ts_holt_winters: recursion replay must hash-match
     (bit-identical IEEE op order in applyInPandas and the RECURSIVE CTE)."""

@@ -195,3 +195,35 @@ def test_decode_features_uses_real_codecs(spark, sf_dir):
         mm.render_media_payloads(mm.attach_payload(docs.repartition(7, "doc_id")))
     ).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_soft_assign_degenerate_zero_centroid(spark):
+    """ADVICE r5: an all-zero centroid must rank LAST (ss==0 -> -inf, the
+    rank_cells_audited convention), never emit NaN/inf rankings out of a
+    0-division — so the numpy, Spark-expression, and DuckDB rankers can
+    never disagree on the degenerate edge."""
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.operators.similarity import (
+        soft_assign_audited,
+    )
+
+    dim = 4
+    # cell 0 is degenerate (all-zero sum); cells 1..3 are unit axes
+    cents = [(0, [0] * dim, 1)] + [
+        (c, [1000 if j == c else 0 for j in range(dim)], 1) for c in (1, 2, 3)
+    ]
+    vecs = spark.createDataFrame(
+        [(i, [10 * (i + 1) if j == i % dim else 1 for j in range(dim)]) for i in range(8)],
+        "vec_id long, xq array<long>",
+    )
+    out = soft_assign_audited(vecs, cents, n_assign=3).toPandas()
+    # top-3 of 4 cells: the -inf zero cell is always the one left out
+    assert set(out["cell"]) <= {1, 2, 3}
+    assert not out.isna().any().any()
+    assert len(out) == 8 * 3
+    # and with n_assign = k the zero cell appears but ranks last: taking
+    # all 4 cells keeps determinism (stable argsort over -inf)
+    full = soft_assign_audited(vecs, cents, n_assign=4).toPandas()
+    assert len(full) == 8 * 4
+    assert np.isfinite(full["cell"]).all()

@@ -141,3 +141,17 @@ def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
         got_n += v * r["weight"]
         got_d += r["weight"]
     assert abs(got_n / got_d - want) < 1e-2 * abs(want)
+
+
+def test_hll_rho_log2_equals_bit_length_exhaustive(duck):
+    """ADVICE r5: the audited Spark rho is now integer bit-length; the
+    DuckDB oracle still states FLOOR(log2(w)) + 1. Prove they agree on
+    ALL 2^22 possible remainders on this platform (the 1-ulp risk is
+    exactly at powers of two, and this sweep covers every one)."""
+    n_diff = duck.execute(
+        """
+        SELECT COUNT(*) FROM range(1, 4194304) t(w)
+        WHERE FLOOR(log2(w)) + 1 <> LENGTH(printf('%b', CAST(w AS BIGINT)))
+        """
+    ).fetchone()[0]
+    assert n_diff == 0

@@ -40,8 +40,20 @@ import duckdb
 import numpy as np
 
 SF01 = "/root/testdata/sf0.1"
-PROBE = "/root/repo/.scratch/sf1_probe"
-REPLICAS = 10
+# SPARK_GRAFT_PROBE_REPLICAS overrides the replication factor (probe dir
+# gets a _r{N} suffix so factors don't clobber each other);
+# SPARK_GRAFT_PROBE_TABLES limits which fixture tables are staged (comma
+# list) — a 30x run that only mines lineitem shouldn't pay a 30x
+# documents re-tokenization.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
+PROBE = "/root/repo/.scratch/sf1_probe" + (
+    f"_r{REPLICAS}" if REPLICAS != 10 else ""
+)
+PROBE_TABLES = frozenset(
+    os.environ.get(
+        "SPARK_GRAFT_PROBE_TABLES", "documents,lineitem,events,embeddings"
+    ).split(",")
+)
 QUERIES = [
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -83,13 +95,24 @@ QUERIES = [
     # ~scan-bound (expected exponent 1 with small constants)
     "q_agg_hll_merge",
     "q_agg_sketch_rollup",
+    # round-6 additions (VERDICT r5 task #4): the two >3s headliners
+    # without a current probe row.
+    # - drift monitor: wall time is micro-batch fixed overhead (one
+    #   batch per event-time week), so 10x events should be ~flat in
+    #   batch count and ~scan-bound in per-batch work
+    # - minhash re-probe: post-r5 artifacts refresh (pairs ~10x, time
+    #   ~linear, same as the r3 probe)
+    "q_stream_drift_monitor",
 ]
+
+# Usage: python tools/scale_probe_sf1.py [q_name1,q_name2,...]
+# (no args = the full QUERIES list)
 
 
 def build_probe() -> None:
     os.makedirs(PROBE, exist_ok=True)
     con = duckdb.connect()
-    if not os.path.exists(f"{PROBE}/documents.parquet"):
+    if "documents" in PROBE_TABLES and not os.path.exists(f"{PROBE}/documents.parquet"):
         parts = []
         for r in range(REPLICAS):
             if r == 0:
@@ -111,7 +134,7 @@ def build_probe() -> None:
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/documents.parquet' (FORMAT PARQUET)"
         )
-    if not os.path.exists(f"{PROBE}/lineitem.parquet"):
+    if "lineitem" in PROBE_TABLES and not os.path.exists(f"{PROBE}/lineitem.parquet"):
         # basket probe: replica r shifts order AND part keys into a
         # disjoint range, so the co-purchase graph is 10 isomorphic
         # components — pair/community/itemset structure replicates
@@ -126,7 +149,7 @@ def build_probe() -> None:
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/lineitem.parquet' (FORMAT PARQUET)"
         )
-    if not os.path.exists(f"{PROBE}/events.parquet"):
+    if "events" in PROBE_TABLES and not os.path.exists(f"{PROBE}/events.parquet"):
         # sketch probe: replica r shifts user/event ids into a disjoint
         # range (timestamps repeat — irrelevant to the distinct sketch),
         # so the true distinct-user count grows exactly 10x and the
@@ -140,7 +163,7 @@ def build_probe() -> None:
         con.execute(
             f"COPY ({' UNION ALL '.join(parts)}) TO '{PROBE}/events.parquet' (FORMAT PARQUET)"
         )
-    if not os.path.exists(f"{PROBE}/embeddings.parquet"):
+    if "embeddings" in PROBE_TABLES and not os.path.exists(f"{PROBE}/embeddings.parquet"):
         emb = con.execute(
             f"SELECT vec_id, label, embedding FROM read_parquet('{SF01}/embeddings.parquet') ORDER BY vec_id"
         ).fetchall()
@@ -175,6 +198,9 @@ def build_probe() -> None:
 
 
 def main() -> None:
+    queries = QUERIES
+    if len(sys.argv) > 1 and sys.argv[1].startswith("q_"):
+        queries = sys.argv[1].split(",")
     build_probe()
     from pyspark.sql import SparkSession
 
@@ -192,7 +218,7 @@ def main() -> None:
     reg = load_all()
     print("| query | sf0.1 pairs | sf0.1 sec | sf1-probe pairs | sf1-probe sec | pair ratio | time ratio |")
     print("|---|---|---|---|---|---|---|")
-    for name in QUERIES:
+    for name in queries:
         fn = reg[name].fn
         fn(spark, SF01).count()  # warm
         t0 = time.perf_counter()
