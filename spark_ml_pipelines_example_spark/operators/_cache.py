@@ -18,7 +18,11 @@ process-global all-or-nothing unpersist, so a released frame may be
 recomputed later by a still-held DataFrame; a frame whose content
 depends on physical execution (``monotonically_increasing_id``,
 partition sampling, RNG) must use ``localCheckpoint()`` instead — see
-q_shuffle_global (queries/curation.py).
+q_shuffle_global (queries/curation.py). ADVICE r5: this rule is now
+ENFORCED at track time — ``persist_tracked`` scans the analyzed plan
+for nondeterministic expressions and raises, so a future call site
+can't silently corrupt results when a harness loop releases between
+construction and consumption.
 """
 
 from __future__ import annotations
@@ -28,11 +32,39 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
+# Expression markers whose presence in an analyzed plan means a released
+# frame can recompute DIFFERENT content (execution-dependent ids,
+# sampling, RNG). Matched against the analyzed (pre-optimization) plan
+# string, where these always render with an opening paren.
+_NONDETERMINISTIC_MARKERS = (
+    "monotonically_increasing_id(",
+    "rand(",
+    "randn(",
+    "uuid(",
+    "shuffle(",
+    "Sample ",  # logical Sample node (df.sample / randomSplit)
+    "spark_partition_id(",
+    "input_file_name(",
+)
+
 
 def persist_tracked(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """``df.persist(level)`` + register the frame for later release."""
+    """``df.persist(level)`` + register the frame for later release.
+
+    Raises ``ValueError`` if the frame's analyzed plan contains a
+    nondeterministic expression — such a frame must pin its content with
+    ``localCheckpoint()`` instead of riding the releasable cache."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    hits = [m for m in _NONDETERMINISTIC_MARKERS if m in plan]
+    if hits:
+        raise ValueError(
+            "persist_tracked: plan contains nondeterministic expression(s) "
+            f"{hits}; a release_tracked() between construction and "
+            "consumption would recompute different content. Pin the frame "
+            "with localCheckpoint() instead (see q_shuffle_global)."
+        )
     df = df.persist(level)
     _TRACKED.append(df)
     return df

@@ -63,10 +63,21 @@ def _rewrite_ns_parquet_to_us(path: str) -> str:
 # footer-read job on EVERY spark.read.parquet call; reusing the resolved
 # DataFrame makes repeat loads (and therefore most queries' construction)
 # job-free — one footer job per (session, sf_dir, table). DataFrames are
-# immutable and the fixture dirs are read-only, so reuse is safe. Keyed on
-# the session OBJECT (not id(): the strong ref prevents id reuse after GC)
-# so a restarted session never serves stale JVM handles.
-_TABLE_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+# immutable and the fixture dirs are read-only, so reuse is safe.
+#
+# ADVICE r5: the memo now lives ON the session object (a private
+# attribute), so its lifetime — and the lifetime of every resolved
+# DataFrame/JVM handle in it — is exactly the session's: restarted
+# sessions carry their entries to the grave instead of accumulating in
+# a process-global map. (A WeakKeyDictionary cannot do this: the memo's
+# DataFrame values strongly reference their session, a key-in-value
+# cycle that pins the weak key forever.) No id()-reuse trap either —
+# the attribute rides the object. CONTRACT for new read paths: the memo
+# caches resolution-time state, so any conf-SENSITIVE read (one whose
+# resolved frame depends on a session conf the caller may flip, like
+# q_scan_agg_pushdown's pushdown toggles) must bypass load_table and
+# read uncached.
+_MEMO_ATTR = "_spark_graft_table_memo"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,11 +86,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # part of the contract — re-arm them even on a memo hit, since a
         # caller (or the driver) may have flipped them between loads
         _arm_events_confs(spark)
-    key = (spark, sf_dir.rstrip("/"), name)
-    df = _TABLE_MEMO.get(key)
+    per_session = getattr(spark, _MEMO_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _MEMO_ATTR, per_session)
+    key = (sf_dir.rstrip("/"), name)
+    df = per_session.get(key)
     if df is None:
         df = _load_table_uncached(spark, sf_dir, name)
-        _TABLE_MEMO[key] = df
+        per_session[key] = df
     return df
 
 

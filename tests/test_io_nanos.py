@@ -76,3 +76,21 @@ def test_native_read_matches_duckdb_naive(spark, sf_dir, duck):
         "SELECT CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) FROM events"
     ).fetchone()[0]
     assert got == want
+
+
+def test_table_memo_dies_with_its_session(spark, sf_dir):
+    """ADVICE r5: the per-session table memo must not outlive its session
+    — it rides the session object (no process-global registry), so a
+    GC'd session takes its resolved frames and JVM handles with it."""
+    from spark_ml_pipelines_example_spark.sources import io as io_mod
+    from spark_ml_pipelines_example_spark.sources.io import _MEMO_ATTR, load_table
+
+    d1 = load_table(spark, sf_dir, "region")
+    assert load_table(spark, sf_dir, "region") is d1  # memo hit
+    memo = getattr(spark, _MEMO_ATTR)
+    assert (sf_dir.rstrip("/"), "region") in memo
+    # no module-level registry may anchor sessions or frames
+    for attr, val in vars(io_mod).items():
+        assert not isinstance(val, dict) or attr in ("TABLE_SCHEMAS", "__builtins__"), (
+            f"unexpected module-global dict {attr} could anchor session state"
+        )

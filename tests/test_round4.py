@@ -1063,3 +1063,29 @@ def test_ridge_exact_matches_numpy(spark, sf_dir):
     assert abs(r["w1"] - w[1]) < 1e-4
     assert abs(r["w2"] - w[2]) < 1e-4
     assert r["w1"] > 0
+
+
+def test_persist_tracked_rejects_nondeterministic_plans(spark):
+    """ADVICE r5: the releasable cache's docstring safety rule is now
+    enforced at track time — an execution-dependent frame (RNG, mID,
+    sampling) raises instead of silently corrupting on release+recompute."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spark_ml_pipelines_example_spark.operators._cache import (
+        persist_tracked,
+        release_tracked,
+    )
+
+    base = spark.range(10)
+    for bad in (
+        base.withColumn("r", F.rand(7)),
+        base.withColumn("m", F.monotonically_increasing_id()),
+        base.sample(0.5, seed=1),
+    ):
+        with pytest.raises(ValueError, match="nondeterministic"):
+            persist_tracked(bad)
+    # deterministic frames still track + release normally
+    ok = persist_tracked(base.withColumn("v", F.col("id") * 2))
+    assert ok.count() == 10
+    assert release_tracked() == 1
