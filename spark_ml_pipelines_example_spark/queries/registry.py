@@ -596,6 +596,27 @@ _WINDOW_PIN: tuple[str, ...] = (
     "q_seq_pattern_match",
 )
 
+# VERDICT r5 #8: every rows-only-by-contract query carries a PINNED
+# row-count range at sf0.01 — the quantitative check the driver's
+# rows-only record is compared against (tests/test_registry_rotation.py
+# asserts the declared set matches the registry's rows-only set, and the
+# selfcheck asserts each live count lands in range). Ranges are exact
+# where the contract is deterministic (component counts, CV folds,
+# stratified report rows); state_metrics allows the 3-5 band because the
+# number of non-empty state-store snapshots can shift by one with the
+# micro-batch boundary.
+ROWS_ONLY_ROW_CONTRACT: dict[str, tuple[int, int]] = {
+    "q_ml_pca": (8, 8),  # 8 principal directions of the 8-dim matrix
+    "q_agg_approx_distinct": (1, 1),  # single-row sketch-vs-exact report
+    "q_agg_approx_percentile": (3, 3),  # p50/p90/p99 report rows
+    "q_ml_cross_validation": (1, 1),  # one best-params row
+    "q_ml_isotonic": (10, 10),  # 10 calibration-bucket rows
+    "q_ml_kmeans": (8, 8),  # k=8 centroid rows
+    "q_ml_rf_pipeline": (54, 54),  # 54-row stratified prediction report
+    "q_ml_xgb_pipeline": (54, 54),  # same report shape as the RF twin
+    "q_stream_state_metrics": (3, 5),  # state snapshots, batch-boundary ±1
+}
+
 # Rows-only queries whose only hard row predates a fix or upgrade: treat
 # as unchecked so the rotation re-fronts them for a fresh row even though
 # an old rows-only row technically exists.

@@ -134,3 +134,32 @@ def test_force_recheck_retires_on_fresh_row(tmp_path):
         json.dumps({"q_ml_pca": {"err": "no_oracle", "spark_rows": 8}})
     )
     assert _force_recheck_pending(tmp_path) == _FORCE_RECHECK - {"q_ml_pca"}
+
+
+def test_rows_only_row_contract_complete():
+    """VERDICT r5 #8: the pinned row-count contract covers EXACTLY the
+    rows-only queries (a new rows-only query must declare its range; a
+    rows-only -> SQL upgrade must retire its entry), and every driver-
+    recorded rows-only count in the committed artifacts lands in range."""
+    import json
+    from pathlib import Path
+
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        ROWS_ONLY_ROW_CONTRACT,
+    )
+
+    full = load_all()
+    rows_only = {n for n, s in full.items() if s.oracle is None}
+    assert set(ROWS_ONLY_ROW_CONTRACT) == rows_only
+    root = Path(__file__).resolve().parents[1]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(p.read_text()).items():
+            if (
+                name in ROWS_ONLY_ROW_CONTRACT
+                and isinstance(row, dict)
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and full[name].oracle is None  # still rows-only today
+            ):
+                lo, hi = ROWS_ONLY_ROW_CONTRACT[name]
+                assert lo <= row["spark_rows"] <= hi, (name, p.name, row)

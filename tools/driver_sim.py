@@ -148,6 +148,20 @@ def main() -> None:
                     rec["hash_match"] = _value_hash(spdf) == _value_hash(ddf)
             else:
                 rec["err"] = "no_oracle"
+                # VERDICT r5 #8: rows-only results still carry a
+                # quantitative check — the pinned row-count contract
+                from spark_ml_pipelines_example_spark.queries.registry import (
+                    ROWS_ONLY_ROW_CONTRACT,
+                )
+
+                bounds = ROWS_ONLY_ROW_CONTRACT.get(name)
+                if bounds is not None and not (
+                    bounds[0] <= rec["spark_rows"] <= bounds[1]
+                ):
+                    rec["err"] = (
+                        f"rows_contract_violation: {rec['spark_rows']} not in "
+                        f"[{bounds[0]}, {bounds[1]}]"
+                    )
         except Exception:
             rec["err"] = traceback.format_exc(limit=5)
         rec["sec"] = round(time.time() - t0, 2)
