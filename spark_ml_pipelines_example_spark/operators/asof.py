@@ -72,3 +72,83 @@ def asof_join(
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE, _PAYLOAD)
     )
+
+
+def asof_join_gap(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    payload: str,
+    alias: str = "asof_value",
+    *,
+    direction: str = "backward",
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """As-of join with pandas-``merge_asof`` semantics extensions: a
+    ``direction`` ('backward' = latest ref at-or-before the probe,
+    'forward' = earliest ref at-or-after) and an optional ``tolerance``
+    (a SQL INTERVAL expression, e.g. ``"INTERVAL 1 HOUR"``) — a match
+    farther than the tolerance from the probe becomes null.
+
+    Same single-shuffle merge-scan shape as :func:`asof_join` (one
+    window pass per key — the 100 TB plan), generalized by carrying the
+    matched ref's timestamp in a struct so the gap test is EXACT
+    timestamp arithmetic (µs precision; no epoch-second truncation).
+    'forward' is the same scan run in reverse time order: scanning
+    descending, ``last(ref, ignorenulls)`` at the probe row is the
+    smallest ref ts >= probe ts. Tie rule matches :func:`asof_join`:
+    refs at exactly probe.ts match, and among same-ts refs the largest
+    payload wins (struct ordering ends on the payload)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    probe_cols = probes.columns
+    probe_types = dict(probes.dtypes)
+    payload_type = refs.schema[payload].dataType
+    ts_type = refs.schema[ts].dataType
+    import pyspark.sql.types as T
+
+    pair_type = T.StructType(
+        [T.StructField("ts_ref", ts_type), T.StructField("val", payload_type)]
+    )
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
+        _PAYLOAD, F.lit(None).cast(pair_type)
+    )
+    r = refs.select(
+        *[
+            F.col(c)
+            if c in (on, ts)
+            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        F.struct(
+            F.col(ts).alias("ts_ref"), F.col(payload).alias("val")
+        ).alias(_PAYLOAD),
+    )
+    unioned = p.unionByName(r)
+    order = (
+        [F.col(ts), F.col(_SIDE), F.col(_PAYLOAD)]
+        if direction == "backward"
+        else [F.col(ts).desc(), F.col(_SIDE), F.col(_PAYLOAD)]
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__m", F.last(_PAYLOAD, ignorenulls=True).over(w))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, _PAYLOAD)
+    )
+    if tolerance_expr is not None:
+        in_range = (
+            F.col("__m.ts_ref") >= F.col(ts) - F.expr(tolerance_expr)
+            if direction == "backward"
+            else F.col("__m.ts_ref") <= F.col(ts) + F.expr(tolerance_expr)
+        )
+        matched = matched.withColumn(
+            "__m", F.when(in_range, F.col("__m"))
+        )
+    return matched.withColumn(alias, F.col("__m.val")).drop("__m")

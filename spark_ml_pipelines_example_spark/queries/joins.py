@@ -778,3 +778,89 @@ def q_join_fifo_match(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.sum(matched).alias("matched_units"),
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS ref_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def q_join_asof_tolerance(spark, sf_dir):
+    """As-of join with a max-gap tolerance (pandas ``merge_asof``
+    ``tolerance=`` semantics): each purchase matched to the latest click
+    at-or-before it per user, but only within one hour — staler
+    attribution decays to null. Same single-shuffle merge-scan plan as
+    q_join_asof_event; the matched ref timestamp rides a struct so the
+    gap test is exact µs timestamp arithmetic (an epoch-second
+    truncation would mis-classify sub-second boundary gaps). Oracle is
+    the correlated top-1 with the same interval bound."""
+    from ..operators.asof import asof_join_gap
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join_gap(
+        probes,
+        refs,
+        on="user_id",
+        ts="ts",
+        payload="event_id",
+        alias="ref_id",
+        direction="backward",
+        tolerance_expr="INTERVAL 1 HOUR",
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        "ref_id",
+    )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts >= p.ts
+            ORDER BY c.ts ASC, c.event_id DESC LIMIT 1) AS next_click_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "forward"),
+)
+def q_join_asof_forward(spark, sf_dir):
+    """Forward as-of join (pandas ``merge_asof`` ``direction='forward'``):
+    each purchase matched to the EARLIEST click at-or-after it per user —
+    the post-purchase behavior probe the backward join can't express.
+    Implementation is the same merge-scan window run in reverse time
+    order (one shuffle on user_id, no correlated probes); refs at
+    exactly probe.ts match, ties take the largest event_id, mirroring
+    the backward twin's convention."""
+    from ..operators.asof import asof_join_gap
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join_gap(
+        probes,
+        refs,
+        on="user_id",
+        ts="ts",
+        payload="event_id",
+        alias="next_click_id",
+        direction="forward",
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        "next_click_id",
+    )

@@ -1349,3 +1349,50 @@ def q_text_gopher_rules(spark, sf_dir):
         flag(5 * n_alpha >= 4 * n_words).alias("r_alpha_words"),
         flag(n_stops >= 2).alias("r_stop_words"),
     )
+
+
+@query(
+    "q_dq_join_key_skew",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM keyed
+    )
+    SELECT k.user_id, k.cnt,
+           k.cnt / t.n_rows AS share,
+           (k.cnt * t.n_keys) / t.n_rows AS skew_vs_avg
+    FROM keyed k CROSS JOIN tot t
+    ORDER BY k.cnt DESC, k.user_id LIMIT 10
+    """,
+    tags=("quality", "skew", "join-planning"),
+)
+def q_dq_join_key_skew(spark, sf_dir):
+    """Join-key skew audit: the pre-flight a 100 TB fact-fact join wants
+    BEFORE it shuffles — per-key row counts on the would-be shuffle key,
+    each heavy hitter's share of the table, and its skew factor vs the
+    mean key (cnt · n_keys / n_rows; AQE's skew-join split and the
+    salting operator in operators/skew.py are the remedies this report
+    feeds). One combinable hash aggregate to |keys| rows, a broadcast
+    1-row total, and a TakeOrderedAndProject top-10 — no windows, no
+    second fact scan. Both ratios are a SINGLE IEEE division of exact
+    int64s (the multiply stays integer), so the doubles are bit-identical
+    cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = keyed.agg(
+        F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt") / F.col("n_rows")).alias("share"),
+            ((F.col("cnt") * F.col("n_keys")) / F.col("n_rows")).alias(
+                "skew_vs_avg"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+    )
