@@ -597,13 +597,15 @@ _WINDOW_PIN: tuple[str, ...] = (
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED
-# row-count range at sf0.01 — the quantitative check the driver's
-# rows-only record is compared against (tests/test_registry_rotation.py
-# asserts the declared set matches the registry's rows-only set, and the
-# selfcheck asserts each live count lands in range). Ranges are exact
-# where the contract is deterministic (component counts, CV folds,
-# stratified report rows); state_metrics allows the 3-5 band because the
-# number of non-empty state-store snapshots can shift by one with the
+# row-count range AT sf0.01 — the driver's contract SF, the only scale
+# it records rows-only counts at (tests/test_registry_rotation.py
+# asserts the declared set matches the registry's rows-only set and that
+# every committed artifact row lands in range; driver_sim enforces the
+# range live at sf0.01 only — other SFs have data-dependent counts:
+# isotonic's calibration buckets and the RF/XGB stratified report rows
+# shrink with the sf0.1 class mix). Ranges are exact where the contract
+# is deterministic; state_metrics allows the 3-5 band because the number
+# of non-empty state-store snapshots can shift by one with the
 # micro-batch boundary.
 ROWS_ONLY_ROW_CONTRACT: dict[str, tuple[int, int]] = {
     "q_ml_pca": (8, 8),  # 8 principal directions of the 8-dim matrix
