@@ -32,6 +32,8 @@ HEADLINE = [
     "q_tpch_q5",
     "q_join_broadcast",
     "q_join_asof_event",
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",
@@ -95,6 +97,7 @@ HEADLINE = [
     "q_ml_pr_auc",
     "q_ml_calibration",
     "q_dq_benford",
+    "q_dq_join_key_skew",
     "q_win_capped_cumsum",
     "q_join_spatial_grid",
     # session-3 additions: sweep-line concurrency, integer-exact
