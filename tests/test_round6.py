@@ -135,3 +135,57 @@ def test_join_key_skew_math(spark):
     assert [(r["user_id"], r["cnt"]) for r in out] == [(1, 6), (2, 3), (3, 1)]
     assert out[0]["share"] == 0.6 and out[0]["skew"] == 1.8
     assert out[2]["skew"] == 0.3
+
+
+def test_asof_gap_random_parity_with_bruteforce(spark):
+    """200 seeded random cases, every (direction, tolerance) combo,
+    checked against a per-row brute force — ties, equal timestamps,
+    empty ref sides, and boundary gaps included. All cases ride ONE
+    Spark job per combo (case id folded into the join key)."""
+    import random
+
+    from spark_ml_pipelines_example_spark.operators.asof import asof_join_gap
+
+    rng = random.Random(20260815)
+    probes_rows, refs_rows, cases = [], [], []
+    for case in range(200):
+        key = case  # one key per case -> cases independent in one pass
+        ps = sorted(rng.sample(range(0, 50), rng.randint(1, 4)))
+        rs = [rng.randrange(0, 50) for _ in range(rng.randint(0, 5))]
+        probe = [(key, t, 1000 * case + i) for i, t in enumerate(ps)]
+        ref = [(key, t, 2000 * case + i) for i, t in enumerate(rs)]
+        probes_rows += probe
+        refs_rows += ref
+        cases.append((probe, ref))
+
+    def brute(probe, ref, direction, tol):
+        out = {}
+        for (_, pt, pid) in probe:
+            if direction == "backward":
+                cand = [(rt, rv) for (_, rt, rv) in ref if rt <= pt and (tol is None or pt - rt <= tol)]
+                best = max(cand) if cand else None  # latest ts, then largest payload
+            else:
+                cand = [(rt, rv) for (_, rt, rv) in ref if rt >= pt and (tol is None or rt - pt <= tol)]
+                best = min(cand, key=lambda x: (x[0], -x[1])) if cand else None
+            out[pid] = best[1] if best else None
+        return out
+
+    mk = lambda rows, col: spark.createDataFrame(  # noqa: E731
+        [(k, datetime.datetime(2024, 1, 1, 0, 0, t), v) for (k, t, v) in rows],
+        f"k long, ts timestamp_ntz, {col} long",
+    )
+    probes_df, refs_df = mk(probes_rows, "pid"), mk(refs_rows, "rid")
+    for direction in ("backward", "forward"):
+        for tol_s in (None, 7):
+            got = {
+                r["pid"]: r["m"]
+                for r in asof_join_gap(
+                    probes_df, refs_df, on="k", ts="ts", payload="rid", alias="m",
+                    direction=direction,
+                    tolerance_expr=None if tol_s is None else f"INTERVAL {tol_s} SECONDS",
+                ).collect()
+            }
+            want = {}
+            for probe, ref in cases:
+                want.update(brute(probe, ref, direction, tol_s))
+            assert got == want, (direction, tol_s)
