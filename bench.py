@@ -98,6 +98,7 @@ HEADLINE = [
     "q_ml_calibration",
     "q_dq_benford",
     "q_dq_join_key_skew",
+    "q_agg_hll_rolling",
     "q_win_capped_cumsum",
     "q_join_spatial_grid",
     # session-3 additions: sweep-line concurrency, integer-exact

@@ -2190,3 +2190,132 @@ def q_agg_filter_clause(spark, sf_dir):
         GROUP BY o_orderpriority
         """
     )
+
+
+def _hll_rolling_oracle() -> str:
+    """DuckDB twin of the rolling 7-day register-merge (q_agg_hll_rolling)."""
+    est = (
+        f"CASE WHEN CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}.0"
+        f" / (s_present + ({HLL_M} - n_present)) <= {2.5 * HLL_M}"
+        f" AND n_present < {HLL_M}"
+        f" THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))"
+        f" ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M}.0"
+        f" / (s_present + ({HLL_M} - n_present)) END"
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+    ), days AS (
+        SELECT DISTINCT day FROM keyed
+    ), regs AS (
+        SELECT day, h // 4194304 AS bucket,
+               MAX(CASE WHEN h % 4194304 = 0 THEN 23
+                        ELSE 23 - (FLOOR(log2(h % 4194304)) + 1) END) AS m
+        FROM keyed GROUP BY 1, 2
+    ), rolled AS (
+        -- the rolling MERGE: register-wise max over the trailing 7 days
+        SELECT d.day, r.bucket, MAX(r.m) AS m
+        FROM regs r JOIN days d ON r.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2
+    ), stats AS (
+        SELECT day, SUM(POWER(2.0, -m)) AS s_present, COUNT(*) AS n_present
+        FROM rolled GROUP BY 1
+    ), day_counts AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ), pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), exact AS (
+        SELECT d.day,
+               CAST((SELECT SUM(c.n) FROM day_counts c
+                     WHERE c.day BETWEEN d.day - 6 AND d.day) AS BIGINT)
+                   AS n_rows,
+               COUNT(DISTINCT p.user_id) AS exact_users
+        FROM pairs p JOIN days d ON p.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1
+    )
+    SELECT s.day, x.n_rows, x.exact_users,
+           ROUND({est}, 6) AS approx_users,
+           ROUND(({est} - x.exact_users) / CAST(x.exact_users AS DOUBLE), 6)
+               AS rel_error
+    FROM stats s JOIN exact x ON s.day = x.day
+    """
+
+
+@query(
+    "q_agg_hll_rolling",
+    oracle=_hll_rolling_oracle(),
+    tags=("agg", "approx", "sketch", "hll", "rolling-window", "mergeable"),
+)
+def q_agg_hll_rolling(spark, sf_dir):
+    """Trailing-7-day distinct users per day via ROLLING sketch merge —
+    the pattern that makes sliding-window distinct counts tractable at
+    100 TB: the fact table is scanned ONCE into |days|×1024 exact
+    integer registers (a KB-scale frame), and every day's trailing
+    window is a register-wise MAX over ≤7 day-sketches instead of a
+    re-scan + re-shuffle of raw keys per window position (a 90-day
+    window over a year of data touches the raw table 0 extra times;
+    only the tiny register frame fans out). Same audited 1024-register
+    md5-affine HLL as q_agg_hll_merge, so every register — and therefore
+    every estimate — is bit-identical cross-engine; the exact trailing
+    distinct rides alongside as the audit column (its 7-way fan-out of
+    the DISTINCT (day,user) pairs is the cost the sketch path avoids
+    at scale, kept here because the driver contract proves both)."""
+    ev = t(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.to_date("ts").alias("day"), _hll32_h("user_id").alias("h")
+    )
+    regs = keyed.groupBy(
+        "day", (F.col("h") / 4194304).cast("long").alias("bucket")
+    ).agg(F.max(_hll_rho()).alias("m"))
+    days = regs.select("day").distinct()
+    d = days.select(F.col("day").alias("tday"))
+    rolled = (
+        regs.join(
+            F.broadcast(d),
+            F.col("day").between(F.date_sub(F.col("tday"), 6), F.col("tday")),
+        )
+        .groupBy("tday", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    stats = rolled.groupBy("tday").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    # exact audit path: pre-collapse the fact table to per-day counts
+    # (|days| rows) and DISTINCT (day, user) pairs BEFORE the 7-way
+    # window fan-out — the fan-out then touches |pairs| rows, not raw
+    # events (at 100 TB this is the difference between replicating the
+    # fact table 7x and replicating a per-day dimension)
+    day_counts = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    n_rows = (
+        day_counts.join(
+            F.broadcast(d),
+            F.col("day").between(F.date_sub(F.col("tday"), 6), F.col("tday")),
+        )
+        .groupBy("tday")
+        .agg(F.sum("n").alias("n_rows"))
+    )
+    pairs = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = (
+        pairs.join(
+            F.broadcast(d),
+            F.col("day").between(F.date_sub(F.col("tday"), 6), F.col("tday")),
+        )
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .join(n_rows, "tday")
+    )
+    est = _hll_corrected(F.col("s_present"), F.col("n_present"))
+    return stats.join(exact, "tday").select(
+        F.col("tday").alias("day"),
+        "n_rows",
+        "exact_users",
+        F.round(est, 6).alias("approx_users"),
+        F.round(
+            (est - F.col("exact_users")) / F.col("exact_users").cast("double"), 6
+        ).alias("rel_error"),
+    )

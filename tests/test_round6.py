@@ -189,3 +189,48 @@ def test_asof_gap_random_parity_with_bruteforce(spark):
             for probe, ref in cases:
                 want.update(brute(probe, ref, direction, tol_s))
             assert got == want, (direction, tol_s)
+
+
+def test_hll_rolling_invariants(spark, sf_dir):
+    """Rolling-merge sanity beyond the hash check: windows are supersets
+    of single days (estimate never below the max single-day estimate in
+    its window is NOT guaranteed by HLL, but the EXACT trailing distinct
+    must be >= any single day's exact distinct), rel_error is small at
+    1024 registers, and day 7+ windows cover exactly 7 days of rows."""
+    import datetime as dt
+
+    rows = {r["day"]: r for r in REGISTRY["q_agg_hll_rolling"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 30
+    for day, r in rows.items():
+        assert abs(r["rel_error"]) < 0.1, (day, r["rel_error"])
+        assert r["exact_users"] > 0 and r["n_rows"] > 0
+    days = sorted(rows)
+    # trailing window is monotone-ish: a 7-day window's exact distinct
+    # >= the same day's single-day distinct (subset relation) — derive
+    # single-day from the fixture directly
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from spark_ml_pipelines_example_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    single = {
+        r["day"]: r["u"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for day in days:
+        assert rows[day]["exact_users"] >= single[day]
+    # interior windows (7 full days available) have n_rows = sum of the
+    # 7 single-day row counts
+    per_day_n = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for day in days[6:]:
+        want = sum(
+            per_day_n.get(day - dt.timedelta(days=k), 0) for k in range(7)
+        )
+        assert rows[day]["n_rows"] == want, day
