@@ -26,6 +26,10 @@ SHOWCASE = [
     ("q_join_semi_anti", "semi/anti join planning"),
     ("q_join_range_bucketed", "pure range join as bucket equi-join (no nested loop)"),
     ("q_join_asof_event", "as-of join: union + single-shuffle merge-scan window"),
+    ("q_join_asof_tolerance", "as-of with max-gap tolerance: same merge-scan, struct-carried ref ts, exact interval test"),
+    ("q_join_asof_forward", "forward as-of: the merge-scan run in reverse time order"),
+    ("q_dq_join_key_skew", "join-key skew audit: one hash agg + broadcast scalar total + TakeOrdered top-10"),
+    ("q_agg_hll_rolling", "rolling 7-day HLL merge: one fact scan to day-registers, broadcast range join over the KB register frame"),
     ("q_subquery_exists", "correlated EXISTS decorrelated to LeftSemi"),
     ("q_win_topk_per_group", "ranked window + filter"),
     ("q_limit_topk", "TakeOrderedAndProject (no global sort)"),
