@@ -32,20 +32,43 @@ from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
 
-# Expression markers whose presence in an analyzed plan means a released
-# frame can recompute DIFFERENT content (execution-dependent ids,
-# sampling, RNG). Matched against the analyzed (pre-optimization) plan
-# string, where these always render with an opening paren.
-_NONDETERMINISTIC_MARKERS = (
-    "monotonically_increasing_id(",
-    "rand(",
-    "randn(",
-    "uuid(",
-    "shuffle(",
-    "Sample ",  # logical Sample node (df.sample / randomSplit)
-    "spark_partition_id(",
-    "input_file_name(",
-)
+
+def _nondeterministic_hits(df: DataFrame) -> list[str]:
+    """Walk the ANALYZED logical plan's tree nodes and return a rendered
+    marker for every construct that can recompute DIFFERENT content
+    after an unpersist (execution-dependent ids, sampling, RNG).
+
+    ADVICE r6 #2: the previous guard substring-scanned the rendered plan
+    string, so a deterministic frame whose STRING LITERAL contained a
+    marker (e.g. a filter comparing to the literal ``'rand('``) raised
+    spuriously. This walk asks Catalyst itself: ``Expression
+    .deterministic`` is recursive over expression children (so checking
+    each plan node's top-level expressions suffices), and the logical
+    ``Sample`` node (df.sample / randomSplit — partition-layout-dependent
+    even when seeded) is matched by node name, not by rendering.
+    Subquery plans hanging off expressions are walked too
+    (``QueryPlan.subqueries``). Verified empirically against rand/randn,
+    monotonically_increasing_id, uuid, shuffle, spark_partition_id,
+    input_file_name, Sample, and a literal-embedded false-positive
+    (tests/test_round7.py)."""
+    hits: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Sample":
+            hits.append("Sample")
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            e = exprs.apply(i)
+            if not e.deterministic():
+                hits.append(e.toString()[:80])
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            stack.append(subqueries.apply(i))
+    return hits
 
 
 def persist_tracked(
@@ -56,8 +79,7 @@ def persist_tracked(
     Raises ``ValueError`` if the frame's analyzed plan contains a
     nondeterministic expression — such a frame must pin its content with
     ``localCheckpoint()`` instead of riding the releasable cache."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    hits = [m for m in _NONDETERMINISTIC_MARKERS if m in plan]
+    hits = _nondeterministic_hits(df)
     if hits:
         raise ValueError(
             "persist_tracked: plan contains nondeterministic expression(s) "

@@ -1830,6 +1830,45 @@ def _prune_subfloor_items(items, item_col: str, min_count: int):
     return items.join(keep, item_col, "left_semi"), True
 
 
+def _fpgrowth_fit_floored(items, key_col: str, item_col: str):
+    """Corpus-floored FPGrowth fit over (basket key, item) pairs —
+    shared by q_ml_fpgrowth and the unit test that pins the post-prune
+    recount. Returns (fitted model, min_count).
+
+    The support floor is derived from the PRE-prune corpus size (that is
+    the corpus the 1e-5 lever in _FP_REL_FLOOR is defined over). But
+    MLlib derives minCount = ceil(minSupport * POST-prune basket count):
+    a basket whose every item is sub-floor vanishes in the prune
+    semi-join, so when the prune ran the basket count must be recounted
+    — otherwise (min_count - 0.5)/n against a smaller corpus yields an
+    effective floor of min_count - 1, admitting itemsets with support
+    min_count - 1 (ADVICE r6 #1). The recount costs one key-distinct
+    aggregate and ONLY runs when the prune ran (fixture SFs: skipped,
+    floor=2, no sub-floor items)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    n = items.select(key_col).distinct().count()
+    min_count = _fp_min_count(n)
+    items, pruned = _prune_subfloor_items(items, item_col, min_count)
+    n2 = items.select(key_col).distinct().count() if pruned else n
+    baskets = items.groupBy(key_col).agg(F.collect_set(item_col).alias("items"))
+    # minCount = ceil(minSupport * n2); (min_count - 0.5)/n2 pins the
+    # absolute floor at min_count without float-boundary risk
+    # (min_count/n2 * n2 could round to min_count + ulp).
+    # numPartitions (PFP's conditional-tree mining parallelism) stays at
+    # the default = input partitions: an interleaved warm A/B at sf0.1
+    # measured default(4) ≈ 4.1-5.1s, 8 ≈ 4.0-4.5s, 16 ≈ 4.8-5.9s,
+    # 32 ≈ 6.0-6.8s — at fixture scale wider mining only adds task
+    # overhead (a cold-session probe that suggested 32 was faster did not
+    # replicate). At 100 TB numPartitions IS the knob to size toward
+    # cluster cores: group partitions bound per-task conditional-tree
+    # memory, which is what caps PFP's scaling.
+    fp = FPGrowth(
+        itemsCol="items", minSupport=(min_count - 0.5) / n2, minConfidence=0.5
+    )
+    return fp.fit(baskets), min_count
+
+
 @query(
     "q_ml_fpgrowth",
     # FPGrowth support counts are exact (the algorithm is an exact
@@ -1874,8 +1913,6 @@ def q_ml_fpgrowth(spark, sf_dir):
     enumeration exactly like the hand-written A-priori support floor. The
     sorted-int itemset string makes the result engine-comparable.
     """
-    from pyspark.ml.fpm import FPGrowth
-
     li = t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     # Corpus-size-derived support floor (the 100 TB lever, VERDICT r5
@@ -1886,33 +1923,12 @@ def q_ml_fpgrowth(spark, sf_dir):
     # driver contract evaluates it; on the 10x worst-case probe
     # (disjoint replica key ranges) the floor rises to 15 and the
     # dictionary shrinks instead of multiplying (BASELINE.md probe
-    # table: post-lever exponent).
-    n = items.select("l_orderkey").distinct().count()
-    min_count = _fp_min_count(n)
-    # Long-tail guard (VERDICT r3 task #8): sub-floor items can never
-    # appear in a frequent itemset, so pruning them BEFORE collect_set
-    # shrinks basket width and the FP-tree — on fixture corpora every
-    # part clears floor 2 and the semi-join is skipped by the shape
-    # check; on the probe the derived floor makes it engage.
-    items, _pruned = _prune_subfloor_items(items, "l_partkey", min_count)
-    baskets = items.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("items")
-    )
-    # minCount = ceil(minSupport * n); (min_count - 0.5)/n pins the
-    # absolute floor at min_count without float-boundary risk
-    # (min_count/n * n could round to min_count + ulp).
-    # numPartitions (PFP's conditional-tree mining parallelism) stays at
-    # the default = input partitions: an interleaved warm A/B at sf0.1
-    # measured default(4) ≈ 4.1-5.1s, 8 ≈ 4.0-4.5s, 16 ≈ 4.8-5.9s,
-    # 32 ≈ 6.0-6.8s — at fixture scale wider mining only adds task
-    # overhead (a cold-session probe that suggested 32 was faster did not
-    # replicate). At 100 TB numPartitions IS the knob to size toward
-    # cluster cores: group partitions bound per-task conditional-tree
-    # memory, which is what caps PFP's scaling.
-    fp = FPGrowth(
-        itemsCol="items", minSupport=(min_count - 0.5) / n, minConfidence=0.5
-    )
-    model = fp.fit(baskets)
+    # table: post-lever exponent). Long-tail guard (VERDICT r3 task #8):
+    # sub-floor items are pruned BEFORE collect_set, and the basket
+    # count is RECOUNTED post-prune so MLlib's ceil(minSupport *
+    # basket_count) lands exactly on the intended floor (ADVICE r6 #1)
+    # — all inside _fpgrowth_fit_floored.
+    model, _min_count = _fpgrowth_fit_floored(items, "l_orderkey", "l_partkey")
     return (
         model.freqItemsets.filter(F.size("items") <= 2)
         .select(

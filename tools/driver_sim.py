@@ -76,13 +76,15 @@ def _value_hash(pdf):
 def main() -> None:
     only: list[str] | None = None
     limit = 50
+    tail_mode = False
     argv = list(sys.argv[1:])
     if argv and argv[0] == "--tail":
         # VERDICT r5 #5: pick the N never-checked names automatically
         # (rotation order minus valid CORRECTNESS_r* rows) so the builder
         # selfcheck fronts exactly the tail the next driver window reads.
         argv.pop(0)
-        n = int(argv.pop(0)) if argv and not argv[0].startswith("/") else 50
+        tail_mode = True
+        n = int(argv.pop(0)) if argv and argv[0].isdigit() else 50
         from spark_ml_pipelines_example_spark.queries.registry import (
             _driver_checked_queries,
             _force_recheck_pending,
@@ -93,14 +95,23 @@ def main() -> None:
         checked = _driver_checked_queries() - _force_recheck_pending()
         only = [name for name in reg if name not in checked][:n]
         print(f"--tail {n}: {len(only)} never-checked names selected", flush=True)
-    if argv:
+    # ADVICE r6 #3: a q_ list after --tail must not silently replace the
+    # tail selection, and sf_dir is detected by being a directory, not by
+    # a leading slash (a relative sf_dir used to crash as int(limit)).
+    if argv and not os.path.isdir(argv[0]):
         if argv[0].startswith("q_"):  # comma-separated query names
+            if tail_mode:
+                raise SystemExit(
+                    "driver_sim: explicit query list conflicts with --tail "
+                    "(the tail already selects the names); drop one of them"
+                )
             only = argv[0].split(",")
-        elif not argv[0].startswith("/"):
+        else:
             limit = int(argv[0])
-        if argv and not argv[0].startswith("/"):
-            argv.pop(0)
+        argv.pop(0)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if argv and not os.path.isdir(sf_dir):
+        raise SystemExit(f"driver_sim: sf_dir {sf_dir!r} is not a directory")
 
     from pyspark.sql import SparkSession
 
