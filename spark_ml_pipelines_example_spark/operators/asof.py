@@ -99,7 +99,13 @@ def asof_join_gap(
     descending, ``last(ref, ignorenulls)`` at the probe row is the
     smallest ref ts >= probe ts. Tie rule matches :func:`asof_join`:
     refs at exactly probe.ts match, and among same-ts refs the largest
-    payload wins (struct ordering ends on the payload)."""
+    payload wins (struct ordering ends on the payload).
+
+    SKEW CAVEAT: the window shuffles on the key alone, and AQE's
+    skew-split never rewrites a Window's Exchange — a hot key puts its
+    whole union in one task. When q_dq_join_key_skew flags a dominant
+    key, use :func:`asof_join_bucketed` (same semantics, (key, time
+    bucket) partitioning + KB-scale carry-in)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     probe_cols = probes.columns
@@ -151,4 +157,160 @@ def asof_join_gap(
         matched = matched.withColumn(
             "__m", F.when(in_range, F.col("__m"))
         )
+    return matched.withColumn(alias, F.col("__m.val")).drop("__m")
+
+
+_BUCKET = "__asof_bucket"
+
+
+def asof_join_bucketed(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    payload: str,
+    alias: str = "asof_value",
+    *,
+    direction: str = "backward",
+    tolerance_expr: str | None = None,
+    bucket_width_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-resistant as-of join: :func:`asof_join_gap` semantics
+    (direction + tolerance, identical tie rules), but partitioned on
+    (key, time bucket) instead of the key alone.
+
+    WHY (VERDICT r6 task #4): ``asof_join_gap`` shuffles on the key, so
+    a hot key at 100 TB lands its ENTIRE union on one window partition —
+    and AQE's skew-split only rewrites SortMergeJoin/ShuffledHashJoin
+    reads, never a Window's Exchange (a window partition cannot be split
+    without breaking frame semantics). The fix mirrors the two-phase
+    binned global ranks (operators/globalrank.py): make the partition
+    key finer, then stitch bucket-local answers with a KB-scale summary.
+
+    1. **Local pass** — tag + union exactly as :func:`asof_join_gap`,
+       bucket every row by ``floor(epoch_us(ts) / bucket_width_us)``
+       (monotone in ts: UTC session, exact integer floor-div), ONE
+       window per (key, bucket): a hot key now spreads across
+       |time range| / width partitions.
+    2. **Carry-in** — a probe early in its bucket may need a ref from an
+       earlier bucket (backward) / later bucket (forward). Per (key,
+       bucket, ref_ts) the tie rule collapses to MAX(payload); per (key,
+       bucket) the boundary candidate is then an unambiguous struct
+       MAX (backward: latest ref) or MIN (forward: earliest ref, its
+       payload already tie-resolved). The spine of ALL (key, bucket)
+       pairs present in the union (so probe-only buckets still get a
+       row) carries a running MAX over strictly-preceding buckets
+       (backward) / MIN over strictly-following (forward) — a window
+       over the aggregated spine, thousands of rows, not the fact table.
+    3. **Stitch** — join the carry back on (key, bucket) — the big side
+       is ALREADY hash-partitioned on exactly those keys by the local
+       window, so the stitch adds no fact-table exchange (the spine side
+       is broadcast-or-tiny) — and ``coalesce(local, carry)``.
+
+    Cost at 100 TB: the same single fact-table shuffle as the unbucketed
+    plan, just on a finer key; everything else is KB–MB-scale. Choose
+    ``bucket_width_us`` ≳ the tolerance (default 1 day) so carried
+    matches are rarely discarded by the gap test.
+
+    Use when ``q_dq_join_key_skew`` (queries/quality.py) reports a
+    dominant key share: its docstring wires the audit verdict to this
+    remedy. Parity with asof_join_gap is property-tested on randomized
+    corpora in both directions (tests/test_round7.py)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    backward = direction == "backward"
+    probe_cols = probes.columns
+    probe_types = dict(probes.dtypes)
+    payload_type = refs.schema[payload].dataType
+    ts_type = refs.schema[ts].dataType
+    import pyspark.sql.types as T
+
+    pair_type = T.StructType(
+        [T.StructField("ts_ref", ts_type), T.StructField("val", payload_type)]
+    )
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
+        _PAYLOAD, F.lit(None).cast(pair_type)
+    )
+    r = refs.select(
+        *[
+            F.col(c)
+            if c in (on, ts)
+            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        F.struct(
+            F.col(ts).alias("ts_ref"), F.col(payload).alias("val")
+        ).alias(_PAYLOAD),
+    )
+    # Exact integer floor-div bucket (epoch µs are positive here, but the
+    # pmod identity keeps pre-1970 timestamps correct too); cast through
+    # TIMESTAMP is a no-op shift under the pinned-UTC session, so the
+    # bucket is monotone in ts for both TIMESTAMP and TIMESTAMP_NTZ.
+    e = F.unix_micros(F.col(ts).cast("timestamp"))
+    wid = F.lit(int(bucket_width_us))
+    bucket = ((e - (((e % wid) + wid) % wid)) / wid).cast("long")
+    unioned = p.unionByName(r).withColumn(_BUCKET, bucket)
+
+    order = (
+        [F.col(ts), F.col(_SIDE), F.col(_PAYLOAD)]
+        if backward
+        else [F.col(ts).desc(), F.col(_SIDE), F.col(_PAYLOAD)]
+    )
+    w_local = (
+        W.partitionBy(on, _BUCKET)
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = unioned.withColumn("__local", F.last(_PAYLOAD, ignorenulls=True).over(w_local))
+
+    # Spine: every (key, bucket) in the union; per-bucket boundary ref
+    # with the tie rule pre-collapsed (max payload per exact ref ts).
+    per_ts = (
+        unioned.filter(F.col(_SIDE) == 0)
+        .groupBy(on, _BUCKET, F.col(_PAYLOAD)["ts_ref"].alias("__ts_ref"))
+        .agg(F.max(F.col(_PAYLOAD)["val"]).alias("__val"))
+        .select(
+            on,
+            _BUCKET,
+            F.struct(
+                F.col("__ts_ref").alias("ts_ref"), F.col("__val").alias("val")
+            ).alias("__cand"),
+        )
+    )
+    boundary = per_ts.groupBy(on, _BUCKET).agg(
+        (F.max("__cand") if backward else F.min("__cand")).alias("__bref")
+    )
+    spine = (
+        unioned.select(on, _BUCKET)
+        .distinct()
+        .join(boundary, [on, _BUCKET], "left")
+    )
+    w_carry = (
+        W.partitionBy(on)
+        .orderBy(_BUCKET)
+        .rowsBetween(W.unboundedPreceding, -1)
+        if backward
+        else W.partitionBy(on)
+        .orderBy(_BUCKET)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    carry = spine.withColumn(
+        "__carry",
+        (F.max("__bref") if backward else F.min("__bref")).over(w_carry),
+    ).select(on, _BUCKET, "__carry")
+
+    matched = (
+        local.join(carry, [on, _BUCKET], "left")
+        .filter(F.col(_SIDE) == 1)
+        .withColumn("__m", F.coalesce(F.col("__local"), F.col("__carry")))
+        .drop(_SIDE, _PAYLOAD, _BUCKET, "__local", "__carry")
+    )
+    if tolerance_expr is not None:
+        in_range = (
+            F.col("__m.ts_ref") >= F.col(ts) - F.expr(tolerance_expr)
+            if backward
+            else F.col("__m.ts_ref") <= F.col(ts) + F.expr(tolerance_expr)
+        )
+        matched = matched.withColumn("__m", F.when(in_range, F.col("__m")))
     return matched.withColumn(alias, F.col("__m.val")).drop("__m")

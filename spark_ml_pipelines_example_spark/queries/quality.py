@@ -1352,6 +1352,84 @@ def q_text_gopher_rules(spark, sf_dir):
 
 
 @query(
+    "q_dq_join_cardinality",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, COUNT(*) AS c FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ), c AS (
+        SELECT user_id, COUNT(*) AS c FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ), m AS (
+        SELECT p.user_id, p.c * c.c AS contrib
+        FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_keys_left,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_keys_right,
+           CAST(COUNT(*) AS BIGINT) AS n_keys_matched,
+           CAST(COALESCE(SUM(contrib), 0) AS BIGINT) AS est_rows,
+           CAST(COALESCE(MAX(contrib), 0) AS BIGINT) AS max_key_rows,
+           CAST(MAX(contrib) AS DOUBLE) / CAST(SUM(contrib) AS DOUBLE)
+               AS top_share
+    FROM m
+    """,
+    tags=("quality", "cardinality", "join-planning"),
+)
+def q_dq_join_cardinality(spark, sf_dir):
+    """Join-cardinality pre-flight: the EXACT output row count of a
+    fact-fact equi-join (purchases ⋈ clicks on user_id), computed
+    WITHOUT shuffling either fact table — Σ over matched keys of
+    cnt_left(k) · cnt_right(k), plus the planning signals that decide
+    the join strategy at 100 TB: per-side key counts, matched-key
+    count, the largest single key's output contribution, and its share
+    of the total (one hot key owning most of the output ⇒ salt or
+    bucket BEFORE running the real join; q_dq_join_key_skew profiles
+    the input side, this profiles the OUTPUT side — a key can be mild
+    in both inputs yet dominate the product).
+
+    Scale shape: two map-side-combinable per-key count aggregates (the
+    only passes over the facts), then a join of the |keys|-row count
+    frames and a single-row aggregate — everything after the first
+    aggregates is KB–MB-scale. top_share is one IEEE division of two
+    exact int64→double conversions, bit-identical cross-engine."""
+    ev = t(spark, sf_dir, "events")
+
+    def side(et):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+        )
+
+    p, c = side("purchase"), side("click")
+    m = p.alias("p").join(c.alias("c"), "user_id").select(
+        (F.col("p.c") * F.col("c.c")).alias("contrib")
+    )
+    pk = p.agg(F.count("*").alias("n_keys_left"))
+    ck = c.agg(F.count("*").alias("n_keys_right"))
+    mm = m.agg(
+        F.count("*").alias("n_keys_matched"),
+        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("est_rows"),
+        F.coalesce(F.max("contrib"), F.lit(0)).cast("long").alias("max_key_rows"),
+        (
+            F.max("contrib").cast("double") / F.sum("contrib").cast("double")
+        ).alias("top_share"),
+    )
+    return (
+        mm.crossJoin(F.broadcast(pk))
+        .crossJoin(F.broadcast(ck))
+        .select(
+            "n_keys_left",
+            "n_keys_right",
+            "n_keys_matched",
+            "est_rows",
+            "max_key_rows",
+            "top_share",
+        )
+    )
+
+
+@query(
     "q_dq_join_key_skew",
     oracle="""
     WITH keyed AS (
@@ -1371,9 +1449,14 @@ def q_dq_join_key_skew(spark, sf_dir):
     """Join-key skew audit: the pre-flight a 100 TB fact-fact join wants
     BEFORE it shuffles — per-key row counts on the would-be shuffle key,
     each heavy hitter's share of the table, and its skew factor vs the
-    mean key (cnt · n_keys / n_rows; AQE's skew-join split and the
-    salting operator in operators/skew.py are the remedies this report
-    feeds). One combinable hash aggregate to |keys| rows, a broadcast
+    mean key (cnt · n_keys / n_rows). The remedies this report feeds,
+    by downstream operator class: shuffled JOINS → AQE's skew-join
+    split or the salting operator in operators/skew.py; WINDOW-based
+    operators (as-of joins, running aggregates) → the time-bucketed
+    two-phase variants (operators/asof.py asof_join_bucketed,
+    operators/globalrank.py), because AQE rewrites only shuffled join
+    reads and can NEVER split a Window's Exchange without breaking
+    frame semantics. One combinable hash aggregate to |keys| rows, a broadcast
     1-row total, and a TakeOrderedAndProject top-10 — no windows, no
     second fact scan. Both ratios are a SINGLE IEEE division of exact
     int64s (the multiply stays integer), so the doubles are bit-identical

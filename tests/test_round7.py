@@ -110,3 +110,115 @@ def test_persist_tracked_refuses_nondeterministic(spark, builder):
 
     with pytest.raises(ValueError, match="nondeterministic"):
         persist_tracked(builder(spark.range(10)))
+
+
+# ---------------------------------------------------------------------------
+# asof_join_bucketed: skew-resistant two-phase as-of (VERDICT r6 task #4)
+# ---------------------------------------------------------------------------
+
+def _asof_corpus(spark, seed, n_keys=3, n_probes=120, n_refs=150):
+    """Randomized probe/ref frames with timestamp collisions and a hot
+    key (key 0 holds ~half the rows) — ties and cross-bucket gaps both
+    exercised. Deterministic via `seed`."""
+    import random
+
+    rng = random.Random(seed)
+
+    def key():
+        return 0 if rng.random() < 0.5 else rng.randrange(n_keys)
+
+    def ts():
+        # cluster on a coarse grid so exact-ts ties happen, spanning
+        # ~40 buckets at width=3600s
+        import datetime
+
+        s = rng.randrange(0, 40 * 3600, 300)
+        us = rng.choice([0, 0, 500_000])
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=s, microseconds=us
+        )
+
+    probes = spark.createDataFrame(
+        [(key(), ts(), i) for i in range(n_probes)],
+        "k long, ts timestamp_ntz, probe_id long",
+    )
+    refs = spark.createDataFrame(
+        [(key(), ts(), 1000 + i) for i in range(n_refs)],
+        "k long, ts timestamp_ntz, ref_id long",
+    )
+    return probes, refs
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, "INTERVAL 30 MINUTES"])
+def test_asof_bucketed_parity_with_merge_scan(spark, direction, tolerance):
+    """Property: asof_join_bucketed ≡ asof_join_gap on randomized skewed
+    corpora, both directions, with and without tolerance, at a bucket
+    width (1h) small enough that many matches cross bucket boundaries."""
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join_bucketed,
+        asof_join_gap,
+    )
+
+    seed = len(direction) * 10 + (0 if tolerance is None else 7)
+    probes, refs = _asof_corpus(spark, seed=seed)
+    kw = dict(
+        on="k", ts="ts", payload="ref_id", alias="m",
+        direction=direction, tolerance_expr=tolerance,
+    )
+    want = {
+        r["probe_id"]: r["m"]
+        for r in asof_join_gap(probes, refs, **kw).collect()
+    }
+    got = {
+        r["probe_id"]: r["m"]
+        for r in asof_join_bucketed(
+            probes, refs, bucket_width_us=3_600_000_000, **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(v is not None for v in want.values())  # corpus non-trivial
+
+
+def test_asof_bucketed_single_hot_key_crosses_buckets(spark):
+    """All rows on ONE key: the unbucketed plan would run one task; the
+    bucketed plan must still answer exactly, including a probe whose
+    only ref sits many buckets earlier (long carry chain) and a probe
+    with no ref anywhere before it."""
+    import datetime
+
+    from spark_ml_pipelines_example_spark.operators.asof import asof_join_bucketed
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def at(h):
+        return base + datetime.timedelta(hours=h)
+
+    probes = spark.createDataFrame(
+        [(7, at(0.5), 1), (7, at(25.0), 2), (7, at(0.1), 3)],
+        "k long, ts timestamp_ntz, probe_id long",
+    )
+    refs = spark.createDataFrame(
+        [(7, at(0.2), 100)],  # only ref: hour 0.2
+        "k long, ts timestamp_ntz, ref_id long",
+    )
+    out = {
+        r["probe_id"]: r["m"]
+        for r in asof_join_bucketed(
+            probes, refs, on="k", ts="ts", payload="ref_id", alias="m",
+            bucket_width_us=3_600_000_000,
+        ).collect()
+    }
+    # probe 1 (hour .5): local match; probe 2 (hour 25): carry across 24
+    # empty buckets; probe 3 (hour .1): no ref at-or-before -> null
+    assert out == {1: 100, 2: 100, 3: None}
+
+
+def test_q_join_asof_bucketed_hash(spark, duck, sf_dir):
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+    from tests.conftest import compare_frames
+
+    load_all()
+    spec = REGISTRY["q_join_asof_bucketed"]
+    assert spec.oracle is not None
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, "q_join_asof_bucketed")

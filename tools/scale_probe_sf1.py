@@ -103,6 +103,15 @@ QUERIES = [
     # - minhash re-probe: post-r5 artifacts refresh (pairs ~10x, time
     #   ~linear, same as the r3 probe)
     "q_stream_drift_monitor",
+    # round-7 addition (VERDICT r6 task #3): trailing-7-day distinct via
+    # rolling HLL register merge. Result rows = |days| (constant-ish:
+    # replicas reuse the original timestamps, so the day spine is
+    # unchanged); evidence = the TIME ratio staying ~scan-bound — the
+    # register frame is |days|x1024 REGARDLESS of volume, so the only
+    # volume terms are the one fact scan into registers and the exact
+    # audit column's pre-collapsed DISTINCT (day,user) fan-out (10x
+    # distinct users here).
+    "q_agg_hll_rolling",
 ]
 
 # Usage: python tools/scale_probe_sf1.py [q_name1,q_name2,...]
