@@ -151,6 +151,126 @@ def q_win_frame_range(spark, sf_dir):
 
 
 @query(
+    "q_win_frame_groups",
+    # DuckDB v1.0 has no GROUPS mode either, so the oracle is the
+    # INDEPENDENT formulation: dense_rank peer-group ids + a band self-
+    # join (b.dr BETWEEN a.dr-2 AND a.dr) — quadratic-ish but exact, and
+    # structurally different from the Spark emulation it checks.
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS o_date,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), d AS (
+        SELECT *, DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_date) AS dr
+        FROM base
+    )
+    SELECT a.o_orderkey, a.o_orderstatus, a.o_date,
+           CAST(SUM(b.price_cents) AS BIGINT) AS sum_cents_3g,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_3g
+    FROM d a JOIN d b
+      ON a.o_orderstatus = b.o_orderstatus AND b.dr BETWEEN a.dr - 2 AND a.dr
+    GROUP BY a.o_orderkey, a.o_orderstatus, a.o_date
+    """,
+    tags=("window", "frame", "groups"),
+)
+def q_win_frame_groups(spark, sf_dir):
+    """SQL-standard GROUPS frame (``GROUPS BETWEEN 2 PRECEDING AND
+    CURRENT ROW``): per order status, the spend and row count over the
+    current ORDER-DATE PEER GROUP plus the two preceding distinct dates.
+    Spark has no GROUPS mode (PARSE_SYNTAX_ERROR, verified on 4.1), so
+    the scalable composition is:
+
+    1. aggregate to one row per peer group (status, date) — map-side
+       combinable, |groups| rows;
+    2. the GROUPS frame becomes a plain ROWS frame over the GROUP-LEVEL
+       frame (rowsBetween(-2, 0)) — KB-scale window;
+    3. broadcast-join the per-group frame values back to the fact rows
+       (every row in a peer group shares the frame aggregate, which is
+       exactly GROUPS-mode semantics for aggregate functions).
+
+    At 100 TB the fact table is touched by one combinable aggregate and
+    one broadcast join — no fact-table window at all; the oracle's band
+    self-join is the semantics spec, not the plan. Integer-cent money
+    keeps every sum exact."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("o_date"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    g = o.groupBy("o_orderstatus", "o_date").agg(
+        F.sum("price_cents").alias("g_sum"), F.count("*").alias("g_cnt")
+    )
+    wg = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_date")
+        .rowsBetween(-2, W.currentRow)
+    )
+    gf = g.select(
+        "o_orderstatus",
+        "o_date",
+        F.sum("g_sum").over(wg).alias("sum_cents_3g"),
+        F.sum("g_cnt").over(wg).cast("long").alias("n_rows_3g"),
+    )
+    return o.join(F.broadcast(gf), ["o_orderstatus", "o_date"]).select(
+        "o_orderkey", "o_orderstatus", "o_date", "sum_cents_3g", "n_rows_3g"
+    )
+
+
+@query(
+    "q_win_frame_exclude",
+    # DuckDB HAS the standard EXCLUDE clause — the oracle uses it
+    # natively, so the Spark-side algebraic emulation is checked against
+    # the real SQL-standard semantics including the empty-frame NULL.
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(price_cents) OVER (
+                PARTITION BY o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS other_spend_cents,
+           CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS n_other
+    FROM (SELECT o_orderkey, o_custkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM orders)
+    """,
+    tags=("window", "frame", "exclude", "leave-one-out"),
+)
+def q_win_frame_exclude(spark, sf_dir):
+    """SQL-standard frame exclusion (``EXCLUDE CURRENT ROW``): each
+    order's leave-one-out statistics over its customer — the sum and
+    count of the customer's OTHER orders. This is the primitive under
+    leakage-free leave-one-out target encoding (q_ml_target_encode's
+    family). Spark has no EXCLUDE clause, so the composition is
+    algebraic: whole-partition aggregate minus the current row's own
+    contribution — one unbounded window (no sort needed beyond the
+    partition hash), exact in integer cents, with the SQL-standard
+    empty-frame NULL restored for single-order customers (sum over an
+    empty excluded frame is NULL, not 0). One shuffle on the key at any
+    scale; for hot keys the same two-phase spine as asof_join_bucketed
+    applies, but customer keys are TPC-H-uniform."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    w = W.partitionBy("o_custkey")
+    n = F.count("*").over(w)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(n > 1, F.sum("price_cents").over(w) - F.col("price_cents"))
+        .cast("bigint")
+        .alias("other_spend_cents"),
+        (n - 1).cast("long").alias("n_other"),
+    )
+
+
+@query(
     "q_win_topk_per_group",
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
