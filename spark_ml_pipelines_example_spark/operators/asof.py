@@ -314,3 +314,82 @@ def asof_join_bucketed(
         )
         matched = matched.withColumn("__m", F.when(in_range, F.col("__m")))
     return matched.withColumn(alias, F.col("__m.val")).drop("__m")
+
+
+def asof_join_topk(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    ref_id: str,
+    k: int,
+    rank_alias: str = "asof_rank",
+) -> DataFrame:
+    """k-nearest as-of join: for each probe row, the k LATEST ref rows
+    with ref.ts <= probe.ts and equal `on` key — rank 1 = most recent
+    (ties at equal ts broken by larger `ref_id`, the same rule as
+    asof_join's top-1). Probes with no match are dropped (inner
+    semantics); probes with 1..k-1 matches keep what exists.
+
+    Scale shape — the correlated form ("for each probe, ORDER BY ts DESC
+    LIMIT k") is a per-probe sort; this is three linear passes instead:
+
+    1. number the refs per key: ``seq = row_number() over (key, ts, id)``
+       — one exchange on the key;
+    2. merge-scan the union spine (the asof_join idiom): a running
+       ``last(seq, ignorenulls)`` hands every probe the seq of the latest
+       at-or-before ref, i.e. the COUNT c of matching refs — one exchange;
+    3. explode ``sequence(greatest(1, c-k+1), c)`` (≤ k rows per probe)
+       and equi-join back to the numbered refs on (key, seq) — a plain
+       co-partitioned hash join whose output is bounded by k·|probes|.
+
+    No per-probe sort, no broadcast-nested-loop, every exchange linear in
+    input. rank = c - seq + 1.
+    """
+    probe_cols = probes.columns
+    probe_types = dict(probes.dtypes)
+    seq_w = W.partitionBy(on).orderBy(F.col("__ref_ts"), F.col("__ref_id"))
+    refs_seq = refs.select(
+        F.col(on), F.col(ts).alias("__ref_ts"), F.col(ref_id).alias("__ref_id")
+    ).withColumn("__seq", F.row_number().over(seq_w))
+
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
+        "__seq", F.lit(None).cast("int")
+    )
+    r = refs_seq.select(
+        *[
+            F.col(on) if c == on
+            else F.col("__ref_ts").alias(c) if c == ts
+            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        F.col("__seq"),
+    )
+    spine_w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts), F.col(_SIDE), F.col("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_c = (
+        p.unionByName(r)
+        .withColumn("__c", F.last("__seq", ignorenulls=True).over(spine_w))
+        .filter((F.col(_SIDE) == 1) & F.col("__c").isNotNull())
+        .drop(_SIDE, "__seq")
+    )
+    exploded = with_c.select(
+        *probe_cols,
+        "__c",
+        F.explode(
+            F.sequence(F.greatest(F.lit(1), F.col("__c") - (k - 1)), F.col("__c"))
+        ).alias("__seq"),
+    )
+    return (
+        exploded.join(refs_seq, [on, "__seq"])
+        .select(
+            *probe_cols,
+            (F.col("__c") - F.col("__seq") + 1).alias(rank_alias),
+            F.col("__ref_id"),
+            F.col("__ref_ts"),
+        )
+    )

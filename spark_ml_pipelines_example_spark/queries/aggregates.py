@@ -2319,3 +2319,103 @@ def q_agg_hll_rolling(spark, sf_dir):
             (est - F.col("exact_users")) / F.col("exact_users").cast("double"), 6
         ).alias("rel_error"),
     )
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), tot AS (SELECT SUM(cnt) AS n FROM k)
+    SELECT k.user_id, k.event_type, k.cnt, k.cnt / t.n AS share
+    FROM k CROSS JOIN tot t
+    ORDER BY k.cnt DESC, k.user_id, k.event_type LIMIT 20
+    """,
+    tags=("aggregate", "heavy-hitters", "sketch-confirm", "topk"),
+)
+def q_agg_heavy_hitters(spark, sf_dir):
+    """Exact top-20 (user, action) pairs by frequency via the
+    sketch-nominate / exact-confirm operator
+    (operators/heavyhitters.py): per-partition bounded-memory
+    Misra-Gries summaries (each task ships <= m+2 rows — the ONLY
+    exchange is partitions x m summary rows, never one row per distinct
+    key), an error certificate proving no un-nominated key can reach or
+    tie the top k, then an exact broadcast-semi-join recount of the
+    nominated keys only. Falls back to the plain exact groupBy when the
+    certificate fails, so the OUTPUT is exact top-k under every
+    partitioning and data shape — the oracle is the plain GROUP BY. At
+    100 TB this replaces a distinct-key-domain-sized exchange (billions
+    of partial counts for token/URL keys) with a KB-scale one. share is
+    one IEEE division of exact int64s."""
+    from ..operators.heavyhitters import exact_topk_frequency
+
+    ev = t(spark, sf_dir, "events")
+    top, _info = exact_topk_frequency(ev, ["user_id", "event_type"], k=20, m=1024)
+    return top
+
+
+@query(
+    "q_agg_decay_score",
+    oracle="""
+    WITH a AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM events),
+    w AS (
+        SELECT user_id, CAST(ts AS DATE) AS ed,
+               datediff('day', CAST(ts AS DATE), a.anchor) AS age
+        FROM events, a
+    )
+    SELECT user_id, COUNT(*) AS n_events, MAX(ed) AS last_day,
+           CAST(SUM(CASE WHEN age <= 40 THEN (1::BIGINT << (40 - age))
+                         ELSE 0 END) AS BIGINT) AS score_scaled,
+           CAST(SUM(CASE WHEN age <= 40 THEN (1::BIGINT << (40 - age))
+                         ELSE 0 END) AS DOUBLE) / 1099511627776.0 AS decay_score
+    FROM w GROUP BY user_id
+    ORDER BY score_scaled DESC, user_id LIMIT 25
+    """,
+    tags=("aggregate", "time-decay", "exact-dyadic", "engagement"),
+)
+def q_agg_decay_score(spark, sf_dir):
+    """Exponentially time-decayed engagement score per user (half-life =
+    1 day, horizon 40 days): score = sum over events of 2^(-age_days).
+    The decayed counter every freshness-weighted ranking wants, computed
+    as ONE map-side-combinable aggregate — no window, no per-event state,
+    no re-normalization sweep — because the decay is anchored to a single
+    corpus timestamp: weight(t) = 2^(-(anchor - t)) so arriving data only
+    ADDS terms. The 100 TB trick is the arithmetic: weights are the
+    INTEGER 1 << (40 - age) (bigint shift, zero beyond the horizon), so
+    the sum is exact int64 arithmetic — no float-summation order
+    dependence to round away — and the reported double is one exact
+    power-of-two scaling of an int < 2^53. In production the anchor is
+    the run date (a literal); here it is the corpus MAX(date) — a
+    min/max-only scan answerable from parquet footer stats — broadcast as
+    a 1-row frame so the fact scan stays embarrassingly parallel."""
+    ev = t(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.to_date("ts").alias("ed"),
+        F.datediff(F.col("anchor"), F.to_date("ts")).alias("age"),
+    )
+    w = F.expr(
+        "CASE WHEN age <= 40 THEN shiftleft(CAST(1 AS BIGINT), CAST(40 - age AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ed").alias("last_day"),
+            F.sum(w).cast("long").alias("score_scaled"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "last_day",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / F.lit(float(1 << 40))).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy(F.col("score_scaled").desc(), "user_id")
+        .limit(25)
+    )

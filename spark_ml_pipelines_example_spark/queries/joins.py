@@ -916,3 +916,51 @@ def q_join_asof_bucketed(spark, sf_dir):
         F.unix_timestamp("ts").alias("probe_epoch"),
         "next_click_id",
     )
+
+
+@query(
+    "q_join_asof_topk",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           r.rank, r.ref_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+             - CAST(epoch(date_trunc('second', r.rts)) AS BIGINT) AS gap_s
+    FROM events p CROSS JOIN LATERAL (
+        SELECT row_number() OVER (ORDER BY c.ts DESC, c.event_id DESC) AS rank,
+               c.event_id AS ref_id, c.ts AS rts
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 3
+    ) r
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "topk", "k-nearest"),
+)
+def q_join_asof_topk(spark, sf_dir):
+    """k-nearest as-of join (k=3): each purchase matched to its 3 most
+    recent at-or-before clicks per user — multi-touch attribution's input
+    shape, generalizing the as-of suite's top-1. The correlated form is a
+    per-probe sort; operators/asof.py asof_join_topk does three LINEAR
+    passes instead (number the refs, merge-scan the union spine for the
+    per-probe match count, explode <= k seq slots and equi-join back) —
+    every exchange linear in input, output bounded by k x probes. Same
+    tie rule as q_join_asof_event (equal ts: larger event_id is more
+    recent). gap_s subtracts floor-to-second epochs, exact int64 in both
+    engines."""
+    from ..operators.asof import asof_join_topk
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join_topk(
+        probes, refs, on="user_id", ts="ts", ref_id="event_id", k=3,
+        rank_alias="rank",
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("__ref_id").alias("ref_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("__ref_ts")).alias("gap_s"),
+    )

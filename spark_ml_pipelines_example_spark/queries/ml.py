@@ -3637,3 +3637,63 @@ def q_ml_ridge_exact(spark, sf_dir):
         "sum_x2 long, sum_x1x1 long, sum_x1x2 long, sum_x2x2 long, "
         "sum_y long, sum_x1y long, sum_x2y long",
     )
+
+
+@query(
+    "q_ml_woe_iv",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS bucket,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_pos,
+               COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END) AS n_neg
+        FROM orders GROUP BY o_orderpriority
+    ), shares AS (
+        SELECT bucket, n_pos, n_neg,
+               (CAST(n_pos AS DOUBLE) + 0.5) / SUM(n_pos) OVER () AS p_pos,
+               (CAST(n_neg AS DOUBLE) + 0.5) / SUM(n_neg) OVER () AS p_neg
+        FROM counts
+    ), terms AS (
+        SELECT bucket, n_pos, n_neg,
+               ROUND(LN(p_pos / p_neg), 6) AS woe,
+               ROUND((p_pos - p_neg) * LN(p_pos / p_neg), 6) AS iv_term
+        FROM shares
+    )
+    SELECT bucket, n_pos, n_neg, woe, iv_term,
+           CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv_total
+    FROM terms
+    """,
+    tags=("ml", "woe", "information-value", "feature-selection"),
+)
+def q_ml_woe_iv(spark, sf_dir):
+    """Weight-of-Evidence encoding + Information Value for a categorical
+    feature (order priority) against a binary label (status = 'F') — the
+    credit-scoring-lineage feature screen every tabular pipeline runs
+    before model fit. One combinable (bucket -> pos/neg counts) aggregate
+    over the fact, then all WOE/IV arithmetic on the |buckets|-row frame:
+    the fact is scanned once and everything after is KB-scale. Laplace
+    +0.5 smoothing keeps empty cells finite. Hash discipline follows
+    q_dq_drift_psi exactly: each term's single LN is rounded to 6, and
+    the cross-bucket IV total sums the ROUNDED terms as DECIMAL(18,6) —
+    exact and order-independent — before one cast back to double."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_orderpriority").alias("bucket")).agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_pos"),
+        F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("n_neg"),
+    )
+    tot = W.partitionBy()
+    p_pos = (F.col("n_pos").cast("double") + 0.5) / F.sum("n_pos").over(tot)
+    p_neg = (F.col("n_neg").cast("double") + 0.5) / F.sum("n_neg").over(tot)
+    terms = counts.select(
+        "bucket",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(p_pos / p_neg), 6).alias("woe"),
+        F.round((p_pos - p_neg) * F.log(p_pos / p_neg), 6).alias("iv_term"),
+    )
+    return terms.select(
+        "*",
+        F.sum(F.col("iv_term").cast("decimal(18,6)"))
+        .over(tot)
+        .cast("double")
+        .alias("iv_total"),
+    )

@@ -45,6 +45,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # job-listener sweep in tests/test_action_free.py, which FAILS if a query
 # outside this set starts running construction-time jobs.
 _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
+"q_agg_heavy_hitters",
 "q_agg_kmv_setops",
 "q_agg_quantile_two_phase",
 "q_curate_dsir",
@@ -102,6 +103,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_sim_ann_ivf_index",
 "q_sim_cosine_topk",
 "q_sim_knn_all",
+"q_sim_maxsim",
 "q_sink_csv_roundtrip",
 "q_sink_dynamic_partition_overwrite",
 "q_sink_json_roundtrip",

@@ -318,3 +318,46 @@ def q_set_transpose(spark, sf_dir):
         )
     )
     return agg.transpose()
+
+
+@query(
+    "q_set_division",
+    oracle="""
+    WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_universe FROM orders),
+    d AS (
+        SELECT o_custkey,
+               COUNT(DISTINCT o_orderpriority) AS n_prio,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT d.o_custkey, d.n_orders
+    FROM d CROSS JOIN u
+    WHERE d.n_prio = u.n_universe
+    ORDER BY d.o_custkey
+    """,
+    tags=("setop", "relational-division", "for-all"),
+)
+def q_set_division(spark, sf_dir):
+    """Relational division (Codd's ÷, the FOR ALL quantifier SQL never
+    got): customers whose orders cover EVERY order priority present in
+    the corpus. The classic formulations are a double NOT EXISTS (two
+    correlated anti-join passes) or a cross join of customers x
+    priorities with an anti probe — both re-scan the fact. This is the
+    single-pass counting form: one combinable aggregate to (custkey,
+    #distinct priorities, #orders), a broadcast 1-row universe count, and
+    an equality filter — divisor cardinality is data-derived, never
+    hard-coded, and the fact is scanned once. At 100 TB the distinct
+    count per key is bounded by the divisor domain (5 here), so the
+    partial aggregates stay tiny."""
+    o = t(spark, sf_dir, "orders")
+    u = o.agg(F.countDistinct("o_orderpriority").alias("n_universe"))
+    d = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        d.crossJoin(F.broadcast(u))
+        .filter(F.col("n_prio") == F.col("n_universe"))
+        .select("o_custkey", "n_orders")
+        .orderBy("o_custkey")
+    )

@@ -271,3 +271,75 @@ def q_embed_drift(spark, sf_dir):
             6,
         ).alias("centroid_l2_shift_units"),
     )
+
+
+@query(
+    "q_sim_maxsim",
+    oracle="""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    ), docs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id <> 0
+    ), scored AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(4), qi ->
+                   list_max(list_transform(range(4), ti ->
+                       list_dot_product(p[qi*16+1 : qi*16+16],
+                                        e[ti*16+1 : ti*16+16])
+                       / (sqrt(list_dot_product(p[qi*16+1 : qi*16+16],
+                                                p[qi*16+1 : qi*16+16]))
+                          * sqrt(list_dot_product(e[ti*16+1 : ti*16+16],
+                                                  e[ti*16+1 : ti*16+16])))
+                   ))
+               )) AS raw
+        FROM docs, probe
+    )
+    SELECT vec_id, ROUND(raw, 6) AS maxsim
+    FROM scored ORDER BY raw DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "late-interaction", "maxsim", "topk"),
+)
+def q_sim_maxsim(spark, sf_dir):
+    """ColBERT-style late-interaction MaxSim retrieval (Khattab &
+    Zaharia, SIGIR 2020): each 64-dim vector is treated as 4 token
+    sub-vectors of 16 dims; score(query, doc) = sum over query tokens of
+    the MAX cosine against any doc token. Late interaction is the
+    standard middle ground between single-vector cosine (too coarse) and
+    full cross-attention (not precomputable) for LLM retrieval corpora.
+
+    Spark shape mirrors q_sim_cosine_topk's scale contract: the probe's 4
+    sub-vectors and their norms fold to literals driver-side (1-row
+    lookup), the doc side is sliced with `slice` and scored with the
+    zip_with/aggregate dot kernel — one broadcast-free, shuffle-free pass
+    over the corpus, TakeOrdered top-k. sum-of-max over a 4x4 score grid
+    is exact (max is order-free; the 4-term outer sum is a fixed-order
+    fold in both engines), so only the inner dot products carry the
+    shared round-to-6 discipline."""
+    from ..functions.similarity import dot, l2_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_vec = [float(v) for v in e.filter(F.col("vec_id") == 0).head()[1]]
+
+    def sub_cos(qi: int, ti: int):
+        sub = probe_vec[qi * 16 : (qi + 1) * 16]
+        sq = 0.0
+        for v in sub:  # same left-to-right fold as the engines
+            sq = sq + v * v
+        lit_sub = F.array(*[F.lit(v) for v in sub])
+        d_sub = F.slice(F.col("embedding"), ti * 16 + 1, 16)
+        import math
+
+        return dot(d_sub, lit_sub) / (l2_norm(d_sub) * F.lit(math.sqrt(sq)))
+
+    raw = sum(
+        (F.greatest(*[sub_cos(qi, ti) for ti in range(4)]) for qi in range(4)),
+        start=F.lit(0.0),
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", raw.alias("raw"))
+        .orderBy(F.col("raw").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("raw", 6).alias("maxsim"))
+    )

@@ -222,3 +222,216 @@ def test_q_join_asof_bucketed_hash(spark, duck, sf_dir):
     spec = REGISTRY["q_join_asof_bucketed"]
     assert spec.oracle is not None
     compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, "q_join_asof_bucketed")
+
+
+# ---------------------------------------------------------------------------
+# round-7 batch 2: heavy hitters, decay score, maxsim, relational division
+
+
+def _exact_topk(spark, df, keys, k):
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), *keys)
+        .limit(k)
+        .collect()
+    )
+
+
+def test_heavy_hitters_zipf_certified_matches_exact(spark):
+    """Zipf-skewed keys + small m: compactions happen (err_bound > 0),
+    the certificate holds, and the sketch path's output equals the plain
+    exact groupBy bit-for-bit."""
+    from spark_ml_pipelines_example_spark.operators.heavyhitters import (
+        exact_topk_frequency,
+    )
+
+    rows = []
+    # key i appears ~6000/i times: heavy head, long tail of singletons
+    for i in range(1, 400):
+        rows.extend((f"k{i:04d}",) for _ in range(max(1, 6000 // i)))
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    top, info = exact_topk_frequency(df, ["key"], k=5, m=32)
+    got = [(r["key"], r["cnt"]) for r in top.collect()]
+    want = [(r["key"], r["cnt"]) for r in _exact_topk(spark, df, ["key"], 5)]
+    assert got == want
+    assert info["certified"] is True
+    assert info["err_bound"] > 0  # the bounded-memory path really engaged
+    assert info["n_rows"] == len(rows)
+    shares = {r["key"]: r["share"] for r in top.collect()}
+    assert shares["k0001"] == 6000 / len(rows)
+
+
+def test_heavy_hitters_uniform_falls_back_exact(spark):
+    """Near-uniform keys with m far too small: the certificate CANNOT
+    hold (kth count <= accumulated error), so the operator must take the
+    exact-fallback path and still return the true top-k."""
+    from spark_ml_pipelines_example_spark.operators.heavyhitters import (
+        exact_topk_frequency,
+    )
+
+    rows = [(f"u{i % 500:04d}",) for i in range(5000)]  # every key cnt=10
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    top, info = exact_topk_frequency(df, ["key"], k=5, m=8)
+    got = [(r["key"], r["cnt"]) for r in top.collect()]
+    want = [(r["key"], r["cnt"]) for r in _exact_topk(spark, df, ["key"], 5)]
+    assert got == want
+    assert info["certified"] is False
+
+
+def test_heavy_hitters_small_domain_no_compaction(spark):
+    """Key domain under m: no compaction ever runs, err_bound == 0, and
+    the candidate set is the full domain (trivially certified)."""
+    from spark_ml_pipelines_example_spark.operators.heavyhitters import (
+        exact_topk_frequency,
+    )
+
+    rows = [(f"k{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    top, info = exact_topk_frequency(df, ["key"], k=3, m=64)
+    assert info == {
+        "certified": True,
+        "err_bound": 0,
+        "n_candidates": 7,
+        "n_rows": 70,
+    }
+    assert [r["cnt"] for r in top.collect()] == [10, 10, 10]
+
+
+def test_decay_score_dyadic_exactness(spark, sf_dir):
+    """decay_score must be EXACTLY score_scaled / 2^40 (both dyadic), and
+    score_scaled must equal an independent per-event recompute."""
+    from spark_ml_pipelines_example_spark.queries.aggregates import (
+        q_agg_decay_score,
+    )
+
+    out = q_agg_decay_score(spark, sf_dir).collect()
+    assert out, "fixture events must produce rows"
+    for r in out:
+        assert r["decay_score"] == r["score_scaled"] / float(1 << 40)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    anchor = max(r["ts"].date() for r in ev)
+    import collections
+
+    want = collections.Counter()
+    for r in ev:
+        age = (anchor - r["ts"].date()).days
+        if age <= 40:
+            want[r["user_id"]] += 1 << (40 - age)
+    for r in out:
+        assert r["score_scaled"] == want[r["user_id"]]
+
+
+def test_maxsim_matches_numpy(spark, sf_dir):
+    """MaxSim top-10 vs an independent NumPy recompute (float64, 4x16
+    sub-vectors, sum of per-query-token max cosines)."""
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.queries.similarity import q_sim_maxsim
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    q = vecs[0].reshape(4, 16)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def score(v):
+        d = v.reshape(4, 16)
+        dn = d / np.linalg.norm(d, axis=1, keepdims=True)
+        return float((qn @ dn.T).max(axis=1).sum())
+
+    want = sorted(
+        ((score(v), -vid) for vid, v in vecs.items() if vid != 0), reverse=True
+    )[:10]
+    got = q_sim_maxsim(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in got] == [-w[1] for w in want]
+    for r, w in zip(got, want):
+        assert abs(r["maxsim"] - w[0]) < 1e-6
+
+
+def test_set_division_synthetic(spark, sf_dir):
+    """Only customers covering the FULL divisor domain qualify."""
+    from spark_ml_pipelines_example_spark.queries.setops import q_set_division
+
+    out = {r["o_custkey"]: r["n_orders"] for r in q_set_division(spark, sf_dir).collect()}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    universe = {r["o_orderpriority"] for r in o}
+    import collections
+
+    prios = collections.defaultdict(set)
+    cnts = collections.Counter()
+    for r in o:
+        prios[r["o_custkey"]].add(r["o_orderpriority"])
+        cnts[r["o_custkey"]] += 1
+    want = {c: cnts[c] for c, s in prios.items() if s == universe}
+    assert out == want
+
+
+def test_asof_topk_random_parity_with_bruteforce(spark):
+    """150 seeded random cases for the k-nearest as-of join vs a per-row
+    brute force — equal timestamps, sparse refs, empty ref sides, and
+    probes with fewer than k matches all included; one Spark pass total
+    (case id = join key)."""
+    import datetime
+    import random
+
+    from spark_ml_pipelines_example_spark.operators.asof import asof_join_topk
+
+    rng = random.Random(20260816)
+    probes_rows, refs_rows = [], []
+    for case in range(150):
+        for i, pt in enumerate(sorted(rng.sample(range(0, 40), rng.randint(1, 4)))):
+            probes_rows.append((case, pt, 1000 * case + i))
+        for i in range(rng.randint(0, 6)):
+            refs_rows.append((case, rng.randrange(0, 40), 2000 * case + i))
+
+    mk = lambda rows, col: spark.createDataFrame(  # noqa: E731
+        [(k, datetime.datetime(2024, 1, 1, 0, 0, t), v) for (k, t, v) in rows],
+        f"k long, ts timestamp_ntz, {col} long",
+    )
+    got = {}
+    out = asof_join_topk(
+        mk(probes_rows, "pid"), mk(refs_rows, "rid"),
+        on="k", ts="ts", ref_id="rid", k=3, rank_alias="rank",
+    ).collect()
+    for r in out:
+        got.setdefault(r["pid"], {})[r["rank"]] = r["__ref_id"]
+
+    want = {}
+    for (k_, pt, pid) in probes_rows:
+        cand = sorted(
+            ((rt, rv) for (rk, rt, rv) in refs_rows if rk == k_ and rt <= pt),
+            reverse=True,  # latest ts first, then largest rid
+        )[:3]
+        if cand:
+            want[pid] = {i + 1: rv for i, (_, rv) in enumerate(cand)}
+    assert got == want
+
+
+def test_woe_iv_matches_hand_computation(spark, sf_dir):
+    """WOE/IV vs an independent Python recompute with the same +0.5
+    smoothing; iv_total must equal the decimal-exact sum of the rounded
+    terms on every row."""
+    import collections
+    import math
+
+    from spark_ml_pipelines_example_spark.queries.ml import q_ml_woe_iv
+
+    out = q_ml_woe_iv(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    pos = collections.Counter()
+    neg = collections.Counter()
+    for r in o:
+        (pos if r["o_orderstatus"] == "F" else neg)[r["o_orderpriority"]] += 1
+    pt, nt = sum(pos.values()), sum(neg.values())
+    want_terms = {}
+    for b in set(pos) | set(neg):
+        p = (pos[b] + 0.5) / pt
+        q = (neg[b] + 0.5) / nt
+        want_terms[b] = (round(math.log(p / q), 6), round((p - q) * math.log(p / q), 6))
+    assert {r["bucket"]: (r["woe"], r["iv_term"]) for r in out} == want_terms
+    iv = round(sum(t[1] for t in want_terms.values()), 10)
+    for r in out:
+        assert abs(r["iv_total"] - iv) < 1e-9
