@@ -112,6 +112,19 @@ QUERIES = [
     # audit column's pre-collapsed DISTINCT (day,user) fan-out (10x
     # distinct users here).
     "q_agg_hll_rolling",
+    # round-7 batch-2 additions:
+    # - heavy hitters: the probe's id-disjoint uniform replication is the
+    #   certificate's WORST case by design (10x keys, per-key counts
+    #   unchanged, so kth count stays flat while the error bound grows) —
+    #   expect the exact-fallback path to engage at 10x; the evidence is
+    #   that even the fallback stays ~scan-bound, and the test suite pins
+    #   the certified path on Zipf data (natural corpora are Zipf).
+    # - decay score: one combinable integer aggregate; expect ~scan-bound.
+    # - asof topk: rows ~10x (replicas are disjoint users); three linear
+    #   passes, expect ~linear time.
+    "q_agg_heavy_hitters",
+    "q_agg_decay_score",
+    "q_join_asof_topk",
 ]
 
 # Usage: python tools/scale_probe_sf1.py [q_name1,q_name2,...]
