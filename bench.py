@@ -34,6 +34,17 @@ HEADLINE = [
     "q_join_asof_event",
     "q_join_asof_tolerance",
     "q_join_asof_forward",
+    # round-7 additions
+    "q_join_asof_bucketed",
+    "q_join_asof_topk",
+    "q_dq_join_cardinality",
+    "q_win_frame_groups",
+    "q_win_frame_exclude",
+    "q_agg_heavy_hitters",
+    "q_agg_decay_score",
+    "q_sim_maxsim",
+    "q_set_division",
+    "q_ml_woe_iv",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",

