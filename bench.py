@@ -45,6 +45,9 @@ HEADLINE = [
     "q_sim_maxsim",
     "q_set_division",
     "q_ml_woe_iv",
+    "q_join_asof_nearest",
+    "q_sql_group_by_all",
+    "q_ml_linear_shap",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",

@@ -393,3 +393,86 @@ def asof_join_topk(
             F.col("__ref_ts"),
         )
     )
+
+
+def asof_join_nearest(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    payload: str,
+    alias: str = "asof_value",
+    *,
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction='nearest')``: each probe matched to
+    the ref with the smallest |gap| in either direction; EQUAL gaps
+    resolve backward (the prior ref wins), matching pandas. Within a
+    direction the tie rules are exactly :func:`asof_join_gap`'s.
+
+    Scale shape: the union spine is built ONCE and scanned by TWO window
+    passes over the SAME key partitioning — ascending for the backward
+    candidate, descending for the forward one — so Catalyst plans one
+    Exchange and two in-partition Sorts (sorts are linear-ish and local;
+    the shuffle is the scarce resource). The winner is picked per row by
+    exact µs interval comparison of the two struct-carried ref
+    timestamps. The tolerance (when given) bounds BOTH directions."""
+    probe_cols = probes.columns
+    probe_types = dict(probes.dtypes)
+    payload_type = refs.schema[payload].dataType
+    ts_type = refs.schema[ts].dataType
+    import pyspark.sql.types as T
+
+    pair_type = T.StructType(
+        [T.StructField("ts_ref", ts_type), T.StructField("val", payload_type)]
+    )
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
+        _PAYLOAD, F.lit(None).cast(pair_type)
+    )
+    r = refs.select(
+        *[
+            F.col(c)
+            if c in (on, ts)
+            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        F.struct(
+            F.col(ts).alias("ts_ref"), F.col(payload).alias("val")
+        ).alias(_PAYLOAD),
+    )
+    unioned = p.unionByName(r)
+    frame = (W.unboundedPreceding, W.currentRow)
+    w_b = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts), F.col(_SIDE), F.col(_PAYLOAD))
+        .rowsBetween(*frame)
+    )
+    w_f = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts).desc(), F.col(_SIDE), F.col(_PAYLOAD))
+        .rowsBetween(*frame)
+    )
+    both = (
+        unioned.withColumn("__b", F.last(_PAYLOAD, ignorenulls=True).over(w_b))
+        .withColumn("__f", F.last(_PAYLOAD, ignorenulls=True).over(w_f))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, _PAYLOAD)
+    )
+    b, f = F.col("__b"), F.col("__f")
+    if tolerance_expr is not None:
+        tol = F.expr(tolerance_expr)
+        b = F.when(F.col("__b.ts_ref") >= F.col(ts) - tol, F.col("__b"))
+        f = F.when(F.col("__f.ts_ref") <= F.col(ts) + tol, F.col("__f"))
+    gap_b = F.col(ts) - b["ts_ref"]  # >= 0 by construction
+    gap_f = f["ts_ref"] - F.col(ts)
+    winner = (
+        F.when(b.isNull(), f)
+        .when(f.isNull(), b)
+        .when(gap_b <= gap_f, b)  # equal gap -> backward, pandas rule
+        .otherwise(f)
+    )
+    return (
+        both.withColumn(alias, winner["val"])
+        .drop("__b", "__f")
+    )

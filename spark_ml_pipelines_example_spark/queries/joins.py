@@ -964,3 +964,48 @@ def q_join_asof_topk(spark, sf_dir):
         F.col("__ref_id").alias("ref_id"),
         (F.unix_timestamp("ts") - F.unix_timestamp("__ref_ts")).alias("gap_s"),
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+            ORDER BY CASE WHEN c.ts <= p.ts THEN p.ts - c.ts
+                          ELSE c.ts - p.ts END ASC,
+                     (c.ts <= p.ts) DESC,
+                     c.event_id DESC
+            LIMIT 1) AS ref_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest', 1-hour tolerance): each purchase matched to the
+    click with the smallest |gap| either side, equal gaps resolving to
+    the prior click (pandas' rule) — completing the as-of suite's
+    direction set (backward / forward / nearest). operators/asof.py
+    asof_join_nearest builds the union spine ONCE and runs two window
+    passes over the SAME key partitioning (ascending backward scan,
+    descending forward scan): one Exchange, two in-partition sorts, then
+    an exact-µs interval comparison picks the winner per row. The oracle
+    is the correlated min-|gap| with the same direction and payload tie
+    order."""
+    from ..operators.asof import asof_join_nearest
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join_nearest(
+        probes, refs, on="user_id", ts="ts", payload="event_id",
+        alias="ref_id", tolerance_expr="INTERVAL 1 HOUR",
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        "ref_id",
+    )

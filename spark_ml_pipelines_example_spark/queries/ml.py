@@ -3697,3 +3697,86 @@ def q_ml_woe_iv(spark, sf_dir):
         .cast("double")
         .alias("iv_total"),
     )
+
+
+@query(
+    "q_ml_linear_shap",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s_q,
+               CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s_d,
+               CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s_t
+        FROM lineitem
+    ), dev AS (
+        SELECT f.feature, f.w, s.n,
+               ABS(s.n * CAST(CAST(f.x AS DECIMAL(18,2)) * 100 AS BIGINT) - f.s) AS adev
+        FROM lineitem l CROSS JOIN s
+        CROSS JOIN LATERAL (VALUES
+            ('l_quantity', 3, l.l_quantity, s.s_q),
+            ('l_discount', -2000, l.l_discount, s.s_d),
+            ('l_tax', 1500, l.l_tax, s.s_t)
+        ) f(feature, w, x, s)
+    )
+    SELECT feature, w AS weight,
+           ROUND(CAST(ABS(w) AS DOUBLE) * CAST(SUM(adev) AS BIGINT)::DOUBLE
+                 / (CAST(100.0 AS DOUBLE) * n * n), 6) AS mean_abs_contrib
+    FROM dev GROUP BY feature, w, n
+    """,
+    tags=("ml", "shap", "explainability", "feature-attribution"),
+)
+def q_ml_linear_shap(spark, sf_dir):
+    """Exact SHAP attribution for a linear model (for linear models the
+    Shapley value has the closed form phi_ij = w_j (x_ij - mean_j)):
+    global feature importance = mean |phi| per feature, for a GIVEN
+    model (literal integer weights — in production they come from the
+    fitted model; literals keep the query self-contained). The 100 TB
+    shape is two passes: one combinable aggregate for the exact
+    per-feature sums (the means' sufficient statistics), then a map-only
+    pass computing |n*x - S| per (row, feature) via a broadcast 1-row
+    stats frame and an explode over the 3-entry feature spec — no
+    per-row model dispatch, no Python. All deviations are exact int64
+    (x rides a decimal(18,2) cents cast, |n*x100 - S| avoids ever
+    forming the non-representable mean x-bar = S/n), so the aggregation
+    is order-free; the single final division is rounded to 6."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def cents(c):
+        return (dec(c) * 100).cast("long")
+
+    stats = li.agg(
+        F.count("*").alias("n"),
+        F.sum(cents("l_quantity")).alias("s_q"),
+        F.sum(cents("l_discount")).alias("s_d"),
+        F.sum(cents("l_tax")).alias("s_t"),
+    )
+    spec = [("l_quantity", 3, "s_q"), ("l_discount", -2000, "s_d"), ("l_tax", 1500, "s_t")]
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"),
+                F.lit(w).alias("w"),
+                F.abs(F.col("n") * cents(name) - F.col(s_col)).alias("adev"),
+            )
+            for (name, w, s_col) in spec
+        ]
+    )
+    dev = (
+        li.crossJoin(F.broadcast(stats))
+        .select("n", F.explode(entries).alias("e"))
+        .select("n", "e.feature", "e.w", "e.adev")
+    )
+    return (
+        dev.groupBy("feature", "w", "n")
+        .agg(F.sum("adev").alias("t_abs"))
+        .select(
+            "feature",
+            F.col("w").alias("weight"),
+            F.round(
+                F.abs(F.col("w")).cast("double")
+                * F.col("t_abs").cast("double")
+                / (F.lit(100.0) * F.col("n") * F.col("n")),
+                6,
+            ).alias("mean_abs_contrib"),
+        )
+    )

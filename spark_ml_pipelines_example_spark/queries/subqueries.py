@@ -416,3 +416,38 @@ def q_sql_identifier_clause(spark, sf_dir):
         """,
         args={"tbl": "customer", "balcol": "c_acctbal", "natkey": "c_nationkey"},
     )
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           EXTRACT(year FROM l_shipdate) AS ship_year,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    tags=("sql", "group-by-all", "spark4"),
+)
+def q_sql_group_by_all(spark, sf_dir):
+    """`GROUP BY ALL` (Spark 4 / modern-SQL surface): the grouping key
+    list is INFERRED as every non-aggregate select item — the
+    ad-hoc-analytics spelling that removes the copy-paste drift between
+    the SELECT list and the GROUP BY list. Both engines support it
+    natively, so the hash check pins that Spark's inference picks
+    exactly the three non-aggregate items (including the computed
+    EXTRACT) and lowers to the same partial+final hash aggregate as the
+    explicit spelling."""
+    for tbl in ("lineitem",):
+        t(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               EXTRACT(year FROM l_shipdate) AS ship_year,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

@@ -435,3 +435,97 @@ def test_woe_iv_matches_hand_computation(spark, sf_dir):
     iv = round(sum(t[1] for t in want_terms.values()), 10)
     for r in out:
         assert abs(r["iv_total"] - iv) < 1e-9
+
+
+def test_asof_nearest_random_parity_with_bruteforce(spark):
+    """150 seeded random cases for direction='nearest' (with and without
+    tolerance) vs brute force: equal-gap ties must resolve backward, and
+    within a direction to the largest payload."""
+    import datetime
+    import random
+
+    from spark_ml_pipelines_example_spark.operators.asof import asof_join_nearest
+
+    rng = random.Random(20260817)
+    probes_rows, refs_rows = [], []
+    for case in range(150):
+        for i, pt in enumerate(sorted(rng.sample(range(0, 40), rng.randint(1, 4)))):
+            probes_rows.append((case, pt, 1000 * case + i))
+        for i in range(rng.randint(0, 6)):
+            refs_rows.append((case, rng.randrange(0, 40), 2000 * case + i))
+
+    mk = lambda rows, col: spark.createDataFrame(  # noqa: E731
+        [(k, datetime.datetime(2024, 1, 1, 0, 0, t), v) for (k, t, v) in rows],
+        f"k long, ts timestamp_ntz, {col} long",
+    )
+
+    def brute(tol):
+        out = {}
+        for (k_, pt, pid) in probes_rows:
+            cand = [
+                (abs(rt - pt), rt > pt, -rv)
+                for (rk, rt, rv) in refs_rows
+                if rk == k_ and (tol is None or abs(rt - pt) <= tol)
+            ]
+            # min by (gap, forward-flag, -payload): backward beats forward
+            # on equal gap; larger payload wins within a direction
+            out[pid] = -min(cand)[2] if cand else None
+        return out
+
+    for tol_expr, tol_s in ((None, None), ("INTERVAL 5 SECOND", 5)):
+        got = {
+            r["pid"]: r["ref_id"]
+            for r in asof_join_nearest(
+                mk(probes_rows, "pid"), mk(refs_rows, "rid"),
+                on="k", ts="ts", payload="rid", alias="ref_id",
+                tolerance_expr=tol_expr,
+            ).collect()
+        }
+        assert got == brute(tol_s), f"tolerance={tol_expr}"
+
+
+def test_linear_shap_matches_fraction_recompute(spark, sf_dir):
+    """mean_abs_contrib vs an exact Fraction recompute of
+    |w| * sum|x - mean| / n (no floats until the final round)."""
+    from fractions import Fraction
+
+    from spark_ml_pipelines_example_spark.queries.ml import q_ml_linear_shap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    out = {r["feature"]: (r["weight"], r["mean_abs_contrib"])
+           for r in q_ml_linear_shap(spark, sf_dir).collect()}
+    n = len(li)
+    for feat, w in (("l_quantity", 3), ("l_discount", -2000), ("l_tax", 1500)):
+        xs = [round(r[feat] * 100) for r in li]  # exact cents
+        s = sum(xs)
+        want = Fraction(abs(w) * sum(abs(n * x - s) for x in xs), 100 * n * n)
+        assert out[feat][0] == w
+        assert abs(out[feat][1] - float(want)) <= 1e-6
+
+
+def test_group_by_all_inference_matches_explicit(spark, sf_dir):
+    from spark_ml_pipelines_example_spark.queries.subqueries import (
+        q_sql_group_by_all,
+    )
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"], r["ship_year"]): (r["n"], r["revenue"])
+        for r in q_sql_group_by_all(spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as SF
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = {
+        (r["l_returnflag"], r["l_linestatus"], r["ship_year"]): (r["n"], r["revenue"])
+        for r in li.groupBy(
+            "l_returnflag", "l_linestatus", SF.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            SF.count("*").alias("n"),
+            SF.sum(SF.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == want

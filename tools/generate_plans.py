@@ -154,6 +154,9 @@ SHOWCASE = [
     ("q_sim_maxsim", "late-interaction MaxSim: literal probe sub-vectors, shuffle-free codegen scan + TakeOrdered"),
     ("q_set_division", "relational division: counting form, broadcast 1-row universe, no re-scan"),
     ("q_ml_woe_iv", "WOE/IV: one combinable bucket aggregate, all scoring on the buckets frame"),
+    ("q_join_asof_nearest", "nearest as-of: ONE exchange, two sorted window scans, interval-compare winner"),
+    ("q_sql_group_by_all", "GROUP BY ALL lowers to the explicit spelling's hash aggregate"),
+    ("q_ml_linear_shap", "linear SHAP: stats agg + broadcast map-only |n*x - S| pass, 3-way explode"),
 ]
 
 
