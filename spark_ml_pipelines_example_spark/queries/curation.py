@@ -533,11 +533,19 @@ def q_text_bigram_lm(spark, sf_dir):
     P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V), each document scored by its
     mean log-probability over bigram positions — the second-order
     perplexity proxy (catches locally-fluent-but-globally-odd text the
-    unigram score misses). Count model: one shuffle each for the bigram
-    and prefix tables; scoring re-joins the bigram stream to its counts
-    on the (w1,w2) key (shuffle — the bigram table is NOT broadcast-safe
-    at corpus scale) with the much smaller prefix table broadcast. V is
-    one driver-side scalar (same pattern as the unigram total)."""
+    unigram score misses). Count model: ONE shuffle builds the bigram
+    count table; the prefix counts DERIVE from it (c1 = Σ_w2 c12 — a
+    rollup of the |bigram types| frame, not a second pass over the
+    corpus; Catalyst reuses the bigram exchange). Scoring re-joins the
+    bigram stream to its counts on the (w1,w2) key (shuffle — the
+    bigram table is NOT broadcast-safe at corpus scale) with the much
+    smaller prefix table broadcast. V is one driver-side scalar (same
+    pattern as the unigram total). Measured (round 7, interleaved warm
+    A/B): derive-from-bgc is a wash at sf0.1 (0.87 vs 0.95 s — the
+    31-token fixture vocab makes the saved pass trivial) and wins at
+    the 10× probe corpus (5.79 vs 5.97 s), growing with the
+    corpus-to-vocab ratio — at 100 TB the saved pass is a full corpus
+    re-tokenization."""
     d = t(spark, sf_dir, "documents")
     tk = tokens("text")
     pairs = F.zip_with(
@@ -549,7 +557,7 @@ def q_text_bigram_lm(spark, sf_dir):
         "doc_id", "p.w1", "p.w2"
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ugc = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    ugc = bgc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = float(d.select(F.explode(tk).alias("tok")).distinct().count())
     lp = F.log((F.col("c12") + BIGRAM_K) / (F.col("c1") + BIGRAM_K * F.lit(v)))
     return (
@@ -609,13 +617,16 @@ def q_text_kneser_ney(spark, sf_dir):
     not "how often does w2 occur" — the distinction that makes KN score
     'San Francisco'-style collocations correctly). Every term is a
     ratio of exact integer counts with the fixed D=0.75, so both
-    engines agree to the rounded 6dp. Count model: three hash
-    aggregates over the bigram stream (bigram counts, prefix
-    counts+fan-out, continuation counts — fan-out and continuation are
-    count_distinct, planned as expand+two-phase aggregates); scoring
-    re-joins the bigram stream on (w1,w2) with the two word-keyed
-    tables broadcast when small, shuffled otherwise — identical scale
-    shape to the add-k variant."""
+    engines agree to the rounded 6dp. Count model: ONE hash aggregate
+    over the bigram stream (the bigram count table); EVERY other
+    statistic derives from that |bigram types| frame — c1 = Σ_w2 c12,
+    fan-out N₁₊(w1·) = rows per w1, continuation N₁₊(·w2) = rows per
+    w2, N₁₊(··) = its row count — so the corpus is never re-scanned
+    for statistics and the count_distinct expand plans disappear
+    (round-7 A/B: 8.22 vs 8.82 s at the 10× probe corpus, a wash at
+    fixture scale). Scoring re-joins the bigram stream on (w1,w2) with
+    the two word-keyed tables broadcast when small, shuffled otherwise
+    — identical scale shape to the add-k variant."""
     return _kn_doc_scores(t(spark, sf_dir, "documents"), keys=["doc_id"])
 
 
@@ -633,14 +644,12 @@ def _kn_doc_scores(d, keys):
         *keys, "p.w1", "p.w2"
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ugc = bg.groupBy("w1").agg(
-        F.count("*").cast("double").alias("c1"),
-        F.count_distinct("w2").cast("double").alias("fan1"),
+    ugc = bgc.groupBy("w1").agg(
+        F.sum("c12").cast("double").alias("c1"),
+        F.count("*").cast("double").alias("fan1"),
     )
-    cont = bg.groupBy("w2").agg(
-        F.count_distinct("w1").cast("double").alias("cont2")
-    )
-    n_types = float(bg.select("w1", "w2").distinct().count())
+    cont = bgc.groupBy("w2").agg(F.count("*").cast("double").alias("cont2"))
+    n_types = float(bgc.count())
     D = KN_DISCOUNT
     p_kn = (
         F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("c1")
