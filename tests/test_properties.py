@@ -138,3 +138,34 @@ def test_salted_groupby_invariant_to_salt_count(spark, rows, n_salts):
         ).collect()
     }
     assert salted == plain
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    k=st.integers(min_value=1, max_value=6),
+    m=st.integers(min_value=2, max_value=8),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@_SETTINGS
+def test_heavy_hitters_always_exact(spark, counts, k, m, parts):
+    """exact_topk_frequency returns the true top-k (deterministic
+    tie-break by key) for ANY multiset, any counter budget m, any
+    partitioning — certified or fallback, the output never differs from
+    the plain exact groupBy."""
+    from spark_ml_pipelines_example_spark.operators.heavyhitters import (
+        exact_topk_frequency,
+    )
+
+    rows = [(f"k{i:03d}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "key string").repartition(parts)
+    top, info = exact_topk_frequency(df, ["key"], k=k, m=m)
+    got = [(r["key"], r["cnt"]) for r in top.collect()]
+    want = sorted(
+        ((f"k{i:03d}", c) for i, c in enumerate(counts)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:k]
+    assert got == want
+    assert info["n_rows"] == len(rows)
+    total = len(rows)
+    shares = [r["share"] for r in top.collect()]
+    assert shares == [c / total for (_, c) in want]
