@@ -117,6 +117,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_stream_drift_monitor",
 "q_stream_foreach_batch_upsert",
 "q_stream_gapfill",
+"q_stream_heavy_hitters",
 "q_stream_milestones",
 "q_stream_python_datasource",
 "q_stream_state_metrics",

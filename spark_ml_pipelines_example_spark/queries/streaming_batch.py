@@ -825,3 +825,40 @@ def q_stream_python_datasource(spark, sf_dir):
         return _run_to_memory(agg, "stream_pyds_out", "complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "q_stream_heavy_hitters",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    ), tot AS (SELECT SUM(cnt) AS n FROM k)
+    SELECT k.user_id, k.event_type, k.cnt, k.cnt / t.n AS share
+    FROM k CROSS JOIN tot t
+    ORDER BY k.cnt DESC, k.user_id, k.event_type LIMIT 10
+    """,
+    tags=("stream", "heavy-hitters", "stateful", "applyInPandasWithState"),
+)
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Streaming heavy hitters — the speed-layer/batch-layer split done
+    right: a REAL Structured Streaming run maintains bucketed
+    Misra-Gries counter tables in keyed state (64 hash buckets x 64
+    counters via ``applyInPandasWithState`` — per-bucket state is
+    KB-scale no matter how many distinct keys the stream carries), and
+    at stream end the surviving candidates are EXACTLY recounted against
+    the batch table with the same absence-bound certificate and
+    exact-groupBy fallback as q_agg_heavy_hitters. The final frame is
+    the exact top-10, independent of micro-batch boundaries and bucket
+    sharding — which is why a streaming query can carry the SAME plain
+    GROUP BY oracle as its batch twin. Production shape: the sketch
+    state answers "top keys right now" continuously with bounded memory;
+    the exact confirm runs at checkpoint/report time."""
+    from ..streaming.stateful import run_heavy_hitters_available_now
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return run_heavy_hitters_available_now(spark, sf_dir, k=10)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -529,3 +529,78 @@ def test_group_by_all_inference_matches_explicit(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_heavy_hitters_matches_batch_exact(spark, sf_dir):
+    """The streaming sketch + batch confirm must equal the plain exact
+    top-10 groupBy (the same guarantee as the batch operator), and
+    shares must be exact int64 ratios."""
+    from spark_ml_pipelines_example_spark.streaming.stateful import (
+        run_heavy_hitters_available_now,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_heavy_hitters_available_now(spark, sf_dir, k=10).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "user_id", "event_type")
+        .limit(10)
+        .collect()
+    )
+    n = ev.count()
+    assert [(r["user_id"], r["event_type"], r["cnt"]) for r in out] == [
+        (r["user_id"], r["event_type"], r["cnt"]) for r in want
+    ]
+    for r in out:
+        assert r["share"] == r["cnt"] / n
+
+
+def test_stream_hh_fold_state_bounds():
+    """_fold_bucket_sketch: counters never exceed HH_M after a batch,
+    err bounds any evicted key's true count, total is exact — checked
+    against a pure-Python recount over a skewed key stream."""
+    import collections
+
+    import pandas as pd
+
+    from spark_ml_pipelines_example_spark.streaming import stateful as S
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+    truth = collections.Counter()
+    rng_keys = [f"k{i % 97:03d}" for i in range(3000)] + ["hot"] * 400
+    for start in range(0, len(rng_keys), 500):
+        batch = rng_keys[start : start + 500]
+        truth.update(batch)
+        list(
+            S._fold_bucket_sketch(
+                (0,), iter([pd.DataFrame({"k": batch})]), state
+            )
+        )
+    keys, cnts, err, total = state.get
+    assert len(keys) <= S.HH_M
+    assert total == sum(truth.values())
+    held = dict(zip(keys, cnts))
+    for k_, c in truth.items():
+        assert held.get(k_, 0) <= c  # never overcounts
+        if k_ not in held:
+            assert c <= err  # absence bound
+    assert held["hot"] == truth["hot"] or truth["hot"] <= held["hot"] + err
