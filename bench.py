@@ -48,6 +48,7 @@ HEADLINE = [
     "q_join_asof_nearest",
     "q_sql_group_by_all",
     "q_ml_linear_shap",
+    "q_win_frame_exclude_modes",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",

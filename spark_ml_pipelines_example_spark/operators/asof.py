@@ -345,6 +345,13 @@ def asof_join_topk(
 
     No per-probe sort, no broadcast-nested-loop, every exchange linear in
     input. rank = c - seq + 1.
+
+    SKEW CAVEAT (same as asof_join_gap): passes 1-2 window on the key
+    alone, so a hot key lands its whole union in one task and AQE cannot
+    split a Window's Exchange. When q_dq_join_key_skew flags a dominant
+    key, apply the asof_join_bucketed two-phase pattern ((key, time
+    bucket) windows + a KB-scale carry spine of the last k refs per
+    bucket) before running this at scale.
     """
     probe_cols = probes.columns
     probe_types = dict(probes.dtypes)

@@ -108,6 +108,14 @@ def exact_topk_frequency(
     # One job materializes the KB-scale summary frame; every consumer
     # below reads the persisted copy, so the fact is scanned exactly once
     # for candidate generation and once for the confirm recount.
+    # Deliberately a bare scoped persist, NOT operators/_cache
+    # .persist_tracked: the summary's CONTENT is partitioning- and
+    # batch-boundary-dependent (compaction points move), so a harness
+    # release_tracked() between construction and consumption could
+    # recompute a DIFFERENT summary — exactly what the tracked-persist
+    # safety rule forbids. Here every consumer collects inside the
+    # try block and the finally unpersists, so nothing outlives the
+    # scope and the final OUTPUT stays exact either way.
     summaries = summaries.persist()
     try:
         bounds = {

@@ -319,7 +319,10 @@ def q_sim_maxsim(spark, sf_dir):
     from ..functions.similarity import dot, l2_norm
 
     e = t(spark, sf_dir, "embeddings")
-    probe_vec = [float(v) for v in e.filter(F.col("vec_id") == 0).head()[1]]
+    probe_vec = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
 
     def sub_cos(qi: int, ti: int):
         sub = probe_vec[qi * 16 : (qi + 1) * 16]

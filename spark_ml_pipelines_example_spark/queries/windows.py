@@ -871,3 +871,72 @@ def q_win_cumulative_distinct(spark, sf_dir):
     return runs.groupBy("user_id", "day").agg(
         F.max("cum_d").cast("bigint").alias("distinct_types_so_far")
     )
+
+
+@query(
+    "q_win_frame_exclude_modes",
+    # DuckDB implements the full SQL-standard EXCLUDE clause — the
+    # oracle uses EXCLUDE GROUP and EXCLUDE TIES natively, so the
+    # Spark-side algebra is checked against the real standard semantics
+    # including the empty-frame NULL when a customer's every order
+    # shares one date (2 such customers exist at sf0.01).
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY od
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS sum_ex_group,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY od
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS n_ex_group,
+           CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY od
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS sum_ex_ties,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY od
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS n_ex_ties
+    FROM o
+    """,
+    tags=("window", "frame", "exclude-group", "exclude-ties"),
+)
+def q_win_frame_exclude_modes(spark, sf_dir):
+    """The remaining SQL-standard frame-exclusion modes (Spark parses
+    none of them): ``EXCLUDE GROUP`` (drop the current row AND its
+    ORDER-BY peers — each order scored against the customer's OTHER
+    DAYS, the leakage-free encoding when same-day rows share hidden
+    state) and ``EXCLUDE TIES`` (drop the peers but keep the row
+    itself). With q_win_frame_exclude's CURRENT ROW this completes the
+    standard's exclusion set. The composition is pure algebra over TWO
+    unbounded windows sharing ONE exchange — partition totals over the
+    key, peer-group totals over (key, peer value); Catalyst plans both
+    Window nodes on the same hash partitioning, so no second shuffle:
+
+        exclude_group = part − group        (NULL when group IS the partition)
+        exclude_ties  = part − group + own  (never empty: keeps the row)
+
+    Exact integer cents throughout; the empty-frame NULL is restored
+    for customers whose every order shares one date."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    wp = W.partitionBy("o_custkey")
+    wg = W.partitionBy("o_custkey", "od")
+    part_sum, part_n = F.sum("price_cents").over(wp), F.count("*").over(wp)
+    grp_sum, grp_n = F.sum("price_cents").over(wg), F.count("*").over(wg)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(part_n > grp_n, part_sum - grp_sum)
+        .cast("bigint")
+        .alias("sum_ex_group"),
+        (part_n - grp_n).cast("long").alias("n_ex_group"),
+        (part_sum - grp_sum + F.col("price_cents")).cast("bigint").alias("sum_ex_ties"),
+        (part_n - grp_n + 1).cast("long").alias("n_ex_ties"),
+    )

@@ -157,6 +157,8 @@ SHOWCASE = [
     ("q_join_asof_nearest", "nearest as-of: ONE exchange, two sorted window scans, interval-compare winner"),
     ("q_sql_group_by_all", "GROUP BY ALL lowers to the explicit spelling's hash aggregate"),
     ("q_ml_linear_shap", "linear SHAP: stats agg + broadcast map-only |n*x - S| pass, 3-way explode"),
+    ("q_stream_heavy_hitters", "streaming MG sketch state -> candidate nomination -> broadcast-semi exact recount"),
+    ("q_win_frame_exclude_modes", "EXCLUDE GROUP/TIES: two unbounded windows on ONE exchange, algebraic exclusion"),
 ]
 
 

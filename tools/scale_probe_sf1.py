@@ -125,6 +125,8 @@ QUERIES = [
     "q_agg_heavy_hitters",
     "q_agg_decay_score",
     "q_join_asof_topk",
+    # late-interaction retrieval: shuffle-free corpus scan, constant rows
+    "q_sim_maxsim",
 ]
 
 # Usage: python tools/scale_probe_sf1.py [q_name1,q_name2,...]
