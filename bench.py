@@ -49,6 +49,7 @@ HEADLINE = [
     "q_sql_group_by_all",
     "q_ml_linear_shap",
     "q_win_frame_exclude_modes",
+    "q_join_asof_topk_bucketed",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",

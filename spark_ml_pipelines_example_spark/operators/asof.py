@@ -483,3 +483,212 @@ def asof_join_nearest(
         both.withColumn(alias, winner["val"])
         .drop("__b", "__f")
     )
+
+
+def asof_join_topk_bucketed(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    ref_id: str,
+    k: int,
+    rank_alias: str = "asof_rank",
+    bucket_width_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-resistant k-nearest as-of join: :func:`asof_join_topk`
+    semantics (k latest refs at-or-before each probe, identical tie
+    rules), but every fact-scale pass is partitioned on (key, time
+    bucket) instead of the key alone — the same hot-key defense as
+    :func:`asof_join_bucketed`, generalized from a scalar boundary carry
+    to an ARRAY carry:
+
+    1. **local pass** — refs numbered per (key, bucket); the union spine
+       hands each probe its in-bucket match count ``c_b``. One window per
+       (key, bucket): a hot key spreads over |time range|/width tasks.
+    2. **bucket tails** — each bucket's last min(k, n_b) refs (filtered
+       by seq BEFORE any collect, so the array is bounded by k) become
+       one spine row per (key, bucket).
+    3. **array carry** — a running collect over STRICTLY-earlier spine
+       rows, flattened, sorted desc, sliced to k: the k most recent refs
+       from all earlier buckets. The spine is |keys|x|buckets| rows with
+       <= k-element arrays — KB-scale, never the fact table.
+    4. **assembly** — a probe takes its last min(c_b, k) in-bucket refs
+       (explode + equi-join on (key, bucket, seq), exactly the unbucketed
+       plan's shape) and, when c_b < k, tops up from the carry head
+       (earlier-bucket refs are STRICTLY older than every in-bucket
+       match, so ranks concatenate without comparisons).
+
+    Parity with asof_join_topk is property-tested on randomized corpora
+    (tests/test_round7.py).
+
+    MEASURED TRADE (tools/probe_asof_skew.py, BASELINE.md): this plan
+    pays a ~2.3-2.8x constant over the unbucketed k-nearest at fixture
+    scale (6 scans / 11 exchanges vs 2 / 4 — the ref numbering, tails,
+    and final resolve each re-derive the bucketed ref frame) while
+    bounding the hot task at hot_rows/|buckets| instead of hot_rows.
+    Use it ONLY when q_dq_join_key_skew reports a key hot enough that
+    the unbucketed variant's single unsplittable window task dominates
+    the stage (at 10x/30x fixture scale no task is near that regime, so
+    the constant dominates and the unbucketed plan wins)."""
+    probe_cols = probes.columns
+    e = F.unix_micros(F.col(ts).cast("timestamp"))
+    wid = F.lit(int(bucket_width_us))
+    bucket = ((e - (((e % wid) + wid) % wid)) / wid).cast("long")
+
+    rseq_w = W.partitionBy(on, _BUCKET).orderBy(F.col("__ref_ts"), F.col("__ref_id"))
+    refs_b = (
+        refs.select(
+            F.col(on), F.col(ts).alias("__ref_ts"), F.col(ref_id).alias("__ref_id")
+        )
+        .withColumn(_BUCKET, bucket_of("__ref_ts", bucket_width_us))
+        .withColumn("__seq", F.row_number().over(rseq_w))
+    )
+    n_b = F.max("__seq").over(W.partitionBy(on, _BUCKET))
+    tails = (
+        refs_b.withColumn("__n_b", n_b)
+        .filter(F.col("__seq") > F.col("__n_b") - k)  # <= k rows per bucket
+        .groupBy(on, _BUCKET)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("__ref_ts").alias("ts_ref"),
+                        F.col("__ref_id").alias("val"),
+                    )
+                )
+            ).alias("__tail")
+        )
+    )
+
+    probe_types = dict(probes.dtypes)
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn("__seq", F.lit(None).cast("int"))
+    r = refs_b.select(
+        *[
+            F.col(on) if c == on
+            else F.col("__ref_ts").alias(c) if c == ts
+            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        F.col("__seq"),
+    )
+    unioned = p.unionByName(r).withColumn(_BUCKET, bucket)
+    spine_w = (
+        W.partitionBy(on, _BUCKET)
+        .orderBy(F.col(ts), F.col(_SIDE), F.col("__seq"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_c = (
+        unioned.withColumn("__c", F.last("__seq", ignorenulls=True).over(spine_w))
+        .filter(F.col(_SIDE) == 1)
+        .drop(_SIDE, "__seq")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+
+    # Carry: every non-empty bucket contributes >= 1 ref more recent than
+    # ALL refs in earlier buckets, so the k most recent refs from earlier
+    # buckets live in at most the LAST k NON-EMPTY buckets — the running
+    # collect is bounded to a (-k, -1) ROWS frame over the non-empty
+    # spine (O(k^2) per row), NOT an unbounded accumulation (O(|buckets|
+    # * k) per row, measured 3x slower at the 10x hot-key probe). Probes
+    # in ref-less buckets pick up the nearest earlier non-empty bucket's
+    # carry-OUT via one last(ignorenulls) pass over the full spine.
+    ne_w = W.partitionBy(on).orderBy(_BUCKET).rowsBetween(-k, -1)
+    ne = tails.withColumn(
+        "__carry_in",
+        F.slice(
+            F.reverse(F.sort_array(F.flatten(F.collect_list("__tail").over(ne_w)))),
+            1,
+            k,
+        ),
+    ).withColumn(
+        "__carry_out",
+        F.slice(
+            F.reverse(F.sort_array(F.concat(F.col("__tail"), F.col("__carry_in")))),
+            1,
+            k,
+        ),
+    )
+    full = (
+        unioned.select(on, _BUCKET)
+        .distinct()
+        .join(ne.select(on, _BUCKET, "__carry_in", "__carry_out"), [on, _BUCKET], "left")
+    )
+    prev_w = (
+        W.partitionBy(on).orderBy(_BUCKET).rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = full.withColumn(
+        "__carry",
+        F.coalesce(
+            F.col("__carry_in"),
+            F.last("__carry_out", ignorenulls=True).over(prev_w),
+        ),
+    ).select(on, _BUCKET, "__carry")
+
+    # Assembly in ONE pass over the probe frame (the fact-scale union
+    # window is the expensive stage — a two-branch local/carry union
+    # would compute it twice): each probe builds a <= k-element match-
+    # descriptor array (in-bucket seq slots first, then carry structs),
+    # explodes ONCE, and a single left equi-join on (key, bucket, seq)
+    # resolves the in-bucket slots (carry slots already carry their ref).
+    import pyspark.sql.types as T
+
+    ts_type = refs.schema[ts].dataType
+    id_type = refs.schema[ref_id].dataType
+    pair_type = T.StructType(
+        [T.StructField("ts_ref", ts_type), T.StructField("val", id_type)]
+    )
+    c = F.col("__c")
+    local_seqs = F.when(
+        c > 0, F.sequence(F.greatest(F.lit(1), c - (k - 1)), c)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    local_descs = F.transform(
+        local_seqs,
+        lambda s: F.struct(
+            (c - s + 1).cast("int").alias("rank"),
+            s.cast("int").alias("seq"),
+            F.lit(None).cast(pair_type).alias("m"),
+        ),
+    )
+    carry_arr = F.when(
+        c < k, F.slice(F.coalesce(F.col("__carry"), F.expr("array()").cast(
+            T.ArrayType(pair_type).simpleString())), 1, k)
+    ).otherwise(F.expr("array()").cast(T.ArrayType(pair_type).simpleString()))
+    carry_descs = F.transform(
+        F.slice(carry_arr, 1, F.greatest(F.lit(k) - c, F.lit(0))),
+        lambda m, i: F.struct(
+            (c + i + 1).cast("int").alias("rank"),
+            F.lit(None).cast("int").alias("seq"),
+            m.alias("m"),
+        ),
+    )
+    exploded = (
+        with_c.join(carry, [on, _BUCKET], "left")
+        .select(
+            *probe_cols,
+            _BUCKET,
+            F.explode(F.concat(local_descs, carry_descs)).alias("__d"),
+        )
+        .select(*probe_cols, _BUCKET, "__d.rank", "__d.seq", "__d.m")
+    )
+    resolved = exploded.join(
+        refs_b.select(on, _BUCKET, F.col("__seq").alias("seq"), "__ref_ts", "__ref_id"),
+        [on, _BUCKET, "seq"],
+        "left",
+    )
+    return (
+        resolved.filter(F.col("__ref_id").isNotNull() | F.col("m").isNotNull())
+        .select(
+            *probe_cols,
+            F.col("rank").alias(rank_alias),
+            F.coalesce(F.col("m.val"), F.col("__ref_id")).alias("__ref_id"),
+            F.coalesce(F.col("m.ts_ref"), F.col("__ref_ts")).alias("__ref_ts"),
+        )
+    )
+
+
+def bucket_of(ts_col: str, bucket_width_us: int):
+    """Exact integer floor-div time bucket (see asof_join_bucketed)."""
+    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wid = F.lit(int(bucket_width_us))
+    return ((e - (((e % wid) + wid) % wid)) / wid).cast("long")

@@ -1009,3 +1009,52 @@ def q_join_asof_nearest(spark, sf_dir):
         F.unix_timestamp("ts").alias("probe_epoch"),
         "ref_id",
     )
+
+
+@query(
+    "q_join_asof_topk_bucketed",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           r.rank, r.ref_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+             - CAST(epoch(date_trunc('second', r.rts)) AS BIGINT) AS gap_s
+    FROM events p CROSS JOIN LATERAL (
+        SELECT row_number() OVER (ORDER BY c.ts DESC, c.event_id DESC) AS rank,
+               c.event_id AS ref_id, c.ts AS rts
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.ts DESC, c.event_id DESC LIMIT 3
+    ) r
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "topk", "skew"),
+)
+def q_join_asof_topk_bucketed(spark, sf_dir):
+    """Skew-resistant k-nearest as-of join — q_join_asof_topk's exact
+    semantics under a HOT key: every fact-scale pass partitions on
+    (user_id, 1-day bucket) instead of the key alone, and cross-bucket
+    top-ups come from a KB-scale ARRAY-carry spine (each bucket's last-k
+    refs, filtered by seq BEFORE any collect, running-merged over
+    strictly-earlier buckets) — the asof_join_bucketed defense
+    generalized from a scalar boundary carry to an array
+    (operators/asof.py asof_join_topk_bucketed; randomized parity with
+    the unbucketed plan property-tested, hot key included). Same
+    correlated top-3 oracle as the unbucketed query: identical answers,
+    different — straggler-bounded — physical plan."""
+    from ..operators.asof import asof_join_topk_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join_topk_bucketed(
+        probes, refs, on="user_id", ts="ts", ref_id="event_id", k=3,
+        rank_alias="rank",
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("__ref_id").alias("ref_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("__ref_ts")).alias("gap_s"),
+    )

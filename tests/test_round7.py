@@ -604,3 +604,49 @@ def test_stream_hh_fold_state_bounds():
         if k_ not in held:
             assert c <= err  # absence bound
     assert held["hot"] == truth["hot"] or truth["hot"] <= held["hot"] + err
+
+
+def test_asof_topk_bucketed_parity_with_unbucketed(spark):
+    """Randomized parity: the (key, time-bucket) + array-carry plan must
+    return exactly the unbucketed k-nearest result — cross-bucket
+    top-ups, sparse buckets, equal timestamps, hot keys and empty ref
+    sides included. Bucket width 4s over a 40s span forces most probes
+    to top up from the carry."""
+    import datetime
+    import random
+
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join_topk,
+        asof_join_topk_bucketed,
+    )
+
+    rng = random.Random(20260818)
+    probes_rows, refs_rows = [], []
+    for case in range(120):
+        for i, pt in enumerate(sorted(rng.sample(range(0, 40), rng.randint(1, 4)))):
+            probes_rows.append((case, pt, 1000 * case + i))
+        for i in range(rng.randint(0, 8)):
+            refs_rows.append((case, rng.randrange(0, 40), 2000 * case + i))
+    # one hot key with dense refs across every bucket
+    for i in range(200):
+        refs_rows.append((999, i % 40, 50000 + i))
+    for i, pt in enumerate((0, 7, 23, 39)):
+        probes_rows.append((999, pt, 990000 + i))
+
+    mk = lambda rows, col: spark.createDataFrame(  # noqa: E731
+        [(k, datetime.datetime(2024, 1, 1, 0, 0, t), v) for (k, t, v) in rows],
+        f"k long, ts timestamp_ntz, {col} long",
+    )
+    kwargs = dict(on="k", ts="ts", ref_id="rid", k=3, rank_alias="rank")
+    base = {
+        (r["pid"], r["rank"]): r["__ref_id"]
+        for r in asof_join_topk(mk(probes_rows, "pid"), mk(refs_rows, "rid"), **kwargs).collect()
+    }
+    buck = {
+        (r["pid"], r["rank"]): r["__ref_id"]
+        for r in asof_join_topk_bucketed(
+            mk(probes_rows, "pid"), mk(refs_rows, "rid"),
+            bucket_width_us=4_000_000, **kwargs
+        ).collect()
+    }
+    assert buck == base

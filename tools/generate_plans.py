@@ -159,6 +159,7 @@ SHOWCASE = [
     ("q_ml_linear_shap", "linear SHAP: stats agg + broadcast map-only |n*x - S| pass, 3-way explode"),
     ("q_stream_heavy_hitters", "streaming MG sketch state -> candidate nomination -> broadcast-semi exact recount"),
     ("q_win_frame_exclude_modes", "EXCLUDE GROUP/TIES: two unbounded windows on ONE exchange, algebraic exclusion"),
+    ("q_join_asof_topk_bucketed", "skew-resistant k-nearest as-of: bucket windows + bounded array-carry spine"),
 ]
 
 

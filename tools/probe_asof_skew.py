@@ -118,6 +118,30 @@ def main() -> None:
         bucket_width_us=width,
     )
     assert a[1] == b[1] and a[2] == b[2], (a, b)
+
+    # k-nearest pair under the same hot key (round-7 batch 3): same
+    # semantics check (row multisets equal), same straggler argument.
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join_topk,
+        asof_join_topk_bucketed,
+    )
+
+    tkw = dict(on="user_id", ts="ts", ref_id="event_id", k=3, rank_alias="rank")
+
+    def run_topk(label, fn, **extra):
+        out = fn(probes, refs, **tkw, **extra)
+        t0 = time.perf_counter()
+        n = out.count()
+        t = time.perf_counter() - t0
+        return label, n, n, t
+
+    c = run_topk("asof_join_topk (key-partitioned)", asof_join_topk)
+    d = run_topk(
+        "asof_join_topk_bucketed (key+1h bucket)",
+        asof_join_topk_bucketed,
+        bucket_width_us=width,
+    )
+    assert c[1] == d[1], (c, d)
     print(
         f"hot key rows = {hot_total} "
         f"(one window partition unbucketed; bucketed: "
@@ -126,7 +150,7 @@ def main() -> None:
     )
     print("| variant | rows | matched | sec |")
     print("|---|---|---|---|")
-    for label, n, matched, t in (a, b):
+    for label, n, matched, t in (a, b, c, d):
         print(f"| {label} | {n} | {matched} | {t:.2f} |", flush=True)
     spark.stop()
 
