@@ -539,7 +539,17 @@ def load_all() -> dict[str, QuerySpec]:
 # never-checked block; once they earn a green hard row the
 # self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # sink/scan format matrix
+    # round-7 front: the four round-6 additions MUST land inside the
+    # driver's ~50-query window (VERDICT r6 task #1) — without the pin
+    # the 16 round-7 additions push q_join_asof_tolerance to the
+    # window's very last slot. Pinned names that already hold a green
+    # hard row are retired automatically (pin_rank only orders the
+    # never-checked block).
+    "q_join_asof_tolerance",
+    "q_join_asof_forward",
+    "q_dq_join_key_skew",
+    "q_agg_hll_rolling",
+    # round-6 pin (all retired by CORRECTNESS_r06): sink/scan format matrix
     "q_sink_csv_roundtrip",
     "q_sink_json_roundtrip",
     "q_sink_orc_roundtrip",
