@@ -28,6 +28,93 @@ from pyspark.sql import functions as F
 
 _SIDE = "__asof_side"
 _PAYLOAD = "__asof_payload"
+_BUCKET = "__asof_bucket"
+
+
+def bucket_of(ts_col: str, bucket_width_us: int):
+    """Exact integer floor-div time bucket (see asof_join_bucketed).
+
+    Epoch µs are positive in the fixtures, but the pmod identity keeps
+    pre-1970 timestamps correct too; cast through TIMESTAMP is a no-op
+    shift under the pinned-UTC session, so the bucket is monotone in ts
+    for both TIMESTAMP and TIMESTAMP_NTZ."""
+    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wid = F.lit(int(bucket_width_us))
+    return ((e - (((e % wid) + wid) % wid)) / wid).cast("long")
+
+
+def _pair_type(refs: DataFrame, ts: str, payload: str):
+    """struct<ts_ref, val> carrying a matched ref's timestamp alongside
+    its payload, so gap tests stay exact µs timestamp arithmetic."""
+    import pyspark.sql.types as T
+
+    return T.StructType(
+        [
+            T.StructField("ts_ref", refs.schema[ts].dataType),
+            T.StructField("val", refs.schema[payload].dataType),
+        ]
+    )
+
+
+def _pair_expr(ts: str, payload: str):
+    return F.struct(F.col(ts).alias("ts_ref"), F.col(payload).alias("val"))
+
+
+def _union_spine(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    carry_name: str,
+    carry_type,
+    carry_expr,
+    *,
+    ref_ts_col: str | None = None,
+) -> DataFrame:
+    """The shared merge-scan spine every as-of variant walks (VERDICT r7
+    task #4 — previously rebuilt inline by all six entry points): tag
+    probe rows side=1 / ref rows side=0 and union them on the (key, ts)
+    columns. Probe columns the refs lack are null-cast to the probe's
+    dtype on the ref side; ``carry_name`` holds ``carry_expr`` on the
+    ref side and a typed NULL on the probe side (the typed NULL keeps
+    double/decimal/string carries untruncated). ``ref_ts_col`` names the
+    ref frame's timestamp column when it differs from the probe's
+    (asof_join_topk pre-renames to __ref_ts)."""
+    probe_cols = probes.columns
+    probe_types = dict(probes.dtypes)
+    ref_ts = ref_ts_col or ts
+    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
+        carry_name, F.lit(None).cast(carry_type)
+    )
+    r = refs.select(
+        *[
+            F.col(on) if c == on
+            else F.col(ref_ts).alias(c) if c == ts
+            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
+            for c in probe_cols
+        ],
+        F.lit(0).alias(_SIDE),
+        carry_expr.alias(carry_name),
+    )
+    return p.unionByName(r)
+
+
+def _spine_order(ts: str, carry_name: str, backward: bool = True):
+    """Merge-scan order: refs sort before probes at equal ts (so ties
+    match '<='/'>=' semantics) and among same-ts refs the largest carry
+    wins. Forward scans are the same pass in reverse time order."""
+    lead = F.col(ts) if backward else F.col(ts).desc()
+    return [lead, F.col(_SIDE), F.col(carry_name)]
+
+
+def _gap_within_tolerance(ts: str, tolerance_expr: str, backward: bool, m: str = "__m"):
+    """Match-at-most-tolerance-away predicate on the struct-carried ref
+    timestamp (exact µs interval arithmetic)."""
+    return (
+        F.col(f"{m}.ts_ref") >= F.col(ts) - F.expr(tolerance_expr)
+        if backward
+        else F.col(f"{m}.ts_ref") <= F.col(ts) + F.expr(tolerance_expr)
+    )
 
 
 def asof_join(
@@ -46,25 +133,11 @@ def asof_join(
     sentinel null on the probe side takes the payload column's own dtype,
     so double/decimal/string payloads survive untruncated).
     """
-    probe_cols = probes.columns
-    probe_types = dict(probes.dtypes)
     payload_type = refs.schema[payload].dataType
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
-        _PAYLOAD, F.lit(None).cast(payload_type)
-    )
-    r = refs.select(
-        *[
-            F.col(c) if c in (on, ts) else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
-            for c in probe_cols
-        ],
-        F.lit(0).alias(_SIDE),
-        F.col(payload).alias(_PAYLOAD),
-    )
-
-    unioned = p.unionByName(r)
+    unioned = _union_spine(probes, refs, on, ts, _PAYLOAD, payload_type, F.col(payload))
     w = (
         W.partitionBy(on)
-        .orderBy(F.col(ts), F.col(_SIDE), F.col(_PAYLOAD))
+        .orderBy(*_spine_order(ts, _PAYLOAD))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -108,39 +181,14 @@ def asof_join_gap(
     bucket) partitioning + KB-scale carry-in)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    probe_cols = probes.columns
-    probe_types = dict(probes.dtypes)
-    payload_type = refs.schema[payload].dataType
-    ts_type = refs.schema[ts].dataType
-    import pyspark.sql.types as T
-
-    pair_type = T.StructType(
-        [T.StructField("ts_ref", ts_type), T.StructField("val", payload_type)]
-    )
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
-        _PAYLOAD, F.lit(None).cast(pair_type)
-    )
-    r = refs.select(
-        *[
-            F.col(c)
-            if c in (on, ts)
-            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
-            for c in probe_cols
-        ],
-        F.lit(0).alias(_SIDE),
-        F.struct(
-            F.col(ts).alias("ts_ref"), F.col(payload).alias("val")
-        ).alias(_PAYLOAD),
-    )
-    unioned = p.unionByName(r)
-    order = (
-        [F.col(ts), F.col(_SIDE), F.col(_PAYLOAD)]
-        if direction == "backward"
-        else [F.col(ts).desc(), F.col(_SIDE), F.col(_PAYLOAD)]
+    backward = direction == "backward"
+    unioned = _union_spine(
+        probes, refs, on, ts, _PAYLOAD, _pair_type(refs, ts, payload),
+        _pair_expr(ts, payload),
     )
     w = (
         W.partitionBy(on)
-        .orderBy(*order)
+        .orderBy(*_spine_order(ts, _PAYLOAD, backward))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (
@@ -149,18 +197,11 @@ def asof_join_gap(
         .drop(_SIDE, _PAYLOAD)
     )
     if tolerance_expr is not None:
-        in_range = (
-            F.col("__m.ts_ref") >= F.col(ts) - F.expr(tolerance_expr)
-            if direction == "backward"
-            else F.col("__m.ts_ref") <= F.col(ts) + F.expr(tolerance_expr)
-        )
         matched = matched.withColumn(
-            "__m", F.when(in_range, F.col("__m"))
+            "__m",
+            F.when(_gap_within_tolerance(ts, tolerance_expr, backward), F.col("__m")),
         )
     return matched.withColumn(alias, F.col("__m.val")).drop("__m")
-
-
-_BUCKET = "__asof_bucket"
 
 
 def asof_join_bucketed(
@@ -219,47 +260,14 @@ def asof_join_bucketed(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     backward = direction == "backward"
-    probe_cols = probes.columns
-    probe_types = dict(probes.dtypes)
-    payload_type = refs.schema[payload].dataType
-    ts_type = refs.schema[ts].dataType
-    import pyspark.sql.types as T
+    unioned = _union_spine(
+        probes, refs, on, ts, _PAYLOAD, _pair_type(refs, ts, payload),
+        _pair_expr(ts, payload),
+    ).withColumn(_BUCKET, bucket_of(ts, bucket_width_us))
 
-    pair_type = T.StructType(
-        [T.StructField("ts_ref", ts_type), T.StructField("val", payload_type)]
-    )
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
-        _PAYLOAD, F.lit(None).cast(pair_type)
-    )
-    r = refs.select(
-        *[
-            F.col(c)
-            if c in (on, ts)
-            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
-            for c in probe_cols
-        ],
-        F.lit(0).alias(_SIDE),
-        F.struct(
-            F.col(ts).alias("ts_ref"), F.col(payload).alias("val")
-        ).alias(_PAYLOAD),
-    )
-    # Exact integer floor-div bucket (epoch µs are positive here, but the
-    # pmod identity keeps pre-1970 timestamps correct too); cast through
-    # TIMESTAMP is a no-op shift under the pinned-UTC session, so the
-    # bucket is monotone in ts for both TIMESTAMP and TIMESTAMP_NTZ.
-    e = F.unix_micros(F.col(ts).cast("timestamp"))
-    wid = F.lit(int(bucket_width_us))
-    bucket = ((e - (((e % wid) + wid) % wid)) / wid).cast("long")
-    unioned = p.unionByName(r).withColumn(_BUCKET, bucket)
-
-    order = (
-        [F.col(ts), F.col(_SIDE), F.col(_PAYLOAD)]
-        if backward
-        else [F.col(ts).desc(), F.col(_SIDE), F.col(_PAYLOAD)]
-    )
     w_local = (
         W.partitionBy(on, _BUCKET)
-        .orderBy(*order)
+        .orderBy(*_spine_order(ts, _PAYLOAD, backward))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = unioned.withColumn("__local", F.last(_PAYLOAD, ignorenulls=True).over(w_local))
@@ -307,12 +315,10 @@ def asof_join_bucketed(
         .drop(_SIDE, _PAYLOAD, _BUCKET, "__local", "__carry")
     )
     if tolerance_expr is not None:
-        in_range = (
-            F.col("__m.ts_ref") >= F.col(ts) - F.expr(tolerance_expr)
-            if backward
-            else F.col("__m.ts_ref") <= F.col(ts) + F.expr(tolerance_expr)
+        matched = matched.withColumn(
+            "__m",
+            F.when(_gap_within_tolerance(ts, tolerance_expr, backward), F.col("__m")),
         )
-        matched = matched.withColumn("__m", F.when(in_range, F.col("__m")))
     return matched.withColumn(alias, F.col("__m.val")).drop("__m")
 
 
@@ -354,32 +360,21 @@ def asof_join_topk(
     bucket) before running this at scale.
     """
     probe_cols = probes.columns
-    probe_types = dict(probes.dtypes)
     seq_w = W.partitionBy(on).orderBy(F.col("__ref_ts"), F.col("__ref_id"))
     refs_seq = refs.select(
         F.col(on), F.col(ts).alias("__ref_ts"), F.col(ref_id).alias("__ref_id")
     ).withColumn("__seq", F.row_number().over(seq_w))
 
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
-        "__seq", F.lit(None).cast("int")
-    )
-    r = refs_seq.select(
-        *[
-            F.col(on) if c == on
-            else F.col("__ref_ts").alias(c) if c == ts
-            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
-            for c in probe_cols
-        ],
-        F.lit(0).alias(_SIDE),
-        F.col("__seq"),
-    )
     spine_w = (
         W.partitionBy(on)
-        .orderBy(F.col(ts), F.col(_SIDE), F.col("__seq"))
+        .orderBy(*_spine_order(ts, "__seq"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     with_c = (
-        p.unionByName(r)
+        _union_spine(
+            probes, refs_seq, on, ts, "__seq", "int", F.col("__seq"),
+            ref_ts_col="__ref_ts",
+        )
         .withColumn("__c", F.last("__seq", ignorenulls=True).over(spine_w))
         .filter((F.col(_SIDE) == 1) & F.col("__c").isNotNull())
         .drop(_SIDE, "__seq")
@@ -424,40 +419,19 @@ def asof_join_nearest(
     the shuffle is the scarce resource). The winner is picked per row by
     exact µs interval comparison of the two struct-carried ref
     timestamps. The tolerance (when given) bounds BOTH directions."""
-    probe_cols = probes.columns
-    probe_types = dict(probes.dtypes)
-    payload_type = refs.schema[payload].dataType
-    ts_type = refs.schema[ts].dataType
-    import pyspark.sql.types as T
-
-    pair_type = T.StructType(
-        [T.StructField("ts_ref", ts_type), T.StructField("val", payload_type)]
+    unioned = _union_spine(
+        probes, refs, on, ts, _PAYLOAD, _pair_type(refs, ts, payload),
+        _pair_expr(ts, payload),
     )
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
-        _PAYLOAD, F.lit(None).cast(pair_type)
-    )
-    r = refs.select(
-        *[
-            F.col(c)
-            if c in (on, ts)
-            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
-            for c in probe_cols
-        ],
-        F.lit(0).alias(_SIDE),
-        F.struct(
-            F.col(ts).alias("ts_ref"), F.col(payload).alias("val")
-        ).alias(_PAYLOAD),
-    )
-    unioned = p.unionByName(r)
     frame = (W.unboundedPreceding, W.currentRow)
     w_b = (
         W.partitionBy(on)
-        .orderBy(F.col(ts), F.col(_SIDE), F.col(_PAYLOAD))
+        .orderBy(*_spine_order(ts, _PAYLOAD, backward=True))
         .rowsBetween(*frame)
     )
     w_f = (
         W.partitionBy(on)
-        .orderBy(F.col(ts).desc(), F.col(_SIDE), F.col(_PAYLOAD))
+        .orderBy(*_spine_order(ts, _PAYLOAD, backward=False))
         .rowsBetween(*frame)
     )
     both = (
@@ -531,10 +505,6 @@ def asof_join_topk_bucketed(
     the stage (at 10x/30x fixture scale no task is near that regime, so
     the constant dominates and the unbucketed plan wins)."""
     probe_cols = probes.columns
-    e = F.unix_micros(F.col(ts).cast("timestamp"))
-    wid = F.lit(int(bucket_width_us))
-    bucket = ((e - (((e % wid) + wid) % wid)) / wid).cast("long")
-
     rseq_w = W.partitionBy(on, _BUCKET).orderBy(F.col("__ref_ts"), F.col("__ref_id"))
     refs_b = (
         refs.select(
@@ -560,22 +530,13 @@ def asof_join_topk_bucketed(
         )
     )
 
-    probe_types = dict(probes.dtypes)
-    p = probes.withColumn(_SIDE, F.lit(1)).withColumn("__seq", F.lit(None).cast("int"))
-    r = refs_b.select(
-        *[
-            F.col(on) if c == on
-            else F.col("__ref_ts").alias(c) if c == ts
-            else F.lit(None).cast(probe_types.get(c, "string")).alias(c)
-            for c in probe_cols
-        ],
-        F.lit(0).alias(_SIDE),
-        F.col("__seq"),
-    )
-    unioned = p.unionByName(r).withColumn(_BUCKET, bucket)
+    unioned = _union_spine(
+        probes, refs_b, on, ts, "__seq", "int", F.col("__seq"),
+        ref_ts_col="__ref_ts",
+    ).withColumn(_BUCKET, bucket_of(ts, bucket_width_us))
     spine_w = (
         W.partitionBy(on, _BUCKET)
-        .orderBy(F.col(ts), F.col(_SIDE), F.col("__seq"))
+        .orderBy(*_spine_order(ts, "__seq"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     with_c = (
@@ -633,11 +594,7 @@ def asof_join_topk_bucketed(
     # resolves the in-bucket slots (carry slots already carry their ref).
     import pyspark.sql.types as T
 
-    ts_type = refs.schema[ts].dataType
-    id_type = refs.schema[ref_id].dataType
-    pair_type = T.StructType(
-        [T.StructField("ts_ref", ts_type), T.StructField("val", id_type)]
-    )
+    pair_type = _pair_type(refs, ts, ref_id)
     c = F.col("__c")
     local_seqs = F.when(
         c > 0, F.sequence(F.greatest(F.lit(1), c - (k - 1)), c)
@@ -685,10 +642,3 @@ def asof_join_topk_bucketed(
             F.coalesce(F.col("m.ts_ref"), F.col("__ref_ts")).alias("__ref_ts"),
         )
     )
-
-
-def bucket_of(ts_col: str, bucket_width_us: int):
-    """Exact integer floor-div time bucket (see asof_join_bucketed)."""
-    e = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    wid = F.lit(int(bucket_width_us))
-    return ((e - (((e % wid) + wid) % wid)) / wid).cast("long")

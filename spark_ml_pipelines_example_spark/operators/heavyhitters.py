@@ -67,7 +67,11 @@ def _summarize_partitions(keys: list[str], m: int):
         for pdf in batches:
             total += len(pdf)
             g = pdf.groupby(keys, sort=False, dropna=False).size()
-            acc = g if acc is None else acc.add(g, fill_value=0)
+            # Series.add(fill_value=...) promotes to float64 whenever the
+            # indexes differ (ADVICE r7); cast straight back so counters
+            # stay exact int64 — float64 would silently lose exactness
+            # past 2^53 per-partition counts.
+            acc = g if acc is None else acc.add(g, fill_value=0).astype("int64")
             if len(acc) > m:
                 acc = acc.sort_values(ascending=False)
                 cut = int(acc.iloc[m])  # the (m+1)-th largest counter
@@ -132,8 +136,18 @@ def exact_topk_frequency(
         )
         n_candidates = candidates.count()  # <= partitions * m by construction
 
+        # Null-safe semi-join (ADVICE r7): a NULL-keyed group nominated by
+        # the sketch (groupby dropna=False keeps it) must survive the
+        # confirm recount too — plain `=` would drop it here while the
+        # fallback groupBy keeps it, making the two exact paths disagree
+        # on nullable key columns.
+        fact_a, cand_a = fact.alias("hh_fact"), candidates.alias("hh_cand")
+        null_safe_on = None
+        for kcol in keys:
+            cond = F.col(f"hh_fact.{kcol}").eqNullSafe(F.col(f"hh_cand.{kcol}"))
+            null_safe_on = cond if null_safe_on is None else (null_safe_on & cond)
         recount = (
-            fact.join(F.broadcast(candidates), keys, "left_semi")
+            fact_a.join(F.broadcast(cand_a), null_safe_on, "left_semi")
             .groupBy(*keys)
             .agg(F.count("*").alias("cnt"))
         )
