@@ -294,8 +294,15 @@ def q_join_bucketed_colocated(spark, sf_dir):
     subtree has zero Exchange nodes."""
     from ..sources.layout import write_bucketed
     from ._util import scratch_dir
+    import os
 
+    # Key the scratch table name AND path by the driver PID (VERDICT r7
+    # watch item (a)): two concurrent sessions rewriting the same scratch
+    # bucketed table raced once in round 7 — per-PID naming makes the
+    # collision impossible by construction while staying idempotent
+    # within a session (overwrite mode).
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
+    tag = f"{tag}_p{os.getpid()}"
     li_tbl, o_tbl = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     write_bucketed(
         t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),

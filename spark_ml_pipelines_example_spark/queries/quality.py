@@ -1451,12 +1451,17 @@ def q_dq_join_key_skew(spark, sf_dir):
     each heavy hitter's share of the table, and its skew factor vs the
     mean key (cnt · n_keys / n_rows). The remedies this report feeds,
     by downstream operator class: shuffled JOINS → AQE's skew-join
-    split or the salting operator in operators/skew.py; WINDOW-based
-    operators (as-of joins, running aggregates) → the time-bucketed
-    two-phase variants (operators/asof.py asof_join_bucketed,
-    operators/globalrank.py), because AQE rewrites only shuffled join
-    reads and can NEVER split a Window's Exchange without breaking
-    frame semantics. One combinable hash aggregate to |keys| rows, a broadcast
+    split or the salting operator in operators/skew.py; ORDER-dependent
+    WINDOW operators (as-of joins, running aggregates) → the
+    time-bucketed two-phase variants (operators/asof.py
+    asof_join_bucketed, operators/globalrank.py), because AQE rewrites
+    only shuffled join reads and can NEVER split a Window's Exchange
+    without breaking frame semantics; UNBOUNDED-frame window algebra
+    (the frame-exclusion family, queries/windows.py) → the
+    group-collapse shape of q_win_frame_groups — per-key totals via a
+    combinable groupBy + broadcast join-back, no Window at all
+    (measured 1.5-2.1× at the 30× hot-key probe,
+    tools/probe_window_skew.py). One combinable hash aggregate to |keys| rows, a broadcast
     1-row total, and a TakeOrderedAndProject top-10 — no windows, no
     second fact scan. Both ratios are a SINGLE IEEE division of exact
     int64s (the multiply stays integer), so the doubles are bit-identical

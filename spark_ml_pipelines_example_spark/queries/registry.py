@@ -539,74 +539,78 @@ def load_all() -> dict[str, QuerySpec]:
 # never-checked block; once they earn a green hard row the
 # self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # round-7 front: the four round-6 additions MUST land inside the
-    # driver's ~50-query window (VERDICT r6 task #1) — without the pin
-    # the 16 round-7 additions push q_join_asof_tolerance to the
-    # window's very last slot. Pinned names that already hold a green
-    # hard row are retired automatically (pin_rank only orders the
-    # never-checked block).
-    "q_join_asof_tolerance",
-    "q_join_asof_forward",
-    "q_dq_join_key_skew",
-    "q_agg_hll_rolling",
-    # round-6 pin (all retired by CORRECTNESS_r06): sink/scan format matrix
-    "q_sink_csv_roundtrip",
-    "q_sink_json_roundtrip",
-    "q_sink_orc_roundtrip",
-    "q_sink_parquet_roundtrip",
-    "q_scan_text_log",
-    "q_scan_csv_corrupt",
-    "q_scan_json_corrupt",
-    "q_scan_file_provenance",
-    "q_scan_csv_schema",
-    "q_scan_parquet",
-    "q_scan_text_lines",
-    "q_scan_time_travel",
-    "q_scan_table_history",
-    "q_scan_column_prune",
-    # ts family recursive-CTE replays
-    "q_ts_holt",
-    "q_ts_ses",
-    "q_ts_acf_multilag",
-    "q_ts_decompose",
-    "q_ts_holt_winters",
-    "q_ts_forecast_naive",
-    "q_ts_interpolate",
-    # subqueries
-    "q_subquery_exists",
-    "q_subquery_not_in",
-    "q_subquery_scalar",
-    # remaining stream twins (state_metrics is the contract rows-only row)
-    "q_stream_interval_join",
-    "q_stream_interval_join_outer",
-    "q_stream_session_dynamic",
-    "q_stream_state_reader",
-    "q_stream_static_join",
-    "q_stream_tws_map_state",
-    "q_stream_state_metrics",
-    # sql scripting / session surface
-    "q_sql_identifier_clause",
-    "q_sql_pipe_syntax",
-    "q_sql_scripting",
-    "q_sql_session_variables",
-    # set operators
-    "q_set_intersect_except",
-    "q_set_transpose",
-    "q_set_union_all",
-    "q_set_unpivot",
-    # scalar-function surface
-    "q_fn_collation",
-    "q_fn_datetime_arith",
-    "q_fn_sql_udf",
-    "q_fn_try_safe",
-    "q_fn_winsorize",
-    # cdc / merge / diff / scd2 / profile / seq behavioral family
-    "q_cdc_apply",
-    "q_diff_tables",
-    "q_merge_upsert",
-    "q_scd2_lookup",
-    "q_profile_orders",
-    "q_seq_pattern_match",
+    # round-8 front (VERDICT r7 task #1): exactly the 50 of the 62
+    # never-driver-checked queries that should consume this round's
+    # ~50-slot window. Priority order per the verdict: the six round-7
+    # additions, then the zero-hard-row families (multimodal 0/5,
+    # group/udaf/udtf 0/4, sample/split/shuffle 0/5, graph 2/7, sim
+    # 2/7), then the join/stream/ts/scan/sink tails. The 12 names left
+    # unpinned (fn_variant, embed_quantize, layout x2, limit_topk,
+    # mix_sources, pack x2, sort_multikey, sql_execute_immediate /
+    # _parameterized / _recursive_cte) stay never-checked and auto-front
+    # for round 9. Pinned names that earn a green hard row retire
+    # automatically (pin_rank only orders the never-checked block); the
+    # r6/r7 pins all retired via CORRECTNESS_r06/r07.
+    # -- six round-7 additions --
+    "q_join_asof_topk",
+    "q_join_asof_topk_bucketed",
+    "q_sim_maxsim",
+    "q_set_division",
+    "q_sql_group_by_all",
+    "q_stream_heavy_hitters",
+    # -- multimodal (0 hard rows) --
+    "q_multimodal_binary_files",
+    "q_multimodal_decode",
+    "q_multimodal_framesample",
+    "q_multimodal_manifest",
+    "q_multimodal_phash",
+    # -- grouped-pandas / UDAF / UDTF (0 hard rows) --
+    "q_group_arrow_stats",
+    "q_group_normalize",
+    "q_udaf_second_largest",
+    "q_udtf_chunk_table",
+    # -- sample / split / shuffle (0 hard rows) --
+    "q_sample_reservoir_group",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_shuffle_global",
+    "q_split_hash",
+    # -- graph tail --
+    "q_graph_bfs_hops",
+    "q_graph_label_propagation",
+    "q_graph_pagerank",
+    "q_graph_treepath",
+    "q_graph_triangles",
+    # -- sim tail --
+    "q_sim_cosine_topk",
+    "q_sim_knn_all",
+    "q_sim_pairwise_sample",
+    "q_sim_random_projection",
+    # -- join tail --
+    "q_join_bloom_runtime",
+    "q_join_bucketed_colocated",
+    "q_join_dpp_prune",
+    "q_join_interval_overlap",
+    "q_join_lateral_topk",
+    "q_join_nullsafe",
+    "q_join_range_bucketed",
+    "q_join_salted_skew",
+    "q_join_spatial_grid",
+    # -- stream tail --
+    "q_stream_foreach_batch_upsert",
+    "q_stream_interval_join_full",
+    "q_stream_python_datasource",
+    "q_stream_stateful_session",
+    # -- ts tail --
+    "q_ts_changepoint",
+    "q_ts_ewma_irregular",
+    # -- scan / sink tails --
+    "q_scan_agg_pushdown",
+    "q_scan_python_datasource",
+    "q_scan_schema_evolution",
+    "q_sink_dynamic_partition_overwrite",
+    "q_sink_partitioned_prune",
+    "q_sink_xml_roundtrip",
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED

@@ -251,8 +251,15 @@ def q_win_frame_exclude(spark, sf_dir):
     partition hash), exact in integer cents, with the SQL-standard
     empty-frame NULL restored for single-order customers (sum over an
     empty excluded frame is NULL, not 0). One shuffle on the key at any
-    scale; for hot keys the same two-phase spine as asof_join_bucketed
-    applies, but customer keys are TPC-H-uniform."""
+    scale. HOT-KEY REMEDY (measured, tools/probe_window_skew.py +
+    BASELINE.md round-8 probe table): when q_dq_join_key_skew flags a
+    dominant key, switch to q_win_frame_groups' group-collapse shape —
+    the unbounded-frame algebra needs only per-key TOTALS, so a
+    combinable groupBy (hot key reduced to one row map-side) plus a
+    broadcast join-back computes the identical answer with NO Window at
+    all (2.1× faster at the 30× half-corpus hot key; checksums equal).
+    Customer keys here are TPC-H-uniform, so the one-Exchange window
+    plan stays the default."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -919,7 +926,12 @@ def q_win_frame_exclude_modes(spark, sf_dir):
         exclude_ties  = part − group + own  (never empty: keeps the row)
 
     Exact integer cents throughout; the empty-frame NULL is restored
-    for customers whose every order shares one date."""
+    for customers whose every order shares one date. HOT-KEY REMEDY
+    (measured, tools/probe_window_skew.py + BASELINE.md round-8 probe
+    table): both grouping levels collapse to combinable groupBys +
+    broadcast join-backs (q_win_frame_groups' shape) — 1.5× faster at
+    the 30× half-corpus hot key with equal checksums; the window plan
+    stays the default on uniform keys because it saves the join."""
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
