@@ -440,6 +440,17 @@ def asof_join_nearest(
         .filter(F.col(_SIDE) == 1)
         .drop(_SIDE, _PAYLOAD)
     )
+    return _nearest_winner(both, ts, tolerance_expr, alias)
+
+
+def _nearest_winner(
+    both: DataFrame, ts: str, tolerance_expr: str | None, alias: str
+) -> DataFrame:
+    """Pick each probe's nearest match from its backward (``__b``) and
+    forward (``__f``) candidate structs: smallest |gap| by exact µs
+    interval comparison, EQUAL gaps resolve backward (pandas' rule); a
+    tolerance, when given, bounds BOTH directions. Shared by the
+    key-partitioned and bucketed nearest variants."""
     b, f = F.col("__b"), F.col("__f")
     if tolerance_expr is not None:
         tol = F.expr(tolerance_expr)
@@ -457,6 +468,107 @@ def asof_join_nearest(
         both.withColumn(alias, winner["val"])
         .drop("__b", "__f")
     )
+
+
+def asof_join_nearest_bucketed(
+    probes: DataFrame,
+    refs: DataFrame,
+    on: str,
+    ts: str,
+    payload: str,
+    alias: str = "asof_value",
+    *,
+    tolerance_expr: str | None = None,
+    bucket_width_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-resistant nearest-direction as-of join: identical semantics
+    to :func:`asof_join_nearest` (min |gap| either side, equal gaps
+    resolve backward, tolerance bounds both directions), but every
+    fact-scale pass partitions on (key, time bucket) — completing the
+    2×4 as-of matrix (backward/forward/nearest/top-k × plain/bucketed)
+    so every direction has a hot-key remedy.
+
+    Composition = :func:`asof_join_bucketed` run in BOTH directions over
+    ONE union spine and ONE carry-spine frame:
+
+    1. **local pass** — two (key, bucket) windows over the same union
+       (ascending backward scan, descending forward scan): Catalyst
+       plans one Exchange on (key, bucket) and two in-partition sorts,
+       so a hot key spreads over |time range| / width tasks exactly as
+       in the top-1 bucketed plan.
+    2. **dual carry** — the per-(key, bucket) boundary frame carries the
+       tie-collapsed latest ref (struct MAX, backward carry-in over
+       strictly-earlier buckets) AND earliest ref (struct MIN, forward
+       carry-in over strictly-later buckets) in one KB-scale spine; one
+       window each direction over the aggregated spine, never the fact.
+    3. **stitch + winner** — coalesce(local, carry) per direction on the
+       already-(key, bucket)-partitioned big side, then the SAME
+       :func:`_nearest_winner` µs-gap pick as the unbucketed plan.
+
+    Parity with asof_join_nearest is property-tested on randomized
+    corpora, hot key included (tests/test_round8.py). Like the other
+    bucketed variants this is the audit-triggered remedy
+    (q_dq_join_key_skew), not the default: it pays the carry-spine
+    constant to bound the straggler at hot_rows/|buckets|."""
+    unioned = _union_spine(
+        probes, refs, on, ts, _PAYLOAD, _pair_type(refs, ts, payload),
+        _pair_expr(ts, payload),
+    ).withColumn(_BUCKET, bucket_of(ts, bucket_width_us))
+    frame = (W.unboundedPreceding, W.currentRow)
+    w_b = (
+        W.partitionBy(on, _BUCKET)
+        .orderBy(*_spine_order(ts, _PAYLOAD, backward=True))
+        .rowsBetween(*frame)
+    )
+    w_f = (
+        W.partitionBy(on, _BUCKET)
+        .orderBy(*_spine_order(ts, _PAYLOAD, backward=False))
+        .rowsBetween(*frame)
+    )
+    local = unioned.withColumn(
+        "__bl", F.last(_PAYLOAD, ignorenulls=True).over(w_b)
+    ).withColumn("__fl", F.last(_PAYLOAD, ignorenulls=True).over(w_f))
+
+    # Dual-direction boundary spine: tie rule pre-collapsed per exact ref
+    # ts (max payload), then per bucket the latest (MAX struct, feeds the
+    # backward carry) and earliest (MIN struct, feeds the forward carry)
+    # candidate — one aggregate, both directions.
+    per_ts = (
+        unioned.filter(F.col(_SIDE) == 0)
+        .groupBy(on, _BUCKET, F.col(_PAYLOAD)["ts_ref"].alias("__ts_ref"))
+        .agg(F.max(F.col(_PAYLOAD)["val"]).alias("__val"))
+        .select(
+            on,
+            _BUCKET,
+            F.struct(
+                F.col("__ts_ref").alias("ts_ref"), F.col("__val").alias("val")
+            ).alias("__cand"),
+        )
+    )
+    boundary = per_ts.groupBy(on, _BUCKET).agg(
+        F.max("__cand").alias("__bb"), F.min("__cand").alias("__fb")
+    )
+    spine = (
+        unioned.select(on, _BUCKET)
+        .distinct()
+        .join(boundary, [on, _BUCKET], "left")
+    )
+    w_cb = W.partitionBy(on).orderBy(_BUCKET).rowsBetween(W.unboundedPreceding, -1)
+    w_cf = W.partitionBy(on).orderBy(_BUCKET).rowsBetween(1, W.unboundedFollowing)
+    carry = (
+        spine.withColumn("__cb", F.max("__bb").over(w_cb))
+        .withColumn("__cf", F.min("__fb").over(w_cf))
+        .select(on, _BUCKET, "__cb", "__cf")
+    )
+
+    both = (
+        local.join(carry, [on, _BUCKET], "left")
+        .filter(F.col(_SIDE) == 1)
+        .withColumn("__b", F.coalesce(F.col("__bl"), F.col("__cb")))
+        .withColumn("__f", F.coalesce(F.col("__fl"), F.col("__cf")))
+        .drop(_SIDE, _PAYLOAD, _BUCKET, "__bl", "__fl", "__cb", "__cf")
+    )
+    return _nearest_winner(both, ts, tolerance_expr, alias)
 
 
 def asof_join_topk_bucketed(

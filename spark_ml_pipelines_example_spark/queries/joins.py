@@ -1065,3 +1065,54 @@ def q_join_asof_topk_bucketed(spark, sf_dir):
         F.col("__ref_id").alias("ref_id"),
         (F.unix_timestamp("ts") - F.unix_timestamp("__ref_ts")).alias("gap_s"),
     )
+
+
+@query(
+    "q_join_asof_nearest_bucketed",
+    oracle="""
+    SELECT p.event_id AS probe_id,
+           CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS probe_epoch,
+           (SELECT c.event_id FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+            ORDER BY CASE WHEN c.ts <= p.ts THEN p.ts - c.ts
+                          ELSE c.ts - p.ts END ASC,
+                     (c.ts <= p.ts) DESC,
+                     c.event_id DESC
+            LIMIT 1) AS ref_id
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("join", "asof", "nearest", "skew", "bucketed"),
+)
+def q_join_asof_nearest_bucketed(spark, sf_dir):
+    """Skew-resistant nearest-direction as-of join — q_join_asof_nearest's
+    exact semantics (min |gap| either side within 1 hour, equal gaps
+    resolve backward) under a HOT key: both window passes partition on
+    (user_id, 1-hour bucket) instead of the key alone, and a single
+    KB-scale DUAL-direction carry spine (per-bucket latest ref feeding
+    the backward carry, earliest ref feeding the forward carry) stitches
+    matches across bucket edges in both directions (operators/asof.py
+    asof_join_nearest_bucketed; randomized hot-key parity with the
+    unbucketed plan property-tested in tests/test_round8.py). This
+    completes the as-of skew matrix — every direction (backward /
+    forward / nearest / k-nearest) now has the audit-triggered bucketed
+    remedy q_dq_join_key_skew routes to. The bucket width equals the
+    tolerance, so roughly half the fixture winners cross a bucket edge —
+    the dual carry is load-bearing in the hash check. Same correlated
+    min-|gap| oracle as the unbucketed query: identical answers,
+    straggler-bounded physical plan."""
+    from ..operators.asof import asof_join_nearest_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    refs = ev.filter(F.col("event_type") == "click")
+    matched = asof_join_nearest_bucketed(
+        probes, refs, on="user_id", ts="ts", payload="event_id",
+        alias="ref_id", tolerance_expr="INTERVAL 1 HOUR",
+        bucket_width_us=3_600_000_000,
+    )
+    return matched.select(
+        F.col("event_id").alias("probe_id"),
+        F.unix_timestamp("ts").alias("probe_epoch"),
+        "ref_id",
+    )

@@ -127,6 +127,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_text_bpe_apply",
 "q_text_bpe_fertility",
 "q_text_bpe_train",
+"q_text_bm25_topk",
 "q_text_kneser_ney",
 "q_text_pmi_collocations",
 "q_text_tfidf_weighted",

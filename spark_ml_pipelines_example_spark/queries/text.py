@@ -665,3 +665,200 @@ def q_text_bpe_fertility(spark, sf_dir):
             6,
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "q_text_bm25_topk",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok IN ('join', 'filter', 'vector', 'slow')
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(ln((2 * c.n + 2) / CAST(2 * df.df + 1 AS DOUBLE))
+                     * (CAST(44 * c.t * tf.tf AS DOUBLE)
+                        / (20 * c.t * tf.tf + 6 * c.t + 18 * dl.dl * c.n)),
+                     6) AS contrib
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus c
+    ),
+    agg AS (
+        SELECT doc_id, SUM(CAST(contrib AS DECIMAL(18,6))) AS score_d
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(score_d AS DOUBLE) AS score,
+           ROW_NUMBER() OVER (ORDER BY score_d DESC, doc_id) AS rk
+    FROM agg ORDER BY score_d DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "bm25", "retrieval", "training-data"),
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval (k1=1.2, b=0.75): top-10 documents for a
+    fixed 4-term query — the lexical retriever under targeted data
+    curation (benchmark-similar corpus selection, dedup-by-query,
+    retrieval-augmented filtering). All BM25 rationals are EXACT-INTEGER
+    by clearing denominators — with avgdl = T/N the normalized tf
+    becomes 44·T·tf / (20·T·tf + 6·T + 18·dl·N) (k1=6/5, b=3/4 scaled
+    by 20·T), so the only floats are one ln of an integer ratio (the
+    +1-smoothed idf ln((2N+2)/(2df+1))) and one division of exact
+    int64s; per-term contributions are rounded at 6dp and summed as
+    DECIMAL(18,6) (order-independent, the PSI/IV discipline), and the
+    ranking sorts the exact decimal.
+
+    Scale shape: the token stream is filtered to the query terms BEFORE
+    any aggregate (a literal IN — predicate-pushdown-friendly and tiny
+    output), so the scoring run is ONE fact pass: N, T, and the
+    |query terms| document frequencies all fold in as LITERALS from two
+    construction-time aggregates (a real engine serves query-term df
+    from index statistics; folding keeps the hot plan scan → explode →
+    filter → two combinable aggregates → TakeOrderedAndProject, no join
+    at all — the first cut's broadcast-df join re-scanned the token
+    stream for the df branch, PLANS.md pins the joinless shape). The
+    rank window runs on the 10-row frame. At petabyte T the integer
+    products need decimal(38) headroom — noted, not needed at fixture
+    int64 range."""
+    QUERY_TERMS = ("join", "filter", "vector", "slow")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    ).withColumn("dl", F.size("tk").cast("long"))
+    n_docs, tot = d.agg(F.count("*"), F.sum("dl")).first()
+    n_docs, tot = int(n_docs), int(tot)
+
+    toks = d.select("doc_id", "dl", F.explode("tk").alias("tok")).filter(
+        F.col("tok").isin(*QUERY_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+    dfs = {
+        r["tok"]: int(r["df"])
+        for r in tf.groupBy("tok").agg(F.count("*").alias("df")).collect()
+    }
+    # exact-integer df per term as a literal CASE — the ln stays ENGINE-
+    # side (same int64 inputs in Spark and DuckDB -> same IEEE double),
+    # never precomputed in Python.
+    df_col = F.lit(None).cast("long")
+    for term_, df_val in sorted(dfs.items()):
+        df_col = F.when(F.col("tok") == term_, F.lit(df_val)).otherwise(df_col)
+    idf = F.log(
+        F.lit(float(2 * n_docs + 2)) / (2 * df_col + 1).cast("double")
+    )
+    tfn = (44 * F.lit(tot) * F.col("tf")).cast("double") / (
+        20 * F.lit(tot) * F.col("tf") + 6 * F.lit(tot) + 18 * F.col("dl") * F.lit(n_docs)
+    )
+    scored = tf.select("doc_id", F.round(idf * tfn, 6).alias("contrib"))
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("contrib").cast("decimal(18,6)")).alias("score_d")
+    )
+    top = agg.orderBy(F.col("score_d").desc(), "doc_id").limit(10)
+    w = W.orderBy(F.col("score_d").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.col("score_d").cast("double").alias("score"),
+        F.row_number().over(w).alias("rk"),
+    )
+
+
+@query(
+    "q_text_keyness_loglik",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, tok, COUNT(*) AS a
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY source, tok
+    ),
+    ct AS (SELECT tok, SUM(a) AS ct FROM cnt GROUP BY tok),
+    cs AS (SELECT source, SUM(a) AS cs FROM cnt GROUP BY source),
+    tot AS (SELECT SUM(a) AS t FROM cnt),
+    cells AS (
+        SELECT c.source, c.tok, c.a,
+               ct.ct - c.a AS b,
+               cs.cs - c.a AS cc,
+               t.t - ct.ct - cs.cs + c.a AS d,
+               ct.ct AS ct, cs.cs AS cs, t.t AS t
+        FROM cnt c JOIN ct USING (tok) JOIN cs USING (source) CROSS JOIN tot t
+    ),
+    g AS (
+        SELECT source, tok, a,
+               ROUND(2 * (
+                 (CASE WHEN a  = 0 THEN 0 ELSE a  * ln(CAST(a  * t AS DOUBLE) / (ct * cs)) END)
+               + (CASE WHEN b  = 0 THEN 0 ELSE b  * ln(CAST(b  * t AS DOUBLE) / (ct * (t - cs))) END)
+               + (CASE WHEN cc = 0 THEN 0 ELSE cc * ln(CAST(cc * t AS DOUBLE) / ((t - ct) * cs)) END)
+               + (CASE WHEN d  = 0 THEN 0 ELSE d  * ln(CAST(d  * t AS DOUBLE) / ((t - ct) * (t - cs))) END)
+               ), 6) AS g2
+        FROM cells
+    )
+    SELECT source, tok, a AS cnt, g2, rk FROM (
+        SELECT source, tok, a, g2,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY g2 DESC, tok) AS rk
+        FROM g
+    ) WHERE rk <= 3
+    """,
+    tags=("text", "keyness", "log-likelihood", "corpus-analysis"),
+)
+def q_text_keyness_loglik(spark, sf_dir):
+    """Per-source keyness via the log-likelihood ratio (Dunning's G²,
+    the corpus-linguistics keyword statistic): for every (source, term)
+    the 2x2 contingency (term in source vs term elsewhere) scored
+    G² = 2 Σ O·ln(O/E), top-3 most DISTINCTIVE terms per source. Unlike
+    TF-IDF (per-document weighting), keyness contrasts a subcorpus
+    against the rest — the domain-signature readout a mixture pipeline
+    uses to audit what each source actually contributes.
+
+    Scale shape: ONE combinable (source, term) count aggregate touches
+    the fact table; every marginal (per-term, per-source, grand total)
+    derives from that |sources|x|vocab| frame, so all G² math runs on a
+    KB-scale frame. Floats: each cell term is O·ln of a division of
+    exact int64 products, the four terms are summed in a fixed spelled
+    order and rounded once at 6dp (both engines evaluate the identical
+    expression tree); ranking uses the rounded value with a term
+    tie-break."""
+    ex = t(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    cnt = ex.groupBy("source", "tok").agg(F.count("*").alias("a"))
+    ct = cnt.groupBy("tok").agg(F.sum("a").alias("ct"))
+    cs = cnt.groupBy("source").agg(F.sum("a").alias("cs"))
+    tot = cnt.agg(F.sum("a").alias("t"))
+    cells = (
+        cnt.join(F.broadcast(ct), "tok")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("b", F.col("ct") - F.col("a"))
+        .withColumn("cc", F.col("cs") - F.col("a"))
+        .withColumn("d", F.col("t") - F.col("ct") - F.col("cs") + F.col("a"))
+    )
+
+    def term(o, num_row, num_col):
+        return F.when(o == 0, F.lit(0.0)).otherwise(
+            o * F.log((o * F.col("t")).cast("double") / (num_row * num_col))
+        )
+
+    t_, ct_, cs_ = F.col("t"), F.col("ct"), F.col("cs")
+    g2 = F.round(
+        2
+        * (
+            term(F.col("a"), ct_, cs_)
+            + term(F.col("b"), ct_, t_ - cs_)
+            + term(F.col("cc"), t_ - ct_, cs_)
+            + term(F.col("d"), t_ - ct_, t_ - cs_)
+        ),
+        6,
+    )
+    g = cells.select("source", "tok", F.col("a").alias("cnt"), g2.alias("g2"))
+    w = W.partitionBy("source").orderBy(F.col("g2").desc(), "tok")
+    return (
+        g.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "tok", "cnt", "g2", "rk")
+    )

