@@ -50,6 +50,11 @@ HEADLINE = [
     "q_ml_linear_shap",
     "q_win_frame_exclude_modes",
     "q_join_asof_topk_bucketed",
+    # round-8 additions
+    "q_text_bm25_topk",
+    "q_text_keyness_loglik",
+    "q_join_asof_nearest_bucketed",
+    "q_sim_rrf_fusion",
     "q_win_topk_per_group",
     "q_win_frame_rows",
     "q_stream_session",

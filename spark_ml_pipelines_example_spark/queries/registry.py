@@ -104,6 +104,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_sim_cosine_topk",
 "q_sim_knn_all",
 "q_sim_maxsim",
+"q_sim_rrf_fusion",
 "q_sink_csv_roundtrip",
 "q_sink_dynamic_partition_overwrite",
 "q_sink_json_roundtrip",

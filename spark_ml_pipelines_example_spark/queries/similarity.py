@@ -9,6 +9,7 @@ baseline in tests).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_prenorm, cosine_probe, l2_norm
@@ -345,4 +346,128 @@ def q_sim_maxsim(spark, sf_dir):
         .orderBy(F.col("raw").desc(), "vec_id")
         .limit(10)
         .select("vec_id", F.round("raw", 6).alias("maxsim"))
+    )
+
+
+@query(
+    "q_sim_rrf_fusion",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS t FROM dl),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        WHERE tok IN ('join', 'filter', 'vector', 'slow')
+        GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id,
+               ROUND(ln((2 * c.n + 2) / CAST(2 * df.df + 1 AS DOUBLE))
+                     * (CAST(44 * c.t * tf.tf AS DOUBLE)
+                        / (20 * c.t * tf.tf + 6 * c.t + 18 * dl.dl * c.n)),
+                     6) AS contrib
+        FROM tf
+        JOIN df USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN corpus c
+    ),
+    bm AS (
+        SELECT doc_id, SUM(CAST(contrib AS DECIMAL(18,6))) AS score_d
+        FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_d DESC, doc_id) AS rb
+        FROM (SELECT * FROM bm ORDER BY score_d DESC, doc_id LIMIT 50)
+    ),
+    probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    ),
+    cosv AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_dot_product(e, p)
+                     / (sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(p, p))), 6) AS cosr
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id <> 0), probe
+    ),
+    sem AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosr DESC, doc_id) AS rc
+        FROM (SELECT * FROM cosv ORDER BY cosr DESC, doc_id LIMIT 50)
+    ),
+    fused AS (
+        SELECT doc_id, rb, rc,
+               ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + rb), 0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rc), 0), 6) AS rrf
+        FROM lex FULL JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, rb, rc, rrf,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+    FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+    """,
+    tags=("similarity", "rrf", "hybrid-retrieval", "training-data"),
+)
+def q_sim_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    the standard lexical+semantic combiner): fuse the BM25 top-50 for
+    the fixed 4-term query (queries/text.py bm25_score_frame — the
+    fixture's embeddings are keyed 1:1 with documents) with the
+    cosine-to-probe top-50 (vector 0, the q_sim_cosine_topk kernel),
+    score = Σ_runs 1/(60 + rank), report the fused top-10 with both
+    per-run ranks. Docs present in only one run contribute one term —
+    RRF needs no score calibration between runs, which is exactly why
+    production retrieval stacks use it.
+
+    Determinism: both runs rank on EXACT quantities (the decimal BM25
+    sum; cosine rounded at 6dp) with doc_id tie-breaks, so the integer
+    ranks are cross-engine stable; the fusion arithmetic is two double
+    divisions of small exact integers added in a fixed spelled order and
+    rounded once.
+
+    Scale shape: each run is its retriever's own scale contract (BM25:
+    one fact pass + TakeOrdered; cosine: one broadcast-free corpus scan
+    + TakeOrdered); everything after the two top-50 cuts — rank windows,
+    the FULL OUTER fuse, the final top-10 — runs on ≤ 100 rows. Fusion
+    adds ZERO fact-scale work to the retrievers it combines."""
+    from .text import BM25_QUERY_TERMS, bm25_score_frame
+
+    bm = bm25_score_frame(spark, sf_dir, BM25_QUERY_TERMS)
+    lex50 = bm.orderBy(F.col("score_d").desc(), "doc_id").limit(50)
+    w_lex = W.orderBy(F.col("score_d").desc(), "doc_id")
+    lex = lex50.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("rb")
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_vec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cosr = F.round(cosine_probe(F.col("embedding"), list(probe_vec)), 6)
+    sem50 = (
+        e.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), cosr.alias("cosr"))
+        .orderBy(F.col("cosr").desc(), "doc_id")
+        .limit(50)
+    )
+    w_sem = W.orderBy(F.col("cosr").desc(), "doc_id")
+    sem = sem50.select(
+        "doc_id", F.row_number().over(w_sem).cast("long").alias("rc")
+    )
+
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "rb",
+        "rc",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("rc")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    w = W.orderBy(F.col("rrf").desc(), "doc_id")
+    return top.select(
+        "doc_id", "rb", "rc", "rrf",
+        F.row_number().over(w).cast("long").alias("rk"),
     )

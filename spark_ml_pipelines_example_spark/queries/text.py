@@ -728,7 +728,27 @@ def q_text_bm25_topk(spark, sf_dir):
     rank window runs on the 10-row frame. At petabyte T the integer
     products need decimal(38) headroom — noted, not needed at fixture
     int64 range."""
-    QUERY_TERMS = ("join", "filter", "vector", "slow")
+    agg = bm25_score_frame(spark, sf_dir, BM25_QUERY_TERMS)
+    top = agg.orderBy(F.col("score_d").desc(), "doc_id").limit(10)
+    w = W.orderBy(F.col("score_d").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.col("score_d").cast("double").alias("score"),
+        F.row_number().over(w).alias("rk"),
+    )
+
+
+BM25_QUERY_TERMS = ("join", "filter", "vector", "slow")
+
+
+def bm25_score_frame(spark, sf_dir, query_terms):
+    """Exact-decimal BM25 scores (doc_id, score_d DECIMAL(18,6)) for the
+    literal ``query_terms`` — the scoring core shared by q_text_bm25_topk
+    and the RRF hybrid retriever (queries/similarity.py
+    q_sim_rrf_fusion). See q_text_bm25_topk's docstring for the
+    integer-clearing derivation and the one-fact-pass plan contract.
+    RUNS two construction-time aggregates (N/T and per-term df fold in
+    as literals) — callers are registered in _DEFER_CONSTRUCTION."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", tokens("text").alias("tk")
     ).withColumn("dl", F.size("tk").cast("long"))
@@ -736,7 +756,7 @@ def q_text_bm25_topk(spark, sf_dir):
     n_docs, tot = int(n_docs), int(tot)
 
     toks = d.select("doc_id", "dl", F.explode("tk").alias("tok")).filter(
-        F.col("tok").isin(*QUERY_TERMS)
+        F.col("tok").isin(*query_terms)
     )
     tf = toks.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
     dfs = {
@@ -756,15 +776,8 @@ def q_text_bm25_topk(spark, sf_dir):
         20 * F.lit(tot) * F.col("tf") + 6 * F.lit(tot) + 18 * F.col("dl") * F.lit(n_docs)
     )
     scored = tf.select("doc_id", F.round(idf * tfn, 6).alias("contrib"))
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum(F.col("contrib").cast("decimal(18,6)")).alias("score_d")
-    )
-    top = agg.orderBy(F.col("score_d").desc(), "doc_id").limit(10)
-    w = W.orderBy(F.col("score_d").desc(), "doc_id")
-    return top.select(
-        "doc_id",
-        F.col("score_d").cast("double").alias("score"),
-        F.row_number().over(w).alias("rk"),
     )
 
 

@@ -279,3 +279,26 @@ def test_bm25_ranks_multi_term_docs_higher(spark, sf_dir):
     assert len(rows) == 10
     assert [r["rk"] for r in rows] == list(range(1, 11))
     assert rows[0]["score"] >= rows[-1]["score"] > 0
+
+
+def test_q_sim_rrf_fusion_hash(spark, duck, sf_dir):
+    _hash_check(spark, duck, sf_dir, "q_sim_rrf_fusion")
+
+
+def test_rrf_fusion_prefers_doubly_ranked_docs(spark, sf_dir):
+    """A doc ranked by BOTH runs outscores a doc holding the same rank
+    in only one run (two reciprocal terms vs one) — the property that
+    makes RRF a fusion rather than a concatenation."""
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["q_sim_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    both = [r for r in rows if r["rb"] is not None and r["rc"] is not None]
+    single = [r for r in rows if (r["rb"] is None) != (r["rc"] is None)]
+    for b in both:
+        worst = max(b["rb"], b["rc"])
+        for s in single:
+            srank = s["rb"] if s["rb"] is not None else s["rc"]
+            if srank >= worst:
+                assert b["rrf"] > s["rrf"], (b, s)

@@ -163,6 +163,7 @@ SHOWCASE = [
     ("q_join_asof_nearest_bucketed", "skew-resistant nearest as-of: (key,bucket) dual scans + ONE dual-direction carry spine"),
     ("q_text_bm25_topk", "BM25: ONE fact pass - term filter before any aggregate, df/N/T folded as literals, TakeOrdered top-10"),
     ("q_text_keyness_loglik", "keyness G2: one fact-scale count aggregate, all G2 math on the KB marginals frame"),
+    ("q_sim_rrf_fusion", "RRF fusion: two TakeOrdered retriever runs, all fuse work on <= 100 rows"),
 ]
 
 

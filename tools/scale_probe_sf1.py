@@ -127,6 +127,24 @@ QUERIES = [
     "q_join_asof_topk",
     # late-interaction retrieval: shuffle-free corpus scan, constant rows
     "q_sim_maxsim",
+    # round-8 additions:
+    # - bm25: constant rows (top-10); ONE fact pass (explode + literal
+    #   term filter + two combinable aggregates), expect ~scan-bound.
+    #   The suffix perturbation keeps df constant (query terms exist
+    #   un-suffixed only in replica 0) while N and T grow 10x — the
+    #   idf/length normalization shifts, the plan shape does not.
+    # - keyness: constant rows (top-3 x |sources|); the count frame grows
+    #   with the 10x vocab (20 sources x 10x terms) but stays KB-scale,
+    #   expect ~scan-bound.
+    # - nearest bucketed as-of: rows ~10x (disjoint users per replica);
+    #   same linear passes as the top-1 bucketed plan plus the dual
+    #   carry spine (|keys| x |buckets| rows).
+    "q_text_bm25_topk",
+    "q_text_keyness_loglik",
+    "q_join_asof_nearest_bucketed",
+    # - rrf fusion: constant rows (top-10); two retriever passes then
+    #   <=100-row fuse work, expect ~the sum of the bm25 + cosine scans.
+    "q_sim_rrf_fusion",
 ]
 
 # Usage: python tools/scale_probe_sf1.py [q_name1,q_name2,...]
