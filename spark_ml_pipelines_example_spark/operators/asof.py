@@ -83,6 +83,16 @@ def _union_spine(
     probe_cols = probes.columns
     probe_types = dict(probes.dtypes)
     ref_ts = ref_ts_col or ts
+    # Fail loud on column collisions: withColumn would silently
+    # OVERWRITE a probe column named like a spine internal and corrupt
+    # the merge-scan (side tags / carries would alias user data).
+    reserved = {_SIDE, _BUCKET, carry_name}
+    clash = sorted(reserved & set(probe_cols))
+    if clash:
+        raise ValueError(
+            f"as-of probe frame uses reserved spine column name(s) {clash}; "
+            "rename them before the join"
+        )
     p = probes.withColumn(_SIDE, F.lit(1)).withColumn(
         carry_name, F.lit(None).cast(carry_type)
     )

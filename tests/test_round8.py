@@ -302,3 +302,70 @@ def test_rrf_fusion_prefers_doubly_ranked_docs(spark, sf_dir):
             srank = s["rb"] if s["rb"] is not None else s["rc"]
             if srank >= worst:
                 assert b["rrf"] > s["rrf"], (b, s)
+
+
+def test_union_spine_rejects_reserved_probe_columns(spark):
+    """_union_spine must fail loud, not silently overwrite, when the
+    probe frame already uses a spine-internal column name."""
+    from spark_ml_pipelines_example_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1)],
+        "key string, ts string, __asof_side int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    refs = spark.createDataFrame(
+        [("k", "2024-01-01 09:00:00", 1.0)], "key string, ts string, px double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="reserved spine column"):
+        asof_join(probes, refs, "key", "ts", "px")
+
+
+def test_bm25_matches_textbook_float_formula(spark, sf_dir):
+    """Independent cross-check of the integer-cleared BM25 against the
+    TEXTBOOK floating-point form (k1=1.2, b=0.75, avgdl = T/N,
+    idf = ln(1 + (N-df+0.5)/(df+0.5))) computed in pure Python from the
+    same parquet — a different arrangement of the same rationals, so
+    agreement to ~1e-5 pins the clearing algebra, not just the oracle
+    (which mirrors the cleared form)."""
+    import math
+
+    import duckdb
+
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+    from spark_ml_pipelines_example_spark.queries.text import (
+        BM25_QUERY_TERMS,
+        bm25_score_frame,
+    )
+
+    load_all()
+    got = {
+        r["doc_id"]: float(r["score_d"])
+        for r in bm25_score_frame(spark, sf_dir, BM25_QUERY_TERMS).collect()
+    }
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    k1, b = 1.2, 0.75
+    toks = {d: t.split(" ") for d, t in docs}
+    n = len(docs)
+    total = sum(len(v) for v in toks.values())
+    avgdl = total / n
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in BM25_QUERY_TERMS
+    }
+    want = {}
+    for d, v in toks.items():
+        s = 0.0
+        for q in BM25_QUERY_TERMS:
+            tf = v.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            want[d] = s
+    assert set(got) == set(want)
+    worst = max(abs(got[d] - want[d]) for d in got)
+    assert worst < 1e-4, worst  # 6dp per-term rounding x <= 4 terms
