@@ -516,10 +516,13 @@ def asof_join_nearest_bucketed(
        :func:`_nearest_winner` µs-gap pick as the unbucketed plan.
 
     Parity with asof_join_nearest is property-tested on randomized
-    corpora, hot key included (tests/test_round8.py). Like the other
-    bucketed variants this is the audit-triggered remedy
-    (q_dq_join_key_skew), not the default: it pays the carry-spine
-    constant to bound the straggler at hot_rows/|buckets|."""
+    corpora, hot key included (tests/test_round8.py). MEASURED TRADE
+    (tools/probe_asof_skew.py, BASELINE.md round-8 rows): the dual
+    carry is still a SCALAR per (key, bucket), so unlike the k-nearest
+    ARRAY carry this variant is ~1.4× FASTER than the unbucketed plan
+    already at the 10×/30× half-corpus hot key while bounding the hot
+    task at hot_rows/|buckets| — q_dq_join_key_skew routes hot-key
+    deployments here with no constant to pay."""
     unioned = _union_spine(
         probes, refs, on, ts, _PAYLOAD, _pair_type(refs, ts, payload),
         _pair_expr(ts, payload),

@@ -369,3 +369,52 @@ def test_bm25_matches_textbook_float_formula(spark, sf_dir):
     assert set(got) == set(want)
     worst = max(abs(got[d] - want[d]) for d in got)
     assert worst < 1e-4, worst  # 6dp per-term rounding x <= 4 terms
+
+
+def test_keyness_matches_textbook_g2(spark, sf_dir):
+    """Independent cross-check of the G² keyness against the textbook
+    form 2·Σ O·ln(O/E) with expectations from the contingency marginals,
+    computed in pure Python from the same parquet — pins the cell
+    algebra (b/cc/d derivations and the zero-cell guard), not just the
+    oracle, which mirrors the engine's spelled expression."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from spark_ml_pipelines_example_spark.queries.registry import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["q_text_keyness_loglik"].fn(spark, sf_dir).collect()
+    assert rows and all(1 <= r["rk"] <= 3 for r in rows)
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    cnt = Counter()
+    for src, text in docs:
+        for tok in text.split(" "):
+            cnt[(src, tok)] += 1
+    ct = Counter(); cs = Counter(); total = 0
+    for (src, tok), a in cnt.items():
+        ct[tok] += a; cs[src] += a; total += a
+
+    def g2(src, tok):
+        a = cnt[(src, tok)]
+        row, col = ct[tok], cs[src]
+        cells = (
+            (a, row * col),
+            (row - a, row * (total - col)),
+            (col - a, (total - row) * col),
+            (total - row - col + a, (total - row) * (total - col)),
+        )
+        s = 0.0
+        for o, e_num in cells:
+            if o:
+                s += o * math.log(o * total / e_num)
+        return 2 * s
+
+    for r in rows:
+        want = g2(r["source"], r["tok"])
+        assert abs(r["g2"] - want) < 1e-4, (r, want)

@@ -142,6 +142,36 @@ def main() -> None:
         bucket_width_us=width,
     )
     assert c[1] == d[1], (c, d)
+
+    # nearest pair under the same hot key (round-8): completes the
+    # measured matrix — every as-of direction now has its bucketed
+    # trade priced at the same 10x/30x hot key.
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join_nearest,
+        asof_join_nearest_bucketed,
+    )
+
+    nkw = dict(
+        on="user_id", ts="ts", payload="event_id", alias="ref_id",
+        tolerance_expr="INTERVAL 1 HOUR",
+    )
+
+    def run_nearest(label, fn, **extra):
+        out = fn(probes, refs, **nkw, **extra)
+        t0 = time.perf_counter()
+        n = out.count()
+        t = time.perf_counter() - t0
+        matched = out.filter(F.col("ref_id").isNotNull()).count()
+        return label, n, matched, t
+
+    e = run_nearest("asof_join_nearest (key-partitioned)", asof_join_nearest)
+    g = run_nearest(
+        "asof_join_nearest_bucketed (key+1h bucket)",
+        asof_join_nearest_bucketed,
+        bucket_width_us=width,
+    )
+    assert e[1] == g[1] and e[2] == g[2], (e, g)
+
     print(
         f"hot key rows = {hot_total} "
         f"(one window partition unbucketed; bucketed: "
@@ -150,7 +180,7 @@ def main() -> None:
     )
     print("| variant | rows | matched | sec |")
     print("|---|---|---|---|")
-    for label, n, matched, t in (a, b, c, d):
+    for label, n, matched, t in (a, b, c, d, e, g):
         print(f"| {label} | {n} | {matched} | {t:.2f} |", flush=True)
     spark.stop()
 
