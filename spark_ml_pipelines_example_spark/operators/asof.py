@@ -85,8 +85,17 @@ def _union_spine(
     ref_ts = ref_ts_col or ts
     # Fail loud on column collisions: withColumn would silently
     # OVERWRITE a probe column named like a spine internal and corrupt
-    # the merge-scan (side tags / carries would alias user data).
-    reserved = {_SIDE, _BUCKET, carry_name}
+    # the merge-scan (side tags / carries / stitch columns would alias
+    # user data). The set is the UNION of every as-of variant's
+    # internals — uniform across the family by contract, so a probe that
+    # works with one variant works with all of them (the plain variants
+    # reject e.g. __asof_bucket even though only the bucketed ones use
+    # it; a spurious-but-loud rejection beats a silent drop).
+    reserved = {
+        _SIDE, _BUCKET, carry_name,
+        "__m", "__b", "__f", "__bl", "__fl", "__cb", "__cf",
+        "__c", "__local", "__carry", "__seq",
+    }
     clash = sorted(reserved & set(probe_cols))
     if clash:
         raise ValueError(

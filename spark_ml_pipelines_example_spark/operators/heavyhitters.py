@@ -67,11 +67,18 @@ def _summarize_partitions(keys: list[str], m: int):
         for pdf in batches:
             total += len(pdf)
             g = pdf.groupby(keys, sort=False, dropna=False).size()
-            # Series.add(fill_value=...) promotes to float64 whenever the
-            # indexes differ (ADVICE r7); cast straight back so counters
-            # stay exact int64 — float64 would silently lose exactness
-            # past 2^53 per-partition counts.
-            acc = g if acc is None else acc.add(g, fill_value=0).astype("int64")
+            # Integer-domain accumulation (ADVICE r7): Series.add with
+            # fill_value promotes to float64 on misaligned indexes and
+            # would round BEFORE any cast-back could help; reindex both
+            # sides onto the union index and add as int64 so counters
+            # stay exact at any magnitude.
+            if acc is None:
+                acc = g
+            else:
+                idx = acc.index.union(g.index)
+                acc = acc.reindex(idx, fill_value=0).astype("int64") + g.reindex(
+                    idx, fill_value=0
+                ).astype("int64")
             if len(acc) > m:
                 acc = acc.sort_values(ascending=False)
                 cut = int(acc.iloc[m])  # the (m+1)-th largest counter
@@ -105,7 +112,11 @@ def exact_topk_frequency(
     action-free construction wrap it in plans/deferred.DeferredFrame.
     """
     fact = df.select(*keys)
-    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fact.schema)
+    # backtick-quote names so keys the DataFrame API accepts unquoted
+    # (e.g. containing spaces) parse in the DDL schema string too
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in fact.schema
+    )
     summaries = fact.mapInPandas(
         _summarize_partitions(keys, m), f"{key_schema}, cnt long, tag string"
     )
@@ -144,7 +155,9 @@ def exact_topk_frequency(
         fact_a, cand_a = fact.alias("hh_fact"), candidates.alias("hh_cand")
         null_safe_on = None
         for kcol in keys:
-            cond = F.col(f"hh_fact.{kcol}").eqNullSafe(F.col(f"hh_cand.{kcol}"))
+            # backtick-quote so key names with dots/spaces keep working
+            # (the pre-r8 name-list join form accepted them)
+            cond = F.col(f"hh_fact.`{kcol}`").eqNullSafe(F.col(f"hh_cand.`{kcol}`"))
             null_safe_on = cond if null_safe_on is None else (null_safe_on & cond)
         recount = (
             fact_a.join(F.broadcast(cand_a), null_safe_on, "left_semi")

@@ -293,14 +293,36 @@ def q_join_bucketed_colocated(spark, sf_dir):
     would be broadcastable; tests/test_plan_quality.py asserts the join
     subtree has zero Exchange nodes."""
     from ..sources.layout import write_bucketed
-    from ._util import scratch_dir
+    from ._util import SCRATCH, scratch_dir
     import os
+    import re
+    import shutil
 
     # Key the scratch table name AND path by the driver PID (VERDICT r7
     # watch item (a)): two concurrent sessions rewriting the same scratch
     # bucketed table raced once in round 7 — per-PID naming makes the
     # collision impossible by construction while staying idempotent
-    # within a session (overwrite mode).
+    # within a session (overwrite mode). Garbage-collect siblings left
+    # by DEAD drivers (kill(pid, 0) probes liveness) so repeated
+    # pytest/bench/driver invocations don't accumulate copies; a LIVE
+    # concurrent session's tables are never touched — removing them
+    # would reintroduce the race this scheme closed.
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
+
+    bkt_root = f"{SCRATCH}/bkt"
+    if os.path.isdir(bkt_root):
+        for entry in os.listdir(bkt_root):
+            m = re.fullmatch(r"bkt_\w+_p(\d+)", entry)
+            if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
+                shutil.rmtree(os.path.join(bkt_root, entry), ignore_errors=True)
+
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
     tag = f"{tag}_p{os.getpid()}"
     li_tbl, o_tbl = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"

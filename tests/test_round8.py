@@ -418,3 +418,39 @@ def test_keyness_matches_textbook_g2(spark, sf_dir):
     for r in rows:
         want = g2(r["source"], r["tok"])
         assert abs(r["g2"] - want) < 1e-4, (r, want)
+
+
+def test_union_spine_reserved_set_is_uniform(spark):
+    """The fail-loud guard covers EVERY as-of variant's internals (not
+    just the side/carry/bucket trio), so a probe column named after any
+    stitch/winner column is rejected instead of silently dropped."""
+    from spark_ml_pipelines_example_spark.operators.asof import asof_join_nearest
+
+    probes = spark.createDataFrame(
+        [("k", "2024-01-01 10:00:00", 1)],
+        "key string, ts string, __b int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    refs = spark.createDataFrame(
+        [("k", "2024-01-01 09:00:00", 1.0)], "key string, ts string, px double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="reserved spine column"):
+        asof_join_nearest(probes, refs, "key", "ts", "px")
+
+
+def test_heavy_hitters_space_key_column(spark):
+    """Key names the DataFrame API accepts unquoted (e.g. with spaces)
+    must survive the null-safe confirm join — the alias-qualified
+    F.col("hh_fact.<name>") form needs backtick quoting where the old
+    name-list join form resolved names directly. (Dotted names are
+    outside the operator's input space in every version: the leading
+    df.select(*keys) parses them as struct access.)"""
+    from spark_ml_pipelines_example_spark.operators.heavyhitters import (
+        exact_topk_frequency,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [(f"t{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["user id"]).repartition(4)
+    top, info = exact_topk_frequency(df, ["user id"], k=2, m=64)
+    got = [(r["user id"], r["cnt"]) for r in top.collect()]
+    assert got == [("a", 50), ("b", 30)]
+    assert info["certified"] is True

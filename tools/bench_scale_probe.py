@@ -23,8 +23,8 @@ Replication rules (replica r, r=0 = identity):
   within-replica cosines exact, cross-replica at background level).
 
 Usage:
-    python tools/bench_scale_probe.py stage   # build .scratch/bench_probe/sf1.0
-    SPARK_GRAFT_SF_DIR=/root/repo/.scratch/bench_probe/sf1.0 python bench.py
+    python tools/bench_scale_probe.py stage   # build .scratch/bench_probe_r10/sf1
+    SPARK_GRAFT_SF_DIR=/root/repo/.scratch/bench_probe_r10/sf1 python bench.py
     python tools/bench_scale_probe.py report  # sf0.1 vs sf1 table
 
 `report` compares the probe run (BENCH_detail.json right after the probe
@@ -46,7 +46,12 @@ import numpy as np
 
 SF01 = "/root/testdata/sf0.1"
 REPLICAS = int(os.environ.get("SPARK_GRAFT_PROBE_REPLICAS", "10"))
-PROBE = "/root/repo/.scratch/bench_probe/sf1.0"
+# Key the probe dir by the replica count (like probe_window_skew's
+# _r{N} suffix): the per-table exists-checks are a resume cache, and
+# without the key a later run at a different factor would silently
+# reuse tables staged at the old one. bench.py parses the SF from the
+# trailing "sf<float>" path component, so the factor rides there.
+PROBE = f"/root/repo/.scratch/bench_probe_r{REPLICAS}/sf{REPLICAS / 10:g}"
 
 C_OFF, S_OFF, P_OFF, O_OFF, E_OFF, U_OFF = (
     10_000_000, 1_000_000, 10_000_000, 100_000_000, 100_000_000, 10_000_000
