@@ -5433,7 +5433,8 @@ def q_graph_label_propagation(spark, sf_dir):
         FROM r JOIN seq s ON s.c = r.c AND s.rn = r.rn + 1
     )
     SELECT c AS o_custkey, ok AS o_orderkey, d AS epoch_day, dt,
-           round_even(x, 6) AS x, round_even(level, 6) AS level
+           FLOOR(x * 1000000) / 1000000 AS x,
+           FLOOR(level * 1000000) / 1000000 AS level
     FROM r
     """,
     tags=("timeseries", "ewma", "irregular", "smoothing"),
@@ -5448,7 +5449,14 @@ def q_ts_ewma_irregular(spark, sf_dir):
     used: libm exp() is not guaranteed correctly rounded, so it cannot
     hash-check across engines, while +,-,*,/ and int→double casts are
     IEEE-exact — the alpha here keeps the whole recursion bit-identical
-    (see q_ts_holt).
+    (see q_ts_holt). The EMISSION is floor-truncated at 6 decimals
+    (``floor(v*1e6)/1e6`` in both engines), NOT rounded: dyadic alphas
+    (dt=34 → 34/64) can land the recursion exactly on decimal
+    midpoints, and numpy's scale-rint-unscale round(6) disagrees with
+    DuckDB's round_even within 1 ulp of the .5 boundary (the round-8
+    red driver row: custkey 1484 / orderkey 12570, 24303.5878125).
+    Floor of the identical IEEE double is engine-invariant — the same
+    discipline as q_ts_interpolate.
 
     Scale shape: ONE hash shuffle on customer + a within-partition sort,
     then a partition-level STATE MACHINE in mapInPandas: rows stream by
@@ -5472,6 +5480,8 @@ def q_ts_ewma_irregular(spark, sf_dir):
     part = hist.repartition("c").sortWithinPartitions("c", "d", "ok")
 
     def smooth_partition(batches):
+        import math
+
         prev_c = None
         prev_d = 0
         level = 0.0
@@ -5481,6 +5491,7 @@ def q_ts_ewma_irregular(spark, sf_dir):
             xs = pdf["x"].to_numpy()
             dts = [0] * len(pdf)
             levels = [0.0] * len(pdf)
+            xs_out = [0.0] * len(pdf)
             for i in range(len(pdf)):
                 c_i = int(cs[i])
                 x_i = float(xs[i])
@@ -5493,7 +5504,10 @@ def q_ts_ewma_irregular(spark, sf_dir):
                     alpha = float(dt) / (float(dt) + 30.0)
                     level = level + alpha * (x_i - level)
                 dts[i] = dt
-                levels[i] = level
+                # floor-truncate, never round: engine-invariant on the
+                # identical IEEE double (see docstring / q_ts_interpolate).
+                levels[i] = math.floor(level * 1000000.0) / 1000000.0
+                xs_out[i] = math.floor(x_i * 1000000.0) / 1000000.0
                 prev_c, prev_d = c_i, d_i
             yield pd.DataFrame(
                 {
@@ -5501,8 +5515,8 @@ def q_ts_ewma_irregular(spark, sf_dir):
                     "o_orderkey": pdf["ok"],
                     "epoch_day": pdf["d"],
                     "dt": dts,
-                    "x": pdf["x"].round(6),
-                    "level": pd.Series(levels).round(6),
+                    "x": xs_out,
+                    "level": levels,
                 }
             )
 

@@ -50,11 +50,17 @@ def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "null"
     if isinstance(v, (np.floating, float)):
-        return f"{float(v):.9e}"
+        # FULL round-trip precision (repr = shortest exact form), not a
+        # fixed-digit format: the r8 red driver row (q_ts_ewma_irregular,
+        # 24303.587812 vs …813) sailed through this selfcheck because
+        # "%.9e" canonicalized both sides identically at 10 significant
+        # digits while the external driver hashes exact values. The
+        # selfcheck must be at least as strong as the thing it simulates.
+        return repr(float(v))
     if isinstance(v, (np.integer, int, bool)):
         return str(int(v))
     if isinstance(v, Decimal):
-        return f"{float(v):.9e}"
+        return repr(float(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
         s = str(v)[:19]
         # pandas renders DATE as midnight timestamps; fold to date so a
