@@ -541,78 +541,37 @@ def load_all() -> dict[str, QuerySpec]:
 # never-checked block; once they earn a green hard row the
 # self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # round-8 front (VERDICT r7 task #1): exactly the 50 of the 62
-    # never-driver-checked queries that should consume this round's
-    # ~50-slot window. Priority order per the verdict: the six round-7
-    # additions, then the zero-hard-row families (multimodal 0/5,
-    # group/udaf/udtf 0/4, sample/split/shuffle 0/5, graph 2/7, sim
-    # 2/7), then the join/stream/ts/scan/sink tails. The 12 names left
-    # unpinned (fn_variant, embed_quantize, layout x2, limit_topk,
-    # mix_sources, pack x2, sort_multikey, sql_execute_immediate /
-    # _parameterized / _recursive_cte) stay never-checked and auto-front
-    # for round 9. Pinned names that earn a green hard row retire
-    # automatically (pin_rank only orders the never-checked block); the
-    # r6/r7 pins all retired via CORRECTNESS_r06/r07.
-    # -- six round-7 additions --
-    "q_join_asof_topk",
-    "q_join_asof_topk_bucketed",
-    "q_sim_maxsim",
-    "q_set_division",
-    "q_sql_group_by_all",
-    "q_stream_heavy_hitters",
-    # -- multimodal (0 hard rows) --
-    "q_multimodal_binary_files",
-    "q_multimodal_decode",
-    "q_multimodal_framesample",
-    "q_multimodal_manifest",
-    "q_multimodal_phash",
-    # -- grouped-pandas / UDAF / UDTF (0 hard rows) --
-    "q_group_arrow_stats",
-    "q_group_normalize",
-    "q_udaf_second_largest",
-    "q_udtf_chunk_table",
-    # -- sample / split / shuffle (0 hard rows) --
-    "q_sample_reservoir_group",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_shuffle_global",
-    "q_split_hash",
-    # -- graph tail --
-    "q_graph_bfs_hops",
-    "q_graph_label_propagation",
-    "q_graph_pagerank",
-    "q_graph_treepath",
-    "q_graph_triangles",
-    # -- sim tail --
-    "q_sim_cosine_topk",
-    "q_sim_knn_all",
-    "q_sim_pairwise_sample",
-    "q_sim_random_projection",
-    # -- join tail --
-    "q_join_bloom_runtime",
-    "q_join_bucketed_colocated",
-    "q_join_dpp_prune",
-    "q_join_interval_overlap",
-    "q_join_lateral_topk",
-    "q_join_nullsafe",
-    "q_join_range_bucketed",
-    "q_join_salted_skew",
-    "q_join_spatial_grid",
-    # -- stream tail --
-    "q_stream_foreach_batch_upsert",
-    "q_stream_interval_join_full",
-    "q_stream_python_datasource",
-    "q_stream_stateful_session",
-    # -- ts tail --
-    "q_ts_changepoint",
+    # round-9 front (VERDICT r8 task #3): the 16 names that have never
+    # earned a hard driver row (the 12 pre-r8 leftovers + the four
+    # round-8 additions), PLUS the re-fronted q_ts_ewma_irregular — its
+    # floor-truncation fix rewrote the oracle text, so the fingerprint
+    # mismatch re-fronts it automatically; pinning it first makes the
+    # priority explicit. 17 slots of the driver's ~50-query window;
+    # the remaining ~33 fall through to the regression tail
+    # (_DRIVER_PRIORITY order). A green CORRECTNESS_r09 row for all 17
+    # closes the ledger: every declared query evidenced by an external
+    # hard row at least once. The r8 pins all retired via
+    # CORRECTNESS_r08 (49/50 green; ewma was the one red).
+    # -- the round-8 red row, re-fronted with the floor-truncation fix --
     "q_ts_ewma_irregular",
-    # -- scan / sink tails --
-    "q_scan_agg_pushdown",
-    "q_scan_python_datasource",
-    "q_scan_schema_evolution",
-    "q_sink_dynamic_partition_overwrite",
-    "q_sink_partitioned_prune",
-    "q_sink_xml_roundtrip",
+    # -- the four round-8 additions --
+    "q_text_bm25_topk",
+    "q_text_keyness_loglik",
+    "q_join_asof_nearest_bucketed",
+    "q_sim_rrf_fusion",
+    # -- the 12 pre-r8 leftovers --
+    "q_embed_quantize",
+    "q_fn_variant",
+    "q_layout_compact",
+    "q_layout_zorder",
+    "q_limit_topk",
+    "q_mix_sources",
+    "q_pack_padding_waste",
+    "q_pack_shards",
+    "q_sort_multikey",
+    "q_sql_execute_immediate",
+    "q_sql_parameterized",
+    "q_sql_recursive_cte",
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED
