@@ -64,7 +64,11 @@ HEADLINE = [
     "q_dedup_paragraph",
     "q_stream_interval_join",
     "q_dedup_minhash",
-    "q_dedup_embedding",
+    # q_dedup_embedding (label-blocked ALL-PAIRS exact form) is
+    # deliberately NOT in the headline: 24x at 10x data in the r8 sf1
+    # probe — it is the recall-floor audit twin; the IVF-cell-blocked
+    # plan below is the declared default embedding near-dup path (~1x
+    # relative at sf1).
     "q_dedup_embedding_cells",
     "q_dedup_simhash",
     "q_sim_cosine_topk",
@@ -111,6 +115,9 @@ HEADLINE = [
     # round-2 final-wave additions: broadcast-probe kNN eval and the
     # full-outer churn self-join
     "q_ml_knn_classifier",
+    # round-9: the scale-safe IVF-routed sibling of the exact kNN eval
+    # (the exact twin above stays as the documented quadratic audit twin)
+    "q_ml_knn_classifier_ivf",
     "q_events_churn",
     # runtime-filter join reduction + experimentation/eval additions
     "q_join_bloom_runtime",

@@ -359,16 +359,20 @@ def q_dedup_minhash(spark, sf_dir):
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, label-blocked: candidate pairs
-    only within a label block (Σ block² not corpus²; at 100 TB the block
-    key is an ANN cell or LSH bucket instead — see operators/similarity),
-    confirmed by the JVM fold cosine kernel with each side's norm
-    projected BEFORE the join (one dot per pair, not dot+2 norms) and the
-    left side spread across partitions so the pair explosion
-    parallelizes even from a one-file input. The fixture vectors are
-    near-orthogonal (within-label cosine ⊂ [-0.55, 0.55]) so the 0.4 bar
-    marks the distribution's far tail, the analogue of a true near-dup
-    threshold on real embeddings."""
+    """Embedding-cosine near-dup pairs, label-blocked — the AUDIT TWIN,
+    not the default path. The label blocks here are coarse (10 labels),
+    so candidate generation is Σ block² ≈ corpus²/10: quadratic by
+    construction, 24× time at 10× data in the r8 sf1 probe. Its job is
+    recall-floor ground truth: an exact within-block sweep that bounds
+    what any blocked plan may miss. The DECLARED DEFAULT for embedding
+    near-dup is q_dedup_embedding_cells (IVF-cell-blocked GEMM, ~1×
+    relative at sf1) — that is the 100 TB path, and the one in the
+    bench headline. Kept exact here: norms projected BEFORE the join
+    (one dot per pair), left side spread across partitions so the pair
+    explosion parallelizes even from a one-file input. The fixture
+    vectors are near-orthogonal (within-label cosine ⊂ [-0.55, 0.55])
+    so the 0.4 bar marks the distribution's far tail, the analogue of a
+    true near-dup threshold on real embeddings."""
     e = t(spark, sf_dir, "embeddings")
     a = e.repartition(32, "vec_id").select(
         "label",

@@ -3780,3 +3780,167 @@ def q_ml_linear_shap(spark, sf_dir):
             ).alias("mean_abs_contrib"),
         )
     )
+
+
+def _knn_ivf_oracle() -> str:
+    """DuckDB replay of the IVF-routed kNN classifier: the shared
+    unrolled Lloyd CTEs (adaptive k, identical to the ANN index oracle)
+    produce cells + centroid rationals; each PROBE ranks cells with the
+    same single-division float64 comparator as rank_cells_audited
+    (partitioned per probe); candidates are the corpus members of the
+    probe's nprobe cells; the kNN vote tail is q_ml_knn_classifier's
+    verbatim. Constants are imported from operators.similarity so the
+    oracle and the Spark path can never desync — only module constants
+    are touched here, which are defined before that module's own
+    decoration-time oracle build, so the import is safe in either load
+    order."""
+    from ..operators.similarity import (
+        N_CELLS,
+        N_PROBE,
+        SOFT_CELLS,
+        TARGET_SOFT_ROWS_PER_CELL,
+    )
+
+    k_sql = (
+        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
+        f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
+    )
+    parts = _kmx_cte_parts(k_sql=k_sql)
+    parts += [
+        f"pq AS (SELECT vec_id AS pid, xq FROM q WHERE vec_id % {KNN_PROBE_MOD} = 0)",
+        f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) "
+        f"AS ss FROM c{KMX_PASSES - 1})",
+        "crank AS (SELECT pq.pid, cm.c, ROW_NUMBER() OVER (PARTITION BY pq.pid "
+        "ORDER BY CAST(list_sum(list_transform(list_zip(pq.xq, cm.s), "
+        "z -> z[1]*z[2])) AS DOUBLE) / sqrt(CAST(cm.ss AS DOUBLE)) DESC, cm.c) "
+        "AS rk FROM cm, pq)",
+        f"pcells AS (SELECT pid, c FROM crank WHERE rk <= {N_PROBE})",
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)",
+        f"cand AS (SELECT pc.pid, a.vec_id AS cid FROM pcells pc "
+        f"JOIN a{KMX_PASSES} a ON a.c = pc.c "
+        f"WHERE a.vec_id % {KNN_PROBE_MOD} <> 0)",
+        "pairs AS (SELECT cand.pid, pe.label AS true_label, cand.cid, "
+        "ce.label AS nlabel, list_dot_product(pe.v, ce.v) / (pe.nrm * ce.nrm) AS cos "
+        "FROM cand JOIN e pe ON pe.vec_id = cand.pid "
+        "JOIN e ce ON ce.vec_id = cand.cid)",
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid "
+        "ORDER BY cos DESC, cid) AS rk FROM pairs)",
+        f"votes AS (SELECT pid, true_label, nlabel, COUNT(*) AS c "
+        f"FROM ranked WHERE rk <= {KNN_K} GROUP BY 1, 2, 3)",
+        "pred AS (SELECT pid, true_label, nlabel AS pred_label, "
+        "ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, nlabel) AS vr "
+        "FROM votes)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT true_label, COUNT(*) AS n_probes, "
+        "COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS n_correct, "
+        "ROUND(CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS DOUBLE)"
+        " / COUNT(*), 6) AS accuracy "
+        "FROM pred WHERE vr = 1 GROUP BY true_label"
+    )
+
+
+@query(
+    "q_ml_knn_classifier_ivf",
+    oracle=_knn_ivf_oracle(),
+    tags=("ml", "knn", "classifier", "similarity", "ann", "ivf"),
+)
+def q_ml_knn_classifier_ivf(spark, sf_dir):
+    """kNN classification routed through the audited IVF index — the
+    SCALE-SAFE declared sibling of q_ml_knn_classifier (VERDICT r8 #5).
+    The exact twin scans probes × corpus (quadratic by construction, its
+    declared role is the recall-floor audit); here each held-out probe
+    ranks the index's centroid rationals with the deterministic
+    single-division comparator (rank_cells_audited's formula, expressed
+    as a Spark integer fold so it runs distributed) and votes among its
+    KNN_K nearest neighbors drawn ONLY from its N_PROBE nearest cells.
+    With adaptive k the cells stay constant-sized, so per-probe work is
+    constant and total candidate work is linear in the probe count —
+    the 100 TB path. The probe set here is every KNN_PROBE_MOD-th
+    vector (driver determinism); a production eval holds the probe set
+    fixed, so the broadcast probe side stays bounded regardless of
+    corpus growth. Accuracy floor vs the exact twin is pinned in
+    tests/test_similarity_ops.py.
+
+    Scale shape: ONE equi-join on cell between the corpus-side index
+    and the broadcast (probe × nprobe-cell) frame — no corpus shuffle;
+    cosine confirms with norms projected BEFORE the join (one fold per
+    pair); the top-K window runs per probe after WindowGroupLimit
+    pre-truncation; vote/accuracy rollups are probe-count-sized. The
+    oracle replays index build + per-probe cell routing + vote end to
+    end, so this is a FULL hash check of the approximate path itself,
+    not merely of its summary."""
+    from ..functions.similarity import cosine_prenorm, l2_norm
+    from ..operators.similarity import N_PROBE, _ivf_index_for
+
+    assigned, cents = _ivf_index_for(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(int(c), [int(v) for v in s], int(sum(v * v for v in s))) for (c, s, _n) in cents],
+        "cc long, s array<long>, ss long",
+    )
+    probes = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("pe"),
+        l2_norm(F.col("embedding")).alias("pn"),
+        "xq",
+    )
+    corpus = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+        "cell",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    # per-probe cell routing: integer dot xq·s is exact in int64 (the
+    # rank_cells_audited bounds), the division and sqrt are single
+    # correctly-rounded float64 ops — bit-identical to the oracle's
+    # comparator, ties by cell id.
+    dot = F.aggregate(
+        F.zip_with("xq", "s", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pcells = (
+        probes.select("pid", "xq")
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "pid",
+            F.col("cc").alias("cell"),
+            (dot.cast("double") / F.sqrt(F.col("ss").cast("double"))).alias("r"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("pid").orderBy(F.col("r").desc(), "cell")),
+        )
+        .filter(F.col("rk") <= N_PROBE)
+        .select("pid", "cell")
+    )
+    probe_side = pcells.join(probes.drop("xq"), "pid")
+    pairs = corpus.join(F.broadcast(probe_side), "cell").select(
+        "pid",
+        "true_label",
+        "cid",
+        "nlabel",
+        cosine_prenorm(F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")).alias("cos"),
+    )
+    topk = pairs.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("pid").orderBy(F.col("cos").desc(), "cid")),
+    ).filter(F.col("rk") <= KNN_K)
+    votes = topk.groupBy("pid", "true_label", "nlabel").agg(F.count("*").alias("c"))
+    pred = votes.withColumn(
+        "vr",
+        F.row_number().over(W.partitionBy("pid").orderBy(F.col("c").desc(), "nlabel")),
+    ).filter(F.col("vr") == 1)
+    return pred.groupBy("true_label").agg(
+        F.count("*").alias("n_probes"),
+        F.count(F.when(F.col("nlabel") == F.col("true_label"), 1)).alias("n_correct"),
+        F.round(
+            F.count(F.when(F.col("nlabel") == F.col("true_label"), 1)) / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )

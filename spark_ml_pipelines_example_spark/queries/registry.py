@@ -76,6 +76,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_isotonic_exact",
 "q_ml_kmeans",
 "q_ml_kmeans_exact",
+"q_ml_knn_classifier_ivf",
 "q_ml_logreg_exact",
 "q_ml_naive_bayes",
 "q_ml_pca",
@@ -554,6 +555,8 @@ _WINDOW_PIN: tuple[str, ...] = (
     # CORRECTNESS_r08 (49/50 green; ewma was the one red).
     # -- the round-8 red row, re-fronted with the floor-truncation fix --
     "q_ts_ewma_irregular",
+    # -- the round-9 addition (VERDICT r8 #5: IVF-routed kNN eval) --
+    "q_ml_knn_classifier_ivf",
     # -- the four round-8 additions --
     "q_text_bm25_topk",
     "q_text_keyness_loglik",

@@ -227,3 +227,104 @@ def test_soft_assign_degenerate_zero_centroid(spark):
     full = soft_assign_audited(vecs, cents, n_assign=4).toPandas()
     assert len(full) == 8 * 4
     assert np.isfinite(full["cell"]).all()
+
+
+def test_knn_classifier_ivf_recall_floor_vs_exact_twin(spark, sf_dir):
+    """VERDICT r8 #5: the IVF-routed kNN classifier must stay an honest
+    stand-in for the exact (quadratic) audit twin. Pin (a) the probe
+    population is IDENTICAL — per-class probe counts equal the exact
+    twin's (routing changes neighbors, never the held-out set) — and
+    (b) per-probe neighbor recall@K of the IVF candidate path vs the
+    exact top-K is ≥ 0.6 on the near-orthogonal fixture (measured 0.77
+    at sf0.001 / 0.81 at sf0.01 with nprobe 6/16 — the worst case for
+    IVF; clustered real embeddings sit far above it)."""
+    from pyspark.sql import Window as W
+
+    from spark_ml_pipelines_example_spark.functions.similarity import (
+        cosine_prenorm,
+        l2_norm,
+    )
+    from spark_ml_pipelines_example_spark.queries._util import t
+    from spark_ml_pipelines_example_spark.queries.ml import KNN_K, KNN_PROBE_MOD
+
+    exact_df = REGISTRY["q_ml_knn_classifier"].fn(spark, sf_dir)
+    ivf_df = REGISTRY["q_ml_knn_classifier_ivf"].fn(spark, sf_dir)
+    exact_counts = {r.true_label: r.n_probes for r in exact_df.collect()}
+    ivf_counts = {r.true_label: r.n_probes for r in ivf_df.collect()}
+    assert ivf_counts == exact_counts
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pe"),
+        l2_norm("embedding").alias("pn"),
+    )
+    corpus = e.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        l2_norm("embedding").alias("cn"),
+    )
+    pairs = corpus.crossJoin(F.broadcast(probes)).select(
+        "pid",
+        "cid",
+        cosine_prenorm(F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")).alias("cos"),
+    )
+    wk = W.partitionBy("pid").orderBy(F.col("cos").desc(), "cid")
+    exact_nb = {
+        (r.pid, r.cid)
+        for r in pairs.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_K)
+        .select("pid", "cid")
+        .collect()
+    }
+
+    assigned, cents = sim._ivf_index_for(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [(int(c), [int(v) for v in s], int(sum(v * v for v in s))) for (c, s, _n) in cents],
+        "cc long, s array<long>, ss long",
+    )
+    p2 = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pe"),
+        l2_norm("embedding").alias("pn"),
+        "xq",
+    )
+    c2 = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+        "cell",
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        l2_norm("embedding").alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xq", "s", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pc = (
+        p2.select("pid", "xq")
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "pid",
+            F.col("cc").alias("cell"),
+            (dot.cast("double") / F.sqrt(F.col("ss").cast("double"))).alias("r"),
+        )
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("pid").orderBy(F.col("r").desc(), "cell"))
+        )
+        .filter(F.col("rk") <= sim.N_PROBE)
+        .select("pid", "cell")
+    )
+    ip = c2.join(F.broadcast(pc.join(p2.drop("xq"), "pid")), "cell").select(
+        "pid",
+        "cid",
+        cosine_prenorm(F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")).alias("cos"),
+    )
+    ivf_nb = {
+        (r.pid, r.cid)
+        for r in ip.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_K)
+        .select("pid", "cid")
+        .collect()
+    }
+    recall = len(exact_nb & ivf_nb) / len(exact_nb)
+    assert recall >= 0.6, f"IVF kNN neighbor recall {recall:.3f} below floor"
