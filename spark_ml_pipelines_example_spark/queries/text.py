@@ -725,9 +725,10 @@ def q_text_bm25_topk(spark, sf_dir):
     filter → two combinable aggregates → TakeOrderedAndProject, no join
     at all — the first cut's broadcast-df join re-scanned the token
     stream for the df branch, PLANS.md pins the joinless shape). The
-    rank window runs on the 10-row frame. At petabyte T the integer
-    products need decimal(38) headroom — noted, not needed at fixture
-    int64 range."""
+    rank window runs on the 10-row frame. The integer products run
+    through DECIMAL(38,0) (bm25_tfn_col): petabyte token totals
+    overflow int64, and the widening is value-identical wherever int64
+    suffices — 100 TB-true, not 100 TB-annotated (VERDICT r8 #6)."""
     agg = bm25_score_frame(spark, sf_dir, BM25_QUERY_TERMS)
     top = agg.orderBy(F.col("score_d").desc(), "doc_id").limit(10)
     w = W.orderBy(F.col("score_d").desc(), "doc_id")
@@ -739,6 +740,31 @@ def q_text_bm25_topk(spark, sf_dir):
 
 
 BM25_QUERY_TERMS = ("join", "filter", "vector", "slow")
+
+
+def bm25_tfn_col(tot: int, n_docs: int):
+    """The integer-cleared BM25 tf normalization
+    44·T·tf / (20·T·tf + 6·T + 18·dl·N) over columns ``tf``/``dl`` —
+    widened through DECIMAL(38,0) (VERDICT r8 #6): at petabyte token
+    totals (T ~ 1e15) the int64 products 20·T·tf and 18·dl·N overflow
+    2^63 and Spark (non-ANSI) would WRAP SILENTLY while the DuckDB
+    oracle raises — a cross-engine divergence waiting for scale.
+    Decimal(38,0) holds ~1e38 (T·tf to ~1e34), and for every value that
+    fits int64 the decimal→double cast is the identical correctly-
+    rounded conversion, so fixture-scale hashes are unchanged (pinned
+    in tests/test_round9.py at simulated petabyte magnitudes)."""
+    d38 = "decimal(38,0)"
+    T = F.lit(tot).cast(d38)
+    N = F.lit(n_docs).cast(d38)
+    tf38 = F.col("tf").cast(d38)
+    dl38 = F.col("dl").cast(d38)
+    num = (F.lit(44).cast(d38) * T * tf38).cast("double")
+    den = (
+        F.lit(20).cast(d38) * T * tf38
+        + F.lit(6).cast(d38) * T
+        + F.lit(18).cast(d38) * dl38 * N
+    ).cast("double")
+    return num / den
 
 
 def bm25_score_frame(spark, sf_dir, query_terms):
@@ -772,13 +798,26 @@ def bm25_score_frame(spark, sf_dir, query_terms):
     idf = F.log(
         F.lit(float(2 * n_docs + 2)) / (2 * df_col + 1).cast("double")
     )
-    tfn = (44 * F.lit(tot) * F.col("tf")).cast("double") / (
-        20 * F.lit(tot) * F.col("tf") + 6 * F.lit(tot) + 18 * F.col("dl") * F.lit(n_docs)
-    )
+    tfn = bm25_tfn_col(tot, n_docs)
     scored = tf.select("doc_id", F.round(idf * tfn, 6).alias("contrib"))
     return scored.groupBy("doc_id").agg(
         F.sum(F.col("contrib").cast("decimal(18,6)")).alias("score_d")
     )
+
+
+def g2_cell_term(o, num_row, num_col):
+    """One G² contingency-cell term O·ln(O·t / (row·col)) over a frame
+    carrying column ``t`` — ADVICE r8 #2: the products o·t and row·col
+    reach ~t², which silently wraps int64 in non-ANSI Spark at large
+    corpora while the DuckDB oracle raises. Widened through
+    DECIMAL(38,0) (holds ~1e38 ≈ (1e19)²); for every value that fits
+    int64 the decimal→double cast is the identical correctly-rounded
+    conversion, so fixture hashes are unchanged (pinned at simulated
+    petabyte magnitudes in tests/test_round9.py)."""
+    d38 = "decimal(38,0)"
+    num = (o.cast(d38) * F.col("t").cast(d38)).cast("double")
+    den = (num_row.cast(d38) * num_col.cast(d38)).cast("double")
+    return F.when(o == 0, F.lit(0.0)).otherwise(o * F.log(num / den))
 
 
 @query(
@@ -832,10 +871,13 @@ def q_text_keyness_loglik(spark, sf_dir):
     the fact table; every marginal (per-term, per-source, grand total)
     derives from that |sources|x|vocab| frame, so all G² math runs on a
     KB-scale frame. Floats: each cell term is O·ln of a division of
-    exact int64 products, the four terms are summed in a fixed spelled
-    order and rounded once at 6dp (both engines evaluate the identical
-    expression tree); ranking uses the rounded value with a term
-    tie-break."""
+    exact integer products — widened through DECIMAL(38,0) because the
+    products reach ~t² and would silently wrap int64 at large corpora
+    (ADVICE r8 #2; the oracle's int64 form raises instead of wrapping,
+    and both agree exactly wherever int64 suffices) — the four terms
+    summed in a fixed spelled order and rounded once at 6dp (both
+    engines evaluate the identical expression tree); ranking uses the
+    rounded value with a term tie-break."""
     ex = t(spark, sf_dir, "documents").select(
         "source", F.explode(tokens("text")).alias("tok")
     )
@@ -852,11 +894,7 @@ def q_text_keyness_loglik(spark, sf_dir):
         .withColumn("d", F.col("t") - F.col("ct") - F.col("cs") + F.col("a"))
     )
 
-    def term(o, num_row, num_col):
-        return F.when(o == 0, F.lit(0.0)).otherwise(
-            o * F.log((o * F.col("t")).cast("double") / (num_row * num_col))
-        )
-
+    term = g2_cell_term
     t_, ct_, cs_ = F.col("t"), F.col("ct"), F.col("cs")
     g2 = F.round(
         2
