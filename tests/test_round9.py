@@ -114,3 +114,62 @@ def test_ewma_repro_row_emits_floor_not_round(spark):
     ).head()
     assert row is not None and row.dt == 34
     assert row.level == 24303.587812
+
+
+def test_union_spine_rejects_topk_ref_side_internals(spark):
+    """ADVICE r8 #1: the top-k variants create __ref_ts/__ref_id on the
+    ref side and reference both after the join-back — a probe frame
+    carrying either name must hit the crafted ValueError from EVERY
+    variant (the uniform-guard contract), not a later
+    ambiguous-reference AnalysisException inside asof_join_topk."""
+    import pytest
+
+    from spark_ml_pipelines_example_spark.operators.asof import (
+        asof_join,
+        asof_join_topk,
+    )
+
+    for col in ("__ref_ts", "__ref_id"):
+        probes = spark.createDataFrame(
+            [("k", "2024-01-01 10:00:00", 1)],
+            f"key string, ts string, `{col}` int",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        refs = spark.createDataFrame(
+            [("k", "2024-01-01 09:00:00", 1.0)], "key string, ts string, px double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        with pytest.raises(ValueError, match="reserved spine column"):
+            asof_join_topk(probes, refs, "key", "ts", "px", k=2)
+        with pytest.raises(ValueError, match="reserved spine column"):
+            asof_join(probes, refs, "key", "ts", "px")
+
+
+def test_bucketed_scratch_gc_reclaims_recycled_pid_by_age(spark, sf_dir):
+    """ADVICE r8 #3: a dead driver's scratch table whose PID was recycled
+    by an unrelated LIVE process (PID 1 here — always alive) must still
+    be reclaimed once it is old enough; a FRESH table belonging to a
+    live PID must survive (removing it would reintroduce the race the
+    PID scheme closed)."""
+    import os
+    import time
+
+    from spark_ml_pipelines_example_spark.queries._util import SCRATCH
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    bkt_root = f"{SCRATCH}/bkt"
+    os.makedirs(bkt_root, exist_ok=True)
+    stale = os.path.join(bkt_root, "bkt_lineitem_testgc_p1")
+    fresh = os.path.join(bkt_root, "bkt_orders_testgc_p1")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(fresh, exist_ok=True)
+    ancient = time.time() - 10 * 24 * 3600
+    os.utime(stale, (ancient, ancient))
+
+    try:
+        load_all()["q_join_bucketed_colocated"].fn(spark, sf_dir).count()
+        assert not os.path.isdir(stale), "aged-out recycled-PID dir kept"
+        assert os.path.isdir(fresh), "fresh live-PID dir removed"
+    finally:
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(fresh, ignore_errors=True)
