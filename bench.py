@@ -73,6 +73,10 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_sim_cosine_topk",
     "q_sim_ann_ivf",
+    # round-9: hard-negative mining + the nprobe/recall tuning curve on
+    # the shared IVF probe-routing spine
+    "q_sim_hard_negatives",
+    "q_sim_ann_recall_curve",
     "q_sim_knn_all",
     "q_join_salted_skew",
     "q_text_contamination",

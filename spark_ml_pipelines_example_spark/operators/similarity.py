@@ -109,6 +109,106 @@ def rank_cells_audited(
     return [c for _, c in scored[:nprobe]]
 
 
+def _adaptive_k_sql() -> str:
+    """The adaptive cell count as a DuckDB scalar subquery — the SQL twin
+    of ``adaptive_k`` (same GREATEST/CEIL arithmetic), shared by every
+    oracle that replays the index build so the two can never desync."""
+    return (
+        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
+        f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
+    )
+
+
+def ivf_probe_routing(spark: SparkSession, sf_dir: str, probe_mod: int):
+    """Shared probe-routing spine for held-out-probe queries over the
+    audited IVF index (q_ml_knn_classifier_ivf, q_sim_hard_negatives):
+    every ``probe_mod``-th vector is held out, ranks the index's
+    centroid rationals with rank_cells_audited's deterministic
+    comparator — the integer dot xq·s is exact in int64, the division
+    and sqrt are single correctly-rounded float64 ops, so the ranking
+    is bit-identical to the DuckDB replay — and keeps its N_PROBE
+    nearest cells. Returns ``(probes, corpus, pcells)``:
+    probes(pid, plabel, pe, pn), corpus(cell, cid, nlabel, ce, cn),
+    pcells(pid, cell). Downstream queries join corpus to
+    broadcast(pcells ⋈ probes) on cell — ONE equi-join, no corpus
+    shuffle; with adaptive k the cells stay constant-sized, so total
+    candidate work is linear in the probe count."""
+    from ..functions.similarity import l2_norm
+
+    assigned, cents = _ivf_index_for(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        [
+            (int(c), [int(v) for v in s], int(sum(v * v for v in s)))
+            for (c, s, _n) in cents
+        ],
+        "cc long, s array<long>, ss long",
+    )
+    probes = assigned.filter(F.col("vec_id") % probe_mod == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("embedding").alias("pe"),
+        l2_norm(F.col("embedding")).alias("pn"),
+        "xq",
+    )
+    corpus = assigned.filter(F.col("vec_id") % probe_mod != 0).select(
+        "cell",
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ce"),
+        l2_norm(F.col("embedding")).alias("cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xq", "s", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    pcells = (
+        probes.select("pid", "xq")
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "pid",
+            F.col("cc").alias("cell"),
+            (dot.cast("double") / F.sqrt(F.col("ss").cast("double"))).alias("r"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("pid").orderBy(F.col("r").desc(), "cell")),
+        )
+        .filter(F.col("rk") <= N_PROBE)
+        .select("pid", "cell")
+    )
+    return probes.drop("xq"), corpus, pcells
+
+
+def ivf_routing_oracle_parts(probe_mod: int) -> list[str]:
+    """The DuckDB CTE chain matching ivf_probe_routing: the shared
+    unrolled Lloyd replay + per-probe crank window + pcells + a raw
+    embeddings view ``e(vec_id, label, v, nrm)`` + ``cand(pid, cid)``.
+    Consumers append their own pairs/rank tail."""
+    from ..queries.ml import KMX_PASSES, _kmx_cte_parts
+
+    parts = _kmx_cte_parts(k_sql=_adaptive_k_sql())
+    parts += [
+        f"pq AS (SELECT vec_id AS pid, xq FROM q WHERE vec_id % {probe_mod} = 0)",
+        f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) "
+        f"AS ss FROM c{KMX_PASSES - 1})",
+        "crank AS (SELECT pq.pid, cm.c, ROW_NUMBER() OVER (PARTITION BY pq.pid "
+        "ORDER BY CAST(list_sum(list_transform(list_zip(pq.xq, cm.s), "
+        "z -> z[1]*z[2])) AS DOUBLE) / sqrt(CAST(cm.ss AS DOUBLE)) DESC, cm.c) "
+        "AS rk FROM cm, pq)",
+        f"pcells AS (SELECT pid, c FROM crank WHERE rk <= {N_PROBE})",
+        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)",
+        f"cand AS (SELECT pc.pid, a.vec_id AS cid FROM pcells pc "
+        f"JOIN a{KMX_PASSES} a ON a.c = pc.c "
+        f"WHERE a.vec_id % {probe_mod} <> 0)",
+    ]
+    return parts
+
+
 def cosine_pandas_factory(probe: list[float]):
     """Arrow-batched cosine against a fixed probe: each batch becomes one
     NumPy matrix-vector product. Preferred over the Catalyst fold kernel
@@ -212,11 +312,9 @@ def _ann_ivf_oracle() -> str:
     formula over the RAW embeddings."""
     from ..queries.ml import KMX_PASSES, _kmx_cte_parts
 
-    k_sql = (
-        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
-        f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
-    )
-    parts = _kmx_cte_parts(k_sql=k_sql)
+    # _adaptive_k_sql() yields the IDENTICAL text the old inline form
+    # did — these oracle fingerprints are certified and must not drift.
+    parts = _kmx_cte_parts(k_sql=_adaptive_k_sql())
     parts += [
         f"pq AS (SELECT xq FROM q WHERE vec_id = {PROBE_VEC_ID})",
         f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) AS ss "
@@ -524,11 +622,9 @@ def _emb_cells_oracle() -> str:
     co-occurring in several cells computes identical values)."""
     from ..queries.ml import KMX_PASSES, _kmx_cte_parts
 
-    k_sql = (
-        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
-        f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
-    )
-    parts = _kmx_cte_parts(k_sql=k_sql)
+    # _adaptive_k_sql() yields the IDENTICAL text the old inline form
+    # did — these oracle fingerprints are certified and must not drift.
+    parts = _kmx_cte_parts(k_sql=_adaptive_k_sql())
     parts += [
         f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) AS ss "
         f"FROM c{KMX_PASSES - 1})",

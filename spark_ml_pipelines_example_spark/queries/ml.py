@@ -3794,33 +3794,10 @@ def _knn_ivf_oracle() -> str:
     are touched here, which are defined before that module's own
     decoration-time oracle build, so the import is safe in either load
     order."""
-    from ..operators.similarity import (
-        N_CELLS,
-        N_PROBE,
-        SOFT_CELLS,
-        TARGET_SOFT_ROWS_PER_CELL,
-    )
+    from ..operators.similarity import ivf_routing_oracle_parts
 
-    k_sql = (
-        f"SELECT GREATEST({N_CELLS}, CAST(CEIL({float(SOFT_CELLS)} * COUNT(*) / "
-        f"{TARGET_SOFT_ROWS_PER_CELL}) AS BIGINT)) FROM embeddings"
-    )
-    parts = _kmx_cte_parts(k_sql=k_sql)
+    parts = ivf_routing_oracle_parts(KNN_PROBE_MOD)
     parts += [
-        f"pq AS (SELECT vec_id AS pid, xq FROM q WHERE vec_id % {KNN_PROBE_MOD} = 0)",
-        f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) "
-        f"AS ss FROM c{KMX_PASSES - 1})",
-        "crank AS (SELECT pq.pid, cm.c, ROW_NUMBER() OVER (PARTITION BY pq.pid "
-        "ORDER BY CAST(list_sum(list_transform(list_zip(pq.xq, cm.s), "
-        "z -> z[1]*z[2])) AS DOUBLE) / sqrt(CAST(cm.ss AS DOUBLE)) DESC, cm.c) "
-        "AS rk FROM cm, pq)",
-        f"pcells AS (SELECT pid, c FROM crank WHERE rk <= {N_PROBE})",
-        "e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, "
-        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
-        "CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)",
-        f"cand AS (SELECT pc.pid, a.vec_id AS cid FROM pcells pc "
-        f"JOIN a{KMX_PASSES} a ON a.c = pc.c "
-        f"WHERE a.vec_id % {KNN_PROBE_MOD} <> 0)",
         "pairs AS (SELECT cand.pid, pe.label AS true_label, cand.cid, "
         "ce.label AS nlabel, list_dot_product(pe.v, ce.v) / (pe.nrm * ce.nrm) AS cos "
         "FROM cand JOIN e pe ON pe.vec_id = cand.pid "
@@ -3873,53 +3850,12 @@ def q_ml_knn_classifier_ivf(spark, sf_dir):
     oracle replays index build + per-probe cell routing + vote end to
     end, so this is a FULL hash check of the approximate path itself,
     not merely of its summary."""
-    from ..functions.similarity import cosine_prenorm, l2_norm
-    from ..operators.similarity import N_PROBE, _ivf_index_for
+    from ..functions.similarity import cosine_prenorm
+    from ..operators.similarity import ivf_probe_routing
 
-    assigned, cents = _ivf_index_for(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [(int(c), [int(v) for v in s], int(sum(v * v for v in s))) for (c, s, _n) in cents],
-        "cc long, s array<long>, ss long",
-    )
-    probes = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
-        F.col("vec_id").alias("pid"),
-        F.col("label").alias("true_label"),
-        F.col("embedding").alias("pe"),
-        l2_norm(F.col("embedding")).alias("pn"),
-        "xq",
-    )
-    corpus = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
-        "cell",
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("nlabel"),
-        F.col("embedding").alias("ce"),
-        l2_norm(F.col("embedding")).alias("cn"),
-    )
-    # per-probe cell routing: integer dot xq·s is exact in int64 (the
-    # rank_cells_audited bounds), the division and sqrt are single
-    # correctly-rounded float64 ops — bit-identical to the oracle's
-    # comparator, ties by cell id.
-    dot = F.aggregate(
-        F.zip_with("xq", "s", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    pcells = (
-        probes.select("pid", "xq")
-        .crossJoin(F.broadcast(cdf))
-        .select(
-            "pid",
-            F.col("cc").alias("cell"),
-            (dot.cast("double") / F.sqrt(F.col("ss").cast("double"))).alias("r"),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(W.partitionBy("pid").orderBy(F.col("r").desc(), "cell")),
-        )
-        .filter(F.col("rk") <= N_PROBE)
-        .select("pid", "cell")
-    )
-    probe_side = pcells.join(probes.drop("xq"), "pid")
+    probes, corpus, pcells = ivf_probe_routing(spark, sf_dir, KNN_PROBE_MOD)
+    probes = probes.withColumnRenamed("plabel", "true_label")
+    probe_side = pcells.join(probes, "pid")
     pairs = corpus.join(F.broadcast(probe_side), "cell").select(
         "pid",
         "true_label",

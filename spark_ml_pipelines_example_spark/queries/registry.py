@@ -78,6 +78,8 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_kmeans_exact",
 "q_ml_knn_classifier_ivf",
 "q_ml_logreg_exact",
+"q_sim_ann_recall_curve",
+"q_sim_hard_negatives",
 "q_ml_naive_bayes",
 "q_ml_pca",
 "q_ml_pca_power_exact",
@@ -555,8 +557,12 @@ _WINDOW_PIN: tuple[str, ...] = (
     # CORRECTNESS_r08 (49/50 green; ewma was the one red).
     # -- the round-8 red row, re-fronted with the floor-truncation fix --
     "q_ts_ewma_irregular",
-    # -- the round-9 addition (VERDICT r8 #5: IVF-routed kNN eval) --
+    # -- round-9 additions (VERDICT r8 #5: IVF-routed kNN eval, plus the
+    #    hard-negative miner and the nprobe/recall tuning curve on the
+    #    same audited routing spine) --
     "q_ml_knn_classifier_ivf",
+    "q_sim_hard_negatives",
+    "q_sim_ann_recall_curve",
     # -- the four round-8 additions --
     "q_text_bm25_topk",
     "q_text_keyness_loglik",

@@ -471,3 +471,193 @@ def q_sim_rrf_fusion(spark, sf_dir):
         "doc_id", "rb", "rc", "rrf",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+HN_K = 5  # hard negatives mined per probe
+HN_PROBE_MOD = 20  # held-out probe stride (same as the kNN eval's)
+HN_DUP_BAR = 0.95  # cos >= bar treated as a near-duplicate, not a negative
+
+
+def _hard_negatives_oracle() -> str:
+    from ..operators.similarity import ivf_routing_oracle_parts
+
+    parts = ivf_routing_oracle_parts(HN_PROBE_MOD)
+    parts += [
+        "pairs AS (SELECT cand.pid, pe.label AS plabel, cand.cid, "
+        "ce.label AS neg_label, "
+        "list_dot_product(pe.v, ce.v) / (pe.nrm * ce.nrm) AS cos "
+        "FROM cand JOIN e pe ON pe.vec_id = cand.pid "
+        "JOIN e ce ON ce.vec_id = cand.cid)",
+        f"neg AS (SELECT pid, cid, neg_label, cos FROM pairs "
+        f"WHERE neg_label <> plabel AND cos < {HN_DUP_BAR})",
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid "
+        "ORDER BY cos DESC, cid) AS rk FROM neg)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT pid, rk, cid, neg_label, ROUND(cos, 6) AS cos_sim "
+        f"FROM ranked WHERE rk <= {HN_K}"
+    )
+
+
+@query(
+    "q_sim_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    tags=("similarity", "hard-negatives", "contrastive", "ann", "ivf", "training-data"),
+)
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for every held-out
+    probe (each HN_PROBE_MOD-th vector), the HN_K most-cosine-similar
+    corpus vectors whose LABEL DIFFERS (similar-but-wrong — the
+    negatives that actually move an embedding model; random negatives
+    are trivially separable). Vectors at cos ≥ HN_DUP_BAR are excluded
+    as near-duplicates/mislabels rather than negatives — inert on the
+    near-orthogonal fixture (max within-corpus cos ≈ 0.55) but the bar
+    is part of the declared semantics, and the comparison is on the
+    identical double in both engines so it can never split the hash.
+
+    Scale shape: the shared IVF probe-routing spine
+    (operators/similarity.py ivf_probe_routing — ONE equi-join on cell
+    against the broadcast probe×nprobe-cell frame, no corpus shuffle,
+    linear in probes under adaptive k); label filter + dup bar + one
+    per-probe top-K window after WindowGroupLimit pre-truncation.
+    Mining negatives over a 100 TB corpus is exactly the IVF serving
+    path — the full oracle replays index build + routing + mining end
+    to end."""
+    from ..operators.similarity import ivf_probe_routing
+
+    probes, corpus, pcells = ivf_probe_routing(spark, sf_dir, HN_PROBE_MOD)
+    pairs = corpus.join(F.broadcast(pcells.join(probes, "pid")), "cell").select(
+        "pid",
+        "plabel",
+        "cid",
+        F.col("nlabel").alias("neg_label"),
+        cosine_prenorm(F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")).alias("cos"),
+    )
+    neg = pairs.filter(
+        (F.col("neg_label") != F.col("plabel")) & (F.col("cos") < HN_DUP_BAR)
+    )
+    ranked = neg.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("pid").orderBy(F.col("cos").desc(), "cid")),
+    ).filter(F.col("rk") <= HN_K)
+    return ranked.select(
+        "pid", "rk", "cid", "neg_label", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+RECALL_NPROBES = (1, 2, 4, 6)  # the published IVF tuning curve's x-axis
+
+
+def _recall_curve_oracle() -> str:
+    from ..operators.similarity import _adaptive_k_sql
+    from .ml import KMX_PASSES, _kmx_cte_parts
+
+    max_np = max(RECALL_NPROBES)
+    np_list = ", ".join(str(n) for n in RECALL_NPROBES)
+    parts = _kmx_cte_parts(k_sql=_adaptive_k_sql())
+    parts += [
+        "pq AS (SELECT xq FROM q WHERE vec_id = 0)",
+        f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) "
+        f"AS ss FROM c{KMX_PASSES - 1})",
+        "crank AS (SELECT cm.c, ROW_NUMBER() OVER (ORDER BY "
+        "CAST(list_sum(list_transform(list_zip(pq.xq, cm.s), z -> z[1]*z[2])) "
+        "AS DOUBLE) / sqrt(CAST(cm.ss AS DOUBLE)) DESC, cm.c) AS crk FROM cm, pq)",
+        f"cells AS (SELECT c, crk FROM crank WHERE crk <= {max_np})",
+        "probe AS (SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings "
+        "WHERE vec_id = 0)",
+        "escan AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"cand AS (SELECT a.vec_id, cells.crk FROM a{KMX_PASSES} a "
+        f"JOIN cells ON a.c = cells.c WHERE a.vec_id <> 0)",
+        "scored AS (SELECT cand.vec_id, cand.crk, list_dot_product(e.e, p) "
+        "/ (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(p, p))) AS cos "
+        "FROM cand JOIN escan e USING (vec_id), probe)",
+        f"np AS (SELECT UNNEST([{np_list}]) AS nprobe)",
+        "percand AS (SELECT np.nprobe, s.vec_id, ROW_NUMBER() OVER ("
+        "PARTITION BY np.nprobe ORDER BY s.cos DESC, s.vec_id) AS rk "
+        "FROM np JOIN scored s ON s.crk <= np.nprobe)",
+        "ivf AS (SELECT nprobe, vec_id FROM percand WHERE rk <= 10)",
+        "brute AS (SELECT vec_id FROM (SELECT e.vec_id, list_dot_product(e.e, p) "
+        "/ (sqrt(list_dot_product(e.e, e.e)) * sqrt(list_dot_product(p, p))) AS cos "
+        "FROM escan e, probe WHERE e.vec_id <> 0) ORDER BY cos DESC, vec_id LIMIT 10)",
+        "hits AS (SELECT i.nprobe, COUNT(*) AS h FROM ivf i "
+        "JOIN brute b USING (vec_id) GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT CAST(np.nprobe AS BIGINT) AS nprobe, "
+        "CAST(COALESCE(h.h, 0) AS BIGINT) AS hits, "
+        "ROUND(COALESCE(h.h, 0) / 10.0, 6) AS recall_at_10 "
+        "FROM np LEFT JOIN hits h USING (nprobe)"
+    )
+
+
+@query(
+    "q_sim_ann_recall_curve",
+    oracle=_recall_curve_oracle(),
+    tags=("similarity", "ann", "ivf", "recall", "tuning"),
+)
+def q_sim_ann_recall_curve(spark, sf_dir):
+    """The IVF nprobe↔recall tuning curve — recall@10 of the indexed
+    probe (vector 0) against the brute-force truth at nprobe ∈
+    RECALL_NPROBES: the table every ANN deployment publishes before
+    picking its operating point (the declared default N_PROBE=6 sits on
+    this curve; the near-orthogonal fixture makes it the WORST case —
+    real clustered corpora shift the whole curve left).
+
+    Scale shape: cells are NESTED (top-1 ⊂ top-2 ⊂ ... ⊂ top-max), so
+    the whole curve costs ONE partition-pruned scan of the max-nprobe
+    cells with the cell's rank carried along — each smaller nprobe is a
+    filter on cell rank, not a re-scan; the per-nprobe top-10 windows
+    and the hit join against the broadcast 10-row truth all run on
+    pruned KB-scale frames. The brute-force arm is the same single
+    corpus pass q_sim_cosine_topk already makes. Full hash-check: the
+    audited Lloyd replay makes every point on the curve deterministic."""
+    from ..operators.similarity import (
+        _ivf_index_for,
+        _quantize_probe,
+        rank_cells_audited,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_vec = [float(v) for v in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    assigned, cents = _ivf_index_for(spark, sf_dir)
+    max_np = max(RECALL_NPROBES)
+    ranked_cells = rank_cells_audited(cents, _quantize_probe(probe_vec), nprobe=max_np)
+    crk_df = spark.createDataFrame(
+        [(c, i + 1) for i, c in enumerate(ranked_cells)], "cell long, crk long"
+    )
+    cos = cosine_probe(F.col("embedding"), probe_vec)
+    scored = (
+        assigned.join(F.broadcast(crk_df), "cell")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "crk", cos.alias("cos"))
+    )
+    np_df = spark.createDataFrame([(n,) for n in RECALL_NPROBES], "nprobe long")
+    percand = scored.join(
+        F.broadcast(np_df), F.col("crk") <= F.col("nprobe")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("nprobe").orderBy(F.col("cos").desc(), "vec_id")
+        ),
+    )
+    ivf = percand.filter(F.col("rk") <= 10).select("nprobe", "vec_id")
+    brute = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine_probe(F.col("embedding"), probe_vec).alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = ivf.join(F.broadcast(brute), "vec_id").groupBy("nprobe").agg(
+        F.count("*").alias("h")
+    )
+    return (
+        np_df.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hits"),
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+        )
+    )
