@@ -107,6 +107,10 @@ HEADLINE = [
     "q_text_bigram_lm",
     "q_graph_pagerank",
     "q_embed_quantize",
+    # round-9: PQ compression accounting (Arrow integer GEMM pass) and
+    # the one-aggregate per-dimension isotropy audit
+    "q_embed_pq_codes",
+    "q_embed_isotropy",
     # round-2 final additions: funnel (chained user_id joins), KS drift
     # (bin-collapsed ECDF), correlated-avg TPC-H (Q17), decorrelated
     # scalar-threshold TPC-H (Q11)

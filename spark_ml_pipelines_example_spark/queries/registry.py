@@ -78,6 +78,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_kmeans_exact",
 "q_ml_knn_classifier_ivf",
 "q_ml_logreg_exact",
+"q_embed_pq_codes",
 "q_sim_ann_recall_curve",
 "q_sim_hard_negatives",
 "q_ml_naive_bayes",
@@ -563,6 +564,8 @@ _WINDOW_PIN: tuple[str, ...] = (
     "q_ml_knn_classifier_ivf",
     "q_sim_hard_negatives",
     "q_sim_ann_recall_curve",
+    "q_embed_pq_codes",
+    "q_embed_isotropy",
     # -- the four round-8 additions --
     "q_text_bm25_topk",
     "q_text_keyness_loglik",

@@ -661,3 +661,197 @@ def q_sim_ann_recall_curve(spark, sf_dir):
             F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+PQ_M = 4  # product-quantization subspaces (64-dim -> 4 x 16)
+PQ_DSUB = 16  # dims per subspace
+PQ_K = 16  # codewords per subspace codebook
+
+
+def _pq_codes_oracle() -> str:
+    from .ml import KMX_Q
+
+    lo = f"(m * {PQ_DSUB} + 1)"
+    hi = f"((m + 1) * {PQ_DSUB})"
+    return f"""
+    WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*{KMX_Q}) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS code, xq FROM q WHERE vec_id < {PQ_K}),
+    d AS (
+        SELECT q.vec_id, t.m, cb.code,
+               CAST(list_sum(list_transform(
+                   list_zip(list_slice(q.xq, {lo}, {hi}),
+                            list_slice(cb.xq, {lo}, {hi})),
+                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        FROM q CROSS JOIN range(0, {PQ_M}) t(m) CROSS JOIN cb
+    ),
+    a AS (
+        SELECT vec_id, m, code, dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                         ORDER BY dist, code) AS rk
+            FROM d
+        ) WHERE rk = 1
+    )
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(dist) AS BIGINT) AS sqerr_total,
+           ROUND(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS avg_sqerr
+    FROM a GROUP BY 1, 2
+    """
+
+
+@query(
+    "q_embed_pq_codes",
+    oracle=_pq_codes_oracle(),
+    tags=("embedding", "pq", "quantization", "ann", "compression"),
+)
+def q_embed_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment + compression accounting —
+    the memory-bound ANN serving layer (Jégou et al., PQ): the 64-dim
+    vector splits into PQ_M=4 subspaces of 16 dims; each subspace is
+    assigned to its nearest of PQ_K=16 codewords, so a vector stores as
+    4 codes (4 bytes) instead of 256 — the 64× compression that lets a
+    100 TB corpus's index live in cluster RAM. Output: per
+    (subspace, code) population and exact total/mean squared
+    quantization error — the codebook-health table (dead codewords show
+    as missing rows, hot ones as skewed n_vectors).
+
+    Determinism discipline: vectors quantize with the shared audited
+    floor(x·1024) grid (queries/ml.py _kmx_quantized); the codebook is
+    the PQ_K lowest vec_ids' subvectors (the _kmx c0 init rule — a
+    production build would Lloyd-refine each subspace exactly like the
+    IVF coarse index; assignment/accounting plumbing is identical);
+    distances are exact int64 (|diff| ≤ 2^12, ×16 dims → ≤ 2^28 per
+    vector, summable to 2^58 at 10^9 rows), ties break to the lowest
+    code. Scale shape: codebook ships in the task closure, assignment
+    is one Arrow-batched integer GEMM per subspace (the _kmx_assign
+    expansion d = x·x − 2x·cb + cb·cb), each batch emits ≤ M·K partial
+    rows, and the final combinable groupBy touches only those — one
+    fact pass, KB-scale shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from .ml import _kmx_quantized
+
+    q = _kmx_quantized(spark, sf_dir)
+    cb_rows = q.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    if len(cb_rows) < PQ_K:
+        raise ValueError(f"corpus smaller than PQ_K={PQ_K}; no codebook")
+    cb = np.array([r["xq"] for r in cb_rows], dtype=np.int64)  # (K, 64)
+
+    def assign(batches):
+        subs = [cb[:, m * PQ_DSUB : (m + 1) * PQ_DSUB] for m in range(PQ_M)]
+        sub_sq = [(s * s).sum(axis=1) for s in subs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            out_m, out_c, out_n, out_e = [], [], [], []
+            for m in range(PQ_M):
+                Xm = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                xx = (Xm * Xm).sum(axis=1)
+                d = xx[:, None] - 2 * (Xm @ subs[m].T) + sub_sq[m][None, :]
+                j = np.argmin(d, axis=1)  # first min -> lowest code
+                dmin = d[np.arange(len(Xm)), j]
+                for code in np.unique(j):
+                    sel = j == code
+                    out_m.append(m)
+                    out_c.append(int(code))
+                    out_n.append(int(sel.sum()))
+                    out_e.append(int(dmin[sel].sum()))
+            yield pd.DataFrame(
+                {"m": out_m, "code": out_c, "n": out_n, "e": out_e}
+            )
+
+    partials = q.mapInPandas(assign, "m long, code long, n long, e long")
+    return partials.groupBy(
+        F.col("m").alias("subspace"), "code"
+    ).agg(
+        F.sum("n").alias("n_vectors"),
+        F.sum("e").alias("sqerr_total"),
+        F.round(F.sum("e").cast("double") / F.sum("n"), 6).alias("avg_sqerr"),
+    )
+
+
+def _isotropy_oracle() -> str:
+    from .ml import KMX_DIM, KMX_Q
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*{KMX_Q}) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT t.i AS dim, COUNT(*) AS n,
+               CAST(SUM(q.xq[t.i]) AS BIGINT) AS s,
+               CAST(SUM(q.xq[t.i] * q.xq[t.i]) AS BIGINT) AS ss
+        FROM q CROSS JOIN range(1, {KMX_DIM + 1}) t(i)
+        GROUP BY t.i
+    )
+    SELECT dim, n, s, ss,
+           FLOOR((CAST(s AS DOUBLE) / n / {KMX_Q}) * 1000000) / 1000000
+               AS mean_dim,
+           FLOOR((CAST(ss AS DOUBLE) / n / {KMX_Q * KMX_Q}
+                  - (CAST(s AS DOUBLE) / n / {KMX_Q})
+                    * (CAST(s AS DOUBLE) / n / {KMX_Q})) * 1000000) / 1000000
+               AS var_dim
+    FROM per_dim
+    """
+
+
+@query(
+    "q_embed_isotropy",
+    oracle=_isotropy_oracle(),
+    tags=("embedding", "isotropy", "audit", "quality"),
+)
+def q_embed_isotropy(spark, sf_dir):
+    """Per-dimension embedding isotropy audit — the collapse detector
+    every embedding-production pipeline monitors: a healthy encoder
+    spreads variance across dimensions; dominated/zero-variance
+    dimensions mean representation collapse (or a dead projection row)
+    and degrade every downstream ANN/dedup/clustering consumer. Output:
+    per dimension the exact integer first/second moments over the
+    shared floor(x·1024) grid plus mean/variance in original units —
+    anisotropy (max/mean variance ratio) is a trivial consumer-side
+    fold over the 64-row result.
+
+    Determinism: moments are exact int64 sums over the audited
+    quantization (xq² ≤ 2^22, summable to 2^52 at 10^9 rows — the bound
+    is documented rather than decimal-widened because the moments here
+    feed a 64-row audit, not a certified score); mean/variance divide
+    in a fixed spelled order and emit FLOOR-truncated at 6dp (the
+    engine-invariant emission discipline). Scale shape: ONE combinable
+    unrolled aggregate (2·64 sums + count, the simhash bit-vote
+    pattern) — no explode touches the fact table; the 1×129 row
+    unpivots to 64 rows via stack on the driver-sized frame."""
+    from .ml import KMX_DIM, KMX_Q, _kmx_quantized
+
+    q = _kmx_quantized(spark, sf_dir)
+    aggs = [F.count("*").alias("n")]
+    for i in range(KMX_DIM):
+        aggs.append(F.sum(F.col("xq")[i]).alias(f"s{i}"))
+        aggs.append(F.sum(F.col("xq")[i] * F.col("xq")[i]).alias(f"ss{i}"))
+    one = q.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i + 1}L, s{i}, ss{i}" for i in range(KMX_DIM)
+    )
+    per_dim = one.selectExpr(
+        "n", f"stack({KMX_DIM}, {stack_args}) AS (dim, s, ss)"
+    )
+    mean_raw = F.col("s").cast("double") / F.col("n") / KMX_Q
+    var_raw = (
+        F.col("ss").cast("double") / F.col("n") / (KMX_Q * KMX_Q)
+        - mean_raw * mean_raw
+    )
+    return per_dim.select(
+        "dim",
+        "n",
+        "s",
+        "ss",
+        (F.floor(mean_raw * 1000000) / 1000000).alias("mean_dim"),
+        (F.floor(var_raw * 1000000) / 1000000).alias("var_dim"),
+    )
