@@ -59,6 +59,11 @@ SHOWCASE = [
     ("q_graph_pagerank", "3 power iterations: dst-keyed shuffles, broadcast dangling mass"),
     ("q_layout_zorder", "Z-ordered staging read: 2-D range filter over tight file stats"),
     ("q_embed_quantize", "int8 quantization: nested HOFs, map-only"),
+    ("q_ml_knn_classifier_ivf", "IVF-routed kNN eval: one cell equi-join, broadcast probe side"),
+    ("q_sim_hard_negatives", "hard-negative mining over the IVF routing spine"),
+    ("q_sim_ann_recall_curve", "nprobe/recall curve: ONE pruned scan, nested-cell rank filters"),
+    ("q_embed_pq_codes", "PQ assignment: Arrow integer GEMM, batch-partial combinable agg"),
+    ("q_embed_isotropy", "per-dim moments: ONE unrolled aggregate, stack-unpivot, no explode"),
     ("q_tpch_q2", "argmin-per-group: scalar-min decorrelated to groupBy + join-back"),
     ("q_tpch_q8", "market share: conditional decimal sums in ONE aggregate pass"),
     ("q_dq_checks", "DQ rule suite: one aggregate per table + anti-join, stack to rows"),
