@@ -3835,12 +3835,13 @@ def q_ml_knn_classifier_ivf(spark, sf_dir):
     as a Spark integer fold so it runs distributed) and votes among its
     KNN_K nearest neighbors drawn ONLY from its N_PROBE nearest cells.
     With adaptive k the cells stay constant-sized, so per-probe work is
-    constant and total candidate work is linear in the probe count —
-    the 100 TB path. The probe set here is every KNN_PROBE_MOD-th
-    vector (driver determinism); a production eval holds the probe set
-    fixed, so the broadcast probe side stays bounded regardless of
-    corpus growth. Accuracy floor vs the exact twin is pinned in
-    tests/test_similarity_ops.py.
+    constant — and the probe set itself is FIXED-SIZE (every
+    KNN_PROBE_MOD-th vector below PROBE_ID_CAP, the production eval
+    contract), making the WHOLE eval corpus-size-independent: the r9
+    sf1 probe runs it at ~1× while the exact twin pays 13× — the 100 TB
+    path. At driver/test SFs the cap is above every vec_id, so the
+    held-out set equals the exact twin's. Accuracy floor vs the exact
+    twin is pinned in tests/test_similarity_ops.py.
 
     Scale shape: ONE equi-join on cell between the corpus-side index
     and the broadcast (probe × nprobe-cell) frame — no corpus shuffle;

@@ -518,9 +518,11 @@ def q_sim_hard_negatives(spark, sf_dir):
 
     Scale shape: the shared IVF probe-routing spine
     (operators/similarity.py ivf_probe_routing — ONE equi-join on cell
-    against the broadcast probe×nprobe-cell frame, no corpus shuffle,
-    linear in probes under adaptive k); label filter + dup bar + one
-    per-probe top-K window after WindowGroupLimit pre-truncation.
+    against the broadcast probe×nprobe-cell frame, no corpus shuffle;
+    the probe set is fixed-size by PROBE_ID_CAP and per-probe work is
+    constant under adaptive k, so the whole mining pass is
+    corpus-size-independent); label filter + dup bar + one per-probe
+    top-K window after WindowGroupLimit pre-truncation.
     Mining negatives over a 100 TB corpus is exactly the IVF serving
     path — the full oracle replays index build + routing + mining end
     to end."""

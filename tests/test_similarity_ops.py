@@ -283,13 +283,16 @@ def test_knn_classifier_ivf_recall_floor_vs_exact_twin(spark, sf_dir):
         [(int(c), [int(v) for v in s], int(sum(v * v for v in s))) for (c, s, _n) in cents],
         "cc long, s array<long>, ss long",
     )
-    p2 = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
+    is_probe = (F.col("vec_id") % KNN_PROBE_MOD == 0) & (
+        F.col("vec_id") < sim.PROBE_ID_CAP
+    )
+    p2 = assigned.filter(is_probe).select(
         F.col("vec_id").alias("pid"),
         F.col("embedding").alias("pe"),
         l2_norm("embedding").alias("pn"),
         "xq",
     )
-    c2 = assigned.filter(F.col("vec_id") % KNN_PROBE_MOD != 0).select(
+    c2 = assigned.filter(~is_probe).select(
         "cell",
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
