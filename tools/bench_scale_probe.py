@@ -83,25 +83,25 @@ def stage() -> None:
     con = duckdb.connect()
     _stage(con, "region", None)
     _stage(con, "nation", None)
-    _stage(con, "customer", "c_custkey + {r} * %d AS c_custkey" % C_OFF)
-    _stage(con, "supplier", "s_suppkey + {r} * %d AS s_suppkey" % S_OFF)
-    _stage(con, "part", "p_partkey + {r} * %d AS p_partkey" % P_OFF)
+    _stage(con, "customer", "c_custkey + {r}::BIGINT * %d AS c_custkey" % C_OFF)
+    _stage(con, "supplier", "s_suppkey + {r}::BIGINT * %d AS s_suppkey" % S_OFF)
+    _stage(con, "part", "p_partkey + {r}::BIGINT * %d AS p_partkey" % P_OFF)
     _stage(
         con,
         "orders",
-        "o_orderkey + {r} * %d AS o_orderkey, o_custkey + {r} * %d AS o_custkey"
+        "o_orderkey + {r}::BIGINT * %d AS o_orderkey, o_custkey + {r}::BIGINT * %d AS o_custkey"
         % (O_OFF, C_OFF),
     )
     _stage(
         con,
         "lineitem",
-        "l_orderkey + {r} * %d AS l_orderkey, l_partkey + {r} * %d AS l_partkey, "
-        "l_suppkey + {r} * %d AS l_suppkey" % (O_OFF, P_OFF, S_OFF),
+        "l_orderkey + {r}::BIGINT * %d AS l_orderkey, l_partkey + {r}::BIGINT * %d AS l_partkey, "
+        "l_suppkey + {r}::BIGINT * %d AS l_suppkey" % (O_OFF, P_OFF, S_OFF),
     )
     _stage(
         con,
         "events",
-        "event_id + {r} * %d AS event_id, user_id + {r} * %d AS user_id"
+        "event_id + {r}::BIGINT * %d AS event_id, user_id + {r}::BIGINT * %d AS user_id"
         % (E_OFF, U_OFF),
     )
     # documents: token-suffix perturbation (cross-replica token sets
