@@ -267,6 +267,91 @@ def q_self_join_dedup_pairs(spark, sf_dir):
     )
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _pid_started_after(pid: int, mtime: float):
+    """True iff PID's process started after `mtime` (⇒ recycled PID).
+
+    None when the start time cannot be determined (non-Linux /proc
+    layout, permission, or the process exited between checks).
+    Reads /proc/<pid>/stat field 22 (starttime, clock ticks since
+    boot) and /proc/stat btime; comm may contain spaces/parens, so
+    fields are parsed after the last ')'.
+    """
+    import os
+
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            stat = fh.read().decode("ascii", "replace")
+        start_ticks = int(stat.rsplit(")", 1)[1].split()[19])
+        hz = os.sysconf("SC_CLK_TCK")
+        with open("/proc/stat", "rb") as fh:
+            btime = next(
+                int(line.split()[1])
+                for line in fh.read().decode("ascii", "replace").splitlines()
+                if line.startswith("btime ")
+            )
+        # 2s slack: dir mtime and btime are whole-second clocks
+        return (btime + start_ticks / hz) > (mtime + 2.0)
+    except (OSError, ValueError, IndexError, StopIteration):
+        return None
+
+
+def _gc_scratch_buckets(bkt_root: str) -> None:
+    """Reclaim per-PID scratch bucketed tables left by dead drivers.
+
+    ADVICE r8 #3 / r9 #1: liveness alone (kill(pid, 0)) keeps a dead
+    driver's directory forever if its PID was recycled by an unrelated
+    live process. The r8 cut used a 3-day age fallback, but age
+    OVERRODE liveness: a live session's >3-day-old scratch dir could be
+    reclaimed by a sibling mid-read. Recycled-PID detection is now
+    EXACT: a live PID owns the dir only if its process started BEFORE
+    the dir was last written (/proc start time vs dir mtime) — a
+    recycled PID always starts after the dead owner wrote the dir, so
+    it never shields the stale copy, and a genuine live owner is never
+    touched regardless of age. Where /proc is unavailable the 3-day age
+    rule remains as a conservative fallback for live-looking PIDs only
+    (dead PIDs are reclaimed immediately as before).
+    """
+    import os
+    import re
+    import shutil
+    import time
+
+    if not os.path.isdir(bkt_root):
+        return
+    now = time.time()
+    for entry in os.listdir(bkt_root):
+        m = re.fullmatch(r"bkt_\w+_p(\d+)", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        pid = int(m.group(1))
+        path = os.path.join(bkt_root, entry)
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            continue
+        if _pid_alive(pid):
+            recycled = _pid_started_after(pid, mtime)
+            if recycled is None:
+                # can't prove recycling: fall back to age — dead-owner
+                # heuristic only (no /proc ⇒ no exact answer)
+                recycled = now - mtime > 3 * 24 * 3600
+            if not recycled:
+                continue  # live owner — never touched
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @query(
     "q_join_bucketed_colocated",
     oracle="""
@@ -295,51 +380,17 @@ def q_join_bucketed_colocated(spark, sf_dir):
     from ..sources.layout import write_bucketed
     from ._util import SCRATCH, scratch_dir
     import os
-    import re
-    import shutil
-    import time
 
     # Key the scratch table name AND path by the driver PID (VERDICT r7
     # watch item (a)): two concurrent sessions rewriting the same scratch
     # bucketed table raced once in round 7 — per-PID naming makes the
     # collision impossible by construction while staying idempotent
     # within a session (overwrite mode). Garbage-collect siblings left
-    # by DEAD drivers (kill(pid, 0) probes liveness) so repeated
-    # pytest/bench/driver invocations don't accumulate copies; a LIVE
-    # concurrent session's tables are never touched — removing them
-    # would reintroduce the race this scheme closed.
-    def _pid_alive(pid: int) -> bool:
-        try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True
-        return True
-
-    # ADVICE r8 #3: liveness alone keeps a dead driver's directory
-    # forever if its PID was recycled by an unrelated live process —
-    # kill(pid, 0) then succeeds indefinitely. Age is the fallback: no
-    # legitimate scratch table outlives its session by days, so stale
-    # entries are reclaimed even behind a recycled PID. Together the
-    # two rules ELIMINATE (not merely bound) the leak on long-lived
-    # shared hosts while still never touching a live concurrent
-    # session's fresh tables.
-    GC_MAX_AGE_S = 3 * 24 * 3600
-    now = time.time()
-    bkt_root = f"{SCRATCH}/bkt"
-    if os.path.isdir(bkt_root):
-        for entry in os.listdir(bkt_root):
-            m = re.fullmatch(r"bkt_\w+_p(\d+)", entry)
-            if not m or int(m.group(1)) == os.getpid():
-                continue
-            path = os.path.join(bkt_root, entry)
-            try:
-                stale = now - os.path.getmtime(path) > GC_MAX_AGE_S
-            except OSError:
-                stale = False
-            if stale or not _pid_alive(int(m.group(1))):
-                shutil.rmtree(path, ignore_errors=True)
+    # by DEAD or recycled-PID drivers (see _gc_scratch_buckets) so
+    # repeated pytest/bench/driver invocations don't accumulate copies;
+    # a LIVE concurrent session's tables are never touched — removing
+    # them would reintroduce the race this scheme closed.
+    _gc_scratch_buckets(f"{SCRATCH}/bkt")
 
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_").lstrip("_")
     tag = f"{tag}_p{os.getpid()}"

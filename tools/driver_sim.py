@@ -60,7 +60,16 @@ def _canon_cell(v):
     if isinstance(v, (np.integer, int, bool)):
         return str(int(v))
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # ADVICE r9 #2: canonicalize Decimal EXACTLY — routing through
+        # float64 loses low digits above 2^53 (decimal(18,2) money sums
+        # near 1e16), leaving the selfcheck weaker than the external
+        # driver for decimal columns. normalize() strips scale noise
+        # (1.500000 vs 1.5); re-quantize positive exponents so 1E+2
+        # renders as 100, keeping the form plain digits.
+        d = v.normalize()
+        if d.as_tuple().exponent > 0:
+            d = d.quantize(Decimal(1))
+        return str(d)
     if isinstance(v, (datetime.datetime, datetime.date)):
         s = str(v)[:19]
         # pandas renders DATE as midnight timestamps; fold to date so a
