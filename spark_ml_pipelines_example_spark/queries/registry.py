@@ -545,45 +545,16 @@ def load_all() -> dict[str, QuerySpec]:
 # never-checked block; once they earn a green hard row the
 # self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # round-9 front (VERDICT r8 task #3): the 16 names that have never
-    # earned a hard driver row (the 12 pre-r8 leftovers + the four
-    # round-8 additions), PLUS the re-fronted q_ts_ewma_irregular — its
-    # floor-truncation fix rewrote the oracle text, so the fingerprint
-    # mismatch re-fronts it automatically; pinning it first makes the
-    # priority explicit. 17 slots of the driver's ~50-query window;
-    # the remaining ~33 fall through to the regression tail
-    # (_DRIVER_PRIORITY order). A green CORRECTNESS_r09 row for all 17
-    # closes the ledger: every declared query evidenced by an external
-    # hard row at least once. The r8 pins all retired via
-    # CORRECTNESS_r08 (49/50 green; ewma was the one red).
-    # -- the round-8 red row, re-fronted with the floor-truncation fix --
-    "q_ts_ewma_irregular",
-    # -- round-9 additions (VERDICT r8 #5: IVF-routed kNN eval, plus the
-    #    hard-negative miner and the nprobe/recall tuning curve on the
-    #    same audited routing spine) --
-    "q_ml_knn_classifier_ivf",
-    "q_sim_hard_negatives",
-    "q_sim_ann_recall_curve",
-    "q_embed_pq_codes",
-    "q_embed_isotropy",
-    # -- the four round-8 additions --
-    "q_text_bm25_topk",
-    "q_text_keyness_loglik",
-    "q_join_asof_nearest_bucketed",
-    "q_sim_rrf_fusion",
-    # -- the 12 pre-r8 leftovers --
-    "q_embed_quantize",
-    "q_fn_variant",
-    "q_layout_compact",
-    "q_layout_zorder",
-    "q_limit_topk",
-    "q_mix_sources",
-    "q_pack_padding_waste",
-    "q_pack_shards",
-    "q_sort_multikey",
-    "q_sql_execute_immediate",
-    "q_sql_parameterized",
-    "q_sql_recursive_cte",
+    # round-10 front: only this round's NEW queries ride the pin — with
+    # the evidence ledger closed in r9 (every declared query has a hard
+    # external row), the rest of the ~50-query window is filled by the
+    # SELF-MAINTAINING re-certification rotation below
+    # (_recert_rotation_names): the oldest-vintage certified queries are
+    # re-fronted oldest-first, so rows certifying pre-refactor engine
+    # code are refreshed round by round with no manual pinning
+    # (VERDICT r9 #1). The r9 pins (ewma re-front + 21 others) all
+    # retired via CORRECTNESS_r09 (50/50 green).
+    "q_sim_ann_ivfpq",
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED
@@ -752,6 +723,93 @@ def _force_recheck_pending(root=None) -> frozenset[str]:
     return pending
 
 
+# Driver-window size the re-certification rotation fills up to (the
+# external driver hash-checks roughly the first 50 registry entries).
+_RECERT_WINDOW = 50
+
+_VINTAGE_CACHE: dict[str, dict[str, int]] = {}
+
+
+def _certified_vintage(root=None) -> dict[str, int]:
+    """name -> LATEST round number whose committed CORRECTNESS_r*.json
+    holds a still-valid row for it (same validity rules as
+    _driver_checked_queries: green hash row with the declared oracle's
+    fingerprint still matching the recorded one, or a rows-only row for
+    a query that is still rows-only). Names with no valid row anywhere
+    are absent — they are never-checked, not old."""
+    import json
+    import re
+    from pathlib import Path
+
+    cacheable = root is None
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    root = Path(root)
+    key = str(root)
+    if cacheable and key in _VINTAGE_CACHE:
+        return _VINTAGE_CACHE[key]
+    fps = _checked_fingerprints()
+    sql_round: dict[str, int] = {}
+    rows_round: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True and row.get("err") is None:
+                sql_round[name] = max(sql_round.get(name, 0), rnd)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                rows_round[name] = max(rows_round.get(name, 0), rnd)
+    vintage: dict[str, int] = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is not None:
+            if name in sql_round and fps.get(name) == oracle_fingerprint(spec):
+                vintage[name] = sql_round[name]
+        else:
+            rounds = [r for r in (sql_round.get(name), rows_round.get(name)) if r]
+            if rounds:
+                vintage[name] = max(rounds)
+    if cacheable:
+        _VINTAGE_CACHE[key] = vintage
+    return vintage
+
+
+def _recert_rotation_names(root=None) -> tuple[str, ...]:
+    """VERDICT r9 #1 — the self-maintaining re-certification rotation.
+
+    With the evidence ledger closed (every declared query holds ≥1 hard
+    external row), the window budget left over after this round's pins
+    re-fronts the OLDEST-vintage certified SQL-oracled queries,
+    oldest-first (name tie-break), so driver rows certifying
+    pre-refactor engine code (r1–r2 vintage: scan/filter/project, the
+    early join/agg/window families — refactored since under the union
+    spine, adaptive_k, globalrank and decimal disciplines) are refreshed
+    against today's code. Once the next round's artifact lands, those
+    names carry the new vintage and the selection advances to the next
+    oldest automatically — no manual re-pinning. Only SQL-oracled names
+    rotate (a repeated rows-only row re-certifies nothing hash-wise).
+    """
+    budget = max(0, _RECERT_WINDOW - len(_WINDOW_PIN))
+    vintage = _certified_vintage(root)
+    eligible = sorted(
+        (
+            n
+            for n, r in vintage.items()
+            if REGISTRY[n].oracle is not None and n not in _WINDOW_PIN
+        ),
+        key=lambda n: (vintage[n], n),
+    )
+    return tuple(eligible[:budget])
+
+
 def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """SELF-MAINTAINING driver-window rotation: the external driver
     hash-checks roughly the first 50 entries per round, so order the
@@ -762,9 +820,11 @@ def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     every future round's check budget lands on fresh queries — including
     queries added in the current round — with no manual reordering.
     Deterministic given the repo contents."""
-    checked = _driver_checked_queries() - _force_recheck_pending()
+    recert = _recert_rotation_names()
+    checked = _driver_checked_queries() - _force_recheck_pending() - set(recert)
 
     pin_rank = {n: i for i, n in enumerate(_WINDOW_PIN)}
+    recert_rank = {n: i for i, n in enumerate(recert)}
 
     def fam_rank(n: str) -> int:
         for i, f in enumerate(_FAMILY_ORDER):
@@ -773,7 +833,14 @@ def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         return len(_FAMILY_ORDER)
 
     def sort_key(n: str):
-        return (pin_rank.get(n, len(_WINDOW_PIN)), fam_rank(n), n)
+        # pins first, then genuinely never-checked names (family-ranked),
+        # then the re-certification rotation (oldest vintage first) — a
+        # new query always outranks a refresh of an already-evidenced one.
+        return (
+            pin_rank.get(n, len(_WINDOW_PIN)),
+            (1, recert_rank[n], 0) if n in recert_rank else (0, 0, fam_rank(n)),
+            n,
+        )
 
     # Pinned rows-only queries ride in the SQL block so the whole pin set
     # lands inside the driver's ~50-query window.

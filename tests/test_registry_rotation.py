@@ -163,3 +163,99 @@ def test_rows_only_row_contract_complete():
             ):
                 lo, hi = ROWS_ONLY_ROW_CONTRACT[name]
                 assert lo <= row["spark_rows"] <= hi, (name, p.name, row)
+
+
+def test_recert_rotation_selects_oldest_vintage_sql_only():
+    """VERDICT r9 #1: with the ledger closed, the window budget left
+    after the pins re-fronts the OLDEST-vintage certified SQL-oracled
+    queries, oldest-first. No selected name may be younger than an
+    unselected eligible one, rows-only names never rotate, and the
+    budget tops the window up to ~50 with the pins."""
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        _RECERT_WINDOW,
+        _certified_vintage,
+        _recert_rotation_names,
+    )
+
+    rec = _recert_rotation_names()
+    vintage = _certified_vintage()
+    assert len(rec) == min(
+        _RECERT_WINDOW - len(_WINDOW_PIN),
+        sum(1 for n in vintage if REGISTRY[n].oracle is not None),
+    )
+    assert all(REGISTRY[n].oracle is not None for n in rec)
+    # oldest-first, name tie-break
+    keys = [(vintage[n], n) for n in rec]
+    assert keys == sorted(keys)
+    # nothing unselected is older than anything selected
+    unselected = [
+        v
+        for n, v in vintage.items()
+        if n not in rec and REGISTRY[n].oracle is not None and n not in _WINDOW_PIN
+    ]
+    if rec and unselected:
+        assert max(vintage[n] for n in rec) <= min(unselected)
+
+
+def test_recert_rotation_fills_driver_window():
+    """The rotated registry's first ~50 names must be exactly the pins
+    (those that exist and still need a row) + never-checked newcomers +
+    the recert selection — the driver's budget lands on re-certification,
+    not on the already-fresh regression tail."""
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        _recert_rotation_names,
+    )
+
+    full = load_all()
+    rec = _recert_rotation_names()
+    checked = _driver_checked_queries() - _force_recheck_pending() - set(rec)
+    n_window = sum(1 for n in full if n not in checked)
+    front = list(full)[:n_window]
+    # every window slot needs a fresh row (pin, newcomer, or recert)
+    assert all(n not in checked for n in front)
+    assert set(rec) <= set(front)
+    # the recert names ride in their declared (oldest-first) order
+    in_front = [n for n in front if n in rec]
+    assert in_front == list(rec)
+
+
+def test_recert_rotation_advances_on_fresh_row(tmp_path):
+    """Self-maintenance: once a round's artifact records a fresh green
+    row for a re-fronted name, its vintage advances and the next
+    selection moves on to the next-oldest automatically."""
+    import json
+
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        _certified_vintage,
+        _checked_fingerprints,
+        _recert_rotation_names,
+    )
+
+    fps = _checked_fingerprints()
+    # two real SQL-oracled names with committed fingerprints
+    a, b = "q_agg_argmax", "q_agg_bool"
+    assert fps.get(a) and fps.get(b)
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                a: {"hash_match": True, "err": None},
+                b: {"hash_match": True, "err": None},
+            }
+        )
+    )
+    rec = _recert_rotation_names(tmp_path)
+    assert rec[:2] == (a, b)  # same vintage → name order
+    v = _certified_vintage(tmp_path)
+    assert v[a] == 1 and v[b] == 1
+    # a fresh r10 row for `a` pushes it behind `b`
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({a: {"hash_match": True, "err": None}})
+    )
+    rec2 = _recert_rotation_names(tmp_path)
+    assert rec2[:2] == (b, a)
+    # an errored r10 row must NOT advance the vintage
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({a: {"hash_match": False, "err": "Traceback ..."}})
+    )
+    v3 = _certified_vintage(tmp_path)
+    assert v3[a] == 1
