@@ -77,6 +77,9 @@ HEADLINE = [
     # the shared IVF probe-routing spine
     "q_sim_hard_negatives",
     "q_sim_ann_recall_curve",
+    # round-10: ADC top-k over the PQ codebooks + exact refine — the
+    # RAM-scale serving pattern (fixed probe + fixed shortlist: ~1x)
+    "q_sim_ann_ivfpq",
     "q_sim_knn_all",
     "q_join_salted_skew",
     "q_text_contamination",

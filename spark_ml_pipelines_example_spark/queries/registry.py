@@ -105,6 +105,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_shuffle_global",
 "q_sim_ann_ivf",
 "q_sim_ann_ivf_index",
+"q_sim_ann_ivfpq",
 "q_sim_cosine_topk",
 "q_sim_knn_all",
 "q_sim_maxsim",

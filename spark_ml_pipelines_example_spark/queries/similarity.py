@@ -857,3 +857,190 @@ def q_embed_isotropy(spark, sf_dir):
         (F.floor(mean_raw * 1000000) / 1000000).alias("mean_dim"),
         (F.floor(var_raw * 1000000) / 1000000).alias("var_dim"),
     )
+
+
+# IVF-PQ refine shortlist: the ADC scan keeps this many candidates for
+# the exact re-rank (Jégou et al.'s "R" — they report R=10..100 on SIFT).
+# FIXED-SIZE like PROBE_ID_CAP, not a corpus fraction: at 100 TB the
+# shortlist is still 100 rows per probe, so refine cost is constant in
+# corpus size. 16-codeword subspace codebooks on the near-orthogonal
+# fixture are the ADC worst case; R=100 recovers recall 0.7-0.8 here
+# (tests pin the floor) while real clustered corpora need far less.
+ADC_SHORTLIST = 100
+
+
+def _ivfpq_oracle() -> str:
+    from ..operators.similarity import N_PROBE, PROBE_VEC_ID, TOP_K, _adaptive_k_sql
+    from .ml import KMX_PASSES, _kmx_cte_parts
+
+    lo = f"(m * {PQ_DSUB} + 1)"
+    hi = f"((m + 1) * {PQ_DSUB})"
+    sq = "z -> (z[1]-z[2])*(z[1]-z[2])"
+    parts = _kmx_cte_parts(k_sql=_adaptive_k_sql())
+    parts += [
+        f"pq AS (SELECT xq FROM q WHERE vec_id = {PROBE_VEC_ID})",
+        f"cm AS (SELECT c, s, CAST(list_sum(list_transform(s, v -> v*v)) AS BIGINT) "
+        f"AS ss FROM c{KMX_PASSES - 1})",
+        "crank AS (SELECT cm.c, ROW_NUMBER() OVER (ORDER BY "
+        "CAST(list_sum(list_transform(list_zip(pq.xq, cm.s), z -> z[1]*z[2])) AS DOUBLE)"
+        " / sqrt(CAST(cm.ss AS DOUBLE)) DESC, cm.c) AS rk FROM cm, pq)",
+        f"cells AS (SELECT c FROM crank WHERE rk <= {N_PROBE})",
+        f"cb AS (SELECT vec_id AS code, xq FROM q WHERE vec_id < {PQ_K})",
+        f"lut AS (SELECT t.m, cb.code, CAST(list_sum(list_transform("
+        f"list_zip(list_slice(pq.xq, {lo}, {hi}), list_slice(cb.xq, {lo}, {hi})), "
+        f"{sq})) AS BIGINT) AS pd FROM pq CROSS JOIN range(0, {PQ_M}) t(m) CROSS JOIN cb)",
+        f"cand AS (SELECT vec_id, xq FROM a{KMX_PASSES} a JOIN cells USING (c) "
+        f"WHERE vec_id <> {PROBE_VEC_ID})",
+        f"cdist AS (SELECT cand.vec_id, t.m, cb.code, CAST(list_sum(list_transform("
+        f"list_zip(list_slice(cand.xq, {lo}, {hi}), list_slice(cb.xq, {lo}, {hi})), "
+        f"{sq})) AS BIGINT) AS d FROM cand CROSS JOIN range(0, {PQ_M}) t(m) CROSS JOIN cb)",
+        "codes AS (SELECT vec_id, m, code FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id, m ORDER BY d, code) AS rk FROM cdist) WHERE rk = 1)",
+        "adc AS (SELECT codes.vec_id, CAST(SUM(lut.pd) AS BIGINT) AS adc_dist "
+        "FROM codes JOIN lut ON lut.m = codes.m AND lut.code = codes.code GROUP BY 1)",
+        "ex AS (SELECT cand.vec_id, CAST(list_sum(list_transform("
+        f"list_zip(cand.xq, pq.xq), {sq})) AS BIGINT) AS exact_dist FROM cand, pq)",
+        "short AS (SELECT vec_id, adc_dist FROM (SELECT vec_id, adc_dist, "
+        "ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS srk FROM adc) "
+        f"WHERE srk <= {ADC_SHORTLIST})",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT CAST(rk AS BIGINT) AS rank_exact, vec_id, adc_dist, exact_dist FROM ("
+        "SELECT s.vec_id, s.adc_dist, ex.exact_dist, "
+        "ROW_NUMBER() OVER (ORDER BY ex.exact_dist, s.vec_id) AS rk "
+        f"FROM short s JOIN ex USING (vec_id)) WHERE rk <= {TOP_K}"
+    )
+
+
+@query(
+    "q_sim_ann_ivfpq",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "adc", "serving"),
+)
+def q_sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ top-k by ASYMMETRIC DISTANCE COMPUTATION (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search") — the RAM-scale
+    ANN serving pattern the q_embed_pq_codes codebooks exist for: the
+    probe routes to its N_PROBE nearest IVF cells (rank_cells_audited's
+    deterministic comparator), every candidate in those cells is scored
+    WITHOUT touching its raw vector — each of its PQ_M=4 subspace codes
+    indexes a per-probe lookup table LUT[m][code] =
+    ||probe_sub − codeword_sub||², so one candidate costs 4 table reads
+    + 3 adds instead of a 64-dim scan — and the ADC_SHORTLIST=100 best
+    ADC candidates are re-ranked by EXACT quantized-grid distance (the
+    refine stage every production IVFADC deployment runs; Jégou et
+    al.'s IVFADC+R). Output: the final TOP_K=10 by exact distance with
+    the ADC distance carried alongside — the per-row visibility of PQ's
+    compression error.
+
+    Determinism: everything is exact int64 on the shared audited
+    floor(x·1024) grid — the LUT entries, the code assignment (argmin
+    over 16 exact subspace distances, ties to the lowest code, the
+    q_embed_pq_codes rule), the ADC sum (≤ 4·2^28) and the exact
+    distance (≤ 2^28); the only floats anywhere are the cell-ranking
+    comparator's single division+sqrt, bit-identical to the DuckDB
+    replay. Full hash-check, no emission rounding needed: every output
+    cell is an integer.
+
+    Scale shape: the codebook (16×64 ints) and the probe's LUT (4×16
+    ints) are LITERALS in the plan — zero broadcast, zero Python; code
+    assignment + ADC run as whole-stage-codegen HOF expressions
+    (transform/zip_with/aggregate over 16-element literal arrays), so
+    the serving path has no Arrow boundary at all. Candidates come from
+    the partition-pruned N_PROBE cells (adaptive_k bounds cell size, so
+    candidate count is constant in corpus size); TakeOrdered keeps the
+    ADC shortlist map-side (100 rows), the exact re-rank touches only
+    those 100, and the final rank window sees 10 rows. A production
+    build stores the 4-byte codes columnar (q_embed_pq_codes is that
+    build job) and serves from codes alone; here codes are derived
+    in-plan from the same grid, which keeps the whole path one
+    self-contained hash-checkable query."""
+    import numpy as np
+
+    from ..operators.similarity import (
+        N_PROBE,
+        PROBE_VEC_ID,
+        TOP_K,
+        _ivf_index_for,
+        _quantize_probe,
+        rank_cells_audited,
+    )
+    from .ml import _kmx_quantized
+
+    e = t(spark, sf_dir, "embeddings")
+    probe_row = e.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding").head()
+    if probe_row is None:
+        raise ValueError(f"probe vec_id={PROBE_VEC_ID} absent at {sf_dir}")
+    pxq = _quantize_probe([float(v) for v in probe_row[0]])
+    assigned, cents = _ivf_index_for(spark, sf_dir)
+    cells = rank_cells_audited(cents, pxq, nprobe=N_PROBE)
+
+    cb_rows = (
+        _kmx_quantized(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(cb_rows) < PQ_K:
+        raise ValueError(f"corpus smaller than PQ_K={PQ_K}; no codebook")
+    cb = np.array([r["xq"] for r in cb_rows], dtype=np.int64)  # (K, 64)
+    p = np.array(pxq, dtype=np.int64)
+    # per-probe ADC lookup tables, exact int64: lut[m][k]
+    lut = [
+        [
+            int(((p[m * PQ_DSUB : (m + 1) * PQ_DSUB] - cb[k, m * PQ_DSUB : (m + 1) * PQ_DSUB]) ** 2).sum())
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    cand = assigned.filter(
+        F.col("cell").isin([int(c) for c in cells]) & (F.col("vec_id") != PROBE_VEC_ID)
+    ).select("vec_id", "xq")
+
+    sqsum = lambda xs, ys: F.aggregate(  # noqa: E731
+        F.zip_with(xs, ys, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    adc = F.lit(0).cast("long")
+    for m in range(PQ_M):
+        xsub = F.slice("xq", m * PQ_DSUB + 1, PQ_DSUB)
+        cb_lit = F.array(
+            *[
+                F.array(*[F.lit(int(v)) for v in cb[k, m * PQ_DSUB : (m + 1) * PQ_DSUB]])
+                for k in range(PQ_K)
+            ]
+        )
+        best = F.array_min(
+            F.transform(
+                cb_lit,
+                lambda cw, i: F.struct(
+                    sqsum(xsub, cw).alias("d"), i.cast("long").alias("code")
+                ),
+            )
+        )
+        lut_lit = F.array(*[F.lit(v) for v in lut[m]])
+        adc = adc + F.element_at(lut_lit, (best["code"] + 1).cast("int"))
+    exact = sqsum(F.col("xq"), F.array(*[F.lit(int(v)) for v in pxq]))
+
+    short = (
+        cand.select("vec_id", adc.alias("adc_dist"), "xq")
+        .orderBy("adc_dist", "vec_id")
+        .limit(ADC_SHORTLIST)
+    )
+    top = (
+        short.select("vec_id", "adc_dist", exact.alias("exact_dist"))
+        .orderBy("exact_dist", "vec_id")
+        .limit(TOP_K)
+    )
+    return top.select(
+        F.row_number()
+        .over(W.orderBy("exact_dist", "vec_id"))
+        .cast("long")
+        .alias("rank_exact"),
+        "vec_id",
+        "adc_dist",
+        "exact_dist",
+    )

@@ -120,3 +120,69 @@ def test_driver_sim_decimal_canon_scale_and_exponent_neutral():
     # normalize()'s positive exponent is re-quantized to plain digits
     assert _canon_cell(Decimal("100")) == "100"
     assert _canon_cell(Decimal("1200.00")) == "1200"
+
+
+# ------------------------------------------------------------- ivf-pq
+
+
+def test_ivfpq_recall_floor_and_refine_invariants(spark, sf_dir):
+    """VERDICT r9 #2: q_sim_ann_ivfpq (ADC over the q_embed_pq_codes
+    codebooks + exact refine) must hold recall@10 >= 0.6 against the
+    full brute-force quantized-grid truth (observed 0.8-0.9 at every SF;
+    the near-orthogonal fixture is the ADC worst case), and the result
+    must satisfy the refine contract: ranks 1..10 in exact-distance
+    order, every exact_dist an exact int64 recomputable from the grid."""
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.floor(
+        np.array([[float(v) for v in r.embedding] for r in rows], dtype=np.float64)
+        * 1024
+    ).astype(np.int64)
+    p = X[ids == 0][0]
+    d = ((X - p) ** 2).sum(axis=1)
+    mask = ids != 0
+    truth = {int(i) for _, i in sorted(zip(d[mask], ids[mask]))[:10]}
+
+    res = load_all()["q_sim_ann_ivfpq"].fn(spark, sf_dir).collect()
+    assert [r.rank_exact for r in res] == list(range(1, 11))
+    exacts = [r.exact_dist for r in res]
+    assert exacts == sorted(exacts)
+    by_id = {int(i): int(dd) for i, dd in zip(ids, d)}
+    for r in res:
+        assert r.exact_dist == by_id[r.vec_id], "exact_dist drifted off the grid"
+    got = {r.vec_id for r in res}
+    recall = len(truth & got) / 10
+    assert recall >= 0.6, f"IVF-PQ recall@10 {recall:.2f} below floor"
+
+
+def test_ivfpq_serving_path_is_jvm_only(spark, sf_dir):
+    """The ADC serving path must stay whole-stage-codegen: no
+    BatchEvalPython / ArrowEval / mapInPandas node anywhere in the
+    query's plan BELOW the cached index scan (the offline Lloyd build is
+    the one sanctioned Arrow site, hidden behind InMemoryTableScan)."""
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    df = load_all()["q_sim_ann_ivfpq"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the serving operators are everything ABOVE the cached-index scan;
+    # the offline Lloyd build (one sanctioned MapInPandas) lives inside
+    # the InMemoryRelation subtree below it
+    assert "InMemoryTableScan" in plan, "index not served from cache"
+    serving = plan.split("InMemoryTableScan", 1)[0]
+    for node in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+    ):
+        assert node not in serving, f"{node} on the ADC serving path:\n{serving}"
