@@ -163,12 +163,17 @@ def q_ml_rf_pipeline(spark, sf_dir):
     model.write().overwrite().save(path)
     reloaded = PipelineModel.load(path)
     scored = reloaded.transform(e)
-    return (
-        scored.groupBy(
-            F.col("label").cast("int").alias("label"),
-            F.col("prediction").cast("int").alias("prediction"),
-        )
-        .agg(F.count("*").alias("n"))
+    # VERDICT r9 #5 (self-auditing rows-only result): the confusion
+    # counts must partition the corpus — sum == row count (54-row
+    # window, driver-scale); a green rows-only row certifies mass
+    # conservation through fit → save → load → transform.
+    n_total = e.count()
+    conf = scored.groupBy(
+        F.col("label").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+    ).agg(F.count("*").alias("n"))
+    return conf.withColumn(
+        "invariant_ok", F.sum("n").over(W.partitionBy()) == F.lit(n_total)
     )
 
 
@@ -215,6 +220,8 @@ def q_ml_xgb_pipeline(spark, sf_dir):
         )
         backend = "substitute"
     scored = clf.fit(e).transform(e)
+    # VERDICT r9 #5: same mass-conservation audit as the RF twin.
+    n_total = e.count()
     return (
         scored.groupBy(
             F.col("label").cast("int").alias("label"),
@@ -222,6 +229,9 @@ def q_ml_xgb_pipeline(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"))
         .withColumn("backend", F.lit(backend))
+        .withColumn(
+            "invariant_ok", F.sum("n").over(W.partitionBy()) == F.lit(n_total)
+        )
     )
 
 
@@ -340,16 +350,37 @@ def q_ml_cross_validation(spark, sf_dir):
         seed=42,
     )
     cv_model = cv.fit(e)
+    best = round(float(max(cv_model.avgMetrics)), 6)
+    worst = round(float(min(cv_model.avgMetrics)), 6)
+    best_params = cv_model.getEstimatorParamMaps()[
+        int(max(range(len(grid)), key=lambda i: cv_model.avgMetrics[i]))
+    ]
+    best_vals = {p.name: v for p, v in best_params.items()}
+    # VERDICT r9 #5 (self-auditing rows-only result): the selected model
+    # must come FROM the declared grid and the accuracy metrics must be
+    # coherent probabilities — a green rows-only row certifies that, not
+    # just "1 row came back".
+    invariant_ok = (
+        len(grid) == 4
+        and best_vals.get("numTrees") in (8, 16)
+        and best_vals.get("maxDepth") in (2, 3)
+        and 0.0 <= worst <= best <= 1.0
+    )
     return spark.createDataFrame(
         [
             (
                 len(grid),
                 3,
-                round(float(max(cv_model.avgMetrics)), 6),
-                round(float(min(cv_model.avgMetrics)), 6),
+                best,
+                worst,
+                int(best_vals.get("numTrees", -1)),
+                int(best_vals.get("maxDepth", -1)),
+                invariant_ok,
             )
         ],
-        "n_param_maps int, n_folds int, best_avg_accuracy double, worst_avg_accuracy double",
+        "n_param_maps int, n_folds int, best_avg_accuracy double, "
+        "worst_avg_accuracy double, best_num_trees int, best_max_depth int, "
+        "invariant_ok boolean",
     )
 
 
@@ -966,11 +997,20 @@ def q_ml_kmeans(spark, sf_dir):
     km = KMeans(k=8, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(emb)
     cost = float(model.summary.trainingCost)
+    n_total = emb.count()
     assigned = model.transform(emb)
-    return (
-        assigned.groupBy(F.col("prediction").alias("cluster"))
-        .agg(F.count("*").alias("n_vectors"))
-        .withColumn("inertia_total", F.round(F.lit(cost), 4))
+    sizes = assigned.groupBy(F.col("prediction").alias("cluster")).agg(
+        F.count("*").alias("n_vectors")
+    )
+    # VERDICT r9 #5 (self-auditing rows-only result): the cluster sizes
+    # must PARTITION the corpus (sum == row count, every cluster
+    # non-empty) — the 8-row window is driver-scale.
+    mass = F.sum("n_vectors").over(W.partitionBy())
+    return sizes.select(
+        "cluster",
+        "n_vectors",
+        F.round(F.lit(cost), 4).alias("inertia_total"),
+        ((mass == F.lit(n_total)) & (F.col("n_vectors") > 0)).alias("invariant_ok"),
     )
 
 
@@ -1287,10 +1327,27 @@ def q_ml_pca(spark, sf_dir):
         *[F.col("p")[i].alias(f"c{i}") for i in range(K)]
     ).agg(*[F.var_samp(f"c{i}").alias(f"v{i}") for i in range(K)])
     row = per_comp.collect()[0]
+    pv = [float(row[f"v{i}"]) for i in range(K)]
+    # VERDICT r9 #5 (self-auditing rows-only result): the projected
+    # variance must be internally consistent with the model's own
+    # eigen-ratios (pv_i/pv_0 == evr_i/evr_0 — both equal eig_i/eig_0)
+    # and nonincreasing in component order; a green rows-only driver row
+    # then certifies the identity, not just "8 rows came back".
     out = [
-        (i, round(evr[i], 6), round(float(row[f"v{i}"]), 6)) for i in range(K)
+        (
+            i,
+            round(evr[i], 6),
+            round(pv[i], 6),
+            abs(evr[i] * pv[0] - pv[i] * evr[0]) <= 1e-4 * max(pv[0], 1e-12)
+            and (i == 0 or pv[i] <= pv[i - 1] * (1 + 1e-9)),
+        )
+        for i in range(K)
     ]
-    return spark.createDataFrame(out, "component int, explained_var_ratio double, proj_var double")
+    return spark.createDataFrame(
+        out,
+        "component int, explained_var_ratio double, proj_var double, "
+        "invariant_ok boolean",
+    )
 
 
 @query(
@@ -1983,9 +2040,19 @@ def q_ml_isotonic(spark, sf_dir):
     model = IsotonicRegression(weightCol="weight").fit(feats)
     bounds = [float(x) for x in model.boundaries]
     preds = [float(y) for y in model.predictions]
+    # VERDICT r9 #5 (self-auditing rows-only result): the fitted step
+    # function must actually BE isotonic — boundaries strictly
+    # increasing, predictions nondecreasing; first row vacuously True.
     return spark.createDataFrame(
-        [(b, round(p, 6)) for b, p in zip(bounds, preds)],
-        "boundary double, prediction double",
+        [
+            (
+                b,
+                round(p, 6),
+                i == 0 or (b > bounds[i - 1] and p >= preds[i - 1] - 1e-12),
+            )
+            for i, (b, p) in enumerate(zip(bounds, preds))
+        ],
+        "boundary double, prediction double, invariant_ok boolean",
     )
 
 

@@ -581,6 +581,31 @@ ROWS_ONLY_ROW_CONTRACT: dict[str, tuple[int, int]] = {
     "q_stream_state_metrics": (3, 5),  # state snapshots, batch-boundary ±1
 }
 
+# VERDICT r9 #5: every rows-only query's RESULT embeds a self-audit
+# column — a green rows-only driver row then certifies an in-result
+# invariant, not just a row count. The column name and the invariant it
+# certifies, per query (tests/test_round10.py pins each True; the
+# coverage generator publishes this table in COVERAGE.md):
+ROWS_ONLY_SELF_AUDIT: dict[str, str] = {
+    "q_ml_pca": "`invariant_ok`: projected variance consistent with the "
+    "model's eigen-ratios (pv_i/pv_0 == evr_i/evr_0) and nonincreasing",
+    "q_agg_approx_distinct": "`within_tolerance`: |HLL - exact|/exact <= 0.1",
+    "q_agg_approx_percentile": "`within_tolerance`: |sketch p90 - exact "
+    "p90|/exact <= 0.01 per group",
+    "q_ml_cross_validation": "`invariant_ok`: best params drawn from the "
+    "declared 2x2 grid AND 0 <= worst <= best <= 1",
+    "q_ml_isotonic": "`invariant_ok`: boundaries strictly increasing, "
+    "predictions nondecreasing (the isotonic property itself)",
+    "q_ml_kmeans": "`invariant_ok`: cluster sizes partition the corpus "
+    "(sum == row count, every cluster non-empty)",
+    "q_ml_rf_pipeline": "`invariant_ok`: confusion counts sum to the "
+    "corpus row count through fit->save->load->transform",
+    "q_ml_xgb_pipeline": "`invariant_ok`: confusion counts sum to the "
+    "corpus row count (backend column records xgboost vs substitute)",
+    "q_stream_state_metrics": "`run_evicted`: numRowsRemoved > 0 somewhere "
+    "in the run — the interval bound actually evicted join state",
+}
+
 # Rows-only queries whose only hard row predates a fix or upgrade: treat
 # as unchecked so the rotation re-fronts them for a fresh row even though
 # an old rows-only row technically exists.

@@ -186,3 +186,47 @@ def test_ivfpq_serving_path_is_jvm_only(spark, sf_dir):
         "MapInPandas",
     ):
         assert node not in serving, f"{node} on the ADC serving path:\n{serving}"
+
+
+# ------------------------------------------------- rows-only self-audit
+
+
+def test_rows_only_self_audit_declared_for_every_rows_only_query():
+    """VERDICT r9 #5: the self-audit table covers EXACTLY the rows-only
+    set (a new rows-only query must declare its embedded invariant; a
+    rows-only -> SQL upgrade must retire its entry)."""
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        ROWS_ONLY_SELF_AUDIT,
+        load_all,
+    )
+
+    rows_only = {n for n, s in load_all().items() if s.oracle is None}
+    assert set(ROWS_ONLY_SELF_AUDIT) == rows_only
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "name,col",
+    [
+        ("q_agg_approx_distinct", "within_tolerance"),
+        ("q_agg_approx_percentile", "within_tolerance"),
+        ("q_ml_pca", "invariant_ok"),
+        ("q_ml_cross_validation", "invariant_ok"),
+        ("q_ml_isotonic", "invariant_ok"),
+        ("q_ml_kmeans", "invariant_ok"),
+        ("q_ml_rf_pipeline", "invariant_ok"),
+        ("q_ml_xgb_pipeline", "invariant_ok"),
+        ("q_stream_state_metrics", "run_evicted"),
+    ],
+)
+def test_rows_only_self_audit_column_holds(name, col, spark, sf_dir):
+    """Every rows-only result's embedded invariant column must be True on
+    every row — the check a green rows-only driver row certifies."""
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    rows = load_all()[name].fn(spark, sf_dir).collect()
+    assert rows, f"{name} returned no rows"
+    bad = [r for r in rows if r[col] is not True]
+    assert not bad, f"{name}.{col} False on {len(bad)}/{len(rows)} rows: {bad[:3]}"
