@@ -66,3 +66,26 @@ def scratch_dir(query_name: str, sf_dir: str) -> str:
     """Per-(query, sf) scratch path for sink round-trips and model dirs."""
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     return f"{SCRATCH}/{query_name}/{tag}"
+
+
+# VERDICT r9 #6: the two declared quadratic AUDIT TWINS
+# (q_ml_knn_classifier, q_dedup_embedding) are recall-ground-truth
+# sweeps — O(corpus²/blocks) by construction, documented and priced
+# (12.1× / 24× at 10× data). Nothing used to stop a user pointing them
+# at a 100× corpus; this cap does. 250k vectors ≈ 6·10^9 within-block
+# pairs — past any defensible audit budget — while every test/driver SF
+# (≤2k) and the staged 10×/30×/100× probe corpora (≤200k) stay under it.
+QUADRATIC_AUDIT_CAP = 250_000
+
+
+def guard_quadratic_audit(n_vectors: int, query: str, sibling: str) -> None:
+    """Fail LOUD (with the scale-safe sibling named) when a quadratic
+    audit twin is pointed at a corpus past QUADRATIC_AUDIT_CAP."""
+    if n_vectors > QUADRATIC_AUDIT_CAP:
+        raise ValueError(
+            f"{query} is the exact quadratic audit twin (within-block "
+            f"all-pairs); at {n_vectors:,} vectors (> cap "
+            f"{QUADRATIC_AUDIT_CAP:,}) the pair count is past any audit "
+            f"budget. Use the scale-safe declared sibling {sibling}, or "
+            f"audit a sampled block under the cap."
+        )

@@ -373,7 +373,13 @@ def q_dedup_embedding(spark, sf_dir):
     vectors are near-orthogonal (within-label cosine ⊂ [-0.55, 0.55])
     so the 0.4 bar marks the distribution's far tail, the analogue of a
     true near-dup threshold on real embeddings."""
+    from ._util import guard_quadratic_audit
+
     e = t(spark, sf_dir, "embeddings")
+    # VERDICT r9 #6: quadratic audit twin — refuse corpora past the cap,
+    # pointing at the IVF-cell sibling (construction-time count ⇒
+    # registered in _DEFER_CONSTRUCTION).
+    guard_quadratic_audit(e.count(), "q_dedup_embedding", "q_dedup_embedding_cells")
     a = e.repartition(32, "vec_id").select(
         "label",
         F.col("vec_id").alias("id_a"),

@@ -1079,8 +1079,13 @@ def q_ml_knn_classifier(spark, sf_dir):
     pre-truncation, and the vote/accuracy rollups are
     probe-count-sized."""
     from ..functions.similarity import cosine_prenorm, l2_norm
+    from ._util import guard_quadratic_audit
 
     e = t(spark, sf_dir, "embeddings")
+    # VERDICT r9 #6: this is the quadratic audit twin — refuse corpora
+    # past the cap, pointing at the routed sibling (construction-time
+    # count ⇒ registered in _DEFER_CONSTRUCTION).
+    guard_quadratic_audit(e.count(), "q_ml_knn_classifier", "q_ml_knn_classifier_ivf")
     probes = e.filter(F.col("vec_id") % KNN_PROBE_MOD == 0).select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("true_label"),

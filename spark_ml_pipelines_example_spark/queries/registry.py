@@ -52,6 +52,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_curate_erasure",
 "q_curate_perplexity_buckets",
 "q_dedup_clusters",
+"q_dedup_embedding",  # corpus-size guard counts at construction (r9 #6)
 "q_dedup_embedding_cells",
 "q_dedup_incremental_neardup",
 "q_dedup_semantic",
@@ -76,6 +77,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_isotonic_exact",
 "q_ml_kmeans",
 "q_ml_kmeans_exact",
+"q_ml_knn_classifier",  # corpus-size guard counts at construction (r9 #6)
 "q_ml_knn_classifier_ivf",
 "q_ml_logreg_exact",
 "q_embed_pq_codes",

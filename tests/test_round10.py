@@ -230,3 +230,42 @@ def test_rows_only_self_audit_column_holds(name, col, spark, sf_dir):
     assert rows, f"{name} returned no rows"
     bad = [r for r in rows if r[col] is not True]
     assert not bad, f"{name}.{col} False on {len(bad)}/{len(rows)} rows: {bad[:3]}"
+
+
+# -------------------------------------------- quadratic audit twin caps
+
+
+def test_quadratic_audit_guard_raises_past_cap_with_sibling_pointer():
+    """VERDICT r9 #6: the two quadratic audit twins refuse corpora past
+    QUADRATIC_AUDIT_CAP and the error NAMES the scale-safe sibling."""
+    import pytest as _pytest
+
+    from spark_ml_pipelines_example_spark.queries._util import (
+        QUADRATIC_AUDIT_CAP,
+        guard_quadratic_audit,
+    )
+
+    guard_quadratic_audit(QUADRATIC_AUDIT_CAP, "q_x", "q_y")  # at cap: fine
+    with _pytest.raises(ValueError, match="q_ml_knn_classifier_ivf"):
+        guard_quadratic_audit(
+            QUADRATIC_AUDIT_CAP + 1, "q_ml_knn_classifier", "q_ml_knn_classifier_ivf"
+        )
+    with _pytest.raises(ValueError, match="q_dedup_embedding_cells"):
+        guard_quadratic_audit(
+            10**9, "q_dedup_embedding", "q_dedup_embedding_cells"
+        )
+    # the staged probe corpora (10x/30x/100x of sf0.1's 2k vectors) must
+    # stay under the cap — the sf1 probe keeps running the twins unchanged
+    assert 100 * 2_000 <= QUADRATIC_AUDIT_CAP
+
+
+def test_quadratic_twins_still_run_at_fixture_scale(spark, sf_dir):
+    """The guard must be invisible at every test/driver SF: both twins
+    build and return their usual shapes."""
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    reg = load_all()
+    acc = reg["q_ml_knn_classifier"].fn(spark, sf_dir).collect()
+    assert acc and all(r.n_probes > 0 for r in acc)
+    pairs = reg["q_dedup_embedding"].fn(spark, sf_dir)
+    assert pairs.columns == ["label", "id_a", "id_b", "cos_sim"]
