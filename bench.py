@@ -267,6 +267,13 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     names = [n for n in HEADLINE if n in registry]
+    # targeted scale probes (BASELINE.md protocol): run only a named
+    # subset — the staged 100x corpora make full-headline runs pointless
+    # when the question is one family's exponent
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        sel = set(only.split(","))
+        names = [n for n in names if n in sel]
     times: dict[str, float] = {}
     for name in names:
         spec = registry[name]
