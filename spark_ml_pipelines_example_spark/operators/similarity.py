@@ -135,7 +135,9 @@ def _adaptive_k_sql() -> str:
 PROBE_ID_CAP = 2_000
 
 
-def ivf_probe_routing(spark: SparkSession, sf_dir: str, probe_mod: int):
+def ivf_probe_routing(
+    spark: SparkSession, sf_dir: str, probe_mod: int, keep_xq: bool = False
+):
     """Shared probe-routing spine for held-out-probe queries over the
     audited IVF index (q_ml_knn_classifier_ivf, q_sim_hard_negatives):
     every ``probe_mod``-th vector below PROBE_ID_CAP is held out (a
@@ -169,13 +171,18 @@ def ivf_probe_routing(spark: SparkSession, sf_dir: str, probe_mod: int):
         l2_norm(F.col("embedding")).alias("pn"),
         "xq",
     )
-    corpus = assigned.filter(~is_probe).select(
-        "cell",
+    corpus_cols = [
+        F.col("cell"),
         F.col("vec_id").alias("cid"),
         F.col("label").alias("nlabel"),
         F.col("embedding").alias("ce"),
         l2_norm(F.col("embedding")).alias("cn"),
-    )
+    ]
+    if keep_xq:
+        # q_sim_ann_ivfpq_eval scores candidates from their PQ codes,
+        # derived from the audited quantization — expose it on both sides
+        corpus_cols.append(F.col("xq").alias("cxq"))
+    corpus = assigned.filter(~is_probe).select(*corpus_cols)
     dot = F.aggregate(
         F.zip_with("xq", "s", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -198,6 +205,8 @@ def ivf_probe_routing(spark: SparkSession, sf_dir: str, probe_mod: int):
         .filter(F.col("rk") <= N_PROBE)
         .select("pid", "cell")
     )
+    if keep_xq:
+        return probes.withColumnRenamed("xq", "pxq"), corpus, pcells
     return probes.drop("xq"), corpus, pcells
 
 

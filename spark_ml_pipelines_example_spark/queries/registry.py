@@ -108,6 +108,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_sim_ann_ivf",
 "q_sim_ann_ivf_index",
 "q_sim_ann_ivfpq",
+"q_sim_ann_ivfpq_eval",
 "q_sim_cosine_topk",
 "q_sim_knn_all",
 "q_sim_maxsim",
@@ -558,6 +559,7 @@ _WINDOW_PIN: tuple[str, ...] = (
     # (VERDICT r9 #1). The r9 pins (ewma re-front + 21 others) all
     # retired via CORRECTNESS_r09 (50/50 green).
     "q_sim_ann_ivfpq",
+    "q_sim_ann_ivfpq_eval",
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED

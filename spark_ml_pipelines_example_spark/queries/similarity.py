@@ -1044,3 +1044,210 @@ def q_sim_ann_ivfpq(spark, sf_dir):
         "adc_dist",
         "exact_dist",
     )
+
+
+# held-out probe set for the routed PQ eval — same fixed-size discipline
+# as the other ivf_probe_routing consumers (PROBE_ID_CAP bounds it)
+IVFPQ_EVAL_MOD = 20
+
+
+def _pq_sqsum(xs, ys):
+    """Exact-int64 squared L2 between two long arrays (HOF fold)."""
+    return F.aggregate(
+        F.zip_with(xs, ys, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_cb_lit(cb, m):
+    """Subspace-m codebook as a literal array of PQ_K arrays."""
+    return F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in cb[k, m * PQ_DSUB : (m + 1) * PQ_DSUB]])
+            for k in range(PQ_K)
+        ]
+    )
+
+
+def _pq_adc_pair_expr(pxq, cxq, cb):
+    """ADC distance between probe pxq and candidate cxq via the candidate's
+    PQ codes — pure whole-stage-codegen HOFs: per subspace, the candidate's
+    code is the argmin over the 16-codeword literal (ties to lowest code,
+    the q_embed_pq_codes rule) and the probe pays its exact int64 distance
+    to that codeword."""
+    adc = F.lit(0).cast("long")
+    for m in range(PQ_M):
+        cb_lit = _pq_cb_lit(cb, m)
+        csub = F.slice(cxq, m * PQ_DSUB + 1, PQ_DSUB)
+        psub = F.slice(pxq, m * PQ_DSUB + 1, PQ_DSUB)
+        best = F.array_min(
+            F.transform(
+                cb_lit,
+                lambda cw, i, _c=csub: F.struct(
+                    _pq_sqsum(_c, cw).alias("d"), i.cast("long").alias("code")
+                ),
+            )
+        )
+        adc = adc + _pq_sqsum(psub, F.element_at(cb_lit, (best["code"] + 1).cast("int")))
+    return adc
+
+
+def _ivfpq_eval_oracle() -> str:
+    from ..operators.similarity import PROBE_ID_CAP, ivf_routing_oracle_parts
+
+    lo = f"(m * {PQ_DSUB} + 1)"
+    hi = f"((m + 1) * {PQ_DSUB})"
+    sq = "z -> (z[1]-z[2])*(z[1]-z[2])"
+    parts = ivf_routing_oracle_parts(IVFPQ_EVAL_MOD)
+    parts += [
+        f"cb AS (SELECT vec_id AS code, xq FROM q WHERE vec_id < {PQ_K})",
+        f"plut AS (SELECT pq.pid, t.m, cb.code, CAST(list_sum(list_transform("
+        f"list_zip(list_slice(pq.xq, {lo}, {hi}), list_slice(cb.xq, {lo}, {hi})), "
+        f"{sq})) AS BIGINT) AS pd FROM pq CROSS JOIN range(0, {PQ_M}) t(m) CROSS JOIN cb)",
+        "cids AS (SELECT DISTINCT cid FROM cand)",
+        f"cdist AS (SELECT cids.cid, t.m, cb.code, CAST(list_sum(list_transform("
+        f"list_zip(list_slice(qc.xq, {lo}, {hi}), list_slice(cb.xq, {lo}, {hi})), "
+        f"{sq})) AS BIGINT) AS d FROM cids JOIN q qc ON qc.vec_id = cids.cid "
+        f"CROSS JOIN range(0, {PQ_M}) t(m) CROSS JOIN cb)",
+        "codes AS (SELECT cid, m, code FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY cid, m ORDER BY d, code) AS rk FROM cdist) WHERE rk = 1)",
+        "adc AS (SELECT cand.pid, cand.cid, CAST(SUM(plut.pd) AS BIGINT) AS adc_d "
+        "FROM cand JOIN codes ON codes.cid = cand.cid "
+        "JOIN plut ON plut.pid = cand.pid AND plut.m = codes.m "
+        "AND plut.code = codes.code GROUP BY 1, 2)",
+        "adcrk AS (SELECT pid, cid, adc_d, ROW_NUMBER() OVER (PARTITION BY pid "
+        "ORDER BY adc_d, cid) AS ark FROM adc)",
+        f"exd AS (SELECT s.pid, s.cid, CAST(list_sum(list_transform("
+        f"list_zip(qc.xq, pq.xq), {sq})) AS BIGINT) AS exd "
+        f"FROM (SELECT pid, cid FROM adcrk WHERE ark <= {ADC_SHORTLIST}) s "
+        f"JOIN q qc ON qc.vec_id = s.cid JOIN pq ON pq.pid = s.pid)",
+        "refined10 AS (SELECT pid, cid FROM (SELECT pid, cid, ROW_NUMBER() OVER ("
+        "PARTITION BY pid ORDER BY exd, cid) AS rk FROM exd) WHERE rk <= 10)",
+        "adc10 AS (SELECT pid, cid FROM adcrk WHERE ark <= 10)",
+        f"tpair AS (SELECT pq.pid, q2.vec_id AS cid, CAST(list_sum(list_transform("
+        f"list_zip(q2.xq, pq.xq), {sq})) AS BIGINT) AS d FROM pq, q q2 "
+        f"WHERE NOT (q2.vec_id % {IVFPQ_EVAL_MOD} = 0 AND q2.vec_id < {PROBE_ID_CAP}))",
+        "t10 AS (SELECT pid, cid FROM (SELECT pid, cid, ROW_NUMBER() OVER ("
+        "PARTITION BY pid ORDER BY d, cid) AS rk FROM tpair) WHERE rk <= 10)",
+        "ha AS (SELECT a.pid, COUNT(*) AS h FROM adc10 a JOIN t10 USING (pid, cid) "
+        "GROUP BY 1)",
+        "hr AS (SELECT r.pid, COUNT(*) AS h FROM refined10 r JOIN t10 USING (pid, cid) "
+        "GROUP BY 1)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT pq.pid AS pid, "
+        "CAST(COALESCE(ha.h, 0) AS BIGINT) AS hits_adc10, "
+        "CAST(COALESCE(hr.h, 0) AS BIGINT) AS hits_refined10, "
+        "ROUND(COALESCE(ha.h, 0) / 10.0, 6) AS recall_adc10, "
+        "ROUND(COALESCE(hr.h, 0) / 10.0, 6) AS recall_refined10 "
+        "FROM pq LEFT JOIN ha ON ha.pid = pq.pid LEFT JOIN hr ON hr.pid = pq.pid"
+    )
+
+
+@query(
+    "q_sim_ann_ivfpq_eval",
+    oracle=_ivfpq_eval_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "adc", "recall", "eval"),
+)
+def q_sim_ann_ivfpq_eval(spark, sf_dir):
+    """Routed IVF-PQ recall table over the held-out probe SET — the eval
+    every PQ deployment publishes before turning ADC serving on, and the
+    closing piece of the PQ story (build: q_embed_pq_codes; serve:
+    q_sim_ann_ivfpq; evaluate: this). Per probe (every IVFPQ_EVAL_MOD-th
+    vector under PROBE_ID_CAP): recall@10 of (a) raw ADC top-10 and
+    (b) ADC_SHORTLIST+exact-refine top-10 — both through the real routed
+    path (N_PROBE cells of the audited IVF index) — against the
+    brute-force quantized-grid truth. The (a)-vs-(b) gap isolates PQ
+    compression loss from IVF routing loss per probe.
+
+    Determinism: every distance is exact int64 on the shared audited
+    floor(x·1024) grid; cell routing is the ivf_probe_routing
+    comparator (exact integer dot + one correctly-rounded float64
+    division); code assignment ties break to the lowest code
+    (q_embed_pq_codes rule); recall ratios divide the same ints by 10.0
+    in both engines. Full hash check of the entire eval.
+
+    Scale shape: the probe set is FIXED-SIZE (PROBE_ID_CAP — the r9
+    lesson), so every arm is linear in corpus at worst: the routed arm
+    is ONE equi-join of the corpus against the broadcast probe×cell
+    frame (constant per-probe candidates under adaptive k) with ADC as
+    whole-stage-codegen HOFs over the literal codebook (a candidate
+    reached by several probes re-derives its 4 codes in-expression —
+    cheaper than shuffling a dedicated codes frame); the truth arm is
+    one broadcast corpus pass (the q_sim_knn_all regime); per-probe
+    windows run after WindowGroupLimit pre-truncation; hit joins and
+    the final assembly touch 10-row-per-probe frames."""
+    import numpy as np
+
+    from ..operators.similarity import ivf_probe_routing
+    from .ml import _kmx_quantized
+
+    probes, corpus, pcells = ivf_probe_routing(
+        spark, sf_dir, IVFPQ_EVAL_MOD, keep_xq=True
+    )
+    cb_rows = (
+        _kmx_quantized(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(cb_rows) < PQ_K:
+        raise ValueError(f"corpus smaller than PQ_K={PQ_K}; no codebook")
+    cb = np.array([r["xq"] for r in cb_rows], dtype=np.int64)
+
+    pslim = probes.select("pid", "pxq")
+    routed = corpus.join(F.broadcast(pcells.join(pslim, "pid")), "cell").select(
+        "pid", "pxq", "cid", "cxq"
+    )
+    scored = routed.select(
+        "pid",
+        "pxq",
+        "cid",
+        "cxq",
+        _pq_adc_pair_expr(F.col("pxq"), F.col("cxq"), cb).alias("adc_d"),
+    )
+    shortl = scored.withColumn(
+        "ark",
+        F.row_number().over(W.partitionBy("pid").orderBy("adc_d", "cid")),
+    ).filter(F.col("ark") <= ADC_SHORTLIST)
+    adc10 = shortl.filter(F.col("ark") <= 10).select("pid", "cid")
+    refined10 = (
+        shortl.select(
+            "pid", "cid", _pq_sqsum(F.col("cxq"), F.col("pxq")).alias("exd")
+        )
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("pid").orderBy("exd", "cid"))
+        )
+        .filter(F.col("rk") <= 10)
+        .select("pid", "cid")
+    )
+    tpair = corpus.select("cid", "cxq").crossJoin(F.broadcast(pslim)).select(
+        "pid", "cid", _pq_sqsum(F.col("cxq"), F.col("pxq")).alias("d")
+    )
+    t10 = (
+        tpair.withColumn(
+            "rk", F.row_number().over(W.partitionBy("pid").orderBy("d", "cid"))
+        )
+        .filter(F.col("rk") <= 10)
+        .select("pid", "cid")
+    )
+    ha = adc10.join(t10, ["pid", "cid"]).groupBy("pid").agg(
+        F.count("*").alias("ha")
+    )
+    hr = refined10.join(t10, ["pid", "cid"]).groupBy("pid").agg(
+        F.count("*").alias("hr")
+    )
+    return (
+        probes.select("pid")
+        .join(ha, "pid", "left")
+        .join(hr, "pid", "left")
+        .select(
+            "pid",
+            F.coalesce("ha", F.lit(0)).cast("long").alias("hits_adc10"),
+            F.coalesce("hr", F.lit(0)).cast("long").alias("hits_refined10"),
+            F.round(F.coalesce("ha", F.lit(0)) / 10.0, 6).alias("recall_adc10"),
+            F.round(F.coalesce("hr", F.lit(0)) / 10.0, 6).alias("recall_refined10"),
+        )
+    )

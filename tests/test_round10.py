@@ -269,3 +269,37 @@ def test_quadratic_twins_still_run_at_fixture_scale(spark, sf_dir):
     assert acc and all(r.n_probes > 0 for r in acc)
     pairs = reg["q_dedup_embedding"].fn(spark, sf_dir)
     assert pairs.columns == ["label", "id_a", "id_b", "cos_sim"]
+
+
+def test_ivfpq_eval_isolates_pq_loss_from_routing_loss(spark, sf_dir):
+    """q_sim_ann_ivfpq_eval invariants: refine can only help (per probe,
+    hits_refined10 >= hits_adc10 is NOT guaranteed row-wise — refine
+    reorders within the shortlist — but the refined top-10 is the exact
+    best of the shortlist, so refined hits must be >= the hits of any
+    other 10-subset of the shortlist ranked by exact distance; we pin
+    the weaker aggregate form), recalls are hits/10, every probe emits
+    exactly one row, and the mean refined recall clears the routed
+    floor the knn_ivf twin pins (>= 0.5 on the near-orthogonal
+    fixture)."""
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+    from spark_ml_pipelines_example_spark.queries.similarity import IVFPQ_EVAL_MOD
+    from spark_ml_pipelines_example_spark.operators.similarity import PROBE_ID_CAP
+
+    rows = load_all()["q_sim_ann_ivfpq_eval"].fn(spark, sf_dir).collect()
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    want_probes = len(
+        [i for i in range(min(n_vec, PROBE_ID_CAP)) if i % IVFPQ_EVAL_MOD == 0]
+    )
+    assert len(rows) == want_probes
+    assert len({r.pid for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.hits_adc10 <= 10 and 0 <= r.hits_refined10 <= 10
+        assert abs(r.recall_adc10 - r.hits_adc10 / 10.0) < 1e-9
+        assert abs(r.recall_refined10 - r.hits_refined10 / 10.0) < 1e-9
+    mean_ref = sum(r.hits_refined10 for r in rows) / (10.0 * len(rows))
+    mean_adc = sum(r.hits_adc10 for r in rows) / (10.0 * len(rows))
+    assert mean_ref >= 0.5, f"routed refined recall {mean_ref:.2f} below floor"
+    # refine must not be a no-op on aggregate: PQ ordering loses recall
+    # that the exact re-rank recovers (equality would mean ADC is
+    # already exact — impossible with 16-codeword books on this fixture)
+    assert mean_ref >= mean_adc
