@@ -78,8 +78,11 @@ HEADLINE = [
     "q_sim_hard_negatives",
     "q_sim_ann_recall_curve",
     # round-10: ADC top-k over the PQ codebooks + exact refine — the
-    # RAM-scale serving pattern (fixed probe + fixed shortlist: ~1x)
+    # RAM-scale serving pattern (fixed probe + fixed shortlist: ~1x) —
+    # plus its probe-set recall eval (fixed probes: truth arm is one
+    # broadcast corpus pass, routed arm corpus-size-independent)
     "q_sim_ann_ivfpq",
+    "q_sim_ann_ivfpq_eval",
     "q_sim_knn_all",
     "q_join_salted_skew",
     "q_text_contamination",
