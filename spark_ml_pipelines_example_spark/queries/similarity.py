@@ -1076,19 +1076,20 @@ def _pq_adc_pair_expr(pxq, cxq, cb):
     code is the argmin over the 16-codeword literal (ties to lowest code,
     the q_embed_pq_codes rule) and the probe pays its exact int64 distance
     to that codeword."""
+    def code_struct(csub):
+        # closure factory, NOT a default-arg lambda: PySpark derives the
+        # HOF arity from the Python signature, so a bound default would
+        # read as a 3-arg lambda and fail analysis
+        return lambda cw, i: F.struct(
+            _pq_sqsum(csub, cw).alias("d"), i.cast("long").alias("code")
+        )
+
     adc = F.lit(0).cast("long")
     for m in range(PQ_M):
         cb_lit = _pq_cb_lit(cb, m)
         csub = F.slice(cxq, m * PQ_DSUB + 1, PQ_DSUB)
         psub = F.slice(pxq, m * PQ_DSUB + 1, PQ_DSUB)
-        best = F.array_min(
-            F.transform(
-                cb_lit,
-                lambda cw, i, _c=csub: F.struct(
-                    _pq_sqsum(_c, cw).alias("d"), i.cast("long").alias("code")
-                ),
-            )
-        )
+        best = F.array_min(F.transform(cb_lit, code_struct(csub)))
         adc = adc + _pq_sqsum(psub, F.element_at(cb_lit, (best["code"] + 1).cast("int")))
     return adc
 

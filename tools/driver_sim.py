@@ -103,13 +103,21 @@ def main() -> None:
         from spark_ml_pipelines_example_spark.queries.registry import (
             _driver_checked_queries,
             _force_recheck_pending,
+            _recert_rotation_names,
             load_all,
         )
 
         reg = load_all()
-        checked = _driver_checked_queries() - _force_recheck_pending()
+        # subtract the re-certification rotation too (round 10+): the
+        # window the driver reads = pins + newcomers + oldest-vintage
+        # recert names, and the pre-run must front exactly that set
+        checked = (
+            _driver_checked_queries()
+            - _force_recheck_pending()
+            - set(_recert_rotation_names())
+        )
         only = [name for name in reg if name not in checked][:n]
-        print(f"--tail {n}: {len(only)} never-checked names selected", flush=True)
+        print(f"--tail {n}: {len(only)} window names selected", flush=True)
     # ADVICE r6 #3: a q_ list after --tail must not silently replace the
     # tail selection, and sf_dir is detected by being a directory, not by
     # a leading slash (a relative sf_dir used to crash as int(limit)).
