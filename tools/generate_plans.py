@@ -63,6 +63,8 @@ SHOWCASE = [
     ("q_sim_hard_negatives", "hard-negative mining over the IVF routing spine"),
     ("q_sim_ann_recall_curve", "nprobe/recall curve: ONE pruned scan, nested-cell rank filters"),
     ("q_embed_pq_codes", "PQ assignment: Arrow integer GEMM, batch-partial combinable agg"),
+    ("q_sim_ann_ivfpq", "IVF-PQ ADC serving: literal codebook/LUT HOFs, zero Python above the cached index"),
+    ("q_sim_ann_ivfpq_eval", "routed PQ recall eval: broadcast probe frame, HOF ADC per pair, per-probe WindowGroupLimit"),
     ("q_embed_isotropy", "per-dim moments: ONE unrolled aggregate, stack-unpivot, no explode"),
     ("q_tpch_q2", "argmin-per-group: scalar-min decorrelated to groupBy + join-back"),
     ("q_tpch_q8", "market share: conditional decimal sums in ONE aggregate pass"),
