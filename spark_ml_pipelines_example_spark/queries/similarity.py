@@ -1242,8 +1242,8 @@ def q_sim_ann_ivfpq_eval(spark, sf_dir):
     )
     return (
         probes.select("pid")
-        .join(ha, "pid", "left")
-        .join(hr, "pid", "left")
+        .join(F.broadcast(ha), "pid", "left")
+        .join(F.broadcast(hr), "pid", "left")
         .select(
             "pid",
             F.coalesce("ha", F.lit(0)).cast("long").alias("hits_adc10"),
