@@ -278,8 +278,9 @@ def test_ivfpq_eval_isolates_pq_loss_from_routing_loss(spark, sf_dir):
     best of the shortlist, so refined hits must be >= the hits of any
     other 10-subset of the shortlist ranked by exact distance; we pin
     the weaker aggregate form), recalls are hits/10, every probe emits
-    exactly one row, and the mean refined recall clears the routed
-    floor the knn_ivf twin pins (>= 0.5 on the near-orthogonal
+    exactly one row, and the mean refined recall clears an SF-aware
+    floor (the probe-set average compounds routing loss with
+    ADC-shortlist loss as cells grow on the near-orthogonal
     fixture)."""
     from spark_ml_pipelines_example_spark.queries.registry import load_all
     from spark_ml_pipelines_example_spark.queries.similarity import IVFPQ_EVAL_MOD
