@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from ..functions.similarity import cosine_probe
 from ..queries._util import t
 from ..queries.registry import query
+from ._gemm import exact_int_gemm
 
 N_CELLS = 16
 # The fixture vectors are near-orthogonal (no cluster structure), the
@@ -600,7 +601,7 @@ def soft_assign_audited(
             if not len(pdf):
                 continue
             X = np.array(pdf["xq"].tolist(), dtype=np.int64)
-            dot = X @ cs.T  # exact int64
+            dot = exact_int_gemm(X, cs.T)  # exact int64 (BLAS under 2^53 bound)
             r = dot.astype(np.float64) / np.where(zero_cell, 1.0, rss)[None, :]
             r[:, zero_cell] = -np.inf
             take = min(n_assign, r.shape[1])
@@ -627,7 +628,7 @@ def _cell_pairs_exact(pdf: "pd.DataFrame") -> "pd.DataFrame":
     shuffle 50M candidate rows."""
     X = np.array(pdf["xq"].tolist(), dtype=np.int64)
     ids = pdf["vec_id"].to_numpy()
-    dot = X @ X.T
+    dot = exact_int_gemm(X, X.T)
     n2 = (X * X).sum(axis=1)
     ia, ib = np.triu_indices(len(ids), k=1)
     d = dot[ia, ib]

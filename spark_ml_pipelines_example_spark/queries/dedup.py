@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_prenorm, l2_norm
 from ..functions.text import bigrams, tokens
+from ..operators._gemm import exact_int_gemm
 from ._util import t
 from .registry import query
 
@@ -1489,7 +1490,7 @@ def q_dedup_semantic(spark, sf_dir):
         order = np.argsort(ids)
         ids = ids[order]
         X = np.array(pdf["xq"].to_numpy()[order].tolist(), dtype=np.int64)
-        dot = X @ X.T
+        dot = exact_int_gemm(X, X.T)
         n2 = (X * X).sum(axis=1)
         dup = (dot > 0) & (
             den * dot * dot >= num * n2[:, None] * n2[None, :]

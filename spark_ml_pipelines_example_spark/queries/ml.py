@@ -2111,9 +2111,14 @@ def _kmx_assign(q, cents):
     (History: a zip_with/aggregate HOF kernel was 50-100x slower —
     interpreted per element — and k*dim literal trees cost more Catalyst
     analysis than execution; the Arrow GEMM is the sanctioned vectorized
-    escape hatch, same shape as the IVF/kNN operators.)"""
+    escape hatch, same shape as the IVF/kNN operators. The x·s product
+    itself goes through exact_int_gemm — float64 dgemm, bit-exact under
+    the runtime-checked 2^53 partial-sum bound — because numpy's int64
+    matmul is non-BLAS and dominated the 100x-probe fit.)"""
     import numpy as np
     import pandas as pd
+
+    from ..operators._gemm import exact_int_gemm
 
     cs = np.array([s for (_, s, _) in cents], dtype=np.int64)
     cn = np.array([n for (_, _, n) in cents], dtype=np.int64)
@@ -2128,7 +2133,7 @@ def _kmx_assign(q, cents):
                 continue
             X = np.array(pdf["xq"].tolist(), dtype=np.int64)
             xx = (X * X).sum(axis=1)
-            xs = X @ cs.T
+            xs = exact_int_gemm(X, cs.T)
             d = cn2[None, :] * xx[:, None] - 2 * cn[None, :] * xs + ss[None, :]
             cmp = d.astype(np.float64) / cn2.astype(np.float64)[None, :]
             j = np.argmin(cmp, axis=1)  # first min -> lowest c (sorted)

@@ -309,3 +309,42 @@ def test_ivfpq_eval_isolates_pq_loss_from_routing_loss(spark, sf_dir):
     # that the exact re-rank recovers (equality would mean ADC is
     # already exact — impossible with 16-codeword books on this fixture)
     assert mean_ref >= mean_adc
+
+
+def test_exact_int_gemm_bit_exact_and_guarded():
+    """exact_int_gemm routes int64 matmuls through float64 dgemm ONLY
+    when max|A|·max|B|·K < 2^53 proves every partial sum of an output
+    cell exactly representable (integers: any subset sum is bounded by
+    the absolute sum, and FMA on exact operands cannot round) — so the
+    BLAS path is bit-identical to the int64 kernel at the audited
+    magnitudes (|xq| < 2^10, centroid sums < 2^21·2^6 members), and
+    over-bound inputs fall back to the int64 kernel rather than trust
+    float64. numpy's int64 ``@`` is non-BLAS; on the 100x probe corpus
+    (200k x 64 @ 64 x 1600) the swap is ~5-10x per Lloyd pass."""
+    import numpy as np
+
+    from spark_ml_pipelines_example_spark.operators._gemm import (
+        _F64_EXACT,
+        exact_int_gemm,
+    )
+
+    rng = np.random.default_rng(42)
+    # the three audited kernel shapes at their real magnitudes
+    for n, d, k, amag, bmag in [
+        (1000, 64, 1600, 1023, 1 << 21),  # Lloyd/soft assign: X @ cs.T
+        (257, 64, 257, 1023, 1023),  # cell pairs / SemDeDup: X @ X.T
+        (3, 2, 3, (1 << 25), (1 << 25)),  # near the 2^53 edge, still exact
+    ]:
+        A = rng.integers(-amag, amag + 1, size=(n, d), dtype=np.int64)
+        B = rng.integers(-bmag, bmag + 1, size=(d, k), dtype=np.int64)
+        assert int(np.abs(A).max()) * int(np.abs(B).max()) * d < _F64_EXACT
+        assert np.array_equal(exact_int_gemm(A, B), A @ B)
+    # over-bound magnitudes must fall back (still exact, via int64)
+    A = rng.integers(-(1 << 40), 1 << 40, size=(4, 8), dtype=np.int64)
+    B = rng.integers(-(1 << 40), 1 << 40, size=(8, 4), dtype=np.int64)
+    assert int(np.abs(A).max()) * int(np.abs(B).max()) * 8 >= _F64_EXACT
+    assert np.array_equal(exact_int_gemm(A, B), A @ B)
+    # empty operands take the trivial path
+    E = np.zeros((0, 64), dtype=np.int64)
+    C = np.zeros((64, 5), dtype=np.int64)
+    assert exact_int_gemm(E, C).shape == (0, 5)
