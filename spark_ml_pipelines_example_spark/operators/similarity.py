@@ -466,13 +466,17 @@ def knn_join(
     bc = spark.sparkContext.broadcast((np.asarray(query_ids), q, qnorm))
     take = k + 1 + local_extra  # +1: a query's own vector is filtered later
 
+    from ._arrow import list_mat
+
     def gen(batches):
+        import pyarrow as pa
+
         qids, qm, qn = bc.value
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            vids = pdf["vec_id"].to_numpy()
+            m = list_mat(b.column("embedding"), qm.shape[1], dtype=np.float64)
+            vids = b.column("vec_id").to_numpy(zero_copy_only=False)
             nrm = np.linalg.norm(m, axis=1)
             nrm[nrm == 0] = 1.0
             s = (m @ qm.T) / (nrm[:, None] * qn[None, :])  # (n, nq) cosine
@@ -486,15 +490,16 @@ def knn_join(
                 out_q.append(np.full(len(sel), qids[j]))
                 out_v.append(vids[sel])
                 out_c.append(s[sel, j])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_v),
-                    "cos": np.concatenate(out_c),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_v)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["query_id", "vec_id", "cos"],
             )
 
-    return corpus.mapInPandas(gen, "query_id long, vec_id long, cos double")
+    return corpus.mapInArrow(gen, "query_id long, vec_id long, cos double")
 
 
 @query(
@@ -581,8 +586,14 @@ def soft_assign_audited(
     ordering rank_cells_audited and the DuckDB window replay use), then
     keeps the top ``n_assign`` cells. Centroid rationals ship in the task
     closure (k×dim ints — bytes); zero shuffle until the per-cell
-    grouping that follows."""
-    import pandas as pd
+    grouping that follows. Arrow-native (mapInArrow + zero-copy buffer
+    reshapes, guide §4.2): the old pandas body rebuilt the matrix row by
+    row (``tolist``) and replicated xq with a Python list comprehension —
+    both measured as dominant terms next to the BLAS GEMM at the 100×
+    probe corpus."""
+    import pyarrow as pa
+
+    from ._arrow import list_mat, mat_list
 
     cs = np.array([s for (_, s, _) in cents], dtype=np.int64)
     cc = np.array([c for (c, _, _) in cents], dtype=np.int64)
@@ -595,27 +606,29 @@ def soft_assign_audited(
     # fixture produces one; this pins the edge so the three rankers can
     # never disagree on it.)
     zero_cell = ss == 0
+    dim = cs.shape[1]
 
     def gen(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            X = list_mat(b.column("xq"), dim)
             dot = exact_int_gemm(X, cs.T)  # exact int64 (BLAS under 2^53 bound)
             r = dot.astype(np.float64) / np.where(zero_cell, 1.0, rss)[None, :]
             r[:, zero_cell] = -np.inf
             take = min(n_assign, r.shape[1])
             idx = np.argsort(-r, axis=1, kind="stable")[:, :take]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), take),
-                    "xq": [x for x in pdf["xq"] for _ in range(take)],
-                    "cell": cc[idx].reshape(-1),
-                }
+            vec = b.column("vec_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(vec, take)),
+                    mat_list(np.repeat(X, take, axis=0)),
+                    pa.array(cc[idx].reshape(-1)),
+                ],
+                names=["vec_id", "xq", "cell"],
             )
 
-    return assigned.mapInPandas(gen, "vec_id long, xq array<long>, cell long")
+    return assigned.mapInArrow(gen, "vec_id long, xq array<long>, cell long")
 
 
 def _cell_pairs_exact(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -626,7 +639,9 @@ def _cell_pairs_exact(pdf: "pd.DataFrame") -> "pd.DataFrame":
     compute identically. A 10k-vector cell is a 10k×10k product —
     milliseconds of BLAS — where the equivalent per-pair join would
     shuffle 50M candidate rows."""
-    X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+    from ._arrow import pdf_mat
+
+    X = pdf_mat(pdf["xq"], dtype=np.int64)
     ids = pdf["vec_id"].to_numpy()
     dot = exact_int_gemm(X, X.T)
     n2 = (X * X).sum(axis=1)

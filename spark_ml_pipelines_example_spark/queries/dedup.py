@@ -1486,10 +1486,12 @@ def q_dedup_semantic(spark, sf_dir):
         # Per-cluster exact-int GEMM (the sim_knn_all kernel shape): all
         # pairwise dots in one int64 matmul; identical integers to the
         # oracle's per-pair fold, so the removed set matches exactly.
+        from ..operators._arrow import pdf_mat
+
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
-        X = np.array(pdf["xq"].to_numpy()[order].tolist(), dtype=np.int64)
+        X = pdf_mat(pdf["xq"], dtype=np.int64)[order]
         dot = exact_int_gemm(X, X.T)
         n2 = (X * X).sum(axis=1)
         dup = (dot > 0) & (

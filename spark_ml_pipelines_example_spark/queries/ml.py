@@ -1909,6 +1909,14 @@ def _fpgrowth_fit_floored(items, key_col: str, item_col: str):
     floor=2, no sub-floor items)."""
     from pyspark.ml.fpm import FPGrowth
 
+    from ..operators._cache import persist_tracked
+
+    # Three consumers scan the (distinct) pair frame — the basket count,
+    # the sub-floor support check, and the collect_set basket build (plus
+    # PFP's own passes) — so persist it for the query's lifetime instead
+    # of re-running the scan+distinct shuffle per consumer (released by
+    # the harness via release_tracked).
+    items = persist_tracked(items)
     n = items.select(key_col).distinct().count()
     min_count = _fp_min_count(n)
     items, pruned = _prune_subfloor_items(items, item_col, min_count)
@@ -2096,11 +2104,22 @@ def _kmx_quantized(spark, sf_dir):
     )
 
 
-def _kmx_assign(q, cents):
-    """One Lloyd assignment pass as a ZERO-SHUFFLE Arrow GEMM
-    (mapInPandas): the k centroid rationals ship in the task closure
-    (k x dim int64 — bytes), and each Arrow batch computes ALL k
-    distances as one exact numpy int64 matmul via the expansion
+def _kmx_cent_arrays(cents):
+    """Centroid rationals as the kernel-closure arrays (cc, cs, cn, cn²,
+    s·s) — shared by every Lloyd-assignment kernel below."""
+    import numpy as np
+
+    cs = np.array([s for (_, s, _) in cents], dtype=np.int64)
+    cn = np.array([n for (_, _, n) in cents], dtype=np.int64)
+    cc = np.array([c for (c, _, _) in cents], dtype=np.int64)
+    assert list(cc) == sorted(cc), "cents must stay sorted by cluster id"
+    ss = (cs * cs).sum(axis=1)
+    return cc, cs, cn, cn * cn, ss
+
+
+def _kmx_argmin(X, cs, cn, cn2, ss):
+    """The exact Lloyd argmin over one (n, dim) int64 batch: ALL k
+    distances as one exact GEMM via the expansion
     d_j(x) = n_j²·(x·x) − 2n_j·(x·s_j) + s_j·s_j — pure integer
     arithmetic, so the value is IDENTICAL to the oracle's elementwise
     fold regardless of op order (bounds: |xq| < 2^10, dim 64, n ≤ 2^15
@@ -2114,53 +2133,111 @@ def _kmx_assign(q, cents):
     escape hatch, same shape as the IVF/kNN operators. The x·s product
     itself goes through exact_int_gemm — float64 dgemm, bit-exact under
     the runtime-checked 2^53 partial-sum bound — because numpy's int64
-    matmul is non-BLAS and dominated the 100x-probe fit.)"""
+    matmul is non-BLAS and dominated the 100x-probe fit.)
+    Returns (j, d_min): argmin indices into cents and the exact int64
+    distance numerators at the argmin."""
     import numpy as np
-    import pandas as pd
 
     from ..operators._gemm import exact_int_gemm
 
-    cs = np.array([s for (_, s, _) in cents], dtype=np.int64)
-    cn = np.array([n for (_, _, n) in cents], dtype=np.int64)
-    cc = np.array([c for (c, _, _) in cents], dtype=np.int64)
-    assert list(cc) == sorted(cc), "cents must stay sorted by cluster id"
-    ss = (cs * cs).sum(axis=1)
-    cn2 = cn * cn
+    xx = (X * X).sum(axis=1)
+    xs = exact_int_gemm(X, cs.T)
+    d = cn2[None, :] * xx[:, None] - 2 * cn[None, :] * xs + ss[None, :]
+    cmp = d.astype(np.float64) / cn2.astype(np.float64)[None, :]
+    j = np.argmin(cmp, axis=1)  # first min -> lowest c (sorted)
+    return j, d[np.arange(len(X)), j]
+
+
+def _kmx_assign(q, cents):
+    """One Lloyd assignment pass as a ZERO-SHUFFLE Arrow GEMM
+    (mapInArrow): the k centroid rationals ship in the task closure
+    (k x dim int64 — bytes), each batch runs the exact `_kmx_argmin`
+    kernel, and the vec_id/xq columns PASS THROUGH as the original
+    Arrow buffers — the r10 100× decomposition measured the old
+    per-row list rebuild (``np.array(pdf["xq"].tolist())``) as a
+    dominant term next to the BLAS GEMM, and this pass ships nothing
+    it did not receive (guide §4.2)."""
+    import pyarrow as pa
+
+    from ..operators._arrow import list_mat
+
+    cc, cs, cn, cn2, ss = _kmx_cent_arrays(cents)
 
     def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
-            xx = (X * X).sum(axis=1)
-            xs = exact_int_gemm(X, cs.T)
-            d = cn2[None, :] * xx[:, None] - 2 * cn[None, :] * xs + ss[None, :]
-            cmp = d.astype(np.float64) / cn2.astype(np.float64)[None, :]
-            j = np.argmin(cmp, axis=1)  # first min -> lowest c (sorted)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "xq": pdf["xq"],
-                    "c": cc[j],
-                    "d": d[np.arange(len(X)), j],
-                }
+            X = list_mat(b.column("xq"), KMX_DIM)
+            j, dmin = _kmx_argmin(X, cs, cn, cn2, ss)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), b.column("xq"), pa.array(cc[j]), pa.array(dmin)],
+                names=["vec_id", "xq", "c", "d"],
             )
 
-    return q.mapInPandas(assign, "vec_id long, xq array<long>, c long, d long")
+    return q.mapInArrow(assign, "vec_id long, xq array<long>, c long, d long")
 
 
-def _kmx_update(assigned, prev):
-    """Centroid update: elementwise int64 sums + counts (order-free exact
-    aggregation), collected driver-side (k x dim ints — driver-sized by
-    construction, like the other iterative operators' per-round state).
-    Empty clusters keep their previous rational."""
-    sums = [F.sum(F.col("xq")[i]).alias(f"s{i}") for i in range(KMX_DIM)]
-    rows = assigned.groupBy("c").agg(F.count("*").alias("n"), *sums).collect()
-    upd = {
-        int(r["c"]): ([int(r[f"s{i}"]) for i in range(KMX_DIM)], int(r["n"]))
-        for r in rows
-    }
-    return [(c, *(upd.get(c, (s, n)))) for (c, s, n) in prev]
+def _kmx_update(q, prev):
+    """One FUSED Lloyd assignment + centroid-update round: each Arrow
+    batch assigns (the exact `_kmx_argmin` kernel) and immediately
+    reduces to per-cluster (count, Σxq) partials via a sorted
+    ``np.add.reduceat`` — int64 addition is order-free, so the per-task
+    partial sums reduce to EXACTLY the int64s the old row-wise groupBy
+    computed. The round's only collect is the tasks·k partial rows
+    (guide §2.3 "aggregate before you shuffle" taken to its endpoint:
+    no shuffle at all — one map-only job per round, k x dim ints of
+    driver state like the other iterative operators). A guard keeps the
+    combinable groupBy form for deployments where tasks·k outgrows the
+    driver. Empty clusters keep their previous rational."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators._arrow import list_mat
+
+    cc, cs, cn, cn2, ss = _kmx_cent_arrays(prev)
+    k, D = len(cc), KMX_DIM
+    names = ["j", "n"] + [f"s{i}" for i in range(D)]
+    schema = "j long, n long, " + ", ".join(f"s{i} long" for i in range(D))
+
+    def step(batches):
+        acc_n = np.zeros(k, dtype=np.int64)
+        acc_s = np.zeros((k, D), dtype=np.int64)
+        seen = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            seen = True
+            X = list_mat(b.column("xq"), D)
+            j, _ = _kmx_argmin(X, cs, cn, cn2, ss)
+            order = np.argsort(j, kind="stable")
+            js = j[order]
+            bounds = np.flatnonzero(np.r_[True, js[1:] != js[:-1]])
+            idx = js[bounds]
+            acc_n[idx] += np.diff(np.r_[bounds, len(js)])
+            acc_s[idx] += np.add.reduceat(X[order], bounds, axis=0)
+        if seen:
+            present = np.flatnonzero(acc_n)
+            cols = [pa.array(present.astype(np.int64)), pa.array(acc_n[present])]
+            cols += [pa.array(acc_s[present, i]) for i in range(D)]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    part = q.mapInArrow(step, schema)
+    if k * q.sparkSession.sparkContext.defaultParallelism > 2_000_000:
+        # cluster-scale guard: combine partials in Spark, collect k rows
+        part = part.groupBy("j").agg(
+            F.sum("n").alias("n"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(D)],
+        )
+    pdf = part.toPandas()  # ≤ tasks·k partial rows, one map-only job
+    jj = pdf["j"].to_numpy()
+    acc_n = np.zeros(k, dtype=np.int64)
+    acc_s = np.zeros((k, D), dtype=np.int64)
+    np.add.at(acc_n, jj, pdf["n"].to_numpy())
+    np.add.at(acc_s, jj, pdf[[f"s{i}" for i in range(D)]].to_numpy())
+    return [
+        (c, [int(v) for v in acc_s[j]], int(acc_n[j])) if acc_n[j] else (c, s, n)
+        for j, (c, s, n) in enumerate(prev)
+    ]
 
 
 def _kmx_cte_parts(k_sql: str | None = None) -> list[str]:
@@ -2233,13 +2310,19 @@ def _kmx_fit(spark, sf_dir, k: int | None = None):
     via _kmx_fit_assign."""
     if k is None:
         k = KMX_K
-    q = _kmx_quantized(spark, sf_dir)
+    from ..operators._cache import persist_tracked
+
+    # KMX_PASSES passes + the init collect all read the quantized frame;
+    # persist it for the duration of the query (the docstring's "on a
+    # real cluster the quantized frame would be cached across passes" —
+    # now it is here too; released by the harness via release_tracked).
+    q = persist_tracked(_kmx_quantized(spark, sf_dir))
     first = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     if not first:
         return None
     cents = [(int(r["vec_id"]), [int(v) for v in r["xq"]], 1) for r in first]
     for _ in range(KMX_PASSES - 1):
-        cents = _kmx_update(_kmx_assign(q, cents), cents)
+        cents = _kmx_update(q, cents)
     return q, cents
 
 
@@ -2281,16 +2364,54 @@ def q_ml_kmeans_exact(spark, sf_dir):
     sort, no pairwise join, cost k*dim*n per round exactly like MLlib's
     distributed Lloyd; on a real cluster the quantized frame would be
     cached across passes."""
-    final = _kmx_fit_assign(spark, sf_dir)
-    if final is None:
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators._arrow import list_mat
+
+    fit = _kmx_fit(spark, sf_dir)
+    if fit is None:
         return spark.createDataFrame(
             [], "cluster long, n_vectors long, s_checksum long, wssd_scaled long"
         )
-    return final.groupBy(F.col("c").alias("cluster")).agg(
-        F.count("*").alias("n_vectors"),
-        F.sum(
-            F.aggregate("xq", F.lit(0).cast("long"), lambda a, v: a + v)
-        ).alias("s_checksum"),
+    q, cents = fit
+    cc, cs, cn, cn2, ss = _kmx_cent_arrays(cents)
+    k, D = len(cc), KMX_DIM
+
+    # Final pass fused with the declared per-cluster rollup: every output
+    # column is an exact integer SUM over the assignment, so each batch
+    # reduces to per-cluster (count, Σ listsum(xq), Σ d) partials and the
+    # shuffle carries tasks·k rows — no xq array ever crosses back to the
+    # JVM (the old form shipped the whole corpus into a groupBy with an
+    # interpreted per-element fold for s_checksum).
+    def final_partials(batches):
+        acc = np.zeros((k, 3), dtype=np.int64)  # n, Σrowsum, Σd
+        seen = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            seen = True
+            X = list_mat(b.column("xq"), D)
+            j, dmin = _kmx_argmin(X, cs, cn, cn2, ss)
+            np.add.at(acc[:, 0], j, 1)
+            np.add.at(acc[:, 1], j, X.sum(axis=1))
+            np.add.at(acc[:, 2], j, dmin)
+        if seen:
+            present = np.flatnonzero(acc[:, 0])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cc[present]),
+                    pa.array(acc[present, 0]),
+                    pa.array(acc[present, 1]),
+                    pa.array(acc[present, 2]),
+                ],
+                names=["cluster", "n", "sx", "d"],
+            )
+
+    part = q.mapInArrow(final_partials, "cluster long, n long, sx long, d long")
+    return part.groupBy("cluster").agg(
+        F.sum("n").alias("n_vectors"),
+        F.sum("sx").alias("s_checksum"),
         F.sum("d").alias("wssd_scaled"),
     )
 
@@ -2550,21 +2671,51 @@ def q_ml_pca_power_exact(spark, sf_dir):
             [], "component long, loading double, rayleigh_g double"
         )
     s = [int(meta[f"s{i}"]) for i in range(D)]
-    sarr = F.array(*[F.lit(v).cast("long") for v in s])
-    y = q.select(
-        "vec_id",
-        F.zip_with(
-            "xq", sarr, lambda x, sv: F.lit(n).cast("long") * x - sv
-        ).alias("y"),
-    )
-    a = y.select("vec_id", F.posexplode("y").alias("i", "yi"))
-    b = y.select(
-        F.col("vec_id").alias("vid2"), F.posexplode("y").alias("j", "yj")
-    )
+    # Gram pass: each Arrow batch centers (y_r = n·x_r − colsum, exact
+    # int64) and reduces itself to a 64×64 Y'Y partial — int64 addition
+    # is order-free, so the groupBy(i,j) sum of per-task partials equals
+    # the old per-row posexplode SELF-JOIN cell-for-cell, while the join
+    # (which shuffled n·d rows into an n·d² expansion) disappears
+    # entirely. The chunked exact GEMM keeps every partial sum < 2^53 so
+    # the BLAS path stays bit-exact (operators/_gemm.py).
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators._arrow import list_mat
+    from ..operators._gemm import exact_int_gemm
+
+    s_np = np.array(s, dtype=np.int64)
+    nn = n
+
+    def gram_partials(batches):
+        acc = np.zeros((D, D), dtype=np.int64)
+        seen = False
+        for b in batches:
+            if not b.num_rows:
+                continue
+            seen = True
+            Y = nn * list_mat(b.column("xq"), D) - s_np[None, :]
+            # chunk so max|y|²·chunk < 2^53 keeps each partial on the
+            # exact BLAS path (int64 adds between chunks are order-free)
+            step = max(1, (1 << 53) // max(1, int(np.abs(Y).max()) ** 2))
+            for lo in range(0, len(Y), step):
+                blk = Y[lo : lo + step]
+                acc += exact_int_gemm(blk.T, blk)
+        if seen:
+            ii, jj = np.meshgrid(np.arange(D), np.arange(D), indexing="ij")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ii.reshape(-1).astype(np.int64)),
+                    pa.array(jj.reshape(-1).astype(np.int64)),
+                    pa.array(acc.reshape(-1)),
+                ],
+                names=["i", "j", "g"],
+            )
+
     cells = (
-        a.join(b, a["vec_id"] == b["vid2"])
+        q.mapInArrow(gram_partials, "i long, j long, g long")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("yi") * F.col("yj")).alias("g"))
+        .agg(F.sum("g").alias("g"))
         .collect()
     )
     G = [[0] * D for _ in range(D)]
@@ -2645,11 +2796,71 @@ def _logreg_feat(spark, sf_dir):
     )
 
 
+# Gradient sums depend on rows only through their (x1, x2, y) cell, so
+# the fit can compress the corpus to its distinct-cell histogram in ONE
+# combinable aggregate and replay all LOGREG_STEPS on the driver —
+# integer arithmetic over identical int64 cell sums, so the trajectory
+# is bit-identical to the per-step distributed form (which remains below
+# as the guarded fallback). The cell count is bounded by the feature
+# DOMAIN (|x1 range| · |x2 range| · 2), not the corpus, so the collect
+# stays driver-sized at any data scale; the cap guards a pathological
+# domain.
+_LOGREG_CELL_CAP = 500_000
+
+
 def _logreg_fit(feat):
     """The LOGREG_STEPS integer GD loop over an arbitrary feature frame
     (shared by q_ml_logreg_exact, the fairness audit, and the conformal
     query, which fits on a hash-fold subset). Returns the weight triple,
-    or None on empty input."""
+    or None on empty input.
+
+    One Spark job: the corpus compresses to its (x1, x2, y) cell
+    histogram (a map-side-combinable count), and the GD steps run on the
+    driver over exact Python ints — per-step gradients are
+    Σ_cells err(cell)·cnt, the identical int64 sums the old per-step
+    aggregate computed row-wise (integer addition is order-free), so the
+    weight trajectory cannot differ. Cells with a NULL feature are
+    counted toward n but excluded from gradient sums, matching
+    F.sum's null-skipping semantics."""
+    S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
+    half = S >> 1
+    cells = (
+        feat.groupBy("x1", "x2", "y")
+        .agg(F.count("*").alias("cnt"))
+        .limit(_LOGREG_CELL_CAP + 1)
+        .collect()
+    )
+    if len(cells) > _LOGREG_CELL_CAP:
+        return _logreg_fit_distributed(feat)  # domain blew the cap
+    n = sum(int(r["cnt"]) for r in cells)
+    if n == 0:
+        return None
+    dense = [
+        (int(r["x1"]), int(r["x2"]), int(r["y"]), int(r["cnt"]))
+        for r in cells
+        if r["x1"] is not None and r["x2"] is not None and r["y"] is not None
+    ]
+    w = [0, 0, 0]
+    for _ in range(N):
+        g0 = g1 = g2 = 0
+        for x1, x2, y, cnt in dense:
+            z = w[0] + w[1] * x1 + w[2] * x2
+            s = min(max(half + (z >> 2), 0), S)  # arithmetic >> floors, like Spark
+            e = (s - y * S) * cnt
+            g0 += e
+            g1 += e * x1
+            g2 += e * x2
+        w = [
+            wi - ((g // n) >> E)  # python // floors like the pmod form
+            for wi, g in zip(w, (g0, g1, g2))
+        ]
+    return w
+
+
+def _logreg_fit_distributed(feat):
+    """Fallback: the original per-step distributed aggregate (one
+    combinable integer-gradient job per GD step — the classic full-batch
+    GD shape), used only when the cell histogram is not driver-sized."""
     S, E, N = LOGREG_S, LOGREG_LR_SHIFT, LOGREG_STEPS
     half = S >> 1
     n = feat.count()

@@ -745,17 +745,22 @@ def q_embed_pq_codes(spark, sf_dir):
     cb = np.array([r["xq"] for r in cb_rows], dtype=np.int64)  # (K, 64)
 
     def assign(batches):
+        import pyarrow as pa
+
+        from ..operators._arrow import list_mat
+        from ..operators._gemm import exact_int_gemm
+
         subs = [cb[:, m * PQ_DSUB : (m + 1) * PQ_DSUB] for m in range(PQ_M)]
         sub_sq = [(s * s).sum(axis=1) for s in subs]
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if not b.num_rows:
                 continue
-            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            X = list_mat(b.column("xq"), PQ_M * PQ_DSUB)
             out_m, out_c, out_n, out_e = [], [], [], []
             for m in range(PQ_M):
                 Xm = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
                 xx = (Xm * Xm).sum(axis=1)
-                d = xx[:, None] - 2 * (Xm @ subs[m].T) + sub_sq[m][None, :]
+                d = xx[:, None] - 2 * exact_int_gemm(Xm, subs[m].T) + sub_sq[m][None, :]
                 j = np.argmin(d, axis=1)  # first min -> lowest code
                 dmin = d[np.arange(len(Xm)), j]
                 for code in np.unique(j):
@@ -764,11 +769,17 @@ def q_embed_pq_codes(spark, sf_dir):
                     out_c.append(int(code))
                     out_n.append(int(sel.sum()))
                     out_e.append(int(dmin[sel].sum()))
-            yield pd.DataFrame(
-                {"m": out_m, "code": out_c, "n": out_n, "e": out_e}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_m, type=pa.int64()),
+                    pa.array(out_c, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_e, type=pa.int64()),
+                ],
+                names=["m", "code", "n", "e"],
             )
 
-    partials = q.mapInPandas(assign, "m long, code long, n long, e long")
+    partials = q.mapInArrow(assign, "m long, code long, n long, e long")
     return partials.groupBy(
         F.col("m").alias("subspace"), "code"
     ).agg(

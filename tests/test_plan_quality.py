@@ -155,10 +155,12 @@ def test_salted_join_replicates_build_side(spark, sf_dir):
 
 
 def test_knn_join_prunes_locally(spark, sf_dir):
-    """The knn query's shuffle input is the mapInPandas output (local
-    top-k per partition), never the raw corpus × queries cross product."""
+    """The knn query's shuffle input is the Arrow kernel's output (local
+    top-k per partition), never the raw corpus × queries cross product.
+    (r11: the kernel moved from mapInPandas to mapInArrow — zero-copy
+    batch access, same local-top-k combiner.)"""
     plan = plan_of(spark, sf_dir, "q_sim_knn_all")
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "CartesianProduct" not in plan
 
 
