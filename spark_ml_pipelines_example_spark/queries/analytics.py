@@ -5368,12 +5368,26 @@ def q_graph_label_propagation(spark, sf_dir):
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint()  # 3 rounds reuse the edges; cut the wedge lineage
     )
-    # symmetrize AFTER the checkpoint: union is map-side, so only half
-    # the edge rows are materialized
-    edges = pairs.unionByName(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # symmetrize, then persist the edges CLUSTERED BY src (guide §2.4
+    # "two operations keyed the same way share one exchange"): the
+    # per-round vote join broadcasts the label frame, so the streamed
+    # edge side keeps this src partitioning through the join and the
+    # src→node alias, and BOTH round aggregates — groupBy(node=src,
+    # label) and groupBy(node) — are satisfied by it. Net: the three
+    # rounds plan with ZERO exchanges (was 2 shuffles of the 2.4M-row
+    # vote frame per round; verified in plans/r11). persist, not
+    # localCheckpoint: under AQE a checkpointed RDD reports
+    # UnknownPartitioning, which silently re-inserts both shuffles —
+    # the cached plan keeps hashpartitioning(src) (measured). This is
+    # the standard src-clustered adjacency layout a 100 TB graph job
+    # persists anyway; released per query by the harness.
+    from ..operators._cache import persist_tracked
+
+    edges = persist_tracked(
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition("src")
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")

@@ -317,33 +317,64 @@ def q_sim_maxsim(spark, sf_dir):
     is exact (max is order-free; the 4-term outer sum is a fixed-order
     fold in both engines), so only the inner dot products carry the
     shared round-to-6 discipline."""
-    from ..functions.similarity import dot, l2_norm
+    import math
+
+    import numpy as np
 
     e = t(spark, sf_dir, "embeddings")
     probe_vec = [
         float(v)
         for v in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
-
-    def sub_cos(qi: int, ti: int):
+    p_subs = []
+    for qi in range(4):
         sub = probe_vec[qi * 16 : (qi + 1) * 16]
         sq = 0.0
         for v in sub:  # same left-to-right fold as the engines
             sq = sq + v * v
-        lit_sub = F.array(*[F.lit(v) for v in sub])
-        d_sub = F.slice(F.col("embedding"), ti * 16 + 1, 16)
-        import math
+        p_subs.append((np.array(sub, dtype=np.float64), math.sqrt(sq)))
 
-        return dot(d_sub, lit_sub) / (l2_norm(d_sub) * F.lit(math.sqrt(sq)))
+    # The 4×4 sub-cosine grid as one Arrow-batched numpy pass (r11; the
+    # 16-expression HOF tree evaluated 16 interpreted dot folds + 16 norm
+    # folds per row). Bit-exactness: every fold below is an np.cumsum —
+    # the identical left-to-right double adds the zip_with/aggregate
+    # kernel (and DuckDB's list_dot_product) performs — products, the
+    # norm·norm multiply, the division, the 4-way max, and the
+    # fixed-order 4-term outer sum are all the same single IEEE ops in
+    # the same order, so the scores equal the old expression tree (and
+    # the oracle) bit for bit.
+    def score(batches):
+        import pyarrow as pa
 
-    raw = sum(
-        (F.greatest(*[sub_cos(qi, ti) for ti in range(4)]) for qi in range(4)),
-        start=F.lit(0.0),
+        from ..operators._arrow import list_mat
+
+        def fold(rows):  # left-fold sum per row, like aggregate(acc + x)
+            return np.cumsum(rows, axis=1)[:, -1]
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            E = list_mat(b.column("embedding"), 64, dtype=np.float64)
+            subs = [E[:, ti * 16 : (ti + 1) * 16] for ti in range(4)]
+            norms = [np.sqrt(fold(s * s)) for s in subs]
+            raw = np.zeros(len(E), dtype=np.float64)
+            for psub, pn in p_subs:
+                g = None
+                for ti in range(4):
+                    cos = fold(subs[ti] * psub[None, :]) / (norms[ti] * pn)
+                    g = cos if g is None else np.maximum(g, cos)
+                raw = raw + g
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(raw)], names=["vec_id", "raw"]
+            )
+
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInArrow(score, "vec_id long, raw double")
     )
     return (
-        e.filter(F.col("vec_id") != 0)
-        .select("vec_id", raw.alias("raw"))
-        .orderBy(F.col("raw").desc(), "vec_id")
+        scored.orderBy(F.col("raw").desc(), "vec_id")
         .limit(10)
         .select("vec_id", F.round("raw", 6).alias("maxsim"))
     )
