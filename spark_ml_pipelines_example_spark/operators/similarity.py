@@ -714,10 +714,10 @@ def q_dedup_embedding_cells(spark, sf_dir):
     A pair co-occurring in up to SOFT_ASSIGN cells computes identical
     values each time, so the cross-cell dedup is a grouped max over the
     surviving pairs only."""
-    _, cents = _ivf_fit_for(spark, sf_dir)  # centroids only — no index join
-    from ..queries.ml import _kmx_quantized
-
-    q = _kmx_quantized(spark, sf_dir).repartition(32, "vec_id")
+    # the fit's quantized frame is already spread across the cores and
+    # persisted for the query's lifetime (queries/ml.py _kmx_fit) —
+    # reuse it instead of re-quantizing + re-shuffling the corpus
+    q, cents = _ivf_fit_for(spark, sf_dir)
     soft = soft_assign_audited(q, cents)
     pairs = soft.groupBy("cell").applyInPandas(
         lambda pdf: _cell_pairs_exact(pdf), "id_a long, id_b long, qcos double"

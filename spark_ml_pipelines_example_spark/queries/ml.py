@@ -2316,7 +2316,27 @@ def _kmx_fit(spark, sf_dir, k: int | None = None):
     # persist it for the duration of the query (the docstring's "on a
     # real cluster the quantized frame would be cached across passes" —
     # now it is here too; released by the harness via release_tracked).
-    q = persist_tracked(_kmx_quantized(spark, sf_dir))
+    # Spread it across the cores first when the scan arrives in fewer
+    # splits than the session has slots (guide §2.5 "input skew"): the
+    # 100× probe corpus is ONE 31 MB parquet file, which silently ran
+    # every n×k assignment pass as a single task on one core — measured
+    # at k=1600: the fit was core-bound at 1/32 utilization. Hash
+    # repartition on vec_id is deterministic and per-row results are
+    # partitioning-independent (argmin per row; update sums order-free).
+    q = _kmx_quantized(spark, sf_dir)
+    slots = spark.sparkContext.defaultParallelism
+    # scale-adaptive width (guide §2): one GEMM task per ~2 MB of
+    # quantized vectors, capped at the core slots — a fixture-sized
+    # corpus keeps its cheap single-partition plan, the one-file probe
+    # corpus spreads across the machine. Derived from the optimizer's
+    # static size estimate, so the decision is deterministic. Explicit
+    # width, NOT spark.sql.shuffle.partitions: a vanilla 200-partition
+    # session must not fan a tiny corpus into 200 tasks per pass.
+    est_bytes = int(q._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    width = max(1, min(slots, est_bytes >> 21))
+    if q.rdd.getNumPartitions() < width:
+        q = q.repartition(width, "vec_id")
+    q = persist_tracked(q)
     first = q.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
     if not first:
         return None
