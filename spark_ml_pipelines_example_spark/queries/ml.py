@@ -4159,19 +4159,17 @@ def q_ml_knn_classifier_ivf(spark, sf_dir):
     oracle replays index build + per-probe cell routing + vote end to
     end, so this is a FULL hash check of the approximate path itself,
     not merely of its summary."""
-    from ..functions.similarity import cosine_prenorm
-    from ..operators.similarity import ivf_probe_routing
+    from ..operators.similarity import ivf_probe_routing, pair_cosine_arrow
 
     probes, corpus, pcells = ivf_probe_routing(spark, sf_dir, KNN_PROBE_MOD)
     probes = probes.withColumnRenamed("plabel", "true_label")
     probe_side = pcells.join(probes, "pid")
-    pairs = corpus.join(F.broadcast(probe_side), "cell").select(
-        "pid",
-        "true_label",
-        "cid",
-        "nlabel",
-        cosine_prenorm(F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")).alias("cos"),
+    joined = corpus.join(F.broadcast(probe_side), "cell").select(
+        "pid", "true_label", "cid", "nlabel", "pe", "ce", "pn", "cn"
     )
+    # Arrow-batched prenorm cosine (bit-identical to the HOF fold — see
+    # pair_cosine_arrow); only the pair metadata + cos leave the kernel
+    pairs = pair_cosine_arrow(joined, ["pid", "true_label", "cid", "nlabel"])
     topk = pairs.withColumn(
         "rk",
         F.row_number().over(W.partitionBy("pid").orderBy(F.col("cos").desc(), "cid")),

@@ -557,16 +557,22 @@ def q_sim_hard_negatives(spark, sf_dir):
     Mining negatives over a 100 TB corpus is exactly the IVF serving
     path — the full oracle replays index build + routing + mining end
     to end."""
-    from ..operators.similarity import ivf_probe_routing
+    from ..operators.similarity import ivf_probe_routing, pair_cosine_arrow
 
     probes, corpus, pcells = ivf_probe_routing(spark, sf_dir, HN_PROBE_MOD)
-    pairs = corpus.join(F.broadcast(pcells.join(probes, "pid")), "cell").select(
+    joined = corpus.join(F.broadcast(pcells.join(probes, "pid")), "cell").select(
         "pid",
         "plabel",
         "cid",
         F.col("nlabel").alias("neg_label"),
-        cosine_prenorm(F.col("pe"), F.col("ce"), F.col("pn"), F.col("cn")).alias("cos"),
+        "pe",
+        "ce",
+        "pn",
+        "cn",
     )
+    # Arrow-batched prenorm cosine (bit-identical to the HOF fold — see
+    # pair_cosine_arrow); only the pair metadata + cos leave the kernel
+    pairs = pair_cosine_arrow(joined, ["pid", "plabel", "cid", "neg_label"])
     neg = pairs.filter(
         (F.col("neg_label") != F.col("plabel")) & (F.col("cos") < HN_DUP_BAR)
     )
