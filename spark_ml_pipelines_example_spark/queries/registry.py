@@ -827,7 +827,15 @@ def _recert_rotation_names(root=None) -> tuple[str, ...]:
     oldest automatically — no manual re-pinning. Only SQL-oracled names
     rotate (a repeated rows-only row re-certifies nothing hash-wise).
     """
-    budget = max(0, _RECERT_WINDOW - len(_WINDOW_PIN))
+    # ADVICE r10 #3: size the budget after the pins AND the never-checked
+    # (unpinned) names — both outrank the recert block in the window
+    # ordering, so ignoring them would push a future round's genuinely
+    # new queries past the ~50-entry driver window.
+    fresh = _driver_checked_queries() - _force_recheck_pending(root)
+    never = sum(
+        1 for n in REGISTRY if n not in fresh and n not in _WINDOW_PIN
+    )
+    budget = max(0, _RECERT_WINDOW - len(_WINDOW_PIN) - never)
     vintage = _certified_vintage(root)
     eligible = sorted(
         (

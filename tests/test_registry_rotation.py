@@ -179,8 +179,18 @@ def test_recert_rotation_selects_oldest_vintage_sql_only():
 
     rec = _recert_rotation_names()
     vintage = _certified_vintage()
+    # ADVICE r10 #3: the recert budget leaves room for the pins AND any
+    # never-checked (unpinned) names, which outrank the recert block —
+    # a new query must never be pushed past the ~50-entry driver window.
+    from spark_ml_pipelines_example_spark.queries.registry import (
+        _driver_checked_queries,
+        _force_recheck_pending,
+    )
+
+    fresh = _driver_checked_queries() - _force_recheck_pending()
+    never = sum(1 for n in REGISTRY if n not in fresh and n not in _WINDOW_PIN)
     assert len(rec) == min(
-        _RECERT_WINDOW - len(_WINDOW_PIN),
+        max(0, _RECERT_WINDOW - len(_WINDOW_PIN) - never),
         sum(1 for n in vintage if REGISTRY[n].oracle is not None),
     )
     assert all(REGISTRY[n].oracle is not None for n in rec)
