@@ -549,17 +549,13 @@ def load_all() -> dict[str, QuerySpec]:
 # never-checked block; once they earn a green hard row the
 # self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # round-10 front: only this round's NEW queries ride the pin — with
-    # the evidence ledger closed in r9 (every declared query has a hard
-    # external row), the rest of the ~50-query window is filled by the
-    # SELF-MAINTAINING re-certification rotation below
-    # (_recert_rotation_names): the oldest-vintage certified queries are
-    # re-fronted oldest-first, so rows certifying pre-refactor engine
-    # code are refreshed round by round with no manual pinning
-    # (VERDICT r9 #1). The r9 pins (ewma re-front + 21 others) all
-    # retired via CORRECTNESS_r09 (50/50 green).
-    "q_sim_ann_ivfpq",
-    "q_sim_ann_ivfpq_eval",
+    # round-11 (optimization round, no new queries): empty — the whole
+    # ~50-query window goes to the SELF-MAINTAINING re-certification
+    # rotation (_recert_rotation_names), which re-fronts the
+    # oldest-vintage certified queries oldest-first (VERDICT r9 #1 /
+    # r10 #2). The r10 pins (q_sim_ann_ivfpq, q_sim_ann_ivfpq_eval)
+    # retired via CORRECTNESS_r10 (50/50 green); leaving them here would
+    # waste two window slots the r2/r3-vintage tail needs.
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED
