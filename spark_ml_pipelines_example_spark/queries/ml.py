@@ -994,7 +994,10 @@ def q_ml_kmeans(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
-    km = KMeans(k=8, seed=42, maxIter=20, featuresCol="features")
+    # ADVICE r11 #5: one constant for both the fit and the invariant's
+    # cluster-count check, so the two can never silently drift apart.
+    k = 8
+    km = KMeans(k=k, seed=42, maxIter=20, featuresCol="features")
     model = km.fit(emb)
     cost = float(model.summary.trainingCost)
     n_total = emb.count()
@@ -1014,7 +1017,7 @@ def q_ml_kmeans(spark, sf_dir):
         "cluster",
         "n_vectors",
         F.round(F.lit(cost), 4).alias("inertia_total"),
-        ((mass == F.lit(n_total)) & (n_clusters == F.lit(8))).alias("invariant_ok"),
+        ((mass == F.lit(n_total)) & (n_clusters == F.lit(k))).alias("invariant_ok"),
     )
 
 
@@ -2226,7 +2229,11 @@ def _kmx_update(q, prev):
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     part = q.mapInArrow(step, schema)
-    if k * q.sparkSession.sparkContext.defaultParallelism > 2_000_000:
+    # ADVICE r11 #4: the kernel emits up to k rows per PARTITION of q,
+    # so size the driver-collect guard on the true task count, not the
+    # core-slot count (an input with many more splits than slots is
+    # exactly the scale scenario the guard exists for).
+    if k * q.rdd.getNumPartitions() > 2_000_000:
         # cluster-scale guard: combine partials in Spark, collect k rows
         part = part.groupBy("j").agg(
             F.sum("n").alias("n"),
