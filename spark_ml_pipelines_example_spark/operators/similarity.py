@@ -157,13 +157,6 @@ def ivf_probe_routing(
     from ..functions.similarity import l2_norm
 
     assigned, cents = _ivf_index_for(spark, sf_dir)
-    cdf = spark.createDataFrame(
-        [
-            (int(c), [int(v) for v in s], int(sum(v * v for v in s)))
-            for (c, s, _n) in cents
-        ],
-        "cc long, s array<long>, ss long",
-    )
     is_probe = (F.col("vec_id") % probe_mod == 0) & (F.col("vec_id") < PROBE_ID_CAP)
     probes = assigned.filter(is_probe).select(
         F.col("vec_id").alias("pid"),
@@ -184,14 +177,84 @@ def ivf_probe_routing(
         # derived from the audited quantization — expose it on both sides
         corpus_cols.append(F.col("xq").alias("cxq"))
     corpus = assigned.filter(~is_probe).select(*corpus_cols)
+    pcells = _probe_cells(spark, probes, cents, probe_mod)
+    if keep_xq:
+        return probes.withColumnRenamed("xq", "pxq"), corpus, pcells
+    return probes.drop("xq"), corpus, pcells
+
+
+# Ceiling on probes × cells for the driver-side crank: 4M scored
+# (probe, cell) entries is ~2 GB of transient float64 on a 48 g driver
+# and microseconds of BLAS; past it (k ∝ corpus under adaptive_k, so
+# ~40M-vector corpora at 100 probes) the ranking runs distributed.
+_PCELLS_DRIVER_CAP = 4_000_000
+
+
+def _probe_cells(spark, probes, cents, probe_mod: int):
+    """Per-probe nprobe-nearest-cell routing table (pid, cell).
+
+    The scored grid is (fixed probe count) × k cells — k ∝ corpus under
+    adaptive_k, so at fixture-to-100× scales it is thousands to ~10^5
+    entries: driver-bounded state exactly like the serving path's
+    `_rank_cells` (same comparator, one probe at a time). The r12
+    profile measured the distributed form (crossJoin + interpreted HOF
+    fold + per-probe window) at 0.63 s of the query's 1.5 s at the 100×
+    corpus — ~20M interpreted lambda evals to rank 160k rows (guide
+    §4.1). Here the identical arithmetic runs as ONE exact-int64 BLAS
+    GEMM on the driver: dot xq·s is exact int64 (`exact_int_gemm`), the
+    divide-by-sqrt pair are the same two correctly-rounded float64 ops,
+    so every score is bit-identical and the (r desc, cell) order —
+    np.lexsort on (cell, -r) — reproduces row_number's tie-break.
+    Probes are a collect of the cached assigned frame (≤ PROBE_ID_CAP /
+    probe_mod rows by construction); output is a PROBE_ID_CAP-bounded
+    local frame, broadcast by every consumer. Falls back to the
+    verbatim distributed crank when probes × k outgrows the driver cap
+    or any score is non-finite (a zero centroid-sum vector would make
+    engine NaN-ordering the tie-breaker; no fixture produces one)."""
+    max_probes = -(-PROBE_ID_CAP // probe_mod)
+    if max_probes * len(cents) <= _PCELLS_DRIVER_CAP:
+        from ._gemm import exact_int_gemm
+
+        rows = probes.select("pid", "xq").collect()
+        if rows:
+            cells = np.array([c for (c, _s, _n) in cents], dtype=np.int64)
+            S = np.array([s for (_c, s, _n) in cents], dtype=np.int64)
+            ss = np.einsum("ij,ij->i", S, S)
+            Xp = np.array([r["xq"] for r in rows], dtype=np.int64)
+            dots = exact_int_gemm(Xp, S.T)
+            r = dots.astype(np.float64) / np.sqrt(ss.astype(np.float64))
+            if np.isfinite(r).all():
+                out = []
+                for i, row in enumerate(rows):
+                    order = np.lexsort((cells, -r[i]))
+                    out.extend(
+                        (int(row["pid"]), int(c)) for c in cells[order[:N_PROBE]]
+                    )
+                return spark.createDataFrame(out, "pid long, cell long")
+        else:
+            return spark.createDataFrame([], "pid long, cell long")
+    return _probe_cells_distributed(spark, probes, cents)
+
+
+def _probe_cells_distributed(spark, probes, cents):
+    """The distributed crank (pre-r12 form, kept verbatim as the
+    scale/fallback path): broadcast the centroid rationals, score every
+    (probe, cell) with the single-division comparator, rank per probe."""
+    from pyspark.sql import Window as W
+
+    cdf = spark.createDataFrame(
+        [
+            (int(c), [int(v) for v in s], int(sum(v * v for v in s)))
+            for (c, s, _n) in cents
+        ],
+        "cc long, s array<long>, ss long",
+    )
     dot = F.aggregate(
         F.zip_with("xq", "s", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    from pyspark.sql import Window as W
-
-    pcells = (
+    return (
         probes.select("pid", "xq")
         .crossJoin(F.broadcast(cdf))
         .select(
@@ -201,14 +264,13 @@ def ivf_probe_routing(
         )
         .withColumn(
             "rk",
-            F.row_number().over(W.partitionBy("pid").orderBy(F.col("r").desc(), "cell")),
+            F.row_number().over(
+                W.partitionBy("pid").orderBy(F.col("r").desc(), "cell")
+            ),
         )
         .filter(F.col("rk") <= N_PROBE)
         .select("pid", "cell")
     )
-    if keep_xq:
-        return probes.withColumnRenamed("xq", "pxq"), corpus, pcells
-    return probes.drop("xq"), corpus, pcells
 
 
 def ivf_routing_oracle_parts(probe_mod: int) -> list[str]:

@@ -1,0 +1,46 @@
+"""Round-12 optimization pins: internals changed for performance must
+stay row-identical to their pre-r12 forms (the declared results are
+separately hash-checked against DuckDB by driver_sim/the driver)."""
+
+from pyspark.sql import functions as F
+
+
+def test_probe_cells_driver_gemm_matches_distributed_crank(spark, sf_dir):
+    """r12 #1: the driver-side exact-GEMM probe-cell ranking must emit
+    exactly the rows of the distributed crank (same comparator, same
+    (r desc, cell) tie-break) — the crank is the corpus-dependent term
+    of the IVF routing spine shared by three declared queries."""
+    from spark_ml_pipelines_example_spark.operators.similarity import (
+        PROBE_ID_CAP,
+        _ivf_index_for,
+        _probe_cells,
+        _probe_cells_distributed,
+    )
+    from spark_ml_pipelines_example_spark.queries.ml import KNN_PROBE_MOD
+
+    assigned, cents = _ivf_index_for(spark, sf_dir)
+    is_probe = (F.col("vec_id") % KNN_PROBE_MOD == 0) & (
+        F.col("vec_id") < PROBE_ID_CAP
+    )
+    probes = assigned.filter(is_probe).select(F.col("vec_id").alias("pid"), "xq")
+    new = sorted(
+        tuple(r) for r in _probe_cells(spark, probes, cents, KNN_PROBE_MOD).collect()
+    )
+    old = sorted(
+        tuple(r) for r in _probe_cells_distributed(spark, probes, cents).collect()
+    )
+    assert new and new == old
+
+
+def test_probe_cells_cap_falls_back_to_distributed(spark, sf_dir, monkeypatch):
+    """Past the driver cap the ranking must plan distributed (a frame,
+    not a local collect) — the 100 TB guard."""
+    import spark_ml_pipelines_example_spark.operators.similarity as sim
+
+    assigned, cents = sim._ivf_index_for(spark, sf_dir)
+    probes = assigned.select(F.col("vec_id").alias("pid"), "xq").limit(5)
+    monkeypatch.setattr(sim, "_PCELLS_DRIVER_CAP", 0)
+    out = sim._probe_cells(spark, probes, cents, 20)
+    # distributed plan carries the crank's window; the driver path would
+    # have returned a LocalRelation-backed frame with no shuffle at all
+    assert "window" in out._jdf.queryExecution().optimizedPlan().toString().lower()
