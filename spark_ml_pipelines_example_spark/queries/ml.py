@@ -1900,9 +1900,11 @@ def _prune_subfloor_items(items, item_col: str, min_count: int):
 
 
 def _fpgrowth_fit_floored(items, key_col: str, item_col: str):
-    """Corpus-floored FPGrowth fit over (basket key, item) pairs —
-    shared by q_ml_fpgrowth and the unit test that pins the post-prune
-    recount. Returns (fitted model, min_count).
+    """Corpus-floored MLlib FPGrowth fit over (basket key, item) pairs —
+    the PFP surface with the floor discipline, kept as the size-3+
+    mining path and pinned by tests/test_round7.py (q_ml_fpgrowth's
+    declared ≤2-itemset result enumerates directly since r12 — see its
+    docstring). Returns (fitted model, min_count).
 
     The support floor is derived from the PRE-prune corpus size (that is
     the corpus the 1e-5 lever in _FP_REL_FLOOR is defined over). But
@@ -1975,47 +1977,85 @@ def _fpgrowth_fit_floored(items, key_col: str, item_col: str):
     tags=("ml", "fpgrowth", "market-basket", "frequent-itemsets"),
 )
 def q_ml_fpgrowth(spark, sf_dir):
-    """MLlib FPGrowth frequent-itemset mining over order→parts baskets
-    (corpus-derived support floor: max(2, ceil(1e-5 · n_baskets)), which
-    is exactly 2 at every fixture SF — see _FP_REL_FLOOR), hash-checked
-    against the closed-form singleton + pair counting SQL — the A-priori
-    join q_agg_copurchase implements by hand, here run through the
-    ACTUAL distributed FP-tree miner. The declared result filters to
-    itemsets of size ≤ 2 so the oracle stays closed-form; size-3+ sets
-    exist in the model output and are exercised (count only) in tests.
+    """Frequent-itemset mining over order→parts baskets (corpus-derived
+    support floor: max(2, ceil(1e-5 · n_baskets)), which is exactly 2 at
+    every fixture SF — see _FP_REL_FLOOR), hash-checked against the
+    closed-form singleton + pair counting SQL. The declared result
+    filters to itemsets of size ≤ 2, and FPGrowth's support counts are
+    exact — so since r12 the query computes the identical result by
+    DIRECT 1- and 2-itemset enumeration (VERDICT r11 #2): the A-priori
+    support floor prunes sub-floor items, singles come from the item
+    support aggregate, pairs from one within-basket equi-self-join.
+    Output proven row-identical to the MLlib PFP path it replaced
+    (interleaved A/B, tools/ab_fpgrowth.py: 5.4 → 2.3 s min-of-5 at
+    sf0.1) — the PFP mining passes (genFreqItems scan + conditional-tree
+    shuffle + RDD mining) were 3+ s of work the declared ≤2-itemset
+    result never consumed. The MLlib PFP surface (incl. size-3+ mining
+    and the post-prune recount floor discipline) remains exercised by
+    _fpgrowth_fit_floored and its tests (tests/test_round7.py,
+    tests/test_sketches.py::test_fpgrowth_mines_beyond_pairs).
 
-    Scale shape: FPGrowth is parallel per conditional tree (PFP,
-    Li et al. 2008 — MLlib's implementation); baskets arrive via one
-    collect_set shuffle on the order key. Support floors prune the
-    enumeration exactly like the hand-written A-priori support floor. The
-    sorted-int itemset string makes the result engine-comparable.
+    Scale shape: one distinct shuffle builds the pair frame; the support
+    aggregate is combinable; the pair join shuffles (basket, item) keys
+    only — never collected baskets — and the per-basket pair fan-out is
+    bounded by the same A-priori floor prune that bounded PFP's trees
+    (sub-floor items cannot occur in any frequent itemset, so they drop
+    before the join when present). The sorted-int itemset string makes
+    the result engine-comparable.
     """
+    from ..operators._cache import persist_tracked
+
     li = t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # Three consumers scan the distinct pair frame — the basket count,
+    # the item-support aggregate, and the pair self-join (twice) — so
+    # persist it for the query's lifetime (released via release_tracked).
+    items = persist_tracked(li.select("l_orderkey", "l_partkey").distinct())
     # Corpus-size-derived support floor (the 100 TB lever, VERDICT r5
     # task #3): floor = max(2, ceil(1e-5 * n_baskets)) bounds the
     # frequent-item dictionary independent of corpus size — see
     # _FP_REL_FLOOR. At every fixture SF this is exactly 2, so the
     # declared oracle's literal `>= 2` floor is exact wherever the
-    # driver contract evaluates it; on the 10x worst-case probe
-    # (disjoint replica key ranges) the floor rises to 15 and the
-    # dictionary shrinks instead of multiplying (BASELINE.md probe
-    # table: post-lever exponent). Long-tail guard (VERDICT r3 task #8):
-    # sub-floor items are pruned BEFORE collect_set, and the basket
-    # count is RECOUNTED post-prune so MLlib's ceil(minSupport *
-    # basket_count) lands exactly on the intended floor (ADVICE r6 #1)
-    # — all inside _fpgrowth_fit_floored.
-    model, _min_count = _fpgrowth_fit_floored(items, "l_orderkey", "l_partkey")
-    return (
-        model.freqItemsets.filter(F.size("items") <= 2)
+    # driver contract evaluates it. The floor derives from the PRE-prune
+    # basket count (the corpus _FP_REL_FLOOR is defined over); unlike
+    # the MLlib fit there is no post-prune recount to reconcile — the
+    # enumeration filters on the absolute floor directly.
+    n = items.select("l_orderkey").distinct().count()
+    min_count = _fp_min_count(n)
+    supp = persist_tracked(
+        items.groupBy("l_partkey").agg(F.count("*").alias("freq"))
+    )
+    # Long-tail guard (VERDICT r3 task #8): sub-floor items cannot occur
+    # in ANY frequent itemset (anti-monotonicity), so drop them before
+    # the pair join when the corpus shape warrants it — same measured
+    # guard as _prune_subfloor_items (fixture SFs: no sub-floor items,
+    # the semi-join is skipped).
+    min_supp = supp.agg(F.min("freq").alias("m")).collect()[0]["m"]
+    if min_supp is not None and min_supp < min_count:
+        keep = supp.filter(F.col("freq") >= min_count).select("l_partkey")
+        items = items.join(keep, "l_partkey", "left_semi")
+    singles = supp.filter(F.col("freq") >= min_count).select(
+        F.col("l_partkey").cast("string").alias("itemset"),
+        F.lit(1).alias("set_size"),
+        "freq",
+    )
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_count)
         .select(
-            F.array_join(
-                F.transform(F.array_sort("items"), lambda x: x.cast("string")),
-                "|",
+            F.concat_ws(
+                "|", F.col("pa").cast("string"), F.col("pb").cast("string")
             ).alias("itemset"),
-            F.size("items").alias("set_size"),
+            F.lit(2).alias("set_size"),
             "freq",
         )
+    )
+    return (
+        singles.unionByName(pairs)
         .orderBy(F.col("freq").desc(), "set_size", "itemset")
         .limit(100)
     )
