@@ -18,6 +18,8 @@ the batch-equivalence check. The watermark variants are exercised in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1008,10 +1010,28 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) 
     EXACTLY REPLAYABLE by batch SQL: the week-per-batch layout makes the
     rows a pure function of the data, the reference counts are frozen
     integers, and the PSI arithmetic follows q_dq_drift_psi's
-    order-independent discipline (6dp-rounded terms, decimal sum) —
-    computed by Spark expressions over a |weeks|×|categories| local
-    frame, never Python floats. foreachBatch (not a streaming agg)
-    because the score is per-batch; state size zero."""
+    order-independent discipline (6dp-rounded terms, decimal sum).
+    foreachBatch (not a streaming agg) because the score is per-batch;
+    state size zero.
+
+    The per-batch score is a |weeks-in-batch|×|categories| grid —
+    BOUNDED state — so since r12 it replays on the DRIVER over the
+    identical arithmetic instead of planning a local-frame Spark job +
+    a Spark parquet write per micro-batch (measured: the tiny write job
+    alone was ~1.9 s of the 4.0 s warm run; guide §1.2 job-count
+    reduction, the logreg-fit playbook). Bit-exactness is preserved op
+    by op: the share divisions / max(·, eps) / subtract / multiply are
+    single IEEE doubles identical in CPython; the log goes through
+    ``java.lang.Math.log`` via the gateway because glibc's ``math.log``
+    measured a 1-ulp divergence on a real fixture input; the 6dp round
+    replays Spark's ``BigDecimal.valueOf(d).setScale(6, HALF_UP)`` as
+    ``Decimal(repr(d)).quantize(1e-6, ROUND_HALF_UP)`` (both shortest
+    round-trip decimal, half-up); the decimal(18,6) sum is an exact
+    integer-micros sum; the final cast-to-double is one correctly-
+    rounded conversion in both. The alarm row appends to the same
+    parquet log through pyarrow (one file per batch, no commit
+    protocol). Old-vs-new outputs verified bit-identical at
+    sf0.001/0.01/0.1 and the oracle hash re-checked at all three."""
     from ..queries.quality import PSI_EPS
     from ..sources.io import load_table
 
@@ -1023,8 +1043,14 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) 
     )
     ref = {r["event_type"]: int(r["n"]) for r in ref_rows}
     ref_total = sum(ref.values())
+    jlog = spark._jvm.java.lang.Math.log  # Spark's LOG(), bit-identical
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         wk = F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
         counts = {
             (r["week_start"], r["event_type"]): int(r["n"])
@@ -1038,26 +1064,29 @@ def run_streaming_drift_monitor(spark: SparkSession, sf_dir: str, out_dir: str) 
         week_total = {
             w: sum(n for (w2, _), n in counts.items() if w2 == w) for w in weeks
         }
-        grid = [
-            (w, c, n_a, counts.get((w, c), 0), week_total[w])
-            for w in weeks
-            for c, n_a in sorted(ref.items())
-        ]
-        local = spark.createDataFrame(
-            grid, "week_start date, event_type string, n_a long, n_b long, wk_total long"
+        q6 = Decimal("0.000001")
+        out_rows = []
+        for w in weeks:
+            micros = 0  # exact Σ of 6dp terms in integer micro-units
+            for c, n_a in sorted(ref.items()):
+                n_b = counts.get((w, c), 0)
+                p_a = max(n_a / float(ref_total), PSI_EPS)
+                p_b = max(n_b / float(week_total[w]), PSI_EPS)
+                term = (p_b - p_a) * jlog(p_b / p_a)
+                micros += int(
+                    Decimal(repr(term)).quantize(q6, ROUND_HALF_UP).scaleb(6)
+                )
+            psi = float(Decimal(micros).scaleb(-6))
+            out_rows.append((w, week_total[w], psi))
+        os.makedirs(out_dir, exist_ok=True)
+        tbl = pa.table(
+            {
+                "week_start": pa.array([r[0] for r in out_rows], pa.date32()),
+                "n_rows": pa.array([r[1] for r in out_rows], pa.int64()),
+                "psi": pa.array([r[2] for r in out_rows], pa.float64()),
+            }
         )
-        p_a = F.greatest(F.col("n_a") / F.lit(ref_total).cast("double"), F.lit(PSI_EPS))
-        p_b = F.greatest(F.col("n_b") / F.col("wk_total").cast("double"), F.lit(PSI_EPS))
-        term = F.round((p_b - p_a) * F.log(p_b / p_a), 6)
-        out = (
-            local.select("week_start", "wk_total", term.alias("term"))
-            .groupBy("week_start")
-            .agg(
-                F.min("wk_total").alias("n_rows"),
-                F.sum(F.col("term").cast("decimal(18,6)")).cast("double").alias("psi"),
-            )
-        )
-        out.write.mode("append").parquet(out_dir)
+        pq.write_table(tbl, f"{out_dir}/batch-{batch_id:05d}.parquet")
 
     unit = _events_ts_unit(sf_dir)
     reader = (
