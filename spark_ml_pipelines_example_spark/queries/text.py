@@ -447,12 +447,88 @@ def _bpe_oracle(merges: int = BPE_MERGES) -> str:
     """
 
 
+# Driver-replay ceiling for the BPE merge loop: the word-frequency dict
+# is vocabulary-bounded (31 distinct words at every fixture SF; even a
+# 100 TB web corpus's distinct-word dict is tens of millions), and the
+# merge rounds are a pure function of it. Past the cap the per-round
+# distributed loop runs instead.
+_BPE_DICT_CAP = 2_000_000
+
+
 def _bpe_train(spark, sf_dir):
     """Shared BPE merge loop: returns (final word-dict frame with merged
-    ``seq`` strings, list of 1-row per-step winner frames). Both stages
-    localCheckpoint per round — the word dict is vocabulary-sized, so the
-    checkpoint is cheap and it truncates the exponential lineage the
-    round-over-round self-reference would otherwise build."""
+    ``seq`` strings, list of 1-row per-step winner frames).
+
+    Returns (word-dict frame, winners frame (step,l,r,cnt)).
+
+    r12 (guide §1.2 job-count reduction, the logreg/drift playbook): the
+    corpus collapses to the distinct word-frequency dict in ONE
+    combinable aggregate; every subsequent statistic — per-round pair
+    counts, the (cnt DESC, l, r) winner, the ``replace`` rewrite — is a
+    pure function of that vocabulary-bounded dict, so the BPE_MERGES
+    rounds replay on the driver over exact Python ints instead of 2+
+    eager Spark jobs per round (the pre-r12 loop paid 13 jobs of pure
+    overhead on a 31-word dict: ~1.2 s at sf0.1). Equivalence op by op:
+    pair counts are integer sums (order-free); the winner is
+    min(-cnt, l, r) — Python's code-point string order IS Spark's
+    UTF8String binary order (UTF-8 preserves code-point order); the
+    seed split replays regexp_replace(w,'(.)',' $1') via re.sub (same
+    any-char-but-newline semantics); ``str.replace`` performs the same
+    greedy left-to-right non-overlapping scan as Spark/DuckDB replace.
+    Dicts past _BPE_DICT_CAP take the verbatim distributed loop
+    (_bpe_train_distributed)."""
+    import re
+
+    d = t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # limit(cap+1) is exact here: fewer than cap+1 rows back means the
+    # limit was not binding, i.e. we hold the WHOLE dict.
+    rows = wf.limit(_BPE_DICT_CAP + 1).collect()
+    if len(rows) > _BPE_DICT_CAP:
+        return _bpe_train_distributed(spark, sf_dir)
+    words = [
+        (r["w"], int(r["freq"]), re.sub("(.)", r" \1", r["w"]) + " </w>")
+        for r in rows
+    ]
+    winners: list[tuple[int, str, str, int]] = []
+    for k in range(1, BPE_MERGES + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for _w, freq, seq in words:
+            syms = seq.split(" ")
+            for i in range(1, len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                pc[key] = pc.get(key, 0) + freq
+        if not pc:
+            # fully-merged dict: the distributed loop's empty top frame
+            # empties the word dict and leaves every later step rowless —
+            # replicate (no winner rows for steps >= k, empty word dict)
+            words = []
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        winners.append((k, l, r, cnt))
+        words = [
+            (w, freq, seq.replace(f" {l} {r}", f" {l}{r}"))
+            for w, freq, seq in words
+        ]
+    wdf = spark.createDataFrame(words, "w string, freq long, seq string")
+    # ONE local winners frame (a union of 6 single-row frames measured
+    # ~1 s of per-branch AQE/job overhead on count)
+    tops = spark.createDataFrame(winners, "step int, l string, r string, cnt long")
+    return wdf, tops
+
+
+def _bpe_train_distributed(spark, sf_dir):
+    """The pre-r12 per-round distributed merge loop, kept as the
+    past-cap fallback (winner frames now unioned here so both paths
+    return one (step,l,r,cnt) frame). Both stages localCheckpoint per
+    round — the word dict is vocabulary-sized, so the checkpoint is
+    cheap and it truncates the exponential lineage the round-over-round
+    self-reference would otherwise build."""
     d = t(spark, sf_dir, "documents")
     wf = (
         d.select(F.explode(tokens("text")).alias("w"))
@@ -490,7 +566,10 @@ def _bpe_train(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    return words, tops
+    out = tops[0]
+    for tdf in tops[1:]:
+        out = out.unionByName(tdf)
+    return words, out
 
 
 @query(
@@ -523,10 +602,7 @@ def q_text_bpe_train(spark, sf_dir):
     round-over-round self-reference would otherwise build (the
     q_graph_label_propagation pattern)."""
     _, tops = _bpe_train(spark, sf_dir)
-    out = tops[0]
-    for tdf in tops[1:]:
-        out = out.unionByName(tdf)
-    return out.select(
+    return tops.select(
         "step",
         F.col("l").alias("lhs"),
         F.col("r").alias("rhs"),
