@@ -549,13 +549,37 @@ def load_all() -> dict[str, QuerySpec]:
 # never-checked block; once they earn a green hard row the
 # self-maintaining rotation retires them into the regression tail.
 _WINDOW_PIN: tuple[str, ...] = (
-    # round-11 (optimization round, no new queries): empty — the whole
-    # ~50-query window goes to the SELF-MAINTAINING re-certification
-    # rotation (_recert_rotation_names), which re-fronts the
-    # oldest-vintage certified queries oldest-first (VERDICT r9 #1 /
-    # r10 #2). The r10 pins (q_sim_ann_ivfpq, q_sim_ann_ivfpq_eval)
-    # retired via CORRECTNESS_r10 (50/50 green); leaving them here would
-    # waste two window slots the r2/r3-vintage tail needs.
+    # round-12 (VERDICT r11 #1 and #7): an optimization round's rewrites
+    # must be driver-recertified at sf0.01 THE ROUND THEY LAND — the r11
+    # rotation sent the whole window to the r2/r3-vintage tail and missed
+    # every r11-touched query. Pin every query whose code path changed in
+    # r11 or r12 (directly or via the shared _kmx/IVF fit and routing
+    # spine); the ~29 remaining slots flow to the self-maintaining recert
+    # rotation, which still covers the 13-name pre-r4 tail. Pins retire
+    # next round once CORRECTNESS_r12 records their green rows.
+    # -- r12-touched --
+    "q_ml_fpgrowth",  # direct 1/2-itemset enumeration (r11: persist)
+    "q_dedup_minhash",  # size prefilter + union-free confirm
+    "q_stream_drift_monitor",  # driver PSI replay + pyarrow appends
+    "q_text_bpe_train",  # driver merge-round replay
+    "q_text_bpe_apply",
+    "q_text_bpe_fertility",
+    "q_ml_knn_classifier_ivf",  # driver GEMM probe-cell crank (r11: Arrow scorer)
+    "q_sim_hard_negatives",  # same routing spine (r11: Arrow scorer)
+    "q_sim_ann_ivfpq_eval",  # same routing spine
+    # -- r11-touched, never driver-recertified on the new code --
+    "q_ml_kmeans_exact",
+    "q_dedup_embedding_cells",
+    "q_dedup_semantic",
+    "q_ml_pca_power_exact",
+    "q_ml_logreg_exact",
+    "q_ml_conformal_exact",
+    "q_ml_fairness_audit",
+    "q_graph_label_propagation",
+    "q_sim_maxsim",
+    "q_sim_knn_all",
+    "q_embed_pq_codes",
+    "q_ml_kmeans",  # rows-only; r11 invariant fix (rides the SQL block)
 )
 
 # VERDICT r5 #8: every rows-only-by-contract query carries a PINNED
@@ -855,7 +879,16 @@ def _rotate_for_driver(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     queries added in the current round — with no manual reordering.
     Deterministic given the repo contents."""
     recert = _recert_rotation_names()
-    checked = _driver_checked_queries() - _force_recheck_pending() - set(recert)
+    # Pinned names are force-fronted even when they hold a valid green
+    # row (r12: the pin set is "queries whose code paths changed this
+    # optimization round" — their old rows certify pre-rewrite code, so
+    # they must re-enter the window like _FORCE_RECHECK names).
+    checked = (
+        _driver_checked_queries()
+        - _force_recheck_pending()
+        - set(recert)
+        - set(_WINDOW_PIN)
+    )
 
     pin_rank = {n: i for i, n in enumerate(_WINDOW_PIN)}
     recert_rank = {n: i for i, n in enumerate(recert)}

@@ -218,7 +218,15 @@ def test_recert_rotation_fills_driver_window():
 
     full = load_all()
     rec = _recert_rotation_names()
-    checked = _driver_checked_queries() - _force_recheck_pending() - set(rec)
+    # r12: pinned names force-front even when they hold a valid row (an
+    # optimization round's rewrites re-enter the window) — mirror
+    # _rotate_for_driver's checked-set definition.
+    checked = (
+        _driver_checked_queries()
+        - _force_recheck_pending()
+        - set(rec)
+        - set(_WINDOW_PIN)
+    )
     n_window = sum(1 for n in full if n not in checked)
     front = list(full)[:n_window]
     # every window slot needs a fresh row (pin, newcomer, or recert)

@@ -32,6 +32,32 @@ def test_probe_cells_driver_gemm_matches_distributed_crank(spark, sf_dir):
     assert new and new == old
 
 
+def test_driver_sim_oracle_fetch_is_decimal_exact():
+    """ADVICE r10 #1 (taken in r12): the oracle side must reach
+    _canon_cell as exact Decimals, not float64 — DECIMAL above 2^53 and
+    HUGEINT (DuckDB SUM of integers) both survive, and canon equals the
+    Spark-side integer/decimal form."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from driver_sim import _canon_cell
+
+    con = duckdb.connect()
+    pdf = (
+        con.execute(
+            "SELECT CAST('1000000000000001.23' AS DECIMAL(18,2)) AS big, "
+            "SUM(x) AS hug FROM (SELECT 5 AS x)"
+        )
+        .fetch_arrow_table()
+        .to_pandas()
+    )
+    assert _canon_cell(pdf["big"][0]) == "1000000000000001.23"  # exact >2^53
+    assert _canon_cell(pdf["hug"][0]) == "5"  # HUGEINT == Spark long canon
+
+
 def test_probe_cells_cap_falls_back_to_distributed(spark, sf_dir, monkeypatch):
     """Past the driver cap the ranking must plan distributed (a frame,
     not a local collect) — the 100 TB guard."""

@@ -168,7 +168,18 @@ def main() -> None:
             spdf = fn(spark, sf_dir).toPandas()
             rec["spark_rows"] = len(spdf)
             if name in oracles:
-                ddf = con.execute(oracles[name]).fetchdf()
+                # ADVICE r10 #1: fetch the oracle DECIMAL-EXACT. fetchdf()
+                # coerces DECIMAL (and HUGEINT) to float64, so a
+                # decimal-typed oracle column would lose >2^53 digits AND
+                # canon as float repr ('1200.0') against Spark's exact
+                # Decimal branch ('1200') — a guaranteed false mismatch.
+                # The Arrow path hands both engines' decimals to the SAME
+                # _canon_cell branch (HUGEINT arrives as decimal128(38,0),
+                # which now canons '5', matching Spark's long '5'); dates
+                # arrive as datetime.date, which _canon_cell already folds
+                # identically to fetchdf's midnight Timestamps. Verified
+                # with a full 412-query sweep (0 FAIL).
+                ddf = con.execute(oracles[name]).fetch_arrow_table().to_pandas()
                 rec["oracle_rows"] = len(ddf)
                 rec["rows_match"] = len(spdf) == len(ddf)
                 rec["schema_match"] = sorted(spdf.columns) == sorted(ddf.columns)
