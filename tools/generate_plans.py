@@ -35,7 +35,7 @@ SHOWCASE = [
     ("q_limit_topk", "TakeOrderedAndProject (no global sort)"),
     ("q_dedup_paragraph", "sentence dedup: min(struct) partial-agg winner, no sentence window"),
     ("q_stream_interval_join", "interval join: equi-keyed hash join, time bound as join filter"),
-    ("q_dedup_minhash", "banded LSH candidate join + codegen Jaccard confirm"),
+    ("q_dedup_minhash", "banded LSH candidate join, exact size prefilter, union-free Jaccard confirm"),
     ("q_dedup_simhash", "64-bit simhash: map-side-combined bit votes, 16-bit banded join"),
     ("q_dedup_embedding_cells", "IVF-cell-blocked near-dup: one GEMM per cell, grouped-max dedup"),
     ("q_pack_shards", "blockwise exclusive-cumsum shard packing (parallel per source)"),
@@ -111,7 +111,7 @@ SHOWCASE = [
     ("q_ts_ses", "SES: 10-tap banded self-join on the daily rollup, exact integer weights"),
     ("q_ts_changepoint", "changepoint: prefix-sum windows per type, argmax over candidate rows"),
     ("q_win_hampel", "Hampel: two banded equi-self-joins for nested rolling median/MAD"),
-    ("q_ml_fpgrowth", "FPGrowth: one collect_set shuffle into the parallel FP-tree miner"),
+    ("q_ml_fpgrowth", "frequent itemsets: support aggregate + within-basket pair self-join (floor-pruned)"),
     # round-4 additions
     ("q_agg_abc_xyz", "one fact scan: cents ride the weekly rollup; checkpointed globalrank fan-out"),
     ("q_stream_interval_join_full", "full-outer interval join, batch twin: one hash join, coalesced key"),
@@ -135,7 +135,7 @@ SHOWCASE = [
     ("q_agg_kmv_setops", "KMV: combinable flags agg, TakeOrdered(k) sketches, k-row algebra"),
     ("q_curate_epoch_mix", "epoch mix: broadcast quotas, per-source explode + md5-rank remainder"),
     ("q_stream_foreach_batch_upsert", "foreachBatch: dynamic partition overwrite, final-state read"),
-    ("q_text_bpe_train", "BPE train: corpus collapses to word dict once, vocab-sized merge rounds"),
+    ("q_text_bpe_train", "BPE train: corpus collapses to word dict once; merge rounds replay on the driver"),
     ("q_text_bpe_apply", "BPE apply: map-side segment explode, one vocab aggregate, TakeOrdered"),
     ("q_scan_time_travel", "time travel: manifest-resolved multi-file scans, 4 combinable aggs"),
     ("q_ts_ewma_irregular", "gap EWMA: one keyed shuffle + partition state machine, no per-group dispatch"),
