@@ -567,6 +567,7 @@ _WINDOW_PIN: tuple[str, ...] = (
     "q_ml_knn_classifier_ivf",  # driver GEMM probe-cell crank (r11: Arrow scorer)
     "q_sim_hard_negatives",  # same routing spine (r11: Arrow scorer)
     "q_sim_ann_ivfpq_eval",  # same routing spine
+    "q_graph_pagerank",  # driver-replayed power iterations
     # -- r11-touched, never driver-recertified on the new code --
     "q_ml_kmeans_exact",
     "q_dedup_embedding_cells",

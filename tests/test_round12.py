@@ -32,6 +32,47 @@ def test_probe_cells_driver_gemm_matches_distributed_crank(spark, sf_dir):
     assert new and new == old
 
 
+def test_pagerank_driver_replay_matches_distributed_loop(spark, sf_dir):
+    """r12: the driver-replayed power iterations must emit the same
+    6dp-rounded ranks as the per-round distributed loop (the declared
+    rounding contract that already absorbs shuffle-order sum variance
+    between Spark and DuckDB)."""
+    from spark_ml_pipelines_example_spark.operators.pagerank import (
+        _pagerank_distributed,
+        pagerank,
+    )
+    from spark_ml_pipelines_example_spark.queries._util import t
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+
+    def rounded(df):
+        return sorted(
+            (r["node"], round(r["pr"], 6)) for r in df.collect()
+        )
+
+    new = rounded(pagerank(edges))
+    old = rounded(
+        _pagerank_distributed(
+            edges.select(
+                F.col("src"), F.col("dst"), F.col("w").cast("double").alias("w")
+            ),
+            3,
+            0.85,
+        )
+    )
+    assert new and new == old
+
+
 def test_driver_sim_oracle_fetch_is_decimal_exact():
     """ADVICE r10 #1 (taken in r12): the oracle side must reach
     _canon_cell as exact Decimals, not float64 — DECIMAL above 2^53 and
