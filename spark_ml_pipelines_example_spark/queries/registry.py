@@ -130,6 +130,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_stream_milestones",
 "q_stream_python_datasource",
 "q_stream_state_metrics",
+"q_stream_state_reader",  # availableNow run + statestore read-back at build
 "q_stream_stateful_session",
 "q_stream_tws_map_state",
 "q_text_bigram_lm",
