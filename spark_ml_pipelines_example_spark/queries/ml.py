@@ -3327,26 +3327,141 @@ _TREE2_SEARCH_SQL = """
     tags=("ml", "tree", "cart", "exact-audit", "declarative"),
 )
 def q_ml_tree_depth2_exact(spark, sf_dir):
-    """Depth-2 CART over orders as ONE declarative query: the root split
-    is the Gini-argmax candidate (the stump search), and each side's
-    child split re-runs the identical search over side-filtered binned
-    statistics with the root row joined in — no driver loop, no
-    build-time action, the whole two-level induction in one plan.
-    Output: three rows (root + two children) with exact integer split
+    """Depth-2 CART over orders: the root split is the Gini-argmax
+    candidate (the stump search), and each side's child split re-runs
+    the identical search over side-filtered binned statistics. Output:
+    three rows (root + two children) with exact integer split
     statistics and per-node train-correct counts.
 
-    Scale shape: two combinable bin aggregates over the scan (the
-    second keyed by the broadcast root split), windows only over
-    per-(side, feature) bin frames — split-search cost stays
-    independent of row count past the aggregates, the binned
-    distributed-tree shape (MLlib/XGBoost-hist) recursed one level."""
+    Scale shape (the logreg playbook, guide §1.2/§2.3): every split
+    decision depends on rows only through their (f1, f2, y-count) cell,
+    and the joint grid is bounded by the feature DOMAIN (|price-bin
+    range| x 12 months), not the corpus — so ONE combinable aggregate
+    compresses the scan to its joint histogram and the root search, the
+    routing, and both child searches replay on the driver over exact
+    Python ints with the identical comparator double (two long->double
+    casts + one division) and (score DESC, feature, threshold)
+    tie-break. The declarative two-pass form — which scanned orders 30x
+    across the union/broadcast branches — remains below as
+    `_tree_depth2_distributed`, the fallback past _TREE2_GRID_CAP cells
+    (or on NULL bins / int64-range statistics, where Spark's wrapping
+    arithmetic must adjudicate)."""
+    feat = _tree2_feat(spark, sf_dir)
+    grid = (
+        feat.groupBy("f1", "f2")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .limit(_TREE2_GRID_CAP + 1)
+        .collect()
+    )
+    schema = (
+        "node long, side long, feature long, threshold long, n_l long, "
+        "pos_l long, n_r long, pos_r long, n_correct long"
+    )
+    if len(grid) > _TREE2_GRID_CAP or any(
+        r["f1"] is None or r["f2"] is None or (r["pos"] is None and r["n"] > 0)
+        for r in grid
+    ):
+        return _tree_depth2_distributed(spark, sf_dir)
+    cells0 = {
+        (0, int(r["f1"]), int(r["f2"])): (int(r["n"]), int(r["pos"]))
+        for r in grid
+    }
+    root = _tree2_best_splits(cells0)
+    if root is None:  # int64-range guard tripped
+        return _tree_depth2_distributed(spark, sf_dir)
+    if not root:  # no valid split (empty table or a single bin)
+        return spark.createDataFrame([], schema)
+    rf, rt = root[0][0], root[0][1]
+    cells12 = {
+        (1 if (f1v if rf == 1 else f2v) <= rt else 2, f1v, f2v): np_
+        for (_s, f1v, f2v), np_ in cells0.items()
+    }
+    children = _tree2_best_splits(cells12)
+    if children is None:
+        return _tree_depth2_distributed(spark, sf_dir)
+    rows = []
+    for node, side, tup in [(0, 0, root[0])] + [
+        (s, s, children[s]) for s in sorted(children)
+    ]:
+        f, b, n_l, p_l, n_r, p_r = tup
+        correct = max(p_l, n_l - p_l) + max(p_r, n_r - p_r)
+        rows.append((node, side, f, b, n_l, p_l, n_r, p_r, correct))
+    return spark.createDataFrame(rows, schema)
+
+
+def _tree2_feat(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     cents = (dec("o_totalprice") * 100).cast("long")
-    feat = o.select(
+    return o.select(
         F.shiftright(cents, 20).alias("f1"),
         F.month(F.col("o_orderdate").cast("date")).cast("long").alias("f2"),
         (F.col("o_orderstatus") == "F").cast("long").alias("y"),
     )
+
+
+# The joint (f1, f2) grid is bounded by the feature domain, not rows;
+# the cap guards a pathological domain (same rationale as
+# _LOGREG_CELL_CAP).
+_TREE2_GRID_CAP = 500_000
+_I64_MAX = (1 << 63) - 1
+
+
+def _tree2_best_splits(cells):
+    """Replay the per-side Gini split search over local (side, f1, f2)
+    -> (n, pos) cells with EXACTLY the distributed arithmetic: exact
+    integer sufficient statistics, the comparator double from the same
+    two long->double casts + one division, and the (score DESC, feature,
+    threshold) row_number tie-break as a running min over (-score,
+    feature, threshold). Returns {side: (feature, threshold, n_l, pos_l,
+    n_r, pos_r)}, or None when any statistic leaves int64 range (there
+    the distributed form's wrapping arithmetic must adjudicate)."""
+    from collections import defaultdict
+
+    bins = defaultdict(lambda: [0, 0])
+    for (s, f1v, f2v), (n, p) in cells.items():
+        b = bins[(s, 1, f1v)]
+        b[0] += n
+        b[1] += p
+        b = bins[(s, 2, f2v)]
+        b[0] += n
+        b[1] += p
+    tots = defaultdict(lambda: [0, 0])
+    per = defaultdict(list)
+    for (s, f, b), (n, p) in bins.items():
+        if f == 1:
+            t_ = tots[s]
+            t_[0] += n
+            t_[1] += p
+        per[(s, f)].append((b, n, p))
+    best = {}
+    for (s, f), lst in per.items():
+        lst.sort()
+        n_tot, p_tot = tots[s]
+        n_l = p_l = 0
+        for b, n, p in lst:
+            n_l += n
+            p_l += p
+            n_r, p_r = n_tot - n_l, p_tot - p_l
+            if n_l <= 0 or n_r <= 0:
+                continue
+            a_l = p_l * p_l + (n_l - p_l) * (n_l - p_l)
+            a_r = p_r * p_r + (n_r - p_r) * (n_r - p_r)
+            num = a_l * n_r + a_r * n_l
+            den = n_l * n_r
+            if num > _I64_MAX or den > _I64_MAX:
+                return None
+            key = (-(float(num) / float(den)), f, b)
+            cur = best.get(s)
+            if cur is None or key < cur[0]:
+                best[s] = (key, (f, b, n_l, p_l, n_r, p_r))
+    return {s: payload for s, (_key, payload) in best.items()}
+
+
+def _tree_depth2_distributed(spark, sf_dir):
+    """The verbatim one-plan declarative form (two binned aggregates +
+    broadcast-routed second search) — the fallback when the joint grid
+    is not driver-sized or its statistics leave int64 range."""
+    feat = _tree2_feat(spark, sf_dir)
 
     def search(sided):
         bins = (
@@ -3520,22 +3635,112 @@ CV_FOLDS = 3
     tags=("ml", "tree", "cross-validation", "exact-audit", "declarative"),
 )
 def q_ml_cv_stumps_exact(spark, sf_dir):
-    """3-fold cross-validated decision stumps as ONE declarative query —
-    the exactly-audited counterpart of q_ml_cross_validation (rows-only,
-    seeded): folds come from a deterministic md5 hash of the order key,
-    each fold's stump trains on the OTHER folds' binned statistics
-    (train = total − heldout, pure subtraction from one aggregate), and
-    the declared result is each stump's split plus its HONEST
-    out-of-fold accuracy — derived from the same cumulative bin frame
-    (left-leaf heldout positives at the chosen threshold, etc.), so
-    evaluation costs no second corpus pass.
+    """3-fold cross-validated decision stumps, the exactly-audited
+    counterpart of q_ml_cross_validation (rows-only, seeded): folds come
+    from a deterministic md5 hash of the order key, each fold's stump
+    trains on the OTHER folds' binned statistics (train = total −
+    heldout, pure subtraction from one aggregate), and the declared
+    result is each stump's split plus its HONEST out-of-fold accuracy.
 
-    Scale shape: ONE combinable (fold, feature, bin) aggregate over the
-    scan; everything downstream operates on the |folds|x|bins| frame.
-    This is precisely how distributed CV over histogram-based learners
-    should work at 100 TB — share the sufficient statistics across
-    folds, never re-scan per fold (MLlib's CrossValidator re-fits per
-    fold; binned subtraction makes the k-fold sweep one pass)."""
+    Scale shape (the logreg playbook): every fold's search depends on
+    rows only through the (fold, f1, f2, y-count) cell, and the grid is
+    bounded by |folds| x the feature DOMAIN — so ONE combinable
+    aggregate compresses the scan and the k-fold subtraction sweep,
+    cumulative split search, and out-of-fold scoring replay on the
+    driver over exact Python ints with the identical comparator double
+    and (score DESC, feature, threshold) tie-break. The declarative
+    one-plan form stays below as `_cv_stumps_distributed`, the fallback
+    past _TREE2_GRID_CAP cells (or on NULL bins / int64-range
+    statistics)."""
+    feat = _cvs_feat(spark, sf_dir)
+    grid = (
+        feat.groupBy("fold", "f1", "f2")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .limit(_TREE2_GRID_CAP + 1)
+        .collect()
+    )
+    schema = (
+        "fold long, feature long, threshold long, n_l long, pos_l long, "
+        "n_r long, pos_r long, oof_n long, oof_correct long"
+    )
+    if len(grid) > _TREE2_GRID_CAP or any(
+        r["fold"] is None
+        or r["f1"] is None
+        or r["f2"] is None
+        or (r["pos"] is None and r["n"] > 0)
+        for r in grid
+    ):
+        return _cv_stumps_distributed(spark, sf_dir)
+    from collections import defaultdict
+
+    binsf = defaultdict(lambda: [0, 0])  # (fold, feature, bin) -> [n, pos]
+    binst = defaultdict(lambda: [0, 0])  # (feature, bin) -> [tn, tpos]
+    for r in grid:
+        fo, n, p = int(r["fold"]), int(r["n"]), int(r["pos"])
+        for feat_id, b in ((1, int(r["f1"])), (2, int(r["f2"]))):
+            c = binsf[(fo, feat_id, b)]
+            c[0] += n
+            c[1] += p
+            c = binst[(feat_id, b)]
+            c[0] += n
+            c[1] += p
+    # per-fold totals from the feature-1 bin frame (train by subtraction)
+    tots = {fo: [0, 0, 0, 0] for fo in range(CV_FOLDS)}  # tr_n,tr_p,ho_n,ho_p
+    for (f, b), (tn, tp) in binst.items():
+        if f != 1:
+            continue
+        for fo in range(CV_FOLDS):
+            fn, fp = binsf.get((fo, 1, b), (0, 0))
+            t_ = tots[fo]
+            t_[0] += tn - fn
+            t_[1] += tp - fp
+            t_[2] += fn
+            t_[3] += fp
+    bins_by_feat = {
+        f: sorted(b for (ff, b) in binst if ff == f) for f in (1, 2)
+    }
+    best = {}  # fold -> (key, payload)
+    for fo in range(CV_FOLDS):
+        tr_n, tr_p = tots[fo][0], tots[fo][1]
+        for f in (1, 2):
+            tr_n_l = tr_p_l = ho_n_l = ho_p_l = 0
+            for b in bins_by_feat[f]:
+                tn, tp = binst[(f, b)]
+                fn, fp = binsf.get((fo, f, b), (0, 0))
+                tr_n_l += tn - fn
+                tr_p_l += tp - fp
+                ho_n_l += fn
+                ho_p_l += fp
+                n_l, p_l = tr_n_l, tr_p_l
+                n_r, p_r = tr_n - tr_n_l, tr_p - tr_p_l
+                if n_l <= 0 or n_r <= 0:
+                    continue
+                a_l = p_l * p_l + (n_l - p_l) * (n_l - p_l)
+                a_r = p_r * p_r + (n_r - p_r) * (n_r - p_r)
+                num = a_l * n_r + a_r * n_l
+                den = n_l * n_r
+                if num > _I64_MAX or den > _I64_MAX:
+                    return _cv_stumps_distributed(spark, sf_dir)
+                key = (-(float(num) / float(den)), f, b)
+                cur = best.get(fo)
+                if cur is None or key < cur[0]:
+                    best[fo] = (key, (f, b, n_l, p_l, n_r, p_r, ho_n_l, ho_p_l))
+    rows = []
+    for fo in sorted(best):
+        f, b, n_l, p_l, n_r, p_r, ho_n_l, ho_p_l = best[fo][1]
+        ho_n, ho_p = tots[fo][2], tots[fo][3]
+        oof = (ho_p_l if 2 * p_l >= n_l else ho_n_l - ho_p_l) + (
+            (ho_p - ho_p_l)
+            if 2 * p_r >= n_r
+            else (ho_n - ho_n_l) - (ho_p - ho_p_l)
+        )
+        rows.append((fo, f, b, n_l, p_l, n_r, p_r, ho_n, oof))
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def _cvs_feat(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     cents = (dec("o_totalprice") * 100).cast("long")
     fold = (
@@ -3543,12 +3748,19 @@ def q_ml_cv_stumps_exact(spark, sf_dir):
         .cast("long")
         % CV_FOLDS
     )
-    feat = o.select(
+    return o.select(
         fold.alias("fold"),
         F.shiftright(cents, 20).alias("f1"),
         F.month(F.col("o_orderdate").cast("date")).cast("long").alias("f2"),
         (F.col("o_orderstatus") == "F").cast("long").alias("y"),
     )
+
+
+def _cv_stumps_distributed(spark, sf_dir):
+    """The verbatim one-plan declarative form (binned aggregate + fold
+    cross-join + windowed search) — the fallback when the joint grid is
+    not driver-sized or its statistics leave int64 range."""
+    feat = _cvs_feat(spark, sf_dir)
     binsf = (
         feat.groupBy("fold", F.col("f1").alias("bin"))
         .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))

@@ -70,6 +70,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_class_metrics",
 "q_ml_conformal_exact",
 "q_ml_cross_validation",
+"q_ml_cv_stumps_exact",  # joint-grid collect + driver split replay
 "q_ml_evaluator",
 "q_ml_fairness_audit",
 "q_ml_fpgrowth",
@@ -91,6 +92,7 @@ _DEFER_CONSTRUCTION: frozenset[str] = frozenset({
 "q_ml_ridge_exact",
 "q_ml_string_indexer",
 "q_ml_train_test_split",
+"q_ml_tree_depth2_exact",  # joint-grid collect + driver split replay
 "q_ml_xgb_pipeline",
 "q_multimodal_binary_files",
 "q_scan_agg_pushdown",
@@ -569,6 +571,9 @@ _WINDOW_PIN: tuple[str, ...] = (
     "q_sim_hard_negatives",  # same routing spine (r11: Arrow scorer)
     "q_sim_ann_ivfpq_eval",  # same routing spine
     "q_graph_pagerank",  # driver-replayed power iterations
+    "q_ml_tree_depth2_exact",  # joint-grid collect + driver split replay
+    "q_ml_cv_stumps_exact",  # same playbook
+    "q_stream_state_reader",  # construction now deferred (results unchanged)
     # -- r11-touched, never driver-recertified on the new code --
     "q_ml_kmeans_exact",
     "q_dedup_embedding_cells",

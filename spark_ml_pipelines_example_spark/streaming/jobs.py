@@ -1210,13 +1210,47 @@ def _spend_milestones_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def crossings(key, pdfs, state: GroupState):
+        import numpy as np
+
         user_id = key[0]
-        pdf = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+        pdfs = list(pdfs)
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs)
         cum = state.get[0] if state.exists else 0
+        us_a = pdf["us"].to_numpy()
+        eid_a = pdf["event_id"].to_numpy()
+        cents_a = pdf["cents"].to_numpy()
+        # (us, event_id) is a unique total order, so lexsort equals the
+        # old sort_values(["us", "event_id"]) row order
+        order = np.lexsort((eid_a, us_a))
+        us_a, eid_a, cents_a = us_a[order], eid_a[order], cents_a[order]
+        n = len(cents_a)
+        all_int = all(a.dtype.kind == "i" for a in (us_a, eid_a, cents_a))
+        mx = int(np.abs(cents_a).max()) if n and all_int else 0
+        if n and all_int and 0 <= mx and abs(cum) + mx * n < (1 << 62):
+            # vectorized recurrence: int64 cumsum is the identical
+            # sequential integer sum (the guard above proves it cannot
+            # wrap where the Python-int loop would not); // floors in
+            # numpy exactly like Python
+            full = cum + np.cumsum(cents_a)
+            before = np.empty_like(full)
+            before[0] = cum
+            before[1:] = full[:-1]
+            lev_after = full // MILESTONE_CENTS
+            mask = lev_after > (before // MILESTONE_CENTS)
+            cum = int(full[-1])
+            state.update((cum,))
+            if mask.any():
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.full(int(mask.sum()), user_id, dtype=np.int64),
+                        "level": lev_after[mask],
+                        "event_id": eid_a[mask],
+                        "at_epoch": us_a[mask] // 1_000_000,
+                    }
+                )
+            return
         out = []
-        for us, event_id, cents in pdf[["us", "event_id", "cents"]].itertuples(
-            index=False
-        ):
+        for us, event_id, cents in zip(us_a, eid_a, cents_a):
             prev_level = cum // MILESTONE_CENTS
             cum += int(cents)
             level = cum // MILESTONE_CENTS
@@ -1415,12 +1449,26 @@ def _tws_map_state_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             m = {}
         touched = set()
+        # plain dict accumulation over the batch's column arrays: the
+        # same order-free integer sums a per-group pandas groupby would
+        # produce, without paying a groupby+iterrows per user (the v1
+        # runner calls this once per key — ~1500 times per micro-batch
+        # at fixture scale)
         for pdf in pdfs:
-            g = pdf.groupby("event_type")["cents"].agg(["count", "sum"])
-            for et, (cnt, sm) in g.iterrows():
+            cents_a = pdf["cents"].to_numpy()
+            if cents_a.dtype.kind != "i":  # null-coerced floats: the
+                # original groupby's null-skipping count/sum semantics
+                g = pdf.groupby("event_type")["cents"].agg(["count", "sum"])
+                for et, (cnt, sm) in g.iterrows():
+                    cur = m.setdefault(et, [0, 0])
+                    cur[0] += int(cnt)
+                    cur[1] += int(sm)
+                    touched.add(et)
+                continue
+            for et, c in zip(pdf["event_type"].to_numpy(), cents_a):
                 cur = m.setdefault(et, [0, 0])
-                cur[0] += int(cnt)
-                cur[1] += int(sm)
+                cur[0] += 1
+                cur[1] += int(c)
                 touched.add(et)
         state.update(
             (list(m), [m[et][0] for et in m], [m[et][1] for et in m])

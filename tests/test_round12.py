@@ -111,3 +111,43 @@ def test_probe_cells_cap_falls_back_to_distributed(spark, sf_dir, monkeypatch):
     # distributed plan carries the crank's window; the driver path would
     # have returned a LocalRelation-backed frame with no shuffle at all
     assert "window" in out._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_tree_depth2_replay_matches_distributed(spark, sf_dir):
+    """r12: the joint-grid driver replay of the depth-2 CART must emit
+    exactly the distributed plan's rows (same exact-int statistics, same
+    comparator double, same (score desc, feature, threshold) tie-break)."""
+    from spark_ml_pipelines_example_spark.queries import ml
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    reg = load_all()
+    new = sorted(map(tuple, reg["q_ml_tree_depth2_exact"].fn(spark, sf_dir).collect()))
+    old = sorted(map(tuple, ml._tree_depth2_distributed(spark, sf_dir).collect()))
+    assert new and new == old
+
+
+def test_cv_stumps_replay_matches_distributed(spark, sf_dir):
+    """r12: same pin for the 3-fold CV stump sweep (train-by-subtraction
+    grid + out-of-fold scoring replayed on the driver)."""
+    from spark_ml_pipelines_example_spark.queries import ml
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    reg = load_all()
+    new = sorted(map(tuple, reg["q_ml_cv_stumps_exact"].fn(spark, sf_dir).collect()))
+    old = sorted(map(tuple, ml._cv_stumps_distributed(spark, sf_dir).collect()))
+    assert new and new == old
+
+
+def test_tree_grid_cap_falls_back_to_distributed(spark, sf_dir, monkeypatch):
+    """Past the grid cap both queries must plan distributed (windowed
+    frames, not a LocalRelation) — the pathological-domain guard."""
+    import spark_ml_pipelines_example_spark.queries.ml as ml
+
+    monkeypatch.setattr(ml, "_TREE2_GRID_CAP", 0)
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+
+    reg = load_all()
+    for name in ("q_ml_tree_depth2_exact", "q_ml_cv_stumps_exact"):
+        out = reg[name].fn(spark, sf_dir)
+        plan = out._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "window" in plan, name
