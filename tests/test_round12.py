@@ -151,3 +151,49 @@ def test_tree_grid_cap_falls_back_to_distributed(spark, sf_dir, monkeypatch):
         out = reg[name].fn(spark, sf_dir)
         plan = out._jdf.queryExecution().optimizedPlan().toString().lower()
         assert "window" in plan, name
+
+
+def test_snapshot_queries_match_distributed_forms(spark, sf_dir):
+    """r12: the footer-count history and the single-scan per-file
+    time-travel combine must emit exactly the rows of the verbatim
+    per-version union-of-aggregates forms."""
+    from spark_ml_pipelines_example_spark.queries import scans
+    from spark_ml_pipelines_example_spark.queries.registry import load_all
+    from spark_ml_pipelines_example_spark.queries.scans import _snapshot_demo_table
+    from spark_ml_pipelines_example_spark.sources.snapshots import manifest
+
+    reg = load_all()
+    tt_new = sorted(map(tuple, reg["q_scan_time_travel"].fn(spark, sf_dir).collect()))
+    base, versions, _, _ = _snapshot_demo_table(spark, sf_dir, "q_scan_time_travel")
+    tt_old = sorted(
+        map(tuple, scans._time_travel_distributed(spark, base, versions).collect())
+    )
+    assert tt_new and tt_new == tt_old
+    th_new = sorted(map(tuple, reg["q_scan_table_history"].fn(spark, sf_dir).collect()))
+    base, vs, _, _ = _snapshot_demo_table(spark, sf_dir, "q_scan_table_history")
+    msets = [set(manifest(base, v)["files"]) for v in vs]
+    th_old = sorted(
+        map(tuple, scans._table_history_distributed(spark, base, vs, msets).collect())
+    )
+    assert th_new and th_new == th_old
+
+
+def test_snapshot_build_marker_reuses_and_invalidates(spark, sf_dir):
+    """r12: re-invocation reuses the committed log (same versions, same
+    files — no version drift from repeated commits); a fingerprint
+    mismatch rebuilds from scratch."""
+    import json
+    import os
+
+    from spark_ml_pipelines_example_spark.queries.scans import _snapshot_demo_table
+
+    r1 = _snapshot_demo_table(spark, sf_dir, "q_scan_time_travel")
+    r2 = _snapshot_demo_table(spark, sf_dir, "q_scan_time_travel")
+    assert r1 == r2  # identical versions AND file lists: the log did not move
+    marker = os.path.join(r1[0], "_build_marker.json")
+    rec = json.load(open(marker))
+    rec["fingerprint"]["size"] = -1
+    json.dump(rec, open(marker, "w"))
+    r3 = _snapshot_demo_table(spark, sf_dir, "q_scan_time_travel")
+    assert r3[1] == (0, 1, 2, 3)  # fresh log, rebuilt from version 0
+    assert json.load(open(marker))["fingerprint"]["size"] != -1
