@@ -383,12 +383,17 @@ def q_text_pmi_collocations(spark, sf_dir):
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     n1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     n2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
-    total = float(bg.count())
-    pmi = F.log(F.col("c12") * F.lit(total) / (F.col("c1") * F.col("c2")))
+    # the bigram total rides IN the plan as a broadcast 1-row aggregate
+    # (the _kn_doc_scores n_types change): the eager count was a separate
+    # full-corpus re-tokenization job per invocation; count -> double is
+    # exact, so PMI is bit-identical
+    tot = bg.agg(F.count("*").cast("double").alias("total"))
+    pmi = F.log(F.col("c12") * F.col("total") / (F.col("c1") * F.col("c2")))
     return (
         bgc.filter(F.col("c12") >= PMI_MIN_COUNT)
         .join(F.broadcast(n1), "w1")
         .join(F.broadcast(n2), "w2")
+        .crossJoin(F.broadcast(tot))
         .orderBy(pmi.desc(), "w1", "w2")
         .limit(20)
         .select("w1", "w2", "c12", F.round(pmi, 6).alias("pmi"))
