@@ -137,10 +137,10 @@ SHOWCASE = [
     ("q_stream_foreach_batch_upsert", "foreachBatch: dynamic partition overwrite, final-state read"),
     ("q_text_bpe_train", "BPE train: corpus collapses to word dict once; merge rounds replay on the driver"),
     ("q_text_bpe_apply", "BPE apply: map-side segment explode, one vocab aggregate, TakeOrdered"),
-    ("q_scan_time_travel", "time travel: manifest-resolved multi-file scans, 4 combinable aggs"),
+    ("q_scan_time_travel", "time travel: ONE distinct-file scan, per-file partials combined per version on the driver"),
     ("q_ts_ewma_irregular", "gap EWMA: one keyed shuffle + partition state machine, no per-group dispatch"),
     ("q_curate_k_anonymity", "k-anonymity: one combinable quasi-identifier aggregate, scalar flags"),
-    ("q_scan_table_history", "history: manifest diffs drive footer-count scans, 1-row agg unions"),
+    ("q_scan_table_history", "history: manifest diffs + parquet footer num_rows on the driver, local result"),
     # round-4 continuation-2 wave
     ("q_dedup_semantic", "SemDeDup: zero-shuffle GEMM assignment, one cluster-id shuffle into per-cluster pairwise GEMM"),
     ("q_text_gopher_rules", "Gopher rules: all seven flags in one zero-shuffle codegen projection"),
@@ -148,7 +148,7 @@ SHOWCASE = [
     ("q_stream_python_datasource", "streaming Python DataSource: per-batch planned partitions into the sink"),
     ("q_sql_scripting", "SQL scripting: per-iteration pushed-filter counts, driver-held loop state"),
     ("q_ml_pca_power_exact", "exact PCA: posexplode pair grid, one combinable d^2 Gram aggregate"),
-    ("q_ml_cv_stumps_exact", "CV stumps: ONE (fold,feature,bin) aggregate, train-by-subtraction, OOF from the same frame"),
+    ("q_ml_cv_stumps_exact", "CV stumps: ONE (fold,f1,f2) grid aggregate; split search + OOF replay on the driver"),
     ("q_events_msprt", "mSPRT: one (day,arm) rollup, windows over the days frame only"),
     # round-7 additions
     ("q_join_asof_bucketed", "skew-resistant as-of: (key,bucket) window + KB carry spine, no fact re-exchange"),
